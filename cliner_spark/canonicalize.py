@@ -1,0 +1,100 @@
+"""Canonicalization (SURVEY.md A4; north rule: "canonicalized via salted
+groupBy + connected-components (iterative DataFrame label propagation)").
+
+Concept graph: nodes are cuis; an undirected edge connects two cuis that
+share any normalized surface string (term or canonical). Connected-component
+label = min(cui) in the component — the canonical concept node. Chains of
+shared strings make this genuinely transitive (not just groupBy).
+
+`connected_components` is a generic min-label-propagation fixpoint usable on
+any edge list (also used by near-duplicate clustering in dedup.py). Each
+iteration is one shuffle on the (small) frontier; lineage is cut with
+localCheckpoint every CHECKPOINT_EVERY iterations so plans don't grow
+unboundedly (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 3
+MAX_ITERATIONS = 50
+
+
+def concept_edges(gazetteer: DataFrame) -> DataFrame:
+    """(src, dst) cui pairs sharing a normalized surface string; src < dst."""
+    strings = (
+        gazetteer.select(F.col("cui"), F.lower("term").alias("s"))
+        .unionByName(gazetteer.select(F.col("cui"), F.lower("canonical").alias("s")))
+        .distinct()
+    )
+    a, b = strings.alias("a"), strings.alias("b")
+    return (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.cui") < F.col("b.cui"))
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """Min-label propagation to fixpoint.
+
+    edges: (src, dst) string columns, undirected (either orientation).
+    nodes: optional (node) — isolated nodes to include; defaults to edge
+    endpoints. Returns (node, comp) where comp = min node id reachable.
+    """
+    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    endpoint_nodes = und.select(F.col("u").alias(node_col)).distinct()
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col)).unionByName(endpoint_nodes).distinct()
+    else:
+        all_nodes = endpoint_nodes
+    labels = all_nodes.withColumn("comp", F.col(node_col))
+    und = und.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+
+    for it in range(max_iterations):
+        # candidate label for each node = min(own, min over neighbors' labels)
+        nbr = (
+            und.join(labels, und["v"] == labels[node_col])
+            .select(und["u"].alias(node_col), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy(node_col)
+            .agg(F.min("comp").alias("comp"))
+        )
+        # the convergence check below is an action anyway; eager-checkpointing
+        # here both cuts lineage and avoids recomputing the join twice
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), node_col)
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_concept_map(gazetteer: DataFrame) -> DataFrame:
+    """(cui, canon_cui): every cui -> min cui of its connected component."""
+    edges = concept_edges(gazetteer)
+    nodes = gazetteer.select(F.col("cui").alias("node")).distinct()
+    comps = connected_components(edges, nodes=nodes, node_col="node")
+    return comps.select(F.col("node").alias("cui"), F.col("comp").alias("canon_cui"))

@@ -1,0 +1,48 @@
+"""Entity linking (SURVEY.md J2/J5/W3; reference: umls_features.py gazetteer
+probe + interpret_umls.py longest-match/tie-break, approx/unverified §0).
+
+Tie-break rule (defined once, shared with SQL oracle + python test oracle):
+for a term with several gazetteer rows, keep the row with the highest score,
+breaking score ties by ascending cui (deterministic, no floats in keys
+downstream).
+
+Scale note: the tie-break runs on the *gazetteer* (dimension side, tiny)
+BEFORE the join, so the fact-side join is a plain broadcast hash join —
+zero shuffle of the mention stream, no window over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def best_gazetteer(gazetteer: DataFrame) -> DataFrame:
+    """One row per lowercase term: argmax_(score desc, cui asc)."""
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("cui"))
+    return (
+        gazetteer.withColumn("term", F.lower("term"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """mentions × broadcast(best-per-term gazetteer) -> linked mentions.
+
+    Adds concept_type (= sem_type of the linked entry), cui, canonical,
+    link_score. Inner join: unmatched mentions cannot exist when mentions came
+    from the same gazetteer scan; kept inner for safety with external
+    detectors (e.g. the Viterbi tagger path).
+    """
+    g = best_gazetteer(gazetteer).select(
+        "term",
+        F.col("cui"),
+        F.col("sem_type").alias("concept_type"),
+        F.col("canonical"),
+        F.col("score").alias("link_score"),
+    )
+    return mentions.join(
+        F.broadcast(g), F.lower(mentions["mention_text"]) == g["term"], "inner"
+    ).drop("term")

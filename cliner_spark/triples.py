@@ -1,0 +1,158 @@
+"""Triple materialization + skew-aware sink (SURVEY.md U2/S6; north rule:
+"(subj, pred, obj) triples such as (conv_id, MENTIONS, concept_cui) and
+(concept, ASSERTED_IN, turn) partitioned by conv_id hash with explicit
+skew-salting on hot conversations").
+
+Triple inventory (each with (conv_id, turn_idx) provenance; ordering
+invariant key = (conv_id, turn_idx), stable):
+
+  (conv:<conv_id>,            MENTIONS,    concept:<canon_cui>)  one per
+      distinct (conv, canon_cui); provenance turn = first mentioning turn
+  (concept:<canon_cui>,       ASSERTED_IN, turn:<conv>#<turn_idx>) one per
+      distinct (canon_cui, conv, turn)
+  (mention:<conv>#<turn>#<s>, LINKED_TO,   concept:<cui>)  one per mention
+  (concept:<cui>,             SAME_AS,     concept:<canon_cui>)  one per cui
+      with canon_cui != cui; provenance = first turn where the cui occurs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cliner_spark.canonicalize import canonical_concept_map
+
+HOT_CONV_THRESHOLD = 100_000  # turns per conversation considered "hot"
+DEFAULT_SALT_BUCKETS = 16
+
+
+def with_canonical(linked: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Attach canon_cui (connected-component label) to linked mentions."""
+    return linked.join(F.broadcast(canon_map), "cui", "left").withColumn(
+        "canon_cui", F.coalesce(F.col("canon_cui"), F.col("cui"))
+    )
+
+
+def build_triples(linked: DataFrame, gazetteer: DataFrame | None = None,
+                  canon_map: DataFrame | None = None) -> DataFrame:
+    """linked mentions (+gazetteer for the concept graph) -> triples DF."""
+    if canon_map is None:
+        if gazetteer is None:
+            raise ValueError("need gazetteer or canon_map")
+        canon_map = canonical_concept_map(gazetteer)
+    m = with_canonical(linked, canon_map)
+
+    mentions_t = (
+        m.groupBy("conv_id", "canon_cui")
+        .agg(F.min("turn_idx").alias("turn_idx"))
+        .select(
+            F.concat(F.lit("conv:"), F.col("conv_id")).alias("subj"),
+            F.lit("MENTIONS").alias("pred"),
+            F.concat(F.lit("concept:"), F.col("canon_cui")).alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+    )
+    asserted_t = (
+        m.select("conv_id", "turn_idx", "canon_cui")
+        .distinct()
+        .select(
+            F.concat(F.lit("concept:"), F.col("canon_cui")).alias("subj"),
+            F.lit("ASSERTED_IN").alias("pred"),
+            F.concat(
+                F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx")
+            ).alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+    )
+    linked_t = m.select(
+        F.concat(
+            F.lit("mention:"),
+            F.col("conv_id"),
+            F.lit("#"),
+            F.col("turn_idx"),
+            F.lit("#"),
+            F.col("tok_start"),
+        ).alias("subj"),
+        F.lit("LINKED_TO").alias("pred"),
+        F.concat(F.lit("concept:"), F.col("cui")).alias("obj"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    same_as_t = (
+        m.filter(F.col("cui") != F.col("canon_cui"))
+        .groupBy("cui", "canon_cui")
+        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
+        .select(
+            F.concat(F.lit("concept:"), F.col("cui")).alias("subj"),
+            F.lit("SAME_AS").alias("pred"),
+            F.concat(F.lit("concept:"), F.col("canon_cui")).alias("obj"),
+            F.col("prov.conv_id").alias("conv_id"),
+            F.col("prov.turn_idx").alias("turn_idx"),
+        )
+    )
+    return (
+        mentions_t.unionByName(asserted_t).unionByName(linked_t).unionByName(same_as_t)
+    )
+
+
+def hot_conversations(turns: DataFrame, threshold: int = HOT_CONV_THRESHOLD) -> DataFrame:
+    """Pre-pass heavy-hitter detection: conversations with > threshold turns.
+
+    At 10^12-turn scale this is one map-side-combined count over conv_id; the
+    result is dimension-sized (few hot convs) and broadcastable.
+    """
+    return (
+        turns.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .filter(F.col("n_turns") > threshold)
+        .select("conv_id", "n_turns")
+    )
+
+
+def salted_partition_col(
+    hot: DataFrame | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+):
+    """Partition expression: xxhash64(conv_id) everywhere, plus a turn-derived
+    salt ONLY for hot conversations so one conv can't serialize a task.
+    Returns a function df -> df with a `_pk` partition-key column.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        if hot is not None:
+            df = df.join(F.broadcast(hot.select("conv_id", F.lit(1).alias("_hot"))), "conv_id", "left")
+            salt = F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)),
+            ).otherwise(F.lit(0))
+            df = df.withColumn("_pk", F.xxhash64(F.col("conv_id"), salt)).drop("_hot")
+        else:
+            df = df.withColumn("_pk", F.xxhash64(F.col("conv_id")))
+        return df
+
+    return apply
+
+
+def write_triples(
+    triples: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    hot: DataFrame | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Sink: repartition by salted conv-hash, sort within partitions by the
+    stable ordering key, write parquet. (Iceberg `writeTo` is the production
+    target; parquet in-sandbox — the partitioning/salting logic is identical.)
+    """
+    df = salted_partition_col(hot, salt_buckets)(triples)
+    n = num_partitions or triples.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartition(n, "_pk")
+        .sortWithinPartitions("conv_id", "turn_idx", "pred", "subj", "obj")
+        .drop("_pk")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,122 @@
+"""Slice-0 end-to-end: fixtures -> scan -> link -> canonicalize -> triples,
+checked against the independent plain-Python oracle (oracle_py) and the
+BASELINE.json P/R >= 0.95 contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cliner_spark import fixtures, oracle_py
+from cliner_spark.evaluate import triple_prf
+from cliner_spark.mentions import scan_mentions_expr, scan_mentions_udf
+from cliner_spark.pipeline import run_pipeline
+from cliner_spark.tokenize import tokenize
+
+
+def _fixture_rows():
+    return fixtures.gen_transcripts(n_convs=25, avg_turns=8, seed=42)
+
+
+def test_tokenize_blank_and_ws(spark):
+    df = spark.createDataFrame(
+        [("c", 0, None, "  a  b\tc ", None, None)],
+        schema=fixtures.schemas.TRANSCRIPTS,
+    )
+    row = tokenize(df).select("tokens").first()
+    assert row["tokens"] == ["a", "b", "c"]
+    df2 = spark.createDataFrame(
+        [("c", 1, None, "   ", None, None)], schema=fixtures.schemas.TRANSCRIPTS
+    )
+    assert tokenize(df2).select("tokens").first()["tokens"] == []
+
+
+def test_scan_expr_matches_python_oracle(spark):
+    rows = _fixture_rows()
+    gaz = fixtures.CLINICAL_GAZETTEER
+    terms = sorted({t for (t, *_r) in gaz})
+    df = fixtures.transcripts_df(spark, rows)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["mention_text"])
+        for r in scan_mentions_expr(df, terms).collect()
+    }
+    want = set()
+    for row in rows:
+        for (s, e, mtext) in oracle_py.scan_mentions(row["text"], set(terms)):
+            want.add((row["conv_id"], row["turn_idx"], s, e, mtext))
+    assert got == want
+    assert len(want) > 50  # fixture actually plants mentions
+
+
+def test_scan_udf_equals_expr(spark):
+    rows = _fixture_rows()
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    df = fixtures.transcripts_df(spark, rows)
+    a = set(map(tuple, scan_mentions_expr(df, terms).collect()))
+    b = set(map(tuple, scan_mentions_udf(df, terms).collect()))
+    assert a == b
+
+
+def test_link_tie_break(spark):
+    # "ablation" maps to C0209 (0.70) and C0210 (0.80) -> C0210 wins on score
+    df = fixtures.transcripts_df(
+        spark,
+        [
+            {
+                "conv_id": "c1",
+                "turn_idx": 0,
+                "role": "user",
+                "text": "needs Ablation now",
+                "tool": None,
+                "ts": None,
+            }
+        ],
+    )
+    out = run_pipeline(spark, df)
+    linked = out["linked"].collect()
+    assert len(linked) == 1
+    assert linked[0]["cui"] == "C0210"
+    assert linked[0]["mention_text"] == "Ablation"  # original case preserved
+
+
+def test_canonical_map_matches_union_find(spark):
+    gaz_df = fixtures.gazetteer_df(spark)
+    from cliner_spark.canonicalize import canonical_concept_map
+
+    got = {r["cui"]: r["canon_cui"] for r in canonical_concept_map(gaz_df).collect()}
+    want = oracle_py.canonical_map(fixtures.CLINICAL_GAZETTEER)
+    assert got == want
+    # chain check: C0001--C0002 share strings -> same component
+    assert got["C0002"] == got["C0001"] == "C0001"
+    # blood panel: C0101 ("blood test"->canonical "blood panel") links to C0102
+    assert got["C0102"] == got["C0101"]
+
+
+def test_triples_pr_against_oracle(spark):
+    rows = _fixture_rows()
+    df = fixtures.transcripts_df(spark, rows)
+    out = run_pipeline(spark, df)
+    gold, _ = oracle_py.pipeline_triples(rows, fixtures.CLINICAL_GAZETTEER)
+    gold_df = spark.createDataFrame(
+        [{"subj": s, "pred": p, "obj": o} for (s, p, o) in gold]
+    )
+    m = triple_prf(out["triples"], gold_df)
+    assert m["n_gold"] > 100
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_per_turn_text_equality_invariant(spark):
+    """Pipeline must not mutate turn text; ordering (conv_id, turn_idx) stable."""
+    rows = _fixture_rows()
+    df = fixtures.transcripts_df(spark, rows)
+    round_trip = (
+        tokenize(df)
+        .withColumn("rebuilt", F.concat_ws(" ", F.col("tokens")))
+        .select("conv_id", "turn_idx", "text", "rebuilt")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    src = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["text"] for r in round_trip] == [r["text"] for r in src]
+    # fixture text is single-space separated, so rebuilt == text here
+    assert all(r["rebuilt"] == r["text"] for r in round_trip)
