@@ -1,0 +1,757 @@
+"""Registry of driver-verifiable queries: every entry pairs a Spark
+DataFrame implementation with an ANSI-SQL (DuckDB) oracle twin over the same
+parquet tables (SURVEY.md §5.2.3). Column names/types are aligned on both
+sides; float aggregations go through DECIMAL(38,4) so sums are exact and
+order-independent (Spark partial aggregation vs DuckDB single-node summation
+would otherwise differ in last ulps).
+
+The `documents` table doubles as the transcript stand-in: conv_id =
+doc_id % 97, turn_idx = rank of doc_id within the conv (both engines compute
+this identically), text = text. The gazetteer for these queries is
+fixtures.DOC_GAZETTEER, rendered as a literal VALUES list for DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cliner_spark import fixtures, schemas
+from cliner_spark.canonicalize import canonical_concept_map
+from cliner_spark.link import link_mentions
+from cliner_spark.mentions import scan_mentions_expr
+from cliner_spark.tokenize import tokenize, tokens_col
+from cliner_spark.triples import build_triples
+
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+DOC_TERMS = sorted({t for (t, *_r) in fixtures.DOC_GAZETTEER})
+
+
+def doc_gazetteer_df(spark: SparkSession) -> DataFrame:
+    return fixtures.gazetteer_df(spark, fixtures.DOC_GAZETTEER)
+
+
+GAZ_SQL = fixtures.gazetteer_values_sql(fixtures.DOC_GAZETTEER)
+
+# Shared DuckDB CTE fragments ------------------------------------------------
+
+# tokens per document (empty/blank-safe, mirrors tokenize.tokens_col)
+SQL_DOCS_TOKS = """
+docs AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+# candidate n-grams (n=1..4) + gazetteer match + dominance filter
+# (mirrors mentions.scan_mentions_expr; semantics doc in mentions.py)
+SQL_KEPT_MENTIONS = f"""
+gazv AS (SELECT * FROM {GAZ_SQL}),
+cand AS (
+  SELECT d.doc_id, CAST(t.i AS INTEGER) AS tok_start,
+         CAST(t.i + n.n - 1 AS INTEGER) AS tok_end,
+         lower(array_to_string(d.toks[t.i + 1 : t.i + n.n], ' ')) AS term
+  FROM docs d,
+       unnest(range(len(d.toks))) AS t(i),
+       (VALUES (1), (2), (3), (4)) AS n(n)
+  WHERE t.i + n.n <= len(d.toks)
+),
+matched AS (
+  SELECT DISTINCT c.doc_id, c.tok_start, c.tok_end, c.term
+  FROM cand c WHERE c.term IN (SELECT term FROM gazv)
+),
+kept AS (
+  SELECT m.* FROM matched m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matched o
+    WHERE o.doc_id = m.doc_id
+      AND o.tok_start <= m.tok_end AND o.tok_end >= m.tok_start
+      AND (o.tok_end - o.tok_start > m.tok_end - m.tok_start
+           OR (o.tok_end - o.tok_start = m.tok_end - m.tok_start
+               AND o.tok_start < m.tok_start))
+  )
+),
+mentions AS (
+  SELECT k.doc_id, k.tok_start, k.tok_end,
+         array_to_string(d.toks[k.tok_start + 1 : k.tok_end + 1], ' ') AS mention_text
+  FROM kept k JOIN docs d USING (doc_id)
+)
+"""
+
+# best gazetteer row per term: score desc, cui asc (mirrors link.best_gazetteer)
+SQL_BEST_GAZ = """
+best_gaz AS (
+  SELECT term, cui, sem_type AS concept_type, canonical, score AS link_score
+  FROM (SELECT g.*, row_number() OVER (PARTITION BY term ORDER BY score DESC, cui ASC) AS rn
+        FROM gazv g)
+  WHERE rn = 1
+)
+"""
+
+SQL_LINKED = """
+linked AS (
+  SELECT m.doc_id, m.tok_start, m.tok_end, m.mention_text,
+         b.cui, b.concept_type, b.canonical, b.link_score
+  FROM mentions m JOIN best_gaz b ON lower(m.mention_text) = b.term
+)
+"""
+
+# connected components over the concept graph (mirrors canonicalize.py):
+# nodes = cuis, edges = shared normalized surface string; label = min reachable
+SQL_CANON = """
+strings AS (
+  SELECT cui, lower(term) AS s FROM gazv
+  UNION
+  SELECT cui, lower(canonical) AS s FROM gazv
+),
+cedges AS (
+  SELECT DISTINCT a.cui AS src, b.cui AS dst
+  FROM strings a JOIN strings b ON a.s = b.s AND a.cui <> b.cui
+),
+reach(src, dst) AS (
+  SELECT cui, cui FROM (SELECT DISTINCT cui FROM gazv)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src
+),
+canon AS (SELECT src AS cui, min(dst) AS canon_cui FROM reach GROUP BY src)
+"""
+
+
+def _doc_mentions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept mentions over documents with doc_id key (Spark side)."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    m = scan_mentions_expr(docs, DOC_TERMS)
+    return m.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "tok_start",
+        "tok_end",
+        "mention_text",
+    )
+
+
+# ===========================================================================
+# Pipeline family (SURVEY.md §2: S1, P1–P4, J2, J5, O2, A4, U2)
+# ===========================================================================
+
+
+@register(
+    "q_tokenize_stats",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       toks[1] AS first_tok, toks[len(toks)] AS last_tok
+FROM docs
+""",
+)
+def q_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenize(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.get("tokens", 0).alias("first_tok"),
+        F.get("tokens", F.size("tokens") - 1).alias("last_tok"),
+    )
+
+
+@register(
+    "q_mention_scan",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}
+SELECT doc_id, tok_start, tok_end, mention_text FROM mentions
+""",
+)
+def q_mention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_mentions_spark(spark, sf_dir)
+
+
+@register(
+    "q_link_top1",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}
+SELECT doc_id, tok_start, tok_end, mention_text, cui, concept_type, link_score
+FROM linked
+""",
+)
+def q_link_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(
+        m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark)
+    )
+    return linked.select(
+        F.col("conv_id").alias("doc_id"),
+        "tok_start",
+        "tok_end",
+        "mention_text",
+        "cui",
+        "concept_type",
+        "link_score",
+    )
+
+
+@register(
+    "q_concept_counts",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}
+SELECT cui, concept_type, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM linked GROUP BY cui, concept_type
+""",
+)
+def q_concept_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    return linked.groupBy("cui", "concept_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_docs"),
+    )
+
+
+@register(
+    "q_canonical_cc",
+    f"""
+WITH RECURSIVE gazv AS (SELECT * FROM {GAZ_SQL}), {SQL_CANON}
+SELECT cui, canon_cui FROM canon
+""",
+)
+def q_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_concept_map(doc_gazetteer_df(spark))
+
+
+@register(
+    "q_triples",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON},
+tx AS (
+  SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+  FROM documents
+),
+lm AS (
+  SELECT t.conv_id, t.turn_idx, m.tok_start, b.cui, c.canon_cui
+  FROM mentions m
+  JOIN best_gaz b ON lower(m.mention_text) = b.term
+  JOIN canon c ON b.cui = c.cui
+  JOIN tx t ON m.doc_id = t.doc_id
+)
+SELECT 'conv:' || conv_id AS subj, 'MENTIONS' AS pred,
+       'concept:' || canon_cui AS obj, conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx
+FROM lm GROUP BY conv_id, canon_cui
+UNION ALL
+SELECT DISTINCT 'concept:' || canon_cui, 'ASSERTED_IN',
+       'turn:' || conv_id || '#' || turn_idx, conv_id, turn_idx
+FROM lm
+UNION ALL
+SELECT 'mention:' || conv_id || '#' || turn_idx || '#' || tok_start, 'LINKED_TO',
+       'concept:' || cui, conv_id, turn_idx
+FROM lm
+UNION ALL
+SELECT 'concept:' || cui, 'SAME_AS', 'concept:' || canon_cui, conv_id, turn_idx
+FROM (
+  SELECT cui, canon_cui, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY cui, canon_cui
+                            ORDER BY conv_id ASC, turn_idx ASC) AS rn
+  FROM lm WHERE cui <> canon_cui
+) WHERE rn = 1
+""",
+)
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "text",
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    gaz = doc_gazetteer_df(spark)
+    mentions = scan_mentions_expr(tx, DOC_TERMS)
+    linked = link_mentions(mentions, gaz)
+    return build_triples(linked, gazetteer=gaz)
+
+
+ENTRY_QUERY = "q_triples"
+
+
+# ===========================================================================
+# Evaluation family (SURVEY.md J3/J4/U1/A1/A2; reference code/evaluate.py)
+# gold = all linked mentions; pred = gold with deterministic perturbations:
+#   - dropped where (doc_id + tok_start) % 11 = 3          -> false negatives
+#   - mislabeled 'problem' where (doc_id + tok_end) % 13 = 5 -> FP+FN pairs
+# ===========================================================================
+
+SQL_PRED_GOLD = f"""
+{SQL_BEST_GAZ}, {SQL_LINKED},
+gold AS (
+  SELECT doc_id, tok_start, tok_end, concept_type FROM linked
+),
+pred AS (
+  SELECT doc_id, tok_start, tok_end,
+         CASE WHEN (doc_id + tok_end) % 13 = 5 THEN 'problem' ELSE concept_type END AS concept_type
+  FROM linked
+  WHERE (doc_id + tok_start) % 11 <> 3
+)
+"""
+
+
+def _pred_gold_spark(spark: SparkSession, sf_dir: str):
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    gold = linked.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"), "tok_start", "tok_end", "concept_type"
+    )
+    pred = (
+        gold.filter((F.col("doc_id") + F.col("tok_start")) % 11 != 3)
+        .withColumn(
+            "concept_type",
+            F.when((F.col("doc_id") + F.col("tok_end")) % 13 == 5, F.lit("problem")).otherwise(
+                F.col("concept_type")
+            ),
+        )
+    )
+    return pred, gold
+
+
+_EVAL_KEYS = ["doc_id", "tok_start", "tok_end", "concept_type"]
+
+
+@register(
+    "q_eval_exact",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_PRED_GOLD}
+SELECT t.concept_type,
+  CAST((SELECT count(*) FROM pred p WHERE p.concept_type = t.concept_type
+        AND EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.tok_start = p.tok_start AND g.tok_end = p.tok_end
+          AND g.concept_type = p.concept_type)) AS BIGINT) AS tp,
+  CAST((SELECT count(*) FROM pred p WHERE p.concept_type = t.concept_type
+        AND NOT EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.tok_start = p.tok_start AND g.tok_end = p.tok_end
+          AND g.concept_type = p.concept_type)) AS BIGINT) AS fp,
+  CAST((SELECT count(*) FROM gold g WHERE g.concept_type = t.concept_type
+        AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.doc_id = g.doc_id
+          AND p.tok_start = g.tok_start AND p.tok_end = g.tok_end
+          AND p.concept_type = g.concept_type)) AS BIGINT) AS fn
+FROM (SELECT DISTINCT concept_type FROM pred
+      UNION SELECT DISTINCT concept_type FROM gold) t
+""",
+)
+def q_eval_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, gold = _pred_gold_spark(spark, sf_dir)
+    p = pred.select(*_EVAL_KEYS).distinct()
+    g = gold.select(*_EVAL_KEYS).distinct()
+    tp = p.join(g, _EVAL_KEYS, "left_semi").groupBy("concept_type").agg(F.count(F.lit(1)).alias("tp"))
+    fp = p.join(g, _EVAL_KEYS, "left_anti").groupBy("concept_type").agg(F.count(F.lit(1)).alias("fp"))
+    fn = g.join(p, _EVAL_KEYS, "left_anti").groupBy("concept_type").agg(F.count(F.lit(1)).alias("fn"))
+    types = p.select("concept_type").unionByName(g.select("concept_type")).distinct()
+    return (
+        types.join(tp, "concept_type", "left")
+        .join(fp, "concept_type", "left")
+        .join(fn, "concept_type", "left")
+        .fillna(0, subset=["tp", "fp", "fn"])
+    )
+
+
+@register(
+    "q_eval_overlap",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_PRED_GOLD}
+SELECT t.concept_type,
+  CAST((SELECT count(*) FROM pred p WHERE p.concept_type = t.concept_type
+        AND EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.concept_type = p.concept_type
+          AND p.tok_start <= g.tok_end AND p.tok_end >= g.tok_start)) AS BIGINT) AS tp,
+  CAST((SELECT count(*) FROM pred p WHERE p.concept_type = t.concept_type
+        AND NOT EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.concept_type = p.concept_type
+          AND p.tok_start <= g.tok_end AND p.tok_end >= g.tok_start)) AS BIGINT) AS fp,
+  CAST((SELECT count(*) FROM gold g WHERE g.concept_type = t.concept_type
+        AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.doc_id = g.doc_id
+          AND p.concept_type = g.concept_type
+          AND g.tok_start <= p.tok_end AND g.tok_end >= p.tok_start)) AS BIGINT) AS fn
+FROM (SELECT DISTINCT concept_type FROM pred
+      UNION SELECT DISTINCT concept_type FROM gold) t
+""",
+)
+def q_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, gold = _pred_gold_spark(spark, sf_dir)
+    from cliner_spark.evaluate import overlap_match_counts
+
+    p = pred.withColumnRenamed("doc_id", "conv_id").withColumn("turn_idx", F.lit(0))
+    g = gold.withColumnRenamed("doc_id", "conv_id").withColumn("turn_idx", F.lit(0))
+    return overlap_match_counts(p, g)
+
+
+@register(
+    "q_prf",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_PRED_GOLD},
+joined AS (
+  SELECT p.concept_type, 1 AS tp, 0 AS fp, 0 AS fn FROM pred p
+  WHERE EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+    AND g.tok_start = p.tok_start AND g.tok_end = p.tok_end
+    AND g.concept_type = p.concept_type)
+  UNION ALL
+  SELECT p.concept_type, 0, 1, 0 FROM pred p
+  WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+    AND g.tok_start = p.tok_start AND g.tok_end = p.tok_end
+    AND g.concept_type = p.concept_type)
+  UNION ALL
+  SELECT g.concept_type, 0, 0, 1 FROM gold g
+  WHERE NOT EXISTS (SELECT 1 FROM pred p WHERE p.doc_id = g.doc_id
+    AND p.tok_start = g.tok_start AND p.tok_end = g.tok_end
+    AND p.concept_type = g.concept_type)
+),
+counts AS (
+  SELECT coalesce(concept_type, 'ALL') AS concept_type,
+         CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+         CAST(sum(fn) AS BIGINT) AS fn
+  FROM joined GROUP BY ROLLUP (concept_type)
+)
+SELECT concept_type, tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS precision,
+  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS recall
+FROM counts
+""",
+)
+def q_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, gold = _pred_gold_spark(spark, sf_dir)
+    p = pred.select(*_EVAL_KEYS).distinct()
+    g = gold.select(*_EVAL_KEYS).distinct()
+    tp = p.join(g, _EVAL_KEYS, "left_semi").select("concept_type", F.lit(1).alias("tp"), F.lit(0).alias("fp"), F.lit(0).alias("fn"))
+    fp = p.join(g, _EVAL_KEYS, "left_anti").select("concept_type", F.lit(0).alias("tp"), F.lit(1).alias("fp"), F.lit(0).alias("fn"))
+    fn = g.join(p, _EVAL_KEYS, "left_anti").select("concept_type", F.lit(0).alias("tp"), F.lit(0).alias("fp"), F.lit(1).alias("fn"))
+    joined = tp.unionByName(fp).unionByName(fn)
+    counts = (
+        joined.rollup("concept_type")
+        .agg(F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn"))
+        .withColumn("concept_type", F.coalesce(F.col("concept_type"), F.lit("ALL")))
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    return counts.withColumn("precision", prec).withColumn("recall", rec)
+
+
+@register(
+    "q_confusion",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_PRED_GOLD}
+SELECT g.concept_type AS gold_type, p.concept_type AS pred_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM gold g JOIN pred p
+  ON g.doc_id = p.doc_id AND g.tok_start = p.tok_start AND g.tok_end = p.tok_end
+GROUP BY 1, 2
+""",
+)
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, gold = _pred_gold_spark(spark, sf_dir)
+    keys = ["doc_id", "tok_start", "tok_end"]
+    return (
+        gold.withColumnRenamed("concept_type", "gold_type")
+        .join(pred.withColumnRenamed("concept_type", "pred_type"), keys)
+        .groupBy("gold_type", "pred_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# Window / ordering family (SURVEY.md W1–W3, O1; common OLAP patterns)
+# ===========================================================================
+
+
+@register(
+    "q_topk_events",
+    """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id ASC) AS INTEGER) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@register(
+    "q_lag_delta",
+    """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+""",
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (SELECT * FROM flagged) _
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_len
+FROM per_session GROUP BY user_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: events are ordered by (ts, event_id) for gap detection; the
+    # running session counter uses event_id ordering (event_id is unique and
+    # correlates with ts) so both engines cumsum identically.
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(w2))
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_len"),
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+SELECT event_id, user_id, o_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+             ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): equi key + range predicate,
+    then rank-1 per event. The orders side is broadcast (dimension-sized
+    relative to the event stream at scale)."""
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    j = ev.join(
+        F.broadcast(orders),
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("o_orderdate"), F.desc_nulls_last("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey")
+    )
+
+
+# ===========================================================================
+# Relational family over the TPC-H-ish tables (A1–A3 analogs, joins, rollup)
+# Float sums go through DECIMAL(38,4) per-row casts so both engines are exact.
+# ===========================================================================
+
+
+@register(
+    "q_tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_revenue_by_nation",
+    """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_cust_no_orders",
+    """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+""",
+)
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_rollup_sales",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
+        )
+        .withColumn("l_returnflag", F.coalesce(F.col("l_returnflag"), F.lit("ALL")))
+        .withColumn("l_linestatus", F.coalesce(F.col("l_linestatus"), F.lit("ALL")))
+    )
+
+
+@register(
+    "q_events_hourly",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+    )

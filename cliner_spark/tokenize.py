@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 def tokens_col(text_col: str | Column = "text") -> Column:
     """Whitespace tokens; empty/blank text -> empty array (not [''])."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    trimmed = F.trim(c)
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
