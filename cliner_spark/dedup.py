@@ -1,0 +1,176 @@
+"""Large-scale training-data deduplication operators (driver mandate).
+
+All operators are pure DataFrame expressions (JVM-side, codegen'd):
+- exact dedup: md5 fingerprint of normalized text, hash groupBy
+- n-gram Jaccard: shingle inverted index + document-frequency cut (skew
+  control: a shingle occurring in >df_cut docs is a stop-shingle and
+  generates no candidate pairs — the classic hot-key guard at 100 TB)
+- MinHash + LSH banding: signature h_i = min over shingles of
+  md5(i || '#' || shingle) (string-min of a cryptographic hex is a valid
+  permutation surrogate and reproduces bit-identically in any engine),
+  candidate pairs = docs agreeing on >= min_bands of the band values
+- SimHash: 16-bit sign-aggregated token hash (weighted by occurrence)
+
+MinHash/LSH/SimHash use md5 rather than xxhash64 deliberately: the oracle
+(DuckDB) has md5 with identical semantics, so dedup results are
+cross-engine verifiable. At production scale xxhash64 would be ~4x faster;
+swap the hash function, not the algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cliner_spark.tokenize import tokens_col
+
+DEFAULT_DF_CUT = 50
+N_MINHASHES = 4
+SIMHASH_BITS = 16
+
+
+def normalized_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp): md5 of whitespace-normalized lowercase text."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.concat_ws(" ", tokens_col(text_col)))).alias("fp"),
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per fingerprint group: representative = min id, group size."""
+    return (
+        normalized_fingerprint(df, id_col, text_col)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingles(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct lowercase token n-gram shingles per document."""
+    toks = tokens_col(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.lower(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    df_cut: int = DEFAULT_DF_CUT,
+    min_jaccard: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by n-gram Jaccard over an inverted index.
+
+    Jaccard is computed on the df-cut shingle sets (both |A| and |common|
+    use the same filtered universe — the spec the oracle mirrors).
+    """
+    sh = shingles(df, n, id_col, text_col)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") <= df_cut)
+        .select("shingle")
+    )
+    sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{k-1}): h_i = min md5(i # shingle) as hex string."""
+    sh = shingles(df, shingle_n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    shingle_n: int = 2,
+    min_bands: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs agreeing on >= min_bands of the n (1-row) bands."""
+    sig = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col)
+    bands = None
+    for i in range(n_hashes):
+        b = sig.select(F.col(id_col), F.lit(i).alias("band"), F.col(f"h{i}").alias("sig"))
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash): sign-aggregated token hash over `bits` bits taken from
+    the first hex chars of md5(token); occurrence-weighted."""
+    assert bits % 4 == 0 and bits <= 32
+    n_hex = bits // 4
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .withColumn("hx", F.substring(F.md5(F.lower("tok")), 1, n_hex))
+    )
+    # per hex digit position d (0-based), value 0..15 -> 4 bits
+    contrib_aggs = []
+    for p in range(bits):
+        d, j = divmod(p, 4)
+        digit = F.conv(F.substring("hx", d + 1, 1), 16, 10).cast("int")
+        bit = F.floor(digit / (2**j)).cast("int") % 2
+        contrib_aggs.append(F.sum(bit * 2 - 1).alias(f"s{p}"))
+    agg = tok.groupBy(id_col).agg(*contrib_aggs)
+    sim = None
+    for p in range(bits):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

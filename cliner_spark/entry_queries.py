@@ -755,3 +755,279 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ===========================================================================
+# Dedup / similarity / text-analysis family (driver mandate beyond the
+# reference: exact + MinHash-LSH + n-gram Jaccard + SimHash dedup, ANN
+# search, quality scoring, token counting, fingerprinting, multimodal meta)
+# ===========================================================================
+
+from cliner_spark import dedup as _dedup
+from cliner_spark import multimodal as _mm
+from cliner_spark import similarity as _sim
+from cliner_spark import textstats as _ts
+
+SQL_SHINGLES_3 = """
+sh AS (
+  SELECT DISTINCT d.doc_id,
+         lower(array_to_string(d.toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 3 <= len(d.toks)
+)
+"""
+
+SQL_SHINGLES_2 = """
+sh2 AS (
+  SELECT DISTINCT d.doc_id,
+         lower(array_to_string(d.toks[t.i + 1 : t.i + 2], ' ')) AS shingle
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 2 <= len(d.toks)
+)
+"""
+
+
+@register(
+    "q_dedup_exact",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT md5(lower(array_to_string(toks, ' '))) AS fp,
+       min(doc_id) AS representative, CAST(count(*) AS BIGINT) AS n_docs
+FROM docs GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_jaccard_pairs",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_3},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc_id
+JOIN sizes sb ON common.doc_b = sb.doc_id
+""",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.jaccard_pairs(load(spark, sf_dir, "documents"), n=3, df_cut=50)
+
+
+@register(
+    "q_minhash_lsh",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_2},
+sig AS (
+  SELECT doc_id,
+         min(md5('0#' || shingle)) AS h0, min(md5('1#' || shingle)) AS h1,
+         min(md5('2#' || shingle)) AS h2, min(md5('3#' || shingle)) AS h3
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, h1 FROM sig
+  UNION ALL SELECT doc_id, 2, h2 FROM sig
+  UNION ALL SELECT doc_id, 3, h3 FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"), min_bands=2)
+
+
+@register(
+    "q_simhash",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tok AS (
+  SELECT d.doc_id, substr(md5(lower(u.tok)), 1, 4) AS hx
+  FROM docs d, unnest(d.toks) AS u(tok)
+),
+bits AS (
+  SELECT doc_id, p.p AS p,
+         ((strpos('0123456789abcdef', substr(hx, (p.p // 4) + 1, 1)) - 1)
+          // (1 << (p.p % 4))) % 2 AS bit
+  FROM tok, unnest(range(16)) AS p(p)
+),
+sums AS (SELECT doc_id, p, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "q_embedding_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+j AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1]))
+               / sqrt(list_sum(list_transform(qv, x -> x * x))
+                      * list_sum(list_transform(cv, x -> x * x))), 6) AS sim
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+  FROM j
+) WHERE rn <= 3
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return _sim.brute_force_topk(emb, F.col("vec_id") < 20, k=3)
+
+
+@register("q_embedding_lsh_topk", None)  # rows-only: approximate by design
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return _sim.lsh_topk(emb, F.col("vec_id") < 20, k=3, n_planes=8, dims=64)
+
+
+@register(
+    "q_text_quality",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT doc_id,
+  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(coalesce(text, ''),
+       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN len(toks) > 0
+       THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+       ELSE 0.0 END AS avg_token_len,
+  CASE WHEN len(toks) > 0
+       THEN CAST(len(list_filter(toks, x -> lower(x) IN
+            ('the','a','and','of','to','in','was','on','with'))) AS DOUBLE) / len(toks)
+       ELSE 0.0 END AS stopword_ratio
+FROM docs
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.quality_features(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_token_freq",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT lower(u.tok) AS tok, CAST(count(*) AS BIGINT) AS n
+FROM docs, unnest(toks) AS u(tok) GROUP BY 1
+""",
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.token_frequencies(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_fingerprint",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT doc_id, md5(lower(array_to_string(toks, ' '))) AS fp,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, x -> CAST(len(x) AS BIGINT))),
+            (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS len_hash
+FROM docs
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.rolling_fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_con_format",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}
+SELECT doc_id,
+       printf('c="%s" %d:%d %d:%d||t="%s"', lower(mention_text),
+              1, tok_start, 1, tok_end, concept_type) AS con_line
+FROM linked
+""",
+)
+def q_con_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2b2 .con sink formatting (SURVEY.md S4/F11; reference
+    documents.py::write ~L300-360 approx): line numbers are 1-indexed (turn 0
+    -> line 1), token offsets 0-indexed end-inclusive, text lowercased."""
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    return linked.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.format_string(
+            'c="%s" %d:%d %d:%d||t="%s"',
+            F.lower("mention_text"),
+            F.lit(1),
+            F.col("tok_start"),
+            F.lit(1),
+            F.col("tok_end"),
+            F.col("concept_type"),
+        ).alias("con_line"),
+    )
+
+
+@register(
+    "q_multimodal_meta",
+    """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       sha256(coalesce(text, '')) AS sha
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _mm.attach_payload(load(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha"),
+    )
+
+
+@register("q_media_features", None)  # rows-only: mapInPandas feature extraction
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _mm.attach_payload(load(spark, sf_dir, "documents"))
+    return _mm.extract_features(media, feature_dim=8)
+
+
+@register(
+    "q_mention_scan_udf",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}
+SELECT doc_id, tok_start, tok_end, mention_text FROM mentions
+""",
+)
+def q_mention_scan_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_mention_scan but through the Arrow mapInPandas
+    trie scanner (the big-gazetteer scale path) — oracle-checked against the
+    identical SQL."""
+    from cliner_spark.mentions import scan_mentions_udf
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    m = scan_mentions_udf(docs, DOC_TERMS)
+    return m.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "tok_start", "tok_end", "mention_text",
+    )

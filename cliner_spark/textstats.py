@@ -1,0 +1,92 @@
+"""Text-analysis operators for training-data pipelines (driver mandate):
+quality scoring, token counting (whitespace + BPE-ish regex), language-ID
+heuristic, document fingerprinting. All built-in expressions except nothing —
+zero UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cliner_spark.tokenize import tokens_col
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "was", "on", "with")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single non-space symbol
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    bpe_tokens = F.size(F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_REGEX), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        bpe_tokens.cast("bigint").alias("n_bpe_tokens"),
+        F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Global lowercase token frequencies (A3 vocab build)."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Tiny n-gram/stopword language heuristic (en/es/de/fr fallback 'und').
+
+    This is a real (if crude) detector for latin-script text; the synthetic
+    corpus has uniform vocabulary so it is exercised by unit tests on
+    hand-written multilingual samples rather than the oracle tables.
+    """
+    t = F.concat(F.lit(" "), F.lower(F.coalesce(text, F.lit(""))), F.lit(" "))
+
+    def hits(words: list[str]) -> Column:
+        c = F.lit(0)
+        for w in words:
+            c = c + F.when(t.contains(f" {w} "), 1).otherwise(0)
+        return c
+
+    en = hits(["the", "and", "of", "is", "was", "with"])
+    es = hits(["el", "la", "los", "las", "que", "y"])
+    de = hits(["der", "die", "das", "und", "ist", "nicht"])
+    fr = hits(["le", "la", "les", "et", "est", "une"])
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over normalized text plus a
+    cheap 63-bit polynomial rolling hash of token lengths (both engines can
+    reproduce the arithmetic exactly)."""
+    toks = tokens_col(text_col)
+    # modulus 2^31-1 keeps acc*1000003 < 2^52: no bigint overflow (ANSI mode)
+    poly = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * F.lit(1000003) + x, F.lit(2**31 - 1)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.concat_ws(" ", toks))).alias("fp"),
+        poly.alias("len_hash"),
+    )

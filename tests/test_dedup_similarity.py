@@ -1,0 +1,145 @@
+"""Unit tests for dedup, similarity, textstats, multimodal operators."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cliner_spark import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["a b c", "  a  b c ", "x y", "A B C"])
+    groups = {r["representative"]: r["n_docs"] for r in dedup.exact_dup_groups(df).collect()}
+    # "a b c", " a  b c " and "A B C" normalize to the same fingerprint
+    assert groups == {0: 3, 2: 1}
+
+
+def test_jaccard_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog today"
+    near = "the quick brown fox jumps over the lazy dog tomorrow"
+    df = _docs(spark, [base, near, "completely different words entirely here now"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.jaccard_pairs(df, n=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert (0, 2) not in pairs
+
+
+def test_minhash_identical_docs_agree_all_bands(spark):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "other words here now"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in
+             dedup.lsh_candidate_pairs(df, min_bands=1).collect()}
+    assert pairs.get((0, 1)) == 4
+
+
+def test_simhash_matches_manual(spark):
+    text = "hello world hello"
+    df = _docs(spark, [text])
+    got = dedup.simhash(df, bits=16).first()["simhash"]
+    sums = [0] * 16
+    for tok in text.split():
+        hx = hashlib.md5(tok.lower().encode()).hexdigest()[:4]
+        for p in range(16):
+            d, j = divmod(p, 4)
+            bit = (int(hx[d], 16) >> j) & 1
+            sums[p] += 2 * bit - 1
+    want = sum((1 << p) for p in range(16) if sums[p] > 0)
+    assert got == want
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(df, F.col("vec_id") < 3, k=2).collect()
+    }
+    v64 = vecs.astype("float64")
+    for q in range(3):
+        sims = v64 @ v64[q] / (np.linalg.norm(v64, axis=1) * np.linalg.norm(v64[q]))
+        order = sorted(
+            (i for i in range(30) if i != q),
+            key=lambda i: (-round(sims[i], 6), i),
+        )
+        assert got[(q, 1)] == order[0]
+        assert got[(q, 2)] == order[1]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(40, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.lsh_topk(df, F.col("vec_id") < 5, k=3, n_planes=4, dims=16).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    assert all(r["rn"] <= 3 for r in out)
+    # deterministic across runs
+    out2 = similarity.lsh_topk(df, F.col("vec_id") < 5, k=3, n_planes=4, dims=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is here with us"),
+            (1, "el gato y la casa que vemos los dias"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "le chat et la maison est une belle chose"),
+            (4, "zzz qqq"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", textstats.language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_features_values(spark):
+    df = _docs(spark, ["The cat, and a dog!"])
+    r = textstats.quality_features(df).first()
+    assert r["n_tokens"] == 5
+    # BPE-ish: The|cat|,|and|a|dog|! -> 7
+    assert r["n_bpe_tokens"] == 7
+    assert r["stopword_ratio"] == pytest.approx(3 / 5)  # 'The', 'and', 'a'
+    assert r["n_chars"] == len("The cat, and a dog!")
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    df = _docs(spark, ["a bb ccc", "a bb ccc", "a bb cccd"])
+    rows = textstats.rolling_fingerprint(df).collect()
+    by_id = {r["doc_id"]: (r["fp"], r["len_hash"]) for r in rows}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[2]
+    # manual polynomial
+    acc = 0
+    for ln in (1, 2, 3):
+        acc = (acc * 1000003 + ln) % (2**31 - 1)
+    assert by_id[0][1] == acc
+
+
+def test_multimodal_plumbing(spark):
+    df = _docs(spark, ["hello", "world!"])
+    media = multimodal.attach_payload(df)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert bytes(rows[0]["payload"]) == b"hello"
+    assert rows[0]["meta"]["n_bytes"] == 5
+    assert rows[0]["meta"]["sha256"] == hashlib.sha256(b"hello").hexdigest()
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media, feature_dim=4).collect()}
+    assert len(feats[0]["feature"]) == 4
+    assert math.isclose(sum(feats[0]["feature"]), 1.0, abs_tol=1e-5)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x")
