@@ -1,0 +1,109 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": 0.1,
+   "turns_per_sec": N, "n_turns": N}
+
+Also measures flagship KG-pipeline throughput (turns/sec) over a
+seed-deterministic generated transcript table (fixtures.big_transcripts:
+pure JVM expressions, no driver loop), since the north rule's headline
+metric is turns/sec at scale. Scaling-efficiency (local[8] vs local[32])
+is measured by tools/scaling_bench.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_TURNS = int(os.environ.get("CLINER_BENCH_TURNS", "300000"))
+
+
+def guess_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from cliner_spark.session import get_spark
+
+    spark = get_spark("cliner_spark.bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qtimes: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(entry.queries().items()):
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.time() - t0
+            qtimes[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - bench must report, not die
+            dt = time.time() - t0
+            qtimes[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: FAILED after {dt:.2f}s: {e}", file=sys.stderr)
+
+    # Flagship throughput: full KG pipeline over generated transcripts.
+    from cliner_spark import fixtures
+    from cliner_spark.pipeline import run_pipeline
+
+    tx = fixtures.big_transcripts(
+        spark, n_turns=BENCH_TURNS, n_convs=max(64, BENCH_TURNS // 200)
+    )
+    tx = tx.repartition(int(CPUS) * 2)
+    tx.write.mode("overwrite").parquet("/tmp/cliner_bench_tx")
+    tx = spark.read.parquet("/tmp/cliner_bench_tx")
+
+    t0 = time.time()
+    out = run_pipeline(spark, tx, scanner="udf")
+    n_triples = out["triples"].count()
+    pipe_sec = time.time() - t0
+    turns_per_sec = BENCH_TURNS / pipe_sec if pipe_sec > 0 else 0.0
+    qtimes["flagship_pipeline"] = round(pipe_sec, 3)
+    total += pipe_sec
+    print(
+        f"# flagship: {n_triples} triples from {BENCH_TURNS} turns in "
+        f"{pipe_sec:.2f}s ({turns_per_sec:,.0f} turns/sec)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": guess_sf(SF_DIR),
+                "turns_per_sec": round(turns_per_sec, 1),
+                "n_turns": BENCH_TURNS,
+                "n_triples": n_triples,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -985,6 +985,34 @@ def q_con_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_con_parse",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}
+SELECT doc_id, CAST(0 AS INTEGER) AS turn_idx, tok_start, tok_end,
+       lower(mention_text) AS mention_text, concept_type
+FROM linked
+""",
+)
+def q_con_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 -> S2 roundtrip: emit i2b2 .con lines (format_string) then parse
+    them back (regexp_extract). Identity on the linked mention set modulo the
+    reference's lowercasing of stored concept text."""
+    from cliner_spark.con_format import format_con_lines, parse_con_lines
+
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    con = format_con_lines(linked).select("conv_id", "con_line")
+    return parse_con_lines(con).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "turn_idx",
+        "tok_start",
+        "tok_end",
+        "mention_text",
+        "concept_type",
+    )
+
+
+@register(
     "q_multimodal_meta",
     """
 SELECT doc_id AS media_id,
@@ -1006,6 +1034,104 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _mm.attach_payload(load(spark, sf_dir, "documents"))
     return _mm.extract_features(media, feature_dim=8)
+
+
+@register(
+    "q_tagger_mentions",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}
+SELECT m.doc_id, m.tok_start, m.tok_end, m.mention_text,
+       b.concept_type
+FROM mentions m JOIN best_gaz b ON lower(m.mention_text) = b.term
+""",
+)
+def q_tagger_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi tagger path (SURVEY.md M2+M3, feature_tag_udf): hashed feature
+    emissions + gazetteer flags -> batched numpy Viterbi -> IOB chunking.
+    With the distant-supervision model the decoded spans provably equal the
+    scanner's longest/leftmost spans typed by the best gazetteer row, which
+    is exactly the SQL oracle."""
+    from cliner_spark.tagger import make_distant_model, tag_mentions
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    model = make_distant_model(fixtures.DOC_GAZETTEER)
+    m = tag_mentions(docs, model)
+    return m.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "tok_start",
+        "tok_end",
+        "mention_text",
+        "concept_type",
+    )
+
+
+@register(
+    "q_iob_roundtrip",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}
+SELECT m.doc_id, m.tok_start, m.tok_end, b.concept_type
+FROM mentions m JOIN best_gaz b ON lower(m.mention_text) = b.term
+""",
+)
+def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 -> M3 roundtrip: linked spans -> per-token IOB tags -> chunked back
+    to spans, all inside one mapInPandas stage (chunk.spans_to_flat_tags +
+    chunk_flat_tags). Identity on non-overlapping input, so the oracle is the
+    linked-span set itself."""
+    import numpy as np
+    import pandas as pd
+
+    from cliner_spark.chunk import chunk_flat_tags, spans_to_flat_tags
+    from cliner_spark.tagger import LABELS
+
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    per_doc = (
+        linked.groupBy("conv_id")
+        .agg(
+            F.collect_list(
+                F.struct("tok_start", "tok_end", "concept_type")
+            ).alias("spans")
+        )
+        .join(docs, "conv_id")
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "tok_start": [], "tok_end": [], "concept_type": []}
+            for conv, spans, text in zip(pdf["conv_id"], pdf["spans"], pdf["text"]):
+                n_tok = len((text or "").split())
+                lengths = np.asarray([n_tok], dtype=np.int64)
+                tri = [(0, int(s["tok_start"]), int(s["tok_end"]), s["concept_type"]) for s in spans]
+                flat = spans_to_flat_tags(tri, lengths, LABELS)
+                chunked = chunk_flat_tags(flat, np.zeros(n_tok, dtype=np.int64), LABELS)
+                if chunked:
+                    _, ss, ee, ty = chunked
+                    for a, b, t in zip(ss, ee, ty):
+                        out["doc_id"].append(int(conv))
+                        out["tok_start"].append(int(a))
+                        out["tok_end"].append(int(b))
+                        out["concept_type"].append(t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "tok_start": pd.Series(out["tok_start"], dtype="int32"),
+                    "tok_end": pd.Series(out["tok_end"], dtype="int32"),
+                    "concept_type": pd.Series(out["concept_type"], dtype="object"),
+                }
+            )
+
+    return per_doc.mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, tok_start int, tok_end int, concept_type string",
+    )
 
 
 @register(

@@ -110,10 +110,14 @@ def scan_mentions_udf(
     gazetteer_terms: list[str],
     text_col: str = "text",
     max_n: int = MAX_TERM_TOKENS,
+    carry_ts: bool = False,
 ) -> DataFrame:
     """Big-gazetteer scan: mapInPandas + sc.broadcast dict keyed by first
     token -> set of term lengths to probe (a flattened trie). Same dominance
     semantics as scan_mentions_expr. Zero shuffle.
+
+    carry_ts=True passes the event-time `ts` column through (streaming path:
+    avoids a stream-stream self-join to re-attach event time downstream).
     """
     spark = turns.sparkSession
     index: dict[str, set[int]] = {}
@@ -125,18 +129,21 @@ def scan_mentions_udf(
         index.setdefault(parts[0], set()).add(len(parts))
     b_index = spark.sparkContext.broadcast((index, terms, max_n))
 
-    cols = ["conv_id", "turn_idx", text_col]
+    cols = ["conv_id", "turn_idx", text_col] + (["ts"] if carry_ts else [])
     schema = (
         "conv_id string, turn_idx int, tok_start int, tok_end int, mention_text string"
+        + (", ts timestamp" if carry_ts else "")
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx, term_set, mx = b_index.value
         for pdf in batches:
             out_conv, out_turn, out_s, out_e, out_txt = [], [], [], [], []
-            for conv, turn, text in zip(
+            out_ts: list = []
+            ts_vals = pdf["ts"].values if carry_ts else None
+            for row_i, (conv, turn, text) in enumerate(zip(
                 pdf["conv_id"].values, pdf["turn_idx"].values, pdf[text_col].fillna("").values
-            ):
+            )):
                 toks = text.split()
                 low = [t.lower() for t in toks]
                 cands = []
@@ -165,14 +172,17 @@ def scan_mentions_udf(
                     out_s.append(s)
                     out_e.append(e)
                     out_txt.append(" ".join(toks[s : e + 1]))
-            yield pd.DataFrame(
-                {
-                    "conv_id": pd.Series(out_conv, dtype="object"),
-                    "turn_idx": pd.Series(out_turn, dtype="int32"),
-                    "tok_start": pd.Series(out_s, dtype="int32"),
-                    "tok_end": pd.Series(out_e, dtype="int32"),
-                    "mention_text": pd.Series(out_txt, dtype="object"),
-                }
-            )
+                    if carry_ts:
+                        out_ts.append(ts_vals[row_i])
+            data = {
+                "conv_id": pd.Series(out_conv, dtype="object"),
+                "turn_idx": pd.Series(out_turn, dtype="int32"),
+                "tok_start": pd.Series(out_s, dtype="int32"),
+                "tok_end": pd.Series(out_e, dtype="int32"),
+                "mention_text": pd.Series(out_txt, dtype="object"),
+            }
+            if carry_ts:
+                data["ts"] = pd.Series(out_ts, dtype="datetime64[us]")
+            yield pd.DataFrame(data)
 
     return turns.select(*cols).mapInPandas(scan, schema=schema)

@@ -50,6 +50,19 @@ def run_pipeline(
         mentions = scan_mentions_expr(turns, terms)
     elif scanner == "udf":
         mentions = scan_mentions_udf(turns, terms)
+    elif scanner == "tagger":
+        # Viterbi tagger path (SURVEY.md §7.1 step 3): features -> batched
+        # Viterbi decode -> IOB chunking, distant-supervision model. Output
+        # spans provably equal the gazetteer scan on gazetteer-planted text,
+        # so the same P/R contract holds; drop its concept_type and let
+        # link_mentions re-derive it (single source of truth).
+        from cliner_spark.tagger import make_distant_model, tag_mentions
+
+        entries = [
+            (r["term"], r["cui"], r["sem_type"], r["canonical"], r["score"])
+            for r in gaz.collect()
+        ]
+        mentions = tag_mentions(turns, make_distant_model(entries)).drop("concept_type")
     else:
         raise ValueError(f"unknown scanner {scanner!r}")
 
@@ -68,7 +81,7 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="cliner_spark KG pipeline")
     ap.add_argument("--input", help="parquet path of transcripts (default: built-in fixture)")
     ap.add_argument("--output", required=True, help="output parquet path for triples")
-    ap.add_argument("--scanner", default="udf", choices=["expr", "udf"])
+    ap.add_argument("--scanner", default="udf", choices=["expr", "udf", "tagger"])
     ap.add_argument("--master", default=None)
     ap.add_argument("--hot-threshold", type=int, default=100_000)
     args = ap.parse_args(argv)

@@ -1,0 +1,368 @@
+"""Sequence tagger (SURVEY.md §2.9 M2 + §2.10 feature_tag_udf; reference:
+code/machine_learning/crf.py train/predict + code/model.py, approx/unverified
+— SURVEY.md §0).
+
+The reference decodes one sentence at a time through python-crfsuite. Here the
+whole path is one `mapInPandas` pass, fully vectorized per Arrow batch:
+
+  text batch -> flat token array [N] (+ turn-id array)
+             -> hashed feature indices (features.py, numpy fancy indexing)
+             -> gazetteer phrase flags (vectorized n-gram match + one K×K
+                dominance matrix per batch — same set-based longest/leftmost
+                rule as mentions.py, so tagger spans == scanner spans when the
+                model is the distant-supervision one)
+             -> emissions [N, L] -> padded [B, T, L] -> batched Viterbi
+             -> tags -> chunked spans (chunk.py) -> mention rows
+
+Model weights live in ONE sc.broadcast handle; deserialized once per
+executor (worker reuse), never per row.
+
+Labels: the i2b2 7-tag IOB set (reference `code/documents.py` tagset).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from cliner_spark import features as FT
+from cliner_spark.chunk import chunk_flat_tags
+
+CONCEPT_TYPES = ("problem", "test", "treatment")
+LABELS = ("O",) + tuple(
+    f"{bi}-{t}" for t in CONCEPT_TYPES for bi in ("B", "I")
+)
+L = len(LABELS)  # 7
+LABEL_IDX = {lab: i for i, lab in enumerate(LABELS)}
+_B_OF = {t: LABEL_IDX[f"B-{t}"] for t in CONCEPT_TYPES}
+_I_OF = {t: LABEL_IDX[f"I-{t}"] for t in CONCEPT_TYPES}
+
+NEG = np.float32(-1e9)
+
+
+def iob_transitions(bonus: float = 0.0) -> np.ndarray:
+    """[L, L] log-domain transition scores; I-x reachable only from B-x/I-x."""
+    trans = np.zeros((L, L), dtype=np.float32)
+    for t in CONCEPT_TYPES:
+        i_lab = _I_OF[t]
+        trans[:, i_lab] = NEG
+        trans[_B_OF[t], i_lab] = bonus
+        trans[i_lab, i_lab] = bonus
+    return trans
+
+
+@dataclass
+class TagModel:
+    """Broadcastable model artifact (SURVEY.md D8).
+
+    W          [HASH_DIM, L] hashed-feature emission weights
+    trans      [L, L] transition scores (log domain)
+    term_type  lower phrase -> concept type (best gazetteer row per term:
+               score desc, cui asc — identical rule to link.best_gazetteer)
+    gaz_weight emission bonus added at gazetteer-flagged positions
+    o_bias     emission bonus on O for unflagged tokens
+    max_n      max phrase length in tokens
+    use_context include W1 prev/next conjunction features
+    """
+
+    W: np.ndarray
+    trans: np.ndarray
+    term_type: dict[str, str]
+    gaz_weight: float = 10.0
+    o_bias: float = 1.0
+    max_n: int = 4
+    use_context: bool = True
+
+
+def best_term_type(entries: list[tuple]) -> dict[str, str]:
+    """term -> concept_type of its best gazetteer row (score desc, cui asc)."""
+    best: dict[str, tuple] = {}
+    for term, cui, sem_type, _canon, score in entries:
+        t = term.lower()
+        key = (-float(score), cui)
+        if t not in best or key < best[t][0]:
+            best[t] = (key, sem_type)
+    return {t: v[1] for t, v in best.items()}
+
+
+def make_distant_model(entries: list[tuple], **kw) -> TagModel:
+    """Distant-supervision model: zero hashed weights; gazetteer flags and the
+    IOB transition structure carry the decision. With this model the Viterbi
+    argmax provably reproduces the scanner's longest/leftmost spans typed by
+    the best gazetteer row (tests assert it)."""
+    term_type = best_term_type(entries)
+    max_n = max(len(t.split()) for t in term_type) if term_type else 1
+    return TagModel(
+        W=np.zeros((FT.HASH_DIM, L), dtype=np.float32),
+        trans=iob_transitions(),
+        term_type=term_type,
+        max_n=max_n,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flattened batch computation
+# ---------------------------------------------------------------------------
+
+
+def flatten_batch(texts: pd.Series) -> tuple[pd.Series, np.ndarray, np.ndarray]:
+    """texts [B] -> (flat tokens [N], turn_ids [N], turn_lengths [B])."""
+    tok_lists = texts.fillna("").str.split()
+    lengths = tok_lists.str.len().to_numpy(dtype=np.int64)
+    flat = [t for lst in tok_lists for t in lst]
+    turn_ids = np.repeat(np.arange(len(lengths)), lengths)
+    return pd.Series(flat, dtype="object"), turn_ids, lengths
+
+
+def gazetteer_flags(
+    low: np.ndarray,
+    turn_ids: np.ndarray,
+    term_type: dict[str, str],
+    max_n: int,
+) -> np.ndarray:
+    """[N, L] emission bonus matrix from phrase-gazetteer membership.
+
+    Vectorized n-gram matching over the flat token array (shift+concat per n,
+    masked at turn boundaries), then ONE batch-wide K×K dominance filter
+    (set-based longest-then-leftmost, same predicate as mentions.py).
+    """
+    n_tok = len(low)
+    bonus = np.zeros((n_tok, L), dtype=np.float32)
+    if n_tok == 0 or not term_type:
+        return bonus
+
+    starts, lens, types = [], [], []
+    grams = low.astype(object)
+    for n in range(1, max_n + 1):
+        if n > 1:
+            shifted = np.roll(low, -(n - 1))
+            grams = np.char.add(np.char.add(grams.astype(str), " "), shifted.astype(str)).astype(object)
+        valid = np.arange(n_tok) + n <= n_tok
+        valid &= np.roll(turn_ids, -(n - 1)) == turn_ids
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            continue
+        hits = pd.Series(grams[idx]).map(term_type)
+        hit_mask = hits.notna().to_numpy()
+        for i, typ in zip(idx[hit_mask], hits[hit_mask].to_numpy()):
+            starts.append(i)
+            lens.append(n)
+            types.append(typ)
+
+    if not starts:
+        bonus[:, 0] = 1.0
+        return bonus
+
+    s = np.asarray(starts, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    e = s + ln - 1
+    tid = turn_ids[s]
+
+    # K×K set-based dominance (overlap in same turn & (longer | same len,
+    # earlier start)) — candidate counts per batch are small vs token counts
+    k = len(s)
+    same = tid[:, None] == tid[None, :]
+    overlap = (s[:, None] <= e[None, :]) & (e[:, None] >= s[None, :])
+    better = (ln[:, None] > ln[None, :]) | (
+        (ln[:, None] == ln[None, :]) & (s[:, None] < s[None, :])
+    )
+    dominated = (same & overlap & better).any(axis=0)
+    keep = ~dominated
+
+    for i, n, typ in zip(s[keep], ln[keep], np.asarray(types, dtype=object)[keep]):
+        bonus[i, _B_OF[typ]] += 1.0
+        if n > 1:
+            bonus[i + 1 : i + n, _I_OF[typ]] += 1.0
+
+    flagged = bonus.any(axis=1)
+    bonus[~flagged, 0] = 1.0
+    return bonus
+
+
+def viterbi_batch(emissions: np.ndarray, lengths: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Batched Viterbi. emissions [N, L] flat; lengths [B]; returns flat tag
+    ids [N]. Time loop runs to max(lengths) with all turns advanced in lock
+    step (numpy over the batch axis) — no per-turn Python loop.
+
+    Ragged turns are padded with emissions that force O at pad positions.
+    Because transitions INTO O are uniform across predecessors (iob_transitions
+    keeps trans[:, O] == 0, and the trainer never updates trans), the optimal
+    padded path is the optimal real path extended with O — decoding the padded
+    batch then slicing is exact.
+    """
+    n_turn = len(lengths)
+    if n_turn == 0 or lengths.sum() == 0:
+        return np.zeros(0, dtype=np.int64)
+    t_max = int(lengths.max())
+
+    assert np.allclose(trans[:, 0], trans[0, 0]), "pad trick needs uniform into-O"
+
+    pad = np.full((n_turn, t_max, L), NEG, dtype=np.float32)
+    pad[:, :, 0] = 0.0  # pad positions: only O attainable
+    pos_in_turn = np.concatenate([np.arange(l) for l in lengths])
+    turn_of = np.repeat(np.arange(n_turn), lengths)
+    pad[turn_of, pos_in_turn] = emissions
+
+    dp = pad[:, 0, :].copy()
+    start_illegal = trans[0] <= NEG / 2  # sequences cannot start with I-*
+    dp[:, start_illegal] = NEG
+    back = np.zeros((n_turn, t_max, L), dtype=np.int8)
+    for t in range(1, t_max):
+        scores = dp[:, :, None] + trans[None, :, :]  # [B, L_prev, L_cur]
+        back[:, t] = scores.argmax(axis=1)
+        dp = scores.max(axis=1) + pad[:, t]
+
+    tags = np.zeros((n_turn, t_max), dtype=np.int64)
+    cur = dp.argmax(axis=1)
+    tags[:, t_max - 1] = cur
+    for t in range(t_max - 1, 0, -1):
+        cur = back[np.arange(n_turn), t, cur]
+        tags[:, t - 1] = cur
+    return tags[turn_of, pos_in_turn]
+
+
+def tag_emissions(
+    texts: pd.Series, model: TagModel
+) -> tuple[pd.Series, np.ndarray, np.ndarray, np.ndarray]:
+    """texts -> (flat tokens, turn_ids, lengths, flat emissions [N, L])."""
+    flat, turn_ids, lengths = flatten_batch(texts)
+    if len(flat) == 0:
+        return flat, turn_ids, lengths, np.zeros((0, L), dtype=np.float32)
+    fams = FT.feature_indices(flat)
+    if model.use_context:
+        fams += FT.context_indices(fams, turn_ids)
+    em = FT.emissions_from_indices(fams, model.W)
+    low = flat.str.lower().to_numpy(dtype=object)
+    gflags = gazetteer_flags(low, turn_ids, model.term_type, model.max_n)
+    em += model.gaz_weight * gflags
+    em[:, 0] += np.float32(model.o_bias) * (gflags[:, 0] > 0)
+    return flat, turn_ids, lengths, em
+
+
+def decode_texts(texts: pd.Series, model: TagModel) -> tuple[pd.Series, np.ndarray, np.ndarray, np.ndarray]:
+    """texts -> (flat tokens, turn_ids, lengths, flat tag ids)."""
+    flat, turn_ids, lengths, em = tag_emissions(texts, model)
+    tags = viterbi_batch(em, lengths, model.trans)
+    return flat, turn_ids, lengths, tags
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+_MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, tok_start int, tok_end int, "
+    "mention_text string, concept_type string"
+)
+
+
+def tag_mentions(turns: DataFrame, model: TagModel, text_col: str = "text") -> DataFrame:
+    """The fused feature+decode+chunk UDF (SURVEY.md §2.10 #2): transcripts ->
+    typed mention rows. Zero shuffle; one mapInPandas stage."""
+    spark = turns.sparkSession
+    b_model = spark.sparkContext.broadcast(model)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = b_model.value
+        for pdf in batches:
+            flat, turn_ids, lengths, tags = decode_texts(pdf[text_col], m)
+            spans = chunk_flat_tags(tags, turn_ids, LABELS)  # (row, s, e, type)
+            if len(spans) == 0:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pd.Series([], dtype="object"),
+                        "turn_idx": pd.Series([], dtype="int32"),
+                        "tok_start": pd.Series([], dtype="int32"),
+                        "tok_end": pd.Series([], dtype="int32"),
+                        "mention_text": pd.Series([], dtype="object"),
+                        "concept_type": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            rows, s, e, typ = spans
+            toks = flat.to_numpy(dtype=object)
+            starts_of_turn = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            mention_text = [
+                " ".join(toks[starts_of_turn[r] + a : starts_of_turn[r] + b + 1])
+                for r, a, b in zip(rows, s, e)
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(dtype=object)[rows],
+                    "turn_idx": pd.Series(
+                        pdf["turn_idx"].to_numpy()[rows], dtype="int32"
+                    ),
+                    "tok_start": pd.Series(s, dtype="int32"),
+                    "tok_end": pd.Series(e, dtype="int32"),
+                    "mention_text": pd.Series(mention_text, dtype="object"),
+                    "concept_type": pd.Series(typ, dtype="object"),
+                }
+            )
+
+    return turns.select("conv_id", "turn_idx", text_col).mapInPandas(
+        run, schema=_MENTION_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-local trainer (SURVEY.md M1 note: training is fixture-scale;
+# averaged structured perceptron over the same features + Viterbi)
+# ---------------------------------------------------------------------------
+
+
+def train_perceptron(
+    texts: list[str],
+    gold_tags: list[list[str]],
+    epochs: int = 5,
+    base: TagModel | None = None,
+) -> TagModel:
+    """Averaged structured perceptron. Uses the identical feature hashing and
+    Viterbi as inference, so a model trained here is exactly reproducible in
+    the distributed decode path."""
+    model = base or TagModel(
+        W=np.zeros((FT.HASH_DIM, L), dtype=np.float32),
+        trans=iob_transitions(),
+        term_type={},
+        gaz_weight=0.0,
+        o_bias=0.0,
+    )
+    W = model.W
+    acc = np.zeros_like(W)
+    t_step = 1
+    for _ in range(epochs):
+        for text, gold in zip(texts, gold_tags):
+            s = pd.Series([text])
+            flat, turn_ids, lengths, em = tag_emissions(s, model)
+            if len(flat) == 0:
+                continue
+            pred = viterbi_batch(em, lengths, model.trans)
+            g = np.asarray([LABEL_IDX[x] for x in gold], dtype=np.int64)
+            if len(g) != len(pred):
+                raise ValueError("gold/token length mismatch")
+            if (pred == g).all():
+                t_step += 1
+                continue
+            fams = FT.feature_indices(flat)
+            if model.use_context:
+                fams += FT.context_indices(fams, turn_ids)
+            for idx in fams:
+                np.add.at(W, (idx, g), 1.0)
+                np.add.at(W, (idx, pred), -1.0)
+                np.add.at(acc, (idx, g), float(t_step))
+                np.add.at(acc, (idx, pred), -float(t_step))
+            t_step += 1
+    W_avg = W - acc / max(t_step, 1)
+    return TagModel(
+        W=W_avg.astype(np.float32),
+        trans=model.trans,
+        term_type=model.term_type,
+        gaz_weight=model.gaz_weight,
+        o_bias=model.o_bias,
+        max_n=model.max_n,
+        use_context=model.use_context,
+    )

@@ -1,0 +1,57 @@
+"""Resumability (SURVEY.md §5.2.4): kill after k buckets, re-run, assert
+identical final triples and that completed buckets were skipped."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cliner_spark import checkpoint, fixtures
+from cliner_spark.pipeline import run_pipeline
+
+
+def test_resume_skips_done_and_matches_full_run(spark, tmp_path):
+    rows = fixtures.gen_transcripts(n_convs=20, avg_turns=6, seed=9)
+    tx = fixtures.transcripts_df(spark, rows)
+    out_dir = str(tmp_path / "kg")
+    n_buckets = 8
+
+    all_buckets = sorted(
+        r["b"] for r in tx.select(checkpoint.bucket_col(n_buckets).alias("b")).distinct().collect()
+    )
+    assert len(all_buckets) > 2
+    first_half = all_buckets[: len(all_buckets) // 2]
+
+    # "crash" after the first half of the buckets
+    r1 = checkpoint.run_resumable(
+        spark, tx, out_dir, run_id="r1", n_buckets=n_buckets, only_buckets=first_half
+    )
+    assert sorted(r1["new_buckets"]) == sorted(first_half)
+
+    # resume: must process only the remaining buckets
+    r2 = checkpoint.run_resumable(spark, tx, out_dir, run_id="r1", n_buckets=n_buckets)
+    assert set(r2["new_buckets"]).isdisjoint(first_half)
+    assert sorted(r2["buckets_done"]) == all_buckets
+
+    # a third run is a no-op
+    r3 = checkpoint.run_resumable(spark, tx, out_dir, run_id="r1", n_buckets=n_buckets)
+    assert r3["new_buckets"] == [] and r3["rows_in"] == 0
+
+    # final output identical to a single full run
+    resumed = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out_dir}/triples")
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    full = {
+        tuple(r)
+        for r in run_pipeline(spark, tx)["triples"].select("subj", "pred", "obj").collect()
+    }
+    assert resumed == full and len(full) > 100
+
+    # lineage table covers every bucket exactly once with real counts
+    lin = checkpoint.lineage(spark, out_dir, "r1")
+    per_bucket = lin.groupBy("partition_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sorted(r["partition_key"] for r in per_bucket) == all_buckets
+    assert all(r["n"] == 1 for r in per_bucket)
+    assert lin.agg(F.sum("rows_in")).first()[0] == tx.count()

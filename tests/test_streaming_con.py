@@ -1,0 +1,110 @@
+"""Structured Streaming parity + .con format roundtrip (S2/S4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cliner_spark import fixtures, streaming
+from cliner_spark.con_format import format_con_lines, parse_con_lines
+from cliner_spark.link import link_mentions
+from cliner_spark.mentions import scan_mentions_expr
+
+
+def _linked(spark, rows):
+    df = fixtures.transcripts_df(spark, rows)
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    m = scan_mentions_expr(df, terms)
+    return link_mentions(m, fixtures.gazetteer_df(spark))
+
+
+def test_con_roundtrip(spark):
+    rows = fixtures.gen_transcripts(n_convs=8, avg_turns=5, seed=13)
+    linked = _linked(spark, rows)
+    con = format_con_lines(linked)
+    back = parse_con_lines(con.select("conv_id", "con_line"))
+    want = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"],
+         r["mention_text"].lower(), r["concept_type"])
+        for r in linked.collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"],
+         r["mention_text"], r["concept_type"])
+        for r in back.collect()
+    }
+    assert got == want and len(want) > 30
+
+
+def test_parse_con_drops_malformed(spark):
+    bad = spark.createDataFrame(
+        [
+            ("c1", 'c="ok span" 1:0 1:1||t="problem"'),
+            ("c1", 'c="cross line" 1:0 2:1||t="problem"'),  # crosses lines
+            ("c1", "not a con line"),
+            ("c1", 'c="bad offsets" x:y z:w||t="test"'),
+        ],
+        ["conv_id", "con_line"],
+    )
+    got = parse_con_lines(bad).collect()
+    assert len(got) == 1
+    assert got[0]["mention_text"] == "ok span" and got[0]["turn_idx"] == 0
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    rows = fixtures.gen_transcripts(n_convs=10, avg_turns=5, seed=21)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    # two "arrival batches" as separate files
+    df.filter(F.col("conv_id") < "conv00005").coalesce(1).write.parquet(in_dir)
+    df.filter(F.col("conv_id") >= "conv00005").coalesce(1).write.mode("append").parquet(in_dir)
+
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stream_once(spark, in_dir, out_dir, ck, gaz)
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["cui"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["cui"])
+        for r in _linked(spark, rows).collect()
+    }
+    assert got == want and len(want) > 50
+
+    # incremental restart with new data processes only the delta (exactly-once)
+    extra = fixtures.gen_transcripts(n_convs=3, avg_turns=4, seed=77)
+    for r in extra:
+        r["conv_id"] = "zz_" + r["conv_id"]
+    fixtures.transcripts_df(spark, extra).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_stream_once(spark, in_dir, out_dir, ck, gaz)
+    got2 = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["cui"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want2 = want | {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["cui"])
+        for r in _linked(spark, extra).collect()
+    }
+    assert got2 == want2 and len(want2) > len(want)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    rows = fixtures.gen_transcripts(n_convs=6, avg_turns=5, seed=31)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    df.coalesce(1).write.parquet(in_dir)
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stream_once(spark, in_dir, out_dir, ck, gaz, windowed=True)
+    out = spark.read.parquet(out_dir)
+    assert {"window_start", "window_end", "cui", "n_mentions"} <= set(out.columns)
+    # append-mode file sink only emits windows finalized by the watermark;
+    # rows may be few but schema and non-negativity must hold
+    assert out.filter(F.col("n_mentions") <= 0).count() == 0

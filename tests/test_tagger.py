@@ -1,0 +1,181 @@
+"""Tagger path (SURVEY.md §2.9/§2.10): features, batched Viterbi, IOB
+chunking, distributed tag_mentions, perceptron trainer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cliner_spark import features as FT
+from cliner_spark import fixtures, oracle_py, tagger
+from cliner_spark.chunk import chunk_flat_tags, spans_to_flat_tags
+
+
+def _gold_tags(rows, term_type):
+    texts, gold = [], []
+    for r in rows:
+        toks = r["text"].split()
+        tags = ["O"] * len(toks)
+        for (s, e, mt) in oracle_py.scan_mentions(r["text"], set(term_type)):
+            ty = term_type[mt.lower()]
+            tags[s] = f"B-{ty}"
+            for i in range(s + 1, e + 1):
+                tags[i] = f"I-{ty}"
+        texts.append(r["text"])
+        gold.append(tags)
+    return texts, gold
+
+
+def test_viterbi_matches_brute_force():
+    """Property check vs O(L^T) exhaustive search on small random inputs."""
+    rng = np.random.default_rng(0)
+    trans = tagger.iob_transitions()
+    L = tagger.L
+    for _ in range(25):
+        T = int(rng.integers(1, 6))
+        em = rng.normal(size=(T, L)).astype(np.float32)
+        lengths = np.asarray([T])
+        got = tagger.viterbi_batch(em, lengths, trans)
+
+        best, best_score = None, -np.inf
+        import itertools
+
+        for path in itertools.product(range(L), repeat=T):
+            s = em[0, path[0]] + (trans[0, path[0]] if path[0] != 0 else 0.0)
+            # start constraint: I-* cannot open a sequence
+            if trans[0, path[0]] <= tagger.NEG / 2:
+                continue
+            s = em[0, path[0]]
+            ok = True
+            for t in range(1, T):
+                if trans[path[t - 1], path[t]] <= tagger.NEG / 2:
+                    ok = False
+                    break
+                s += trans[path[t - 1], path[t]] + em[t, path[t]]
+            if ok and s > best_score:
+                best, best_score = path, s
+        assert list(got) == list(best)
+
+
+def test_viterbi_ragged_batch_equals_singletons():
+    """Padded batch decode == independent per-turn decode."""
+    rng = np.random.default_rng(1)
+    trans = tagger.iob_transitions()
+    lengths = np.asarray([3, 7, 1, 5])
+    em = rng.normal(size=(int(lengths.sum()), tagger.L)).astype(np.float32)
+    batched = tagger.viterbi_batch(em, lengths, trans)
+    off = 0
+    for l in lengths:
+        single = tagger.viterbi_batch(em[off : off + l], np.asarray([l]), trans)
+        assert list(batched[off : off + l]) == list(single)
+        off += l
+
+
+def test_distant_model_equals_scanner_oracle():
+    model = tagger.make_distant_model(fixtures.CLINICAL_GAZETTEER)
+    term_type = tagger.best_term_type(fixtures.CLINICAL_GAZETTEER)
+    rows = fixtures.gen_transcripts(n_convs=12, avg_turns=6, seed=3)
+    texts = pd.Series([r["text"] for r in rows])
+    flat, turn_ids, lengths, tags = tagger.decode_texts(texts, model)
+    spans = chunk_flat_tags(tags, turn_ids, tagger.LABELS)
+    toks = flat.to_numpy(dtype=object)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    got = set()
+    if spans:
+        r, s, e, ty = spans
+        for rr, ss, ee, tt in zip(r, s, e, ty):
+            mt = " ".join(toks[starts[rr] + ss : starts[rr] + ee + 1])
+            got.add((int(rr), int(ss), int(ee), mt, tt))
+    want = set()
+    for i, r0 in enumerate(rows):
+        for (s0, e0, mtext) in oracle_py.scan_mentions(r0["text"], set(term_type)):
+            want.add((i, s0, e0, mtext, term_type[mtext.lower()]))
+    assert len(want) > 50
+    assert got == want
+
+
+def test_chunk_roundtrip_and_orphan_i():
+    labels = tagger.LABELS
+    # orphan I opens its own span; runs split at B; turn boundary splits
+    tags = [
+        labels.index("I-test"),     # orphan -> span
+        labels.index("I-test"),     # continues orphan
+        labels.index("B-problem"),
+        labels.index("I-problem"),
+        labels.index("B-problem"),  # new span, same type
+        labels.index("O"),
+    ]
+    turn_ids = np.asarray([0, 0, 0, 0, 0, 0])
+    r, s, e, ty = chunk_flat_tags(np.asarray(tags), turn_ids, labels)
+    assert list(zip(r, s, e, ty)) == [
+        (0, 0, 1, "test"),
+        (0, 2, 3, "problem"),
+        (0, 4, 4, "problem"),
+    ]
+    # I-continuation across a turn boundary must split
+    turn_ids2 = np.asarray([0, 1, 1, 1, 1, 1])
+    r2, s2, e2, ty2 = chunk_flat_tags(np.asarray(tags), turn_ids2, labels)
+    assert (r2[0], s2[0], e2[0]) == (0, 0, 0)
+    assert (r2[1], s2[1], e2[1]) == (1, 0, 0)
+
+    # M4 -> M3 identity
+    lengths = np.asarray([6])
+    flat = spans_to_flat_tags([(0, 2, 3, "problem"), (0, 4, 4, "problem")], lengths, labels)
+    rr, ss, ee, tt = chunk_flat_tags(flat, np.zeros(6, dtype=np.int64), labels)
+    assert list(zip(rr, ss, ee, tt)) == [(0, 2, 3, "problem"), (0, 4, 4, "problem")]
+
+
+def test_feature_determinism_and_families():
+    toks = pd.Series(["Aspirin", "81mg", "BP", "x-ray", "...", "McDonald"])
+    a = FT.feature_indices(toks)
+    b = FT.feature_indices(toks.copy())
+    for x, y in zip(a, b):
+        assert (x == y).all()
+    assert FT.word_shape("Abc12") == "Xxxdd"
+    assert FT.word_shape_collapsed("AAbb11") == "Xxd"
+    # distinct tokens land in (almost surely) distinct identity buckets
+    assert len(set(a[0])) == len(toks)
+
+
+def test_tag_mentions_spark_matches_scan(spark):
+    from cliner_spark.mentions import scan_mentions_expr
+
+    rows = fixtures.gen_transcripts(n_convs=10, avg_turns=6, seed=5)
+    df = fixtures.transcripts_df(spark, rows)
+    model = tagger.make_distant_model(fixtures.CLINICAL_GAZETTEER)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["mention_text"])
+        for r in tagger.tag_mentions(df, model).collect()
+    }
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    want = set(map(tuple, scan_mentions_expr(df, terms).collect()))
+    assert got == want and len(want) > 30
+
+
+def test_pipeline_tagger_scanner_pr(spark):
+    from cliner_spark.evaluate import triple_prf
+    from cliner_spark.pipeline import run_pipeline
+
+    rows = fixtures.gen_transcripts(n_convs=15, avg_turns=6, seed=42)
+    df = fixtures.transcripts_df(spark, rows)
+    out = run_pipeline(spark, df, scanner="tagger")
+    gold, _ = oracle_py.pipeline_triples(rows, fixtures.CLINICAL_GAZETTEER)
+    gold_df = spark.createDataFrame(
+        [{"subj": s, "pred": p, "obj": o} for (s, p, o) in gold]
+    )
+    m = triple_prf(out["triples"], gold_df)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+
+
+def test_perceptron_learns_fixture():
+    term_type = tagger.best_term_type(fixtures.CLINICAL_GAZETTEER)
+    rows = fixtures.gen_transcripts(n_convs=15, avg_turns=6, seed=11)
+    texts, gold = _gold_tags(rows, term_type)
+    model = tagger.train_perceptron(texts, gold, epochs=16)
+    _, _, _, pred = tagger.decode_texts(pd.Series(texts), model)
+    g = np.concatenate([[tagger.LABEL_IDX[t] for t in ts] for ts in gold])
+    acc = float((pred == g).mean())
+    baseline = float((g == 0).mean())  # all-O
+    assert acc > baseline, (acc, baseline)
+    assert acc >= 0.85, acc
