@@ -43,16 +43,24 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iterations: int = MAX_ITERATIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Min-label propagation to fixpoint.
 
     edges: (src, dst) string columns, undirected (either orientation).
     nodes: optional (node) — isolated nodes to include; defaults to edge
     endpoints. Returns (node, comp) where comp = min node id reachable.
+
+    num_partitions optionally pre-partitions the edge list by join key (use
+    for web-scale graphs to co-locate the per-iteration joins); leave None
+    for dimension-sized graphs — AQE's runtime coalescing already sizes the
+    tiny shuffles, and explicit coalescing measurably fights it.
     """
     und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
+    if num_partitions:
+        und = und.repartition(num_partitions, "u")
     endpoint_nodes = und.select(F.col("u").alias(node_col)).distinct()
     if nodes is not None:
         all_nodes = nodes.select(F.col(node_col)).unionByName(endpoint_nodes).distinct()
@@ -73,6 +81,20 @@ def connected_components(
             .groupBy(node_col)
             .agg(F.min("comp").alias("comp"))
         )
+        # pointer jumping (comp <- comp[comp]): collapses long chains in
+        # O(log diameter) rounds instead of O(diameter) — same fixpoint,
+        # since a node's label is always another node of its component and
+        # labels only decrease toward the component min.
+        roots = new_labels.select(
+            F.col(node_col).alias("_r"), F.col("comp").alias("_rc")
+        )
+        new_labels = (
+            new_labels.join(roots, new_labels["comp"] == F.col("_r"), "left")
+            .select(
+                F.col(node_col),
+                F.coalesce(F.col("_rc"), F.col("comp")).alias("comp"),
+            )
+        )
         # the convergence check below is an action anyway; eager-checkpointing
         # here both cuts lineage and avoids recomputing the join twice
         if (it + 1) % CHECKPOINT_EVERY == 0:
@@ -90,6 +112,33 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def surface_form_counts(
+    linked_with_canon: DataFrame, n_salt: int = 16
+) -> DataFrame:
+    """Salted two-phase aggregation (north rule: "canonicalized via salted
+    groupBy"): per canonical concept, the count of each normalized mention
+    surface form.
+
+    A hot concept ("the" of clinical text — e.g. one drug mentioned in half
+    of all turns) would serialize a single reducer in a naive
+    groupBy(canon_cui, surface). Phase 1 spreads each (canon_cui, surface)
+    key over n_salt partial groups keyed by a provenance-derived salt;
+    phase 2 merges the (tiny) partials. Result is exactly the unsalted
+    counts — the SQL oracle computes them with a plain GROUP BY.
+    """
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salt))
+    partial = (
+        linked_with_canon.withColumn("_salt", salt)
+        .withColumn("surface", F.lower("mention_text"))
+        .groupBy("canon_cui", "surface", "_salt")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
+    return (
+        partial.groupBy("canon_cui", "surface")
+        .agg(F.sum("_pn").alias("n_mentions"))
+    )
 
 
 def canonical_concept_map(gazetteer: DataFrame) -> DataFrame:

@@ -147,6 +147,35 @@ def lsh_candidate_pairs(
     )
 
 
+def dup_clusters(
+    df: DataFrame,
+    n: int = 3,
+    df_cut: int = DEFAULT_DF_CUT,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the Jaccard pair
+    graph (edges = pairs with jaccard >= min_jaccard). Returns
+    (doc_id, cluster_id) for EVERY document — singletons are their own
+    cluster; cluster_id = min doc_id in the component.
+
+    Scale: the pair graph after the df_cut + threshold is tiny relative to
+    the corpus; the CC loop (canonicalize.connected_components) shuffles only
+    that graph. Cluster ids are numeric min (no lexicographic trap).
+    """
+    from cliner_spark.canonicalize import connected_components
+
+    pairs = jaccard_pairs(df, n=n, df_cut=df_cut, min_jaccard=min_jaccard,
+                          id_col=id_col, text_col=text_col)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = df.select(F.col(id_col).alias("node"))
+    comps = connected_components(edges, nodes=nodes, node_col="node")
+    return comps.select(
+        F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = SIMHASH_BITS,

@@ -51,6 +51,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table for compute-heavy (scan/shingle/tag) queries: the
+    driver testdata is one small parquet file = one input split, which would
+    serialize the whole stage on one core; ensure_parallelism is a no-op when
+    the source provides real splits (production)."""
+    from cliner_spark.session import ensure_parallelism
+
+    return ensure_parallelism(load(spark, sf_dir, "documents"))
+
+
 DOC_TERMS = sorted({t for (t, *_r) in fixtures.DOC_GAZETTEER})
 
 
@@ -148,7 +158,7 @@ canon AS (SELECT src AS cui, min(dst) AS canon_cui FROM reach GROUP BY src)
 
 def _doc_mentions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept mentions over documents with doc_id key (Spark side)."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         "text",
@@ -177,7 +187,7 @@ FROM docs
 """,
 )
 def q_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tokenize(load(spark, sf_dir, "documents"))
+    docs = tokenize(load_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),
@@ -288,7 +298,7 @@ FROM (
 """,
 )
 def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
     tx = docs.select(
         (F.col("doc_id") % 97).cast("string").alias("conv_id"),
@@ -333,7 +343,7 @@ def _pred_gold_spark(spark: SparkSession, sf_dir: str):
     linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
     gold = linked.select(
         F.col("conv_id").cast("bigint").alias("doc_id"), "tok_start", "tok_end", "concept_type"
-    )
+    ).cache()  # pred + 3 TP/FP/FN branches reuse it: one scan, not six
     pred = (
         gold.filter((F.col("doc_id") + F.col("tok_start")) % 11 != 3)
         .withColumn(
@@ -821,7 +831,7 @@ JOIN sizes sb ON common.doc_b = sb.doc_id
 """,
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.jaccard_pairs(load(spark, sf_dir, "documents"), n=3, df_cut=50)
+    return _dedup.jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50)
 
 
 @register(
@@ -847,7 +857,65 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"), min_bands=2)
+    return _dedup.lsh_candidate_pairs(load_docs(spark, sf_dir), min_bands=2)
+
+
+@register(
+    "q_dup_clusters",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_SHINGLES_3},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+),
+dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pair graph -> connected components
+    (iterative DataFrame label propagation); singletons self-clustered."""
+    return _dedup.dup_clusters(load_docs(spark, sf_dir), min_jaccard=0.5)
+
+
+@register(
+    "q_surface_forms",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}
+SELECT b.cui AS canon_cui, lower(m.mention_text) AS surface,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM mentions m JOIN best_gaz b ON lower(m.mention_text) = b.term
+GROUP BY 1, 2
+""",
+)
+def q_surface_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase surface-form aggregation (A4). The oracle uses a
+    plain GROUP BY — salting must not change the counts. canon_cui here is
+    the linked cui (identity canon map keeps the oracle simple; the CC-based
+    map is oracle-checked separately in q_canonical_cc/q_triples)."""
+    from cliner_spark.canonicalize import surface_form_counts
+
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    return surface_form_counts(linked.withColumn("canon_cui", F.col("cui")))
 
 
 @register(
@@ -871,7 +939,7 @@ FROM sums GROUP BY doc_id
 """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+    return _dedup.simhash(load_docs(spark, sf_dir), bits=16)
 
 
 @register(
@@ -894,13 +962,17 @@ SELECT query_id, neighbor_id, sim, rn FROM (
 """,
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
     return _sim.brute_force_topk(emb, F.col("vec_id") < 20, k=3)
 
 
 @register("q_embedding_lsh_topk", None)  # rows-only: approximate by design
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
     return _sim.lsh_topk(emb, F.col("vec_id") < 20, k=3, n_planes=8, dims=64)
 
 
@@ -924,7 +996,53 @@ FROM docs
 """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.quality_features(load(spark, sf_dir, "documents"))
+    return _ts.quality_features(load_docs(spark, sf_dir))
+
+
+_LANG_SQL_HITS = {
+    "en": ["the", "and", "of", "is", "was", "with"],
+    "es": ["el", "la", "los", "las", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+def _lang_hits_sql(lang: str, words: list[str]) -> str:
+    parts = [
+        "CASE WHEN contains(' ' || lower(coalesce(text, '')) || ' ', ' "
+        + w
+        + " ') THEN 1 ELSE 0 END"
+        for w in words
+    ]
+    return f"  ({' + '.join(parts)}) AS h_{lang}"
+
+
+_LANG_SQL_EXPRS = ",\n".join(
+    _lang_hits_sql(lang, words) for lang, words in _LANG_SQL_HITS.items()
+)
+
+
+@register(
+    "q_lang_id",
+    f"""
+WITH h AS (
+  SELECT doc_id,
+{_LANG_SQL_EXPRS}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+       WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+       ELSE 'fr' END AS lang
+FROM h
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (textstats.language_id) with exact SQL twin —
+    tie-breaks and the stopword inventories match token for token."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", _ts.language_id(F.col("text")).alias("lang")
+    )
 
 
 @register(
@@ -936,7 +1054,7 @@ FROM docs, unnest(toks) AS u(tok) GROUP BY 1
 """,
 )
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.token_frequencies(load(spark, sf_dir, "documents"))
+    return _ts.token_frequencies(load_docs(spark, sf_dir))
 
 
 @register(
@@ -1053,7 +1171,7 @@ def q_tagger_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the SQL oracle."""
     from cliner_spark.tagger import make_distant_model, tag_mentions
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         "text",
@@ -1090,7 +1208,7 @@ def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
     linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"), "text"
     )
     per_doc = (
@@ -1147,7 +1265,7 @@ def q_mention_scan_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical SQL."""
     from cliner_spark.mentions import scan_mentions_udf
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         "text",

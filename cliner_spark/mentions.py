@@ -36,13 +36,24 @@ MAX_TERM_TOKENS = 4
 _CAND_TYPE = "array<struct<tok_start:int,tok_end:int,term:string>>"
 
 
-def _ngram_candidates(tokens: Column, n: int) -> Column:
-    """Candidates of exactly n tokens: struct(tok_start, tok_end, lower term)."""
+def _ngram_candidates(tokens: Column, n: int, start_mask: Column) -> Column:
+    """Candidates of exactly n tokens starting at a masked-in position:
+    struct(tok_start, tok_end, lower term).
+
+    start_mask is a per-position boolean array (first-token-of-some-term
+    membership). Filtering start positions BEFORE building the n-gram string
+    is the whole performance story: without it every position pays a
+    concat_ws + full-term array_contains; with it only plausible starts do
+    (one boolean element_at per position instead).
+    """
     sz = F.size(tokens)
+    starts = F.filter(
+        F.sequence(F.lit(0), sz - n), lambda i: F.element_at(start_mask, i + 1)
+    )
     return F.when(
         sz >= n,
         F.transform(
-            F.sequence(F.lit(0), sz - n),
+            starts,
             lambda i: F.struct(
                 i.cast("int").alias("tok_start"),
                 (i + n - 1).cast("int").alias("tok_end"),
@@ -79,14 +90,27 @@ def scan_mentions_expr(
     where mention_text is the original-case token slice (text-equality
     invariant: no normalization leaks into stored mentions).
     """
-    term_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    term_set = sorted({t.lower() for t in terms})
+    term_arr = F.array(*[F.lit(t) for t in term_set])
+    first_words = sorted({t.split()[0] for t in term_set})
+    fw_arr = F.array(*[F.lit(w) for w in first_words])
+    # lengths that actually occur in the gazetteer — no wasted n passes
+    ns = sorted({len(t.split()) for t in term_set if len(t.split()) <= max_n})
+
+    # one boolean per token: could a term start here? (computed once per turn)
+    start_mask = F.transform(
+        F.col("tokens"), lambda t: F.array_contains(fw_arr, F.lower(t))
+    )
     cands = F.flatten(
-        F.array(*[_ngram_candidates(F.col("tokens"), n) for n in range(1, max_n + 1)])
+        F.array(
+            *[_ngram_candidates(F.col("tokens"), n, F.col("_fw_mask")) for n in ns]
+        )
     )
     matched = F.filter(cands, lambda c: F.array_contains(term_arr, c["term"]))
 
     return (
         turns.withColumn("tokens", tokens_col(text_col))
+        .withColumn("_fw_mask", start_mask)
         .withColumn("m", F.explode(_dominance_keep(matched)))
         .select(
             "conv_id",

@@ -45,7 +45,9 @@ def run_pipeline(
     gaz = gazetteer if gazetteer is not None else fixtures.gazetteer_df(spark)
     terms = [r["term"] for r in gaz.select("term").distinct().collect()]
 
-    turns = drop_blank_turns(transcripts)
+    from cliner_spark.session import ensure_parallelism
+
+    turns = drop_blank_turns(ensure_parallelism(transcripts))
     if scanner == "expr":
         mentions = scan_mentions_expr(turns, terms)
     elif scanner == "udf":

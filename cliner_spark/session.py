@@ -48,3 +48,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df, factor: int = 2):
+    """Repartition iff the source provided fewer splits than cores.
+
+    Single small parquet files (one row group) scan as ONE task, serializing
+    every downstream zero-shuffle stage onto one core. At production scale
+    (many files / many row groups) the partition count exceeds cores and this
+    is a no-op — no extra shuffle is introduced where the source already
+    parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism * factor)
+    return df

@@ -131,6 +131,41 @@ def test_rolling_fingerprint_deterministic(spark):
     assert by_id[0][1] == acc
 
 
+def test_dup_clusters_transitive_and_singletons(spark):
+    a = "the quick brown fox jumps over the lazy dog one two three"
+    b = "the quick brown fox jumps over the lazy dog one two four"   # near a
+    c = "the quick brown fox jumps over the lazy dog one five four"  # near b
+    d = "totally unrelated set of words goes right here now friend"
+    df = _docs(spark, [a, b, c, d])
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(df, min_jaccard=0.3).collect()}
+    # a-b and b-c are edges; a-c may not be, but CC makes them one cluster
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3  # singleton keeps its own id
+
+
+def test_surface_form_counts_salt_invariant(spark):
+    from cliner_spark import fixtures
+    from cliner_spark.canonicalize import surface_form_counts
+    from cliner_spark.link import link_mentions
+    from cliner_spark.mentions import scan_mentions_expr
+
+    rows = fixtures.gen_transcripts(n_convs=8, avg_turns=5, seed=17)
+    df = fixtures.transcripts_df(spark, rows)
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    linked = link_mentions(
+        scan_mentions_expr(df, terms), fixtures.gazetteer_df(spark)
+    ).withColumn("canon_cui", F.col("cui"))
+    one = {
+        (r["canon_cui"], r["surface"]): r["n_mentions"]
+        for r in surface_form_counts(linked, n_salt=1).collect()
+    }
+    many = {
+        (r["canon_cui"], r["surface"]): r["n_mentions"]
+        for r in surface_form_counts(linked, n_salt=16).collect()
+    }
+    assert one == many and len(one) > 10
+
+
 def test_multimodal_plumbing(spark):
     df = _docs(spark, ["hello", "world!"])
     media = multimodal.attach_payload(df)

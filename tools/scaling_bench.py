@@ -41,7 +41,14 @@ def worker(master: str, tx_path: str, n_turns: int) -> None:
     tx = spark.read.parquet(tx_path)
 
     # warm-up: JIT + Python-worker spin-up excluded from the measured run
-    tx.limit(10_000).count()
+    # (must exercise mapInPandas so the worker pool actually spawns)
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    tx.select("conv_id").repartition(int(cores) * 2).mapInPandas(
+        _ident, schema="conv_id string"
+    ).count()
 
     t0 = time.time()
     out = run_pipeline(spark, tx, scanner="udf")
