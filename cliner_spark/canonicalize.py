@@ -44,6 +44,7 @@ def connected_components(
     node_col: str = "node",
     max_iterations: int = MAX_ITERATIONS,
     num_partitions: int | None = None,
+    fixed_iterations: int | None = None,
 ) -> DataFrame:
     """Min-label propagation to fixpoint.
 
@@ -55,6 +56,13 @@ def connected_components(
     for web-scale graphs to co-locate the per-iteration joins); leave None
     for dimension-sized graphs — AQE's runtime coalescing already sizes the
     tiny shuffles, and explicit coalescing measurably fights it.
+
+    fixed_iterations: run exactly that many rounds with NO per-round
+    convergence action. With pointer jumping each round at least doubles the
+    distance a component-min label has travelled, so ceil(log2(n_nodes)) + 1
+    rounds are sufficient; callers that know n cheaply (dimension graphs)
+    save ~2 Spark jobs per round. When None, a changed-rows check runs each
+    round (data-dependent early exit for unknown graphs).
     """
     und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -70,7 +78,8 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
-    for it in range(max_iterations):
+    n_rounds = fixed_iterations if fixed_iterations is not None else max_iterations
+    for it in range(n_rounds):
         # candidate label for each node = min(own, min over neighbors' labels)
         nbr = (
             und.join(labels, und["v"] == labels[node_col])
@@ -95,6 +104,14 @@ def connected_components(
                 F.coalesce(F.col("_rc"), F.col("comp")).alias("comp"),
             )
         )
+        if fixed_iterations is not None:
+            # no convergence action; but the pointer-jump SELF-join doubles
+            # the logical plan per round, so lineage must be cut eagerly on a
+            # cadence or analysis cost grows 2^rounds
+            if (it + 1) % CHECKPOINT_EVERY == 0 and it != n_rounds - 1:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            labels = new_labels
+            continue
         # the convergence check below is an action anyway; eager-checkpointing
         # here both cuts lineage and avoids recomputing the join twice
         if (it + 1) % CHECKPOINT_EVERY == 0:
@@ -143,7 +160,16 @@ def surface_form_counts(
 
 def canonical_concept_map(gazetteer: DataFrame) -> DataFrame:
     """(cui, canon_cui): every cui -> min cui of its connected component."""
+    import math
+
     edges = concept_edges(gazetteer)
     nodes = gazetteer.select(F.col("cui").alias("node")).distinct()
-    comps = connected_components(edges, nodes=nodes, node_col="node")
+    # gazetteer is dimension-sized: one cheap count buys a fixed round budget
+    # (ceil(log2 n) + 1 with pointer jumping) and removes every per-round
+    # convergence action — the CC loop stops being serial-overhead-bound
+    n = max(nodes.count(), 2)
+    comps = connected_components(
+        edges, nodes=nodes, node_col="node",
+        fixed_iterations=int(math.ceil(math.log2(n))) + 1,
+    )
     return comps.select(F.col("node").alias("cui"), F.col("comp").alias("canon_cui"))

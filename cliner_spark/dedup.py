@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cliner_spark.tokenize import tokens_col
+from cliner_spark.tokenization import tokens_col
 
 DEFAULT_DF_CUT = 50
 N_MINHASHES = 4

@@ -23,7 +23,7 @@ from cliner_spark import fixtures, schemas
 from cliner_spark.canonicalize import canonical_concept_map
 from cliner_spark.link import link_mentions
 from cliner_spark.mentions import scan_mentions_expr
-from cliner_spark.tokenize import tokenize, tokens_col
+from cliner_spark.tokenization import tokenize, tokens_col
 from cliner_spark.triples import build_triples
 
 # --------------------------------------------------------------------------

@@ -198,17 +198,19 @@ def big_transcripts(
     hot_share: float = 0.05,
     words_per_turn: int = 12,
     gazetteer=None,
+    filler_weight: int = 1,
 ) -> DataFrame:
     """seed-deterministic transcripts built with spark.range + xxhash64 word
     picks. A hot_share fraction of all turns lands in conv00000 (skew).
     Gazetteer-term tokens are part of the vocabulary so multi-token phrases
-    occur naturally.
+    occur naturally; filler_weight repeats the filler vocabulary to thin
+    mention density toward realistic levels (1 = dense, 8 ≈ a few mentions
+    per hundred tokens).
     """
     gazetteer = gazetteer if gazetteer is not None else CLINICAL_GAZETTEER
-    vocab = list(FILLER_WORDS)
-    for term, *_ in gazetteer:
-        vocab.extend(term.split())
-    vocab = sorted(set(vocab))
+    gaz_tokens = {w for term, *_ in gazetteer for w in term.split()}
+    vocab = sorted(gaz_tokens | set(FILLER_WORDS))
+    vocab += sorted(set(FILLER_WORDS)) * max(0, filler_weight - 1)
     vocab_arr = F.array(*[F.lit(w) for w in vocab])
     v = len(vocab)
 

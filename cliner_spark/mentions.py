@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cliner_spark.tokenize import tokens_col
+from cliner_spark.tokenization import tokens_col
 
 MAX_TERM_TOKENS = 4
 

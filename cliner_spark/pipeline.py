@@ -31,7 +31,7 @@ from cliner_spark import fixtures
 from cliner_spark.canonicalize import canonical_concept_map
 from cliner_spark.link import link_mentions
 from cliner_spark.mentions import scan_mentions_expr, scan_mentions_udf
-from cliner_spark.tokenize import drop_blank_turns
+from cliner_spark.tokenization import drop_blank_turns
 from cliner_spark.triples import build_triples, hot_conversations, write_triples
 
 
@@ -40,8 +40,14 @@ def run_pipeline(
     transcripts: DataFrame,
     gazetteer: DataFrame | None = None,
     scanner: str = "expr",
+    canon_map: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns dict with mentions, linked, canon_map, triples DataFrames."""
+    """Returns dict with mentions, linked, canon_map, triples DataFrames.
+
+    canon_map: optionally pass the precomputed concept-canonicalization map
+    (a gazetteer-version artifact — dimension-sized, independent of the turn
+    stream; production computes it once per gazetteer release, not per batch).
+    """
     gaz = gazetteer if gazetteer is not None else fixtures.gazetteer_df(spark)
     terms = [r["term"] for r in gaz.select("term").distinct().collect()]
 
@@ -69,7 +75,8 @@ def run_pipeline(
         raise ValueError(f"unknown scanner {scanner!r}")
 
     linked = link_mentions(mentions, gaz)
-    canon_map = canonical_concept_map(gaz)
+    if canon_map is None:
+        canon_map = canonical_concept_map(gaz)
     triples = build_triples(linked, canon_map=canon_map)
     return {
         "mentions": mentions,

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from cliner_spark import schemas
 from cliner_spark.link import link_mentions
 from cliner_spark.mentions import scan_mentions_udf
-from cliner_spark.tokenize import drop_blank_turns
+from cliner_spark.tokenization import drop_blank_turns
 
 
 def read_transcript_stream(spark: SparkSession, input_path: str, max_files: int = 16) -> DataFrame:

@@ -127,61 +127,102 @@ def gazetteer_flags(
 ) -> np.ndarray:
     """[N, L] emission bonus matrix from phrase-gazetteer membership.
 
-    Vectorized n-gram matching over the flat token array (shift+concat per n,
-    masked at turn boundaries), then ONE batch-wide K×K dominance filter
-    (set-based longest-then-leftmost, same predicate as mentions.py).
+    Vectorized n-gram matching over the flat token array (pandas shift+concat
+    per n, masked at turn boundaries), then a TURN-SEGMENTED dominance filter
+    (set-based longest-then-leftmost, same predicate as mentions.py):
+    candidates are padded per turn to [T_active, Kmax] and compared pairwise
+    only within their turn — O(T·Kmax²) with Kmax small, instead of a
+    batch-wide K×K which is quadratic in mention density.
     """
     n_tok = len(low)
     bonus = np.zeros((n_tok, L), dtype=np.float32)
     if n_tok == 0 or not term_type:
         return bonus
 
-    starts, lens, types = [], [], []
-    grams = low.astype(object)
+    low_s = pd.Series(low, dtype="object")
+    tid_s = pd.Series(turn_ids)
+
+    all_s, all_ln, all_ty = [], [], []
+    grams = low_s
     for n in range(1, max_n + 1):
         if n > 1:
-            shifted = np.roll(low, -(n - 1))
-            grams = np.char.add(np.char.add(grams.astype(str), " "), shifted.astype(str)).astype(object)
-        valid = np.arange(n_tok) + n <= n_tok
-        valid &= np.roll(turn_ids, -(n - 1)) == turn_ids
-        idx = np.nonzero(valid)[0]
-        if len(idx) == 0:
-            continue
-        hits = pd.Series(grams[idx]).map(term_type)
-        hit_mask = hits.notna().to_numpy()
-        for i, typ in zip(idx[hit_mask], hits[hit_mask].to_numpy()):
-            starts.append(i)
-            lens.append(n)
-            types.append(typ)
+            grams = grams.str.cat(low_s.shift(-(n - 1)), sep=" ")
+        hits = grams.map(term_type)
+        valid = hits.notna()
+        if n > 1:
+            valid &= tid_s.shift(-(n - 1)).eq(tid_s)  # stay within the turn
+        idx = np.nonzero(valid.fillna(False).to_numpy(dtype=bool))[0]
+        if len(idx):
+            all_s.append(idx)
+            all_ln.append(np.full(len(idx), n, dtype=np.int64))
+            all_ty.append(hits.to_numpy(dtype=object)[idx])
 
-    if not starts:
+    if not all_s:
         bonus[:, 0] = 1.0
         return bonus
 
-    s = np.asarray(starts, dtype=np.int64)
-    ln = np.asarray(lens, dtype=np.int64)
+    s = np.concatenate(all_s)
+    ln = np.concatenate(all_ln)
+    ty = np.concatenate(all_ty)
     e = s + ln - 1
     tid = turn_ids[s]
 
-    # K×K set-based dominance (overlap in same turn & (longer | same len,
-    # earlier start)) — candidate counts per batch are small vs token counts
-    k = len(s)
-    same = tid[:, None] == tid[None, :]
-    overlap = (s[:, None] <= e[None, :]) & (e[:, None] >= s[None, :])
-    better = (ln[:, None] > ln[None, :]) | (
-        (ln[:, None] == ln[None, :]) & (s[:, None] < s[None, :])
-    )
-    dominated = (same & overlap & better).any(axis=0)
-    keep = ~dominated
+    # segment by turn: pad to [T_active, Kmax]
+    order = np.lexsort((s, -ln, tid))
+    s, ln, e, ty, tid = s[order], ln[order], e[order], ty[order], tid[order]
+    uniq, seg_start, counts = np.unique(tid, return_index=True, return_counts=True)
+    kmax = int(counts.max())
+    t_active = len(uniq)
+    pos_in_seg = np.arange(len(s)) - np.repeat(seg_start, counts)
 
-    for i, n, typ in zip(s[keep], ln[keep], np.asarray(types, dtype=object)[keep]):
-        bonus[i, _B_OF[typ]] += 1.0
-        if n > 1:
-            bonus[i + 1 : i + n, _I_OF[typ]] += 1.0
+    S = np.full((t_active, kmax), -1, dtype=np.int64)
+    E = np.full((t_active, kmax), -2, dtype=np.int64)
+    LN = np.zeros((t_active, kmax), dtype=np.int64)
+    seg_of = np.repeat(np.arange(t_active), counts)
+    S[seg_of, pos_in_seg] = s
+    E[seg_of, pos_in_seg] = e
+    LN[seg_of, pos_in_seg] = ln
+    real = S >= 0
+
+    # pairwise within turn: o dominates c iff overlap & (longer | same len,
+    # earlier start). padded slots have len 0 -> never dominate.
+    overlap = (S[:, :, None] <= E[:, None, :]) & (E[:, :, None] >= S[:, None, :])
+    better = (LN[:, :, None] > LN[:, None, :]) | (
+        (LN[:, :, None] == LN[:, None, :]) & (S[:, :, None] < S[:, None, :])
+    )
+    dominated = (overlap & better & real[:, :, None]).any(axis=1)
+    keep_mask = real & ~dominated
+
+    # ty was reordered together with s above; flatten the keep mask back to
+    # the sorted candidate order to index all three in lockstep:
+    flat_keep = keep_mask[seg_of, pos_in_seg]
+    ks, kln, kty = s[flat_keep], ln[flat_keep], ty[flat_keep]
+
+    b_rows = np.asarray([_B_OF[t] for t in kty], dtype=np.int64)
+    bonus[ks, b_rows] += 1.0
+    inner = kln > 1
+    if inner.any():
+        # I-flags: positions s+1..s+len-1 per kept multi-token span
+        rep = (kln[inner] - 1).astype(np.int64)
+        pos = np.repeat(ks[inner] + 1, rep) + _ranges(rep)
+        i_rows = np.repeat(
+            np.asarray([_I_OF[t] for t in kty[inner]], dtype=np.int64), rep
+        )
+        bonus[pos, i_rows] += 1.0
 
     flagged = bonus.any(axis=1)
     bonus[~flagged, 0] = 1.0
     return bonus
+
+
+def _ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for an array of run lengths (vectorized)."""
+    if len(lengths) == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    out = np.arange(ends[-1], dtype=np.int64)
+    out -= np.repeat(ends - lengths, lengths)
+    return out
 
 
 def viterbi_batch(emissions: np.ndarray, lengths: np.ndarray, trans: np.ndarray) -> np.ndarray:

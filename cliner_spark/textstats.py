@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cliner_spark.tokenize import tokens_col
+from cliner_spark.tokenization import tokens_col
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "was", "on", "with")
 

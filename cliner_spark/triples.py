@@ -40,7 +40,11 @@ def build_triples(linked: DataFrame, gazetteer: DataFrame | None = None,
         if gazetteer is None:
             raise ValueError("need gazetteer or canon_map")
         canon_map = canonical_concept_map(gazetteer)
-    m = with_canonical(linked, canon_map)
+    # Materialize mention-grain rows ONCE: the four triple projections below
+    # each trigger their own job, and without this the upstream scan UDF (the
+    # expensive stage) would run four times. localCheckpoint = executor-local
+    # materialization (at warehouse scale: a staging table / exchange reuse).
+    m = with_canonical(linked, canon_map).localCheckpoint(eager=False)
 
     mentions_t = (
         m.groupBy("conv_id", "canon_cui")

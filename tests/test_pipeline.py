@@ -10,7 +10,7 @@ from cliner_spark import fixtures, oracle_py
 from cliner_spark.evaluate import triple_prf
 from cliner_spark.mentions import scan_mentions_expr, scan_mentions_udf
 from cliner_spark.pipeline import run_pipeline
-from cliner_spark.tokenize import tokenize
+from cliner_spark.tokenization import tokenize
 
 
 def _fixture_rows():
