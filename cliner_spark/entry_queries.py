@@ -745,6 +745,98 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube_events",
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))
+""",
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("string"))
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .withColumn("event_type", F.coalesce(F.col("event_type"), F.lit("ALL")))
+        .withColumn("user_bucket", F.coalesce(F.col("user_bucket"), F.lit("ALL")))
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share linear-interpolation semantics. (At 100 TB you'd
+    use approx_percentile/t-digest; the exact op is the oracle-checkable
+    form and the semantics anchor.)"""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "q_fuzzy_link",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+oov AS (
+  SELECT doc_id, tok_start, tok_end,
+         substr(lower(mention_text), 1, length(mention_text) - 1) AS oov_text
+  FROM linked WHERE length(mention_text) > 3
+),
+fcand AS (
+  SELECT o.doc_id, o.tok_start, o.tok_end, o.oov_text, b.term, b.cui,
+         levenshtein(o.oov_text, b.term) AS dist, b.link_score
+  FROM oov o, best_gaz b
+  WHERE levenshtein(o.oov_text, b.term) <= 2
+)
+SELECT doc_id, tok_start, tok_end, oov_text, term, cui, CAST(dist AS INTEGER) AS dist
+FROM (
+  SELECT c.*, row_number() OVER (
+      PARTITION BY doc_id, tok_start, tok_end
+      ORDER BY dist ASC, link_score DESC, cui ASC) AS rn
+  FROM fcand c
+) WHERE rn = 1
+""",
+)
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity linking for OOV surface forms (typo robustness):
+    edit-distance <= 2 against the broadcast gazetteer, best candidate by
+    (distance asc, score desc, cui asc). OOV set is simulated
+    deterministically by truncating linked mentions' last character."""
+    from cliner_spark.link import best_gazetteer, link_fuzzy
+
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+    oov = linked.filter(F.length("mention_text") > 3).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "tok_start",
+        "tok_end",
+        F.expr("substring(lower(mention_text), 1, length(mention_text) - 1)").alias(
+            "oov_text"
+        ),
+    )
+    return link_fuzzy(oov, doc_gazetteer_df(spark), max_dist=2)
+
+
+@register(
     "q_events_hourly",
     """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -46,3 +46,35 @@ def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     return mentions.join(
         F.broadcast(g), F.lower(mentions["mention_text"]) == g["term"], "inner"
     ).drop("term")
+
+
+def link_fuzzy(
+    oov_mentions: DataFrame,
+    gazetteer: DataFrame,
+    max_dist: int = 2,
+    text_col: str = "oov_text",
+) -> DataFrame:
+    """Typo-robust linking for mentions with no exact gazetteer hit:
+    broadcast-nested-loop against the deduped gazetteer with a levenshtein
+    bound, then rank-1 per mention by (distance asc, score desc, cui asc).
+
+    Scale note: this runs only on the residual OOV stream (exact linking
+    removes the bulk), and the candidate side is the broadcast dimension;
+    the levenshtein bound is evaluated JVM-side (codegen), no UDF.
+    """
+    g = best_gazetteer(gazetteer).select(
+        "term", "cui", F.col("score").alias("link_score")
+    )
+    dist = F.levenshtein(F.col(text_col), F.col("term"))
+    j = oov_mentions.join(F.broadcast(g), dist <= max_dist).withColumn(
+        "dist", dist.cast("int")
+    )
+    keys = [c for c in oov_mentions.columns if c != text_col]
+    w = Window.partitionBy(*keys, text_col).orderBy(
+        F.asc("dist"), F.desc("link_score"), F.asc("cui")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*oov_mentions.columns, "term", "cui", "dist")
+    )

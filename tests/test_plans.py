@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the scale properties claimed in docstrings
+(pushdown, broadcast joins, zero-shuffle scan) must be visible in the
+optimized plans, not just asserted in prose (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cliner_spark import fixtures
+from cliner_spark.link import link_mentions
+from cliner_spark.mentions import scan_mentions_udf
+from cliner_spark.tokenization import drop_blank_turns
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "li")
+    fixtures.transcripts_df(spark).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter(F.col("conv_id") == "conv00001")
+        .select("conv_id", "turn_idx")
+    )
+    s = full_plan(df)
+    # predicate reaches the scan...
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv00001)" in s, s
+    # ...and only the two projected columns are read
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in s, s
+
+
+def test_link_is_broadcast_join_no_fact_shuffle(spark):
+    tx = fixtures.transcripts_df(spark)
+    gaz = fixtures.gazetteer_df(spark)
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    linked = link_mentions(scan_mentions_udf(drop_blank_turns(tx), terms), gaz)
+    s = plan(linked)
+    assert "BroadcastHashJoin" in s, s
+    assert "SortMergeJoin" not in s, s
+    # the mention/fact side must not be exchanged before the join: the only
+    # allowed exchange is the broadcast of the dimension side
+    fact_side = s.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in fact_side, s
+
+
+def test_scan_stage_is_shuffle_free(spark):
+    tx = fixtures.transcripts_df(spark)
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    s = plan(scan_mentions_udf(drop_blank_turns(tx), terms))
+    assert "Exchange" not in s, s  # tokenize+scan: zero shuffle by design
+
+
+def test_topk_uses_single_partial_aggregation_shape(spark):
+    # two-phase (partial+final) hash aggregation: exactly one shuffle
+    ev = fixtures.transcripts_df(spark)
+    agg = ev.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    s = plan(agg)
+    assert s.count("Exchange hashpartitioning") == 1, s
+    assert "partial_count" in s, s  # map-side combine present
+
+
+def test_fuzzy_link_broadcasts_dimension(spark):
+    from cliner_spark.link import link_fuzzy
+
+    oov = spark.createDataFrame(
+        [(1, 0, 1, "hash joi")], "doc_id bigint, tok_start int, tok_end int, oov_text string"
+    )
+    s = plan(link_fuzzy(oov, fixtures.gazetteer_df(spark, fixtures.DOC_GAZETTEER)))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s, s
