@@ -4,10 +4,12 @@
   entity link (broadcast) -> canonicalize (CC on the dim graph) ->
   triples (unionByName of four projections) -> salted, sorted sink
 
-spark-submit entry:
-  spark-submit --py-files dist/cliner_spark.zip -m? (use bin script)
-  python -m cliner_spark.pipeline --input <parquet> --gazetteer builtin \
-      --output /tmp/triples
+CLI (the reference's three verbs — cliner predict/evaluate/train):
+  python -m cliner_spark.pipeline predict --input tx.parquet --output /tmp/triples
+  python -m cliner_spark.pipeline evaluate --predictions p.parquet --gold g.parquet
+  python -m cliner_spark.pipeline train --input tx.parquet --gold g.parquet --model m/
+  spark-submit --py-files dist/cliner_spark.zip cliner_spark/pipeline.py predict ...
+  (bare --input/--output still means predict, back-compat)
 
 Shuffle audit (scale rationale, 10^12 turns):
   - scan: 0 shuffles (per-turn array expressions / mapInPandas)
@@ -86,18 +88,20 @@ def run_pipeline(
     }
 
 
-def main(argv: list[str] | None = None) -> None:
-    ap = argparse.ArgumentParser(description="cliner_spark KG pipeline")
-    ap.add_argument("--input", help="parquet path of transcripts (default: built-in fixture)")
-    ap.add_argument("--output", required=True, help="output parquet path for triples")
-    ap.add_argument("--scanner", default="udf", choices=["expr", "udf", "tagger"])
-    ap.add_argument("--master", default=None)
-    ap.add_argument("--hot-threshold", type=int, default=100_000)
-    args = ap.parse_args(argv)
+def _get_cli_spark(name: str, master):
+    """getOrCreate + remember whether WE created it (CLI must not stop a
+    session owned by the caller, e.g. the pytest fixture)."""
+    from pyspark.sql import SparkSession
 
     from cliner_spark.session import get_spark
 
-    spark = get_spark("cliner_spark.pipeline", master=args.master)
+    existing = SparkSession.getActiveSession() is not None
+    return get_spark(name, master=master), not existing
+
+
+def cmd_predict(args) -> None:
+    """Reference `cliner predict` analog: transcripts -> triples sink."""
+    spark, created = _get_cli_spark("cliner_spark.predict", args.master)
     if args.input:
         transcripts = spark.read.parquet(args.input)
     else:
@@ -109,7 +113,101 @@ def main(argv: list[str] | None = None) -> None:
     write_triples(out["triples"], args.output, hot=hot)
     n = spark.read.parquet(args.output).count()
     print(f"wrote {n} triples to {args.output} in {time.time() - t0:.1f}s")
-    spark.stop()
+    if created:
+        spark.stop()
+
+
+def cmd_evaluate(args) -> None:
+    """Reference `cliner evaluate` analog: pred vs gold mention parquet ->
+    exact + overlap P/R/F1 per class + micro (code/evaluate.py semantics)."""
+    from cliner_spark.evaluate import exact_match_counts, overlap_match_counts, prf
+    spark, created = _get_cli_spark("cliner_spark.evaluate", args.master)
+    pred = spark.read.parquet(args.predictions)
+    gold = spark.read.parquet(args.gold)
+    for name, counts in (
+        ("exact", exact_match_counts(pred, gold)),
+        ("overlap", overlap_match_counts(pred, gold)),
+    ):
+        print(f"== {name} span matching ==")
+        for r in prf(counts).orderBy("concept_type").collect():
+            print(
+                f"  {r['concept_type']:>10}: P={r['precision']:.4f} "
+                f"R={r['recall']:.4f} F1={r['f1']:.4f} "
+                f"(tp={r['tp']} fp={r['fp']} fn={r['fn']})"
+            )
+    if created:
+        spark.stop()
+
+
+def cmd_train(args) -> None:
+    """Reference `cliner train` analog (fixture-scale, driver-local
+    perceptron — SURVEY.md M1): transcripts + gold mentions -> model dir."""
+    from collections import defaultdict
+
+    from cliner_spark.tagger import save_model, train_perceptron
+
+    spark, created = _get_cli_spark("cliner_spark.train", args.master)
+    tx = spark.read.parquet(args.input).collect()
+    gold = spark.read.parquet(args.gold).collect()
+    by_turn = defaultdict(list)
+    for g in gold:
+        by_turn[(g["conv_id"], g["turn_idx"])].append(g)
+    texts, tags = [], []
+    for row in tx:
+        toks = (row["text"] or "").split()
+        if not toks:
+            continue
+        t = ["O"] * len(toks)
+        for g in by_turn.get((row["conv_id"], row["turn_idx"]), []):
+            t[g["tok_start"]] = f"B-{g['concept_type']}"
+            for i in range(g["tok_start"] + 1, g["tok_end"] + 1):
+                t[i] = f"I-{g['concept_type']}"
+        texts.append(row["text"])
+        tags.append(t)
+    model = train_perceptron(texts, tags, epochs=args.epochs)
+    save_model(model, args.model)
+    print(f"trained on {len(texts)} turns -> {args.model}")
+    if created:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="cliner_spark KG pipeline")
+    sub = ap.add_subparsers(dest="cmd")
+
+    p = sub.add_parser("predict", help="transcripts -> triples (flagship)")
+    p.add_argument("--input", help="parquet transcripts (default: fixture)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--scanner", default="udf", choices=["expr", "udf", "tagger"])
+    p.add_argument("--master", default=None)
+    p.add_argument("--hot-threshold", type=int, default=100_000)
+    p.set_defaults(fn=cmd_predict)
+
+    e = sub.add_parser("evaluate", help="pred vs gold mentions -> P/R/F1")
+    e.add_argument("--predictions", required=True)
+    e.add_argument("--gold", required=True)
+    e.add_argument("--master", default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    t = sub.add_parser("train", help="fixture-scale perceptron training")
+    t.add_argument("--input", required=True, help="parquet transcripts")
+    t.add_argument("--gold", required=True, help="parquet gold mentions")
+    t.add_argument("--model", required=True, help="output model dir")
+    t.add_argument("--epochs", type=int, default=16)
+    t.add_argument("--master", default=None)
+    t.set_defaults(fn=cmd_train)
+
+    argv = list(argv) if argv is not None else None
+    import sys
+
+    raw = argv if argv is not None else sys.argv[1:]
+    # back-compat: bare `--input/--output ...` means predict
+    if raw and raw[0].startswith("--"):
+        raw = ["predict"] + raw
+    args = ap.parse_args(raw)
+    if not getattr(args, "fn", None):
+        ap.error("missing subcommand (predict | evaluate | train)")
+    args.fn(args)
 
 
 if __name__ == "__main__":

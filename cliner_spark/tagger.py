@@ -351,6 +351,56 @@ def tag_mentions(turns: DataFrame, model: TagModel, text_col: str = "text") -> D
 
 
 # ---------------------------------------------------------------------------
+# Model persistence (SURVEY.md S3/D8; reference: pickled ClinerModel in
+# code/tools.py, approx §0). npz + json sidecar instead of pickle: versioned,
+# language-neutral, safe to load (no arbitrary code execution).
+# ---------------------------------------------------------------------------
+
+
+def save_model(model: TagModel, path: str) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path, "weights.npz"), W=model.W, trans=model.trans
+    )
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump(
+            {
+                "format_version": 1,
+                "labels": list(LABELS),
+                "term_type": model.term_type,
+                "gaz_weight": model.gaz_weight,
+                "o_bias": model.o_bias,
+                "max_n": model.max_n,
+                "use_context": model.use_context,
+            },
+            f,
+        )
+
+
+def load_model(path: str) -> TagModel:
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        meta = json.load(f)
+    if tuple(meta["labels"]) != LABELS:
+        raise ValueError(f"label-set mismatch: {meta['labels']} vs {LABELS}")
+    arrs = np.load(os.path.join(path, "weights.npz"))
+    return TagModel(
+        W=arrs["W"],
+        trans=arrs["trans"],
+        term_type=meta["term_type"],
+        gaz_weight=meta["gaz_weight"],
+        o_bias=meta["o_bias"],
+        max_n=meta["max_n"],
+        use_context=meta["use_context"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-local trainer (SURVEY.md M1 note: training is fixture-scale;
 # averaged structured perceptron over the same features + Viterbi)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""Skew-salted sink (S6), gazetteer ETL (S5), model persistence (S3),
+and the three reference CLI verbs (predict/evaluate/train)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cliner_spark import fixtures, tagger
+from cliner_spark.pipeline import main as cli_main, run_pipeline
+from cliner_spark.triples import hot_conversations, write_triples
+
+
+def test_salted_sink_spreads_hot_conversation(spark, tmp_path):
+    # conv 0 is generated hot (20x turns)
+    rows = fixtures.gen_transcripts(n_convs=12, avg_turns=6, seed=23, hot_conv_factor=40)
+    tx = fixtures.transcripts_df(spark, rows)
+    hot = hot_conversations(tx, threshold=100)
+    hot_ids = {r["conv_id"] for r in hot.collect()}
+    assert hot_ids == {"conv00000"}
+
+    out = run_pipeline(spark, tx)
+    path = str(tmp_path / "triples")
+    write_triples(out["triples"], path, num_partitions=8, hot=hot, salt_buckets=4)
+
+    got = spark.read.parquet(path)
+    # same triples as unsalted write (salting must not change content)
+    assert got.count() == out["triples"].count()
+
+    # the hot conversation's rows span multiple salt buckets -> multiple
+    # physical partitions; verify via input_file_name
+    files_per_conv = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("f").alias("n_files"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_conv = {r["conv_id"]: r for r in files_per_conv}
+    assert by_conv["conv00000"]["n_files"] > 1, by_conv["conv00000"]
+    # non-hot conversations stay unsplit (one file each)
+    assert all(r["n_files"] == 1 for c, r in by_conv.items() if c != "conv00000")
+
+
+def test_build_gazetteer_from_rrf(spark, tmp_path):
+    from cliner_spark.sources import build_gazetteer
+
+    conso = tmp_path / "MRCONSO.RRF"
+    # CUI|LAT|TS|LUI|STT|SUI|ISPREF|AUI|SAUI|SCUI|SDUI|SAB|TTY|CODE|STR|SRL|SUPPRESS|CVF|
+    conso.write_text(
+        "C01|ENG|P|L1|PF|S1|Y|A1|||S|SNOMED|PT|1|Myocardial Infarction|0|N||\n"
+        "C01|ENG|S|L2|VO|S2|N|A2|||S|SNOMED|SY|1|Heart Attack|0|N||\n"
+        "C01|FRE|S|L3|VO|S3|N|A3|||S|SNOMED|SY|1|Infarctus|0|N||\n"
+        "C02|ENG|P|L4|PF|S4|Y|A4|||S|LNC|PT|2|Blood Panel|0|N||\n"
+        "C03|ENG|P|L5|PF|S5|Y|A5|||S|RXN|PT|3|Aspirin|0|N||\n"
+        "C04|ENG|P|L6|PF|S6|Y|A6|||S|SNOMED|PT|4|Unmapped Thing|0|N||\n"
+    )
+    sty = tmp_path / "MRSTY.RRF"
+    sty.write_text(
+        "C01|T047|B2.2|Disease or Syndrome|AT1||\n"
+        "C02|T059|B1.3|Laboratory Procedure|AT2||\n"
+        "C03|T121|A1.4|Pharmacologic Substance|AT3||\n"
+        "C04|T999|X|Unknown Semantic Type|AT4||\n"
+    )
+    gaz = build_gazetteer(spark, str(conso), str(sty))
+    rows = {(r["term"], r["cui"]): r for r in gaz.collect()}
+    assert ("myocardial infarction", "C01") in rows
+    assert ("heart attack", "C01") in rows
+    assert ("infarctus", "C01") not in rows  # non-ENG dropped
+    assert ("unmapped thing", "C04") not in rows  # unmapped sem type dropped
+    r = rows[("heart attack", "C01")]
+    assert r["sem_type"] == "problem"
+    assert r["canonical"] == "myocardial infarction"  # preferred string
+    assert r["score"] == 0.7  # non-preferred
+    assert rows[("aspirin", "C03")]["sem_type"] == "treatment"
+    assert rows[("blood panel", "C02")]["sem_type"] == "test"
+    assert rows[("myocardial infarction", "C01")]["score"] == 0.99
+
+    # produced gazetteer drops into the pipeline unchanged
+    tx = fixtures.transcripts_df(
+        spark,
+        [{"conv_id": "c", "turn_idx": 0, "role": "user",
+          "text": "patient had a Heart Attack today", "tool": None, "ts": None}],
+    )
+    linked = run_pipeline(spark, tx, gazetteer=gaz)["linked"].collect()
+    assert len(linked) == 1 and linked[0]["cui"] == "C01"
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    model = tagger.make_distant_model(fixtures.CLINICAL_GAZETTEER)
+    model.W[:100] = np.random.RandomState(0).rand(100, tagger.L).astype(np.float32)
+    tagger.save_model(model, str(tmp_path / "m"))
+    back = tagger.load_model(str(tmp_path / "m"))
+    assert (back.W == model.W).all() and (back.trans == model.trans).all()
+    assert back.term_type == model.term_type
+    assert back.max_n == model.max_n and back.use_context == model.use_context
+    texts = pd.Series(["patient with heart attack on aspirin"])
+    a = tagger.decode_texts(texts, model)[3]
+    b = tagger.decode_texts(texts, back)[3]
+    assert (a == b).all()
+
+
+def test_cli_predict_evaluate_train(spark, tmp_path, capsys):
+    rows = fixtures.gen_transcripts(n_convs=6, avg_turns=5, seed=29)
+    tx_path = str(tmp_path / "tx")
+    fixtures.transcripts_df(spark, rows).write.parquet(tx_path)
+
+    out_path = str(tmp_path / "triples")
+    cli_main(["predict", "--input", tx_path, "--output", out_path])
+    assert spark.read.parquet(out_path).count() > 50
+
+    # gold = scanner output; predictions = same -> perfect scores
+    from cliner_spark import oracle_py
+
+    gold = spark.createDataFrame(
+        oracle_py.gold_mentions(rows, fixtures.CLINICAL_GAZETTEER)
+    )
+    gold_path = str(tmp_path / "gold")
+    gold.write.parquet(gold_path)
+    cli_main(["evaluate", "--predictions", gold_path, "--gold", gold_path])
+    printed = capsys.readouterr().out
+    assert "P=1.0000 R=1.0000 F1=1.0000" in printed
+
+    model_path = str(tmp_path / "model")
+    cli_main(["train", "--input", tx_path, "--gold", gold_path,
+              "--model", model_path, "--epochs", "2"])
+    m = tagger.load_model(model_path)
+    assert m.W.any()  # training actually moved weights
