@@ -65,6 +65,18 @@ _MITRE = [
     ("PUNCT", re.compile(r"^[^\w\s]+$")),
 ]
 
+# F7 metric units (reference word_features.py ~L180-210 approx): bare unit
+# tokens and number+unit compounds like "81mg" / "0.5ml"
+METRIC_UNITS = frozenset(
+    "mg ml cc mcg ug kg g l dl mmol mol iu meq mghr mgdl".split()
+)
+_NUM_UNIT_RE = re.compile(r"^\d+(?:[.,]\d+)?(%s)$" % "|".join(sorted(METRIC_UNITS)))
+
+
+def is_metric_unit(tok_lower: str) -> bool:
+    return tok_lower in METRIC_UNITS or bool(_NUM_UNIT_RE.match(tok_lower))
+
+
 _SHAPE_TABLE = str.maketrans(
     {
         **{c: "X" for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"},
@@ -106,6 +118,20 @@ def feature_indices(tokens: pd.Series) -> list[np.ndarray]:
         fired = toks.str.match(rx).fillna(False)
         keyed = np.where(fired, f"mitre={name}", "NOFEAT")
         out.append(hash_bucket(pd.Series(keyed, index=toks.index)))
+
+    # F4 Porter stems — memoized over distinct tokens per batch
+    from cliner_spark.stem import porter_stem
+
+    uniq = pd.unique(low)
+    stem_map = {u: porter_stem(u) for u in uniq}
+    out.append(hash_bucket("stem=" + low.map(stem_map)))
+
+    # F7 metric-unit flag
+    unit_map = {u: is_metric_unit(u) for u in uniq}
+    fired = low.map(unit_map).to_numpy(dtype=bool)
+    out.append(
+        hash_bucket(pd.Series(np.where(fired, "UNIT", "NOFEAT"), index=toks.index))
+    )
     return out
 
 

@@ -126,6 +126,32 @@ def test_chunk_roundtrip_and_orphan_i():
     assert list(zip(rr, ss, ee, tt)) == [(0, 2, 3, "problem"), (0, 4, 4, "problem")]
 
 
+def test_porter_stemmer_published_examples():
+    from cliner_spark.stem import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "hopping": "hop", "sized": "size", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper", "triplicate": "triplic",
+        "electriciti": "electr", "hopeful": "hope", "goodness": "good",
+        "adjustable": "adjust", "replacement": "replac", "adoption": "adopt",
+        "activate": "activ", "effective": "effect", "rate": "rate",
+        "controll": "control", "roll": "roll",
+    }
+    assert {w: porter_stem(w) for w in cases} == cases
+
+
+def test_metric_unit_flag():
+    from cliner_spark.features import is_metric_unit
+
+    assert is_metric_unit("mg") and is_metric_unit("ml")
+    assert is_metric_unit("81mg") and is_metric_unit("0.5ml")
+    assert not is_metric_unit("mgx") and not is_metric_unit("81")
+    assert not is_metric_unit("patient")
+
+
 def test_feature_determinism_and_families():
     toks = pd.Series(["Aspirin", "81mg", "BP", "x-ray", "...", "McDonald"])
     a = FT.feature_indices(toks)
