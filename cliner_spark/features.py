@@ -101,37 +101,39 @@ def feature_indices(tokens: pd.Series) -> list[np.ndarray]:
     Returns a list of [N] int arrays (one per feature family that fired;
     non-firing binary features map to a shared NOFEAT bucket so array shapes
     stay rectangular — its weight row is trained like any other).
+
+    All families are computed over the DISTINCT tokens of the batch and
+    scattered back via integer codes — natural-language batches repeat
+    tokens heavily, so per-family cost is O(vocab_of_batch), not O(tokens).
     """
     toks = tokens.fillna("")
-    low = toks.str.lower()
+    # factorize once: codes [N] into the distinct-token table
+    codes, uniq_idx = pd.factorize(toks)
+    uniq = pd.Series(uniq_idx, dtype="object")
+    uniq_low = uniq.str.lower()
+
+    def scatter(uniq_buckets: np.ndarray) -> np.ndarray:
+        return uniq_buckets[codes]
+
     out: list[np.ndarray] = []
+    out.append(scatter(hash_bucket("w=" + uniq_low)))                       # F1
+    out.append(scatter(hash_bucket("len=" + uniq.str.len().clip(upper=9).astype(str))))  # F2
+    out.append(scatter(hash_bucket("pre=" + uniq_low.str[:3])))             # F5
+    out.append(scatter(hash_bucket("suf=" + uniq_low.str[-3:])))            # F5
+    out.append(scatter(hash_bucket("shape=" + uniq.map(word_shape))))       # F6
+    out.append(scatter(hash_bucket("cshape=" + uniq.map(word_shape_collapsed))))
 
-    out.append(hash_bucket("w=" + low))                       # F1
-    out.append(hash_bucket("len=" + toks.str.len().clip(upper=9).astype(str)))  # F2
-    out.append(hash_bucket("pre=" + low.str[:3]))             # F5
-    out.append(hash_bucket("suf=" + low.str[-3:]))            # F5
-    shapes = toks.map(word_shape)                             # F6
-    out.append(hash_bucket("shape=" + shapes))
-    out.append(hash_bucket("cshape=" + toks.map(word_shape_collapsed)))
-
-    for name, rx in _MITRE:                                   # F3
-        fired = toks.str.match(rx).fillna(False)
+    for name, rx in _MITRE:                                                 # F3
+        fired = uniq.str.match(rx).fillna(False)
         keyed = np.where(fired, f"mitre={name}", "NOFEAT")
-        out.append(hash_bucket(pd.Series(keyed, index=toks.index)))
+        out.append(scatter(hash_bucket(pd.Series(keyed))))
 
-    # F4 Porter stems — memoized over distinct tokens per batch
-    from cliner_spark.stem import porter_stem
+    from cliner_spark.stem import porter_stem                               # F4
 
-    uniq = pd.unique(low)
-    stem_map = {u: porter_stem(u) for u in uniq}
-    out.append(hash_bucket("stem=" + low.map(stem_map)))
+    out.append(scatter(hash_bucket("stem=" + uniq_low.map(porter_stem))))
 
-    # F7 metric-unit flag
-    unit_map = {u: is_metric_unit(u) for u in uniq}
-    fired = low.map(unit_map).to_numpy(dtype=bool)
-    out.append(
-        hash_bucket(pd.Series(np.where(fired, "UNIT", "NOFEAT"), index=toks.index))
-    )
+    fired = uniq_low.map(is_metric_unit).to_numpy(dtype=bool)               # F7
+    out.append(scatter(hash_bucket(pd.Series(np.where(fired, "UNIT", "NOFEAT")))))
     return out
 
 

@@ -24,7 +24,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_TURNS = int(os.environ.get("CLINER_SCALE_TURNS", "500000"))
+N_TURNS = int(os.environ.get("CLINER_SCALE_TURNS", "2000000"))
 N_REPS = int(os.environ.get("CLINER_SCALE_REPS", "3"))
 TX_PATH = "/tmp/cliner_scale_bench_tx"
 # N and 4N cores. 2 vs 8 rather than 8 vs 32: this Firecracker-style sandbox
