@@ -56,6 +56,85 @@ def windowed_concept_counts(
     )
 
 
+def stateful_conv_progress(linked: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-conversation progress — total mentions, distinct cuis, last turn —
+    maintained across micro-batches in the state store.
+
+    This is the streaming analog of the batch lineage table: each emitted row
+    is the conversation's cumulative state as of the micro-batch. State is
+    one small tuple per conversation (bounded by active conversations, not
+    turns); GroupStateTimeout can evict idle conversations when a timeout is
+    configured.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_mentions bigint, n_cuis int, max_turn int"
+    )
+    state_schema = "n bigint, cuis array<string>, max_turn int"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        (conv_id,) = key
+        n, cuis, max_turn = (
+            state.get if state.exists else (0, [], -1)
+        )
+        cui_set = set(cuis)
+        for pdf in pdfs:
+            n += len(pdf)
+            cui_set.update(pdf["cui"].tolist())
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((n, sorted(cui_set), max_turn))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_mentions": [n],
+                "n_cuis": [len(cui_set)],
+                "max_turn": [max_turn],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        linked.select("conv_id", "turn_idx", "cui")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            # operator output mode "append": emitted rows are final for
+            # the micro-batch, compatible with the file sink
+            update, out_schema, state_schema, "append", timeout
+        )
+    )
+
+
+def run_stateful_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gazetteer: DataFrame,
+) -> None:
+    """Drain available input through the stateful per-conversation operator;
+    state persists in the checkpoint across restarts (incremental totals)."""
+    stream = read_transcript_stream(spark, input_path)
+    linked = streaming_mentions(stream, gazetteer)
+    q = (
+        stateful_conv_progress(linked)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_once(
     spark: SparkSession,
     input_path: str,

@@ -92,6 +92,50 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert got2 == want2 and len(want2) > len(want)
 
 
+def test_stateful_conv_progress_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running totals must carry
+    state across a stream restart (incremental drain #2 sees #1's counts)."""
+    rows = fixtures.gen_transcripts(n_convs=5, avg_turns=6, seed=41)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    first = df.filter(F.col("turn_idx") < 3)
+    second = df.filter(F.col("turn_idx") >= 3)
+    first.coalesce(1).write.parquet(in_dir)
+
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stateful_once(spark, in_dir, out_dir, ck, gaz)
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_stateful_once(spark, in_dir, out_dir, ck, gaz)
+
+    # latest emitted row per conversation = cumulative totals == batch truth
+    out = spark.read.parquet(out_dir)
+    latest = {
+        r["conv_id"]: r
+        for r in out.orderBy("n_mentions").collect()  # last wins per conv
+    }
+    truth = (
+        _linked(spark, rows)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("cui").alias("n_cuis"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+        .collect()
+    )
+    assert len(truth) > 2
+    for t in truth:
+        got = latest[t["conv_id"]]
+        assert got["n_mentions"] == t["n_mentions"], (t["conv_id"], got)
+        assert got["n_cuis"] == t["n_cuis"]
+        # max_turn only reflects turns that contained mentions
+        assert got["max_turn"] <= t["max_turn"]
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     rows = fixtures.gen_transcripts(n_convs=6, avg_turns=5, seed=31)
     df = fixtures.transcripts_df(spark, rows)
