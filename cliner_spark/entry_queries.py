@@ -1060,6 +1060,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.brute_force_topk(emb, F.col("vec_id") < 20, k=3)
 
 
+@register("q_embedding_ivf_topk", None)  # rows-only: approximate by design
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + n_probe cell scan + exact rerank
+    (the vector-search partition-pruning analog; see similarity.ivf_topk)."""
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _sim.ivf_topk(emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4)
+
+
 @register("q_embedding_lsh_topk", None)  # rows-only: approximate by design
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.session import ensure_parallelism

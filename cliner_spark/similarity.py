@@ -98,6 +98,73 @@ def lsh_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into n_lists cells; each query exactly reranks only
+    the n_probe nearest cells.
+
+    Scale path: the centroid table is tiny (broadcast); corpus vectors are
+    written bucketed by cell once, so a query batch shuffles nothing on the
+    corpus side and scans ~n_probe/n_lists of the data (the partition-pruning
+    analog for vector search). Deterministic for a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(vecs.select("_v"))
+    assigned = model.transform(vecs).select(id_col, vec_col, "cell")
+
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = emb.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+
+    q = assigned.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # rank cells per query by centroid cosine; keep n_probe
+    qc = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("csim", cosine_sim(F.col("qv"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    j = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_filter: Column,

@@ -93,6 +93,28 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_ivf_topk_deterministic_and_high_recall(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(120, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.ivf_topk(df, F.col("vec_id") < 8, k=3, n_lists=8, n_probe=3)
+    rows = out.collect()
+    assert all(r["query_id"] != r["neighbor_id"] and r["rn"] <= 3 for r in rows)
+    out2 = similarity.ivf_topk(df, F.col("vec_id") < 8, k=3, n_lists=8, n_probe=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+    # recall vs brute force: probing 3/8 cells should find most true top-3
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(df, F.col("vec_id") < 8, k=3).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_language_id_heuristic(spark):
     df = spark.createDataFrame(
         [
