@@ -57,12 +57,17 @@ def connected_components(
     for dimension-sized graphs — AQE's runtime coalescing already sizes the
     tiny shuffles, and explicit coalescing measurably fights it.
 
-    fixed_iterations: run exactly that many rounds with NO per-round
-    convergence action. With pointer jumping each round at least doubles the
-    distance a component-min label has travelled, so ceil(log2(n_nodes)) + 1
-    rounds are sufficient; callers that know n cheaply (dimension graphs)
-    save ~2 Spark jobs per round. When None, a changed-rows check runs each
-    round (data-dependent early exit for unknown graphs).
+    fixed_iterations: run that many rounds with NO per-round convergence
+    action, then VERIFY the fixpoint (one join + limit-1 count) and keep
+    iterating until it holds. The budget is a floor, not a guarantee:
+    pointer jumping does not always double the distance the component-min
+    label has travelled when it must propagate against the id ordering
+    (e.g. the path 1-6-5-4-3-2 advances the '1' frontier by one hop per
+    round), so returning after ceil(log2 n)+1 rounds unverified can emit
+    silently split components. Callers that know n cheaply (dimension
+    graphs) still save the per-round convergence actions in the common
+    case — the verify usually passes on the first check. When None, a
+    changed-rows check runs each round (data-dependent early exit).
     """
     und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -78,8 +83,7 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
-    n_rounds = fixed_iterations if fixed_iterations is not None else max_iterations
-    for it in range(n_rounds):
+    def one_round(labels: DataFrame) -> DataFrame:
         # candidate label for each node = min(own, min over neighbors' labels)
         nbr = (
             und.join(labels, und["v"] == labels[node_col])
@@ -90,28 +94,60 @@ def connected_components(
             .groupBy(node_col)
             .agg(F.min("comp").alias("comp"))
         )
-        # pointer jumping (comp <- comp[comp]): collapses long chains in
-        # O(log diameter) rounds instead of O(diameter) — same fixpoint,
-        # since a node's label is always another node of its component and
-        # labels only decrease toward the component min.
+        # pointer jumping (comp <- comp[comp]): collapses long chains —
+        # same fixpoint, since a node's label is always another node of its
+        # component and labels only decrease toward the component min.
         roots = new_labels.select(
             F.col(node_col).alias("_r"), F.col("comp").alias("_rc")
         )
-        new_labels = (
+        return (
             new_labels.join(roots, new_labels["comp"] == F.col("_r"), "left")
             .select(
                 F.col(node_col),
                 F.coalesce(F.col("_rc"), F.col("comp")).alias("comp"),
             )
         )
-        if fixed_iterations is not None:
-            # no convergence action; but the pointer-jump SELF-join doubles
-            # the logical plan per round, so lineage must be cut eagerly on a
-            # cadence or analysis cost grows 2^rounds
-            if (it + 1) % CHECKPOINT_EVERY == 0 and it != n_rounds - 1:
-                new_labels = new_labels.localCheckpoint(eager=True)
-            labels = new_labels
-            continue
+
+    def at_fixpoint(labels: DataFrame) -> bool:
+        # Min-label propagation has converged iff every edge joins two
+        # equally-labelled endpoints: labels are always node ids of the same
+        # component and only decrease, the component-min node keeps labelling
+        # itself, so edge-agreement forces every node's label to be that min.
+        lu = labels.select(F.col(node_col).alias("_lu_n"), F.col("comp").alias("_lu"))
+        lv = labels.select(F.col(node_col).alias("_lv_n"), F.col("comp").alias("_lv"))
+        disagree = (
+            und.join(lu, und["u"] == F.col("_lu_n"))
+            .join(lv, und["v"] == F.col("_lv_n"))
+            .filter(F.col("_lu") != F.col("_lv"))
+            .limit(1)
+            .count()
+        )
+        return disagree == 0
+
+    if fixed_iterations is not None:
+        # round budget with no per-round convergence action; but the
+        # pointer-jump SELF-join doubles the logical plan per round, so
+        # lineage must be cut eagerly on a cadence or analysis cost grows
+        # 2^rounds
+        for it in range(fixed_iterations):
+            labels = one_round(labels)
+            if (it + 1) % CHECKPOINT_EVERY == 0 and it != fixed_iterations - 1:
+                labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+        # the budget is a floor, not a proof — verify and top up to fixpoint
+        extra = 0
+        while not at_fixpoint(labels):
+            if extra >= max_iterations:
+                raise RuntimeError(
+                    f"connected_components: no fixpoint after {fixed_iterations}"
+                    f" budgeted + {extra} extra rounds"
+                )
+            labels = one_round(labels).localCheckpoint(eager=True)
+            extra += 1
+        return labels
+
+    for it in range(max_iterations):
+        new_labels = one_round(labels)
         # the convergence check below is an action anyway; eager-checkpointing
         # here both cuts lineage and avoids recomputing the join twice
         if (it + 1) % CHECKPOINT_EVERY == 0:
@@ -164,9 +200,11 @@ def canonical_concept_map(gazetteer: DataFrame) -> DataFrame:
 
     edges = concept_edges(gazetteer)
     nodes = gazetteer.select(F.col("cui").alias("node")).distinct()
-    # gazetteer is dimension-sized: one cheap count buys a fixed round budget
-    # (ceil(log2 n) + 1 with pointer jumping) and removes every per-round
-    # convergence action — the CC loop stops being serial-overhead-bound
+    # gazetteer is dimension-sized: one cheap count buys a round budget
+    # (ceil(log2 n) + 1 with pointer jumping) that removes the per-round
+    # convergence actions in the common case; connected_components verifies
+    # the fixpoint after the budget and tops up if propagation was slower
+    # (adversarial id orderings advance only one hop per round)
     n = max(nodes.count(), 2)
     comps = connected_components(
         edges, nodes=nodes, node_col="node",

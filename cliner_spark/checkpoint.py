@@ -123,14 +123,23 @@ def run_resumable(
     out = run_pipeline(spark, remaining.drop("_bucket"), gazetteer=gazetteer, scanner=scanner)
     triples = out["triples"].withColumn("_bucket", bucket_col(n_buckets))
 
+    # dynamic partition overwrite for this write only — restore the caller's
+    # session conf afterwards so unrelated overwrites keep their semantics
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        triples.repartition("_bucket")
-        .sortWithinPartitions("conv_id", "turn_idx", "pred", "subj", "obj")
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(triples_path)
-    )
+    try:
+        (
+            triples.repartition("_bucket")
+            .sortWithinPartitions("conv_id", "turn_idx", "pred", "subj", "obj")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(triples_path)
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     per_bucket = {
         r["_bucket"]: (r["n_in"], 0)
@@ -146,6 +155,9 @@ def run_resumable(
         b = r["_bucket"]
         per_bucket[b] = (per_bucket[b][0], r["n_out"])
 
+    # wall clock is shared across the whole run (buckets execute together in
+    # one Spark job), so it is recorded ONCE on a run-level row rather than
+    # copied onto every bucket row, which would misattribute per-bucket cost
     wall = time.time() - t0
     append_progress(
         spark,
@@ -158,9 +170,20 @@ def run_resumable(
                 "status": "done",
                 "rows_in": int(ri),
                 "rows_out": int(ro),
-                "wall_sec": wall,
+                "wall_sec": None,
             }
             for b, (ri, ro) in per_bucket.items()
+        ]
+        + [
+            {
+                "run_id": run_id,
+                "stage": "run",
+                "partition_key": -1,
+                "status": "done",
+                "rows_in": int(n_in),
+                "rows_out": int(sum(ro for (_ri, ro) in per_bucket.values())),
+                "wall_sec": wall,
+            }
         ],
     )
     new = sorted(per_bucket)

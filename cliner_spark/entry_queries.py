@@ -1060,22 +1060,209 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.brute_force_topk(emb, F.col("vec_id") < 20, k=3)
 
 
-@register("q_embedding_ivf_topk", None)  # rows-only: approximate by design
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Per-corpus IVF index artifact location (prod: an Iceberg table keyed
+    by corpus version; here: a deterministic tempdir path per sf_dir)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"cliner_ivf_{key}")
+
+
+# --- shared ANN SQL fragments (DuckDB twins of similarity.py) --------------
+
+SQL_EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """Rounded cosine, identical formulation to similarity.cosine_sim."""
+    return (
+        f"round(list_sum(list_transform(range(64), i -> {a}[i+1] * {b}[i+1]))"
+        f" / sqrt(list_sum(list_transform({a}, x -> x * x))"
+        f" * list_sum(list_transform({b}, x -> x * x))), 6)"
+    )
+
+
+SQL_EXACT_TOPK = f"""
+exact AS (
+  SELECT query_id, neighbor_id, sim, rn FROM (
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_sql_cos('q.v', 'c.v')} AS sim
+          FROM e c, e q WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+  ) WHERE rn <= 3
+)
+"""
+
+# seeded IVF: cells = argmax rounded cosine to the 16 corpus vectors with the
+# smallest md5(vec_id); queries probe their 4 best cells; exact rerank inside
+SQL_SEEDED_TOPK = f"""
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         AS INTEGER) - 1 AS cell, v AS centroid
+  FROM (SELECT * FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+),
+ssims AS (
+  SELECT e.vec_id, e.v, s.cell, {_sql_cos('e.v', 's.centroid')} AS csim
+  FROM e CROSS JOIN seeds s
+),
+scells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY csim DESC, cell ASC) AS r FROM ssims) WHERE r = 1
+),
+sprobes AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY csim DESC, cell ASC) AS r
+    FROM ssims WHERE vec_id < 20) WHERE r <= 4
+),
+seeded AS (
+  SELECT query_id, neighbor_id, sim, rn FROM (
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+    FROM (SELECT p.query_id, c.vec_id AS neighbor_id,
+                 {_sql_cos('p.qv', 'c.v')} AS sim
+          FROM scells c JOIN sprobes p USING (cell)
+          WHERE p.query_id <> c.vec_id)
+  ) WHERE rn <= 3
+)
+"""
+
+# sign-random-projection LSH: weights from md5('{plane}#{dim}') first hex
+# digit (same grammar as similarity._projection_sign), projection rounded to
+# 6 dp before the sign test on both engines
+SQL_LSH_TOPK = f"""
+w AS (
+  SELECT p, list(CASE WHEN substr(md5(CAST(p AS VARCHAR) || '#' ||
+                                      CAST(d AS VARCHAR)), 1, 1)
+                      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
+                 ORDER BY d) AS wv
+  FROM range(8) tp(p), range(64) td(d) GROUP BY p
+),
+bk AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN round(list_sum(list_transform(range(64),
+                        i -> e.v[i+1] * w.wv[i+1])), 6) > 0
+                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN w GROUP BY e.vec_id
+),
+b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+lsh AS (
+  SELECT query_id, neighbor_id, sim, rn FROM (
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_sql_cos('q.v', 'c.v')} AS sim
+          FROM b c JOIN b q ON c.bucket = q.bucket
+          WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+  ) WHERE rn <= 3
+)
+"""
+
+
+@register("q_embedding_ivf_topk", None)  # rows-only: k-means is not SQL
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer + n_probe cell scan + exact rerank
-    (the vector-search partition-pruning analog; see similarity.ivf_topk)."""
+    """IVF ANN over the persisted index artifact: the k-means quantizer is
+    fit once on a deterministic sample and cached on disk per corpus — this
+    query's plan contains no KMeans fit after the first build (see
+    similarity.build_ivf_index). Recall vs exact is pytest-verified; the
+    hash-verified ANN twin is q_embedding_ivf_seeded."""
     from cliner_spark.session import ensure_parallelism
 
     emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
-    return _sim.ivf_topk(emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4)
+    return _sim.ivf_topk(
+        emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4,
+        index_dir=_ivf_index_dir(sf_dir),
+    )
 
 
-@register("q_embedding_lsh_topk", None)  # rows-only: approximate by design
+@register(
+    "q_embedding_ivf_seeded",
+    f"""
+WITH {SQL_EMB}, {SQL_SEEDED_TOPK.strip()}
+SELECT query_id, neighbor_id, sim, rn FROM seeded
+""",
+)
+def q_embedding_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable IVF: deterministic md5-sampled seed centroids make the
+    whole approximate result engine-reproducible (similarity.ivf_seeded_topk);
+    the DuckDB twin replays quantization, probing, and rerank exactly."""
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _sim.ivf_seeded_topk(emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4)
+
+
+@register(
+    "q_embedding_lsh_topk",
+    f"""
+WITH {SQL_EMB}, {SQL_LSH_TOPK.strip()}
+SELECT query_id, neighbor_id, sim, rn FROM lsh
+""",
+)
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN. The md5-derived hyperplanes are
+    engine-independent, so the DuckDB twin reproduces buckets and rerank
+    bit-for-bit — a fully hash-checked approximate query."""
     from cliner_spark.session import ensure_parallelism
 
     emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
     return _sim.lsh_topk(emb, F.col("vec_id") < 20, k=3, n_planes=8, dims=64)
+
+
+@register(
+    "q_embedding_ann_recall",
+    f"""
+WITH {SQL_EMB}, {SQL_EXACT_TOPK.strip()}, {SQL_SEEDED_TOPK.strip()}, {SQL_LSH_TOPK.strip()}
+SELECT q.query_id, m.method, CAST(coalesce(h.n, 0) AS BIGINT) AS hits,
+       CAST(3 AS BIGINT) AS k
+FROM (SELECT DISTINCT query_id FROM exact) q
+CROSS JOIN (SELECT 'ivf_seeded' AS method UNION ALL SELECT 'lsh') m
+LEFT JOIN (
+  SELECT a.method, a.query_id, count(*) AS n
+  FROM (SELECT 'ivf_seeded' AS method, query_id, neighbor_id FROM seeded
+        UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh) a
+  JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1, 2
+) h ON h.query_id = q.query_id AND h.method = m.method
+""",
+)
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 bookkeeping for the two deterministic ANN paths vs the exact
+    top-k — per (query, method): how many true top-3 neighbors the
+    approximate search recovered. Driver-verifiable end to end because both
+    approximations are engine-reproducible."""
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    flt = F.col("vec_id") < 20
+    exact = _sim.brute_force_topk(emb, flt, k=3)
+    seeded = _sim.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4)
+    lsh = _sim.lsh_topk(emb, flt, k=3, n_planes=8, dims=64)
+    appx = seeded.select(
+        F.lit("ivf_seeded").alias("method"), "query_id", "neighbor_id"
+    ).unionByName(lsh.select(F.lit("lsh").alias("method"), "query_id", "neighbor_id"))
+    hits = (
+        appx.join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    base = exact.select("query_id").distinct().crossJoin(
+        spark.createDataFrame([("ivf_seeded",), ("lsh",)], "method string")
+    )
+    return base.join(hits, ["method", "query_id"], "left").select(
+        "query_id",
+        "method",
+        F.coalesce(F.col("_h"), F.lit(0)).cast("bigint").alias("hits"),
+        F.lit(3).cast("bigint").alias("k"),
+    )
 
 
 @register(
@@ -1250,10 +1437,46 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_media_features", None)  # rows-only: mapInPandas feature extraction
+@register(
+    "q_media_features",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, coalesce(text, '') AS t,
+         regexp_replace(hex(encode(coalesce(text, ''))), '(.)(.)', '\\2', 'g') AS ln
+  FROM documents
+)
+SELECT media_id,
+       CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+       sha256(t) AS sha256,
+       concat_ws(',',
+         length(ln) - length(translate(ln, '08', '')),
+         length(ln) - length(translate(ln, '19', '')),
+         length(ln) - length(translate(ln, '2A', '')),
+         length(ln) - length(translate(ln, '3B', '')),
+         length(ln) - length(translate(ln, '4C', '')),
+         length(ln) - length(translate(ln, '5D', '')),
+         length(ln) - length(translate(ln, '6E', '')),
+         length(ln) - length(translate(ln, '7F', ''))) AS hist_csv
+FROM m
+""",
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. The oracle twin
+    reproduces the byte histogram mod 8 in pure SQL via the hex low-nibble
+    identity (byte % 8 == low-hex-nibble % 8: bucket d matches the two hex
+    digits d and d+8), counted with length-after-translate; the histogram is
+    serialized as an integer CSV so the value hash is float-format-free and
+    the driver's row canonicalizer has a sortable scalar."""
     media = _mm.attach_payload(load(spark, sf_dir, "documents"))
-    return _mm.extract_features(media, feature_dim=8)
+    feats = _mm.extract_features(media, feature_dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.array_join(F.transform("hist", lambda x: x.cast("string")), ",").alias(
+            "hist_csv"
+        ),
+    )
 
 
 @register(

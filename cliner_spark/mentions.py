@@ -17,7 +17,8 @@ Scale notes:
   shuffle, whole-stage codegen, gazetteer embedded as a literal array
   (fine to a few thousand terms — the plan ships it once per executor).
 - `scan_mentions_udf` is the big-gazetteer path: one mapInPandas pass with a
-  sc.broadcast token-indexed dict; still zero shuffle, Arrow-batched.
+  sc.broadcast term map, vectorized over the batch-flattened token array
+  (tagger.kept_ngram_spans); still zero shuffle, Arrow-batched.
 Both return the same rows; tests assert equality.
 """
 
@@ -136,22 +137,22 @@ def scan_mentions_udf(
     max_n: int = MAX_TERM_TOKENS,
     carry_ts: bool = False,
 ) -> DataFrame:
-    """Big-gazetteer scan: mapInPandas + sc.broadcast dict keyed by first
-    token -> set of term lengths to probe (a flattened trie). Same dominance
-    semantics as scan_mentions_expr. Zero shuffle.
+    """Big-gazetteer scan: mapInPandas + sc.broadcast term map, fully
+    vectorized via tagger.kept_ngram_spans (pandas shift+concat n-gram match
+    over the batch-flattened token array + turn-segmented dominance) — no
+    per-row Python loop inside the Arrow batch. Same dominance semantics as
+    scan_mentions_expr; tests assert row equality. Zero shuffle.
 
     carry_ts=True passes the event-time `ts` column through (streaming path:
     avoids a stream-stream self-join to re-attach event time downstream).
     """
+    import numpy as np
+
+    from cliner_spark.tagger import flatten_batch, kept_ngram_spans
+
     spark = turns.sparkSession
-    index: dict[str, set[int]] = {}
-    terms = set()
-    for t in gazetteer_terms:
-        t = t.lower()
-        terms.add(t)
-        parts = t.split()
-        index.setdefault(parts[0], set()).add(len(parts))
-    b_index = spark.sparkContext.broadcast((index, terms, max_n))
+    term_map = {t.lower(): t.lower() for t in gazetteer_terms}
+    b_terms = spark.sparkContext.broadcast((term_map, max_n))
 
     cols = ["conv_id", "turn_idx", text_col] + (["ts"] if carry_ts else [])
     schema = (
@@ -160,53 +161,42 @@ def scan_mentions_udf(
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx, term_set, mx = b_index.value
+        tmap, mx = b_terms.value
         for pdf in batches:
-            out_conv, out_turn, out_s, out_e, out_txt = [], [], [], [], []
-            out_ts: list = []
-            ts_vals = pdf["ts"].values if carry_ts else None
-            for row_i, (conv, turn, text) in enumerate(zip(
-                pdf["conv_id"].values, pdf["turn_idx"].values, pdf[text_col].fillna("").values
-            )):
-                toks = text.split()
-                low = [t.lower() for t in toks]
-                cands = []
-                for i, w in enumerate(low):
-                    lens = idx.get(w)
-                    if not lens:
-                        continue
-                    for n in lens:
-                        if n > mx or i + n > len(low):
-                            continue
-                        if " ".join(low[i : i + n]) in term_set:
-                            cands.append((i, i + n - 1))
-                kept = [
-                    (s, e)
-                    for (s, e) in cands
-                    if not any(
-                        os <= e
-                        and oe >= s
-                        and ((oe - os > e - s) or (oe - os == e - s and os < s))
-                        for (os, oe) in cands
-                    )
+            flat, turn_ids, lengths = flatten_batch(pdf[text_col])
+            ks, kln, _ = kept_ngram_spans(flat.str.lower(), turn_ids, tmap, mx)
+            # flat token index -> (batch row, in-turn token offset)
+            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1])).astype(np.int64)
+            row = turn_ids[ks] if len(ks) else np.zeros(0, dtype=np.int64)
+            tok_start = ks - offsets[row]
+            # original-case mention text, vectorized per span length
+            flat_np = flat.to_numpy(dtype=object)
+            texts_out = np.empty(len(ks), dtype=object)
+            for n in np.unique(kln):
+                sel = kln == n
+                base = pd.Series(flat_np[ks[sel]], dtype="object")
+                rest = [
+                    pd.Series(flat_np[ks[sel] + j], dtype="object")
+                    for j in range(1, int(n))
                 ]
-                for s, e in kept:
-                    out_conv.append(conv)
-                    out_turn.append(turn)
-                    out_s.append(s)
-                    out_e.append(e)
-                    out_txt.append(" ".join(toks[s : e + 1]))
-                    if carry_ts:
-                        out_ts.append(ts_vals[row_i])
+                texts_out[sel] = (
+                    base.str.cat(rest, sep=" ") if rest else base
+                ).to_numpy(dtype=object)
             data = {
-                "conv_id": pd.Series(out_conv, dtype="object"),
-                "turn_idx": pd.Series(out_turn, dtype="int32"),
-                "tok_start": pd.Series(out_s, dtype="int32"),
-                "tok_end": pd.Series(out_e, dtype="int32"),
-                "mention_text": pd.Series(out_txt, dtype="object"),
+                "conv_id": pd.Series(
+                    pdf["conv_id"].to_numpy(dtype=object)[row], dtype="object"
+                ),
+                "turn_idx": pd.Series(
+                    pdf["turn_idx"].to_numpy()[row], dtype="int32"
+                ),
+                "tok_start": pd.Series(tok_start, dtype="int32"),
+                "tok_end": pd.Series(tok_start + kln - 1, dtype="int32"),
+                "mention_text": pd.Series(texts_out, dtype="object"),
             }
             if carry_ts:
-                data["ts"] = pd.Series(out_ts, dtype="datetime64[us]")
+                data["ts"] = pd.Series(
+                    pdf["ts"].to_numpy()[row], dtype="datetime64[us]"
+                )
             yield pd.DataFrame(data)
 
     return turns.select(*cols).mapInPandas(scan, schema=schema)

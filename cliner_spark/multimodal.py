@@ -43,7 +43,8 @@ def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 _FEATURE_SCHEMA = (
-    "media_id bigint, n_bytes bigint, sha256 string, feature array<double>"
+    "media_id bigint, n_bytes bigint, sha256 string, feature array<double>, "
+    "hist array<bigint>"
 )
 
 
@@ -61,21 +62,24 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     feature_dim buckets, L1-normalized) standing in for a real decoder+CNN;
     the Arrow plumbing — binary columns batched through pandas, fixed output
     schema, per-partition iteration — is exactly what a real extractor uses.
+    Raw integer counts are kept alongside in 'hist' so downstream consumers
+    (and the SQL oracle twin) can compare exactly, with no float formatting.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            feats, shas, sizes = [], [], []
+            feats, hists, shas, sizes = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 sizes.append(len(b))
                 shas.append(hashlib.sha256(b).hexdigest())
-                hist = [0.0] * feature_dim
+                hist = [0] * feature_dim
                 for byte in b:
-                    hist[byte % feature_dim] += 1.0
-                total = sum(hist) or 1.0
+                    hist[byte % feature_dim] += 1
+                total = sum(hist) or 1
+                hists.append(hist)
                 feats.append([round(v / total, 6) for v in hist])
             yield pd.DataFrame(
                 {
@@ -83,6 +87,7 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "n_bytes": pd.Series(sizes, dtype="int64"),
                     "sha256": shas,
                     "feature": feats,
+                    "hist": hists,
                 }
             )
 

@@ -7,7 +7,18 @@
   rankings are reproducible across engines/summation orders.
 - LSH-bucketed variant: sign-random-projection buckets where the projection
   matrix is derived from md5 (deterministic, no RNG, engine-independent);
-  candidates share a bucket; exact rerank inside the bucket.
+  candidates share a bucket; exact rerank inside the bucket. Projections are
+  rounded to 6 dp before the sign test so bucket ids are reproducible across
+  engines/summation orders (same trick as the similarity ranking).
+- IVF k-means variant: the coarse quantizer is fit ONCE on a deterministic
+  sample and persisted as a parquet artifact (centroids + cell-partitioned
+  corpus assignments) — queries consume the index, never refit. At 10^12
+  rows the artifact would live in an Iceberg table keyed by corpus version,
+  exactly like the gazetteer-version canon_map artifact.
+- IVF seeded variant: same inverted-file shape but the "centroids" are the
+  n_lists corpus vectors with the smallest md5(vec_id) — a deterministic,
+  engine-reproducible pseudo-random sample, so the whole approximate result
+  (not just its recall) is verifiable bit-for-bit by the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -80,7 +91,9 @@ def _projection_sign(vec: Column, plane: int, dims: int) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (proj > 0).cast("int")
+    # round before the sign test: bucket ids stay stable across engines and
+    # floating-point summation orders (borderline projections near 0)
+    return (F.round(proj, SIM_DECIMALS) > 0).cast("int")
 
 
 def lsh_buckets(
@@ -98,42 +111,84 @@ def lsh_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
-def ivf_topk(
+def build_ivf_index(
     emb: DataFrame,
-    query_filter: Column,
-    k: int = 3,
     n_lists: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions the corpus into n_lists cells; each query exactly reranks only
-    the n_probe nearest cells.
+    sample_per_list: int = 64,
+    index_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build (or load) the IVF index artifact: (centroids, assignments).
 
-    Scale path: the centroid table is tiny (broadcast); corpus vectors are
-    written bucketed by cell once, so a query batch shuffles nothing on the
-    corpus side and scans ~n_probe/n_lists of the data (the partition-pruning
-    analog for vector search). Deterministic for a fixed seed.
+    The k-means coarse quantizer is fit ONCE, on a deterministic sample
+    (smallest n_lists*sample_per_list rows by xxhash64(id) — a TakeOrdered,
+    no full sort), NOT on the whole corpus: at 10^12 rows an iterative
+    full-corpus fit per query batch is the difference between an index and a
+    repeated scan. The full corpus is then assigned to cells in one pass and,
+    when index_dir is given, persisted as parquet partitioned by cell (the
+    vector-search analog of partition pruning: a query batch reads only its
+    probed cells). Subsequent calls load the artifact instead of refitting —
+    the same version-keyed-artifact pattern as canonicalize's canon_map.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import os
 
+    spark = emb.sparkSession
+    cpath = apath = None
+    if index_dir is not None:
+        cpath = os.path.join(index_dir, "centroids")
+        apath = os.path.join(index_dir, "assignments")
+        if os.path.exists(os.path.join(cpath, "_SUCCESS")) and os.path.exists(
+            os.path.join(apath, "_SUCCESS")
+        ):
+            return spark.read.parquet(cpath), spark.read.parquet(apath)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_lists * sample_per_list)
+        .select(array_to_vector(F.col(vec_col)).alias("_v"))
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(sample)
     vecs = emb.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="cell")
-    model = km.fit(vecs.select("_v"))
     assigned = model.transform(vecs).select(id_col, vec_col, "cell")
 
     centroids = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = emb.sparkSession.createDataFrame(
-        centroids, "cell int, centroid array<double>"
-    )
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
 
+    if index_dir is not None:
+        cent_df.write.mode("overwrite").parquet(cpath)
+        assigned.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(apath)
+        return spark.read.parquet(cpath), spark.read.parquet(apath)
+    return cent_df, assigned
+
+
+def ivf_topk_from_index(
+    cent_df: DataFrame,
+    assigned: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k over a prebuilt index: each
+    query exactly reranks only the n_probe nearest cells.
+
+    Scale path: the centroid table is tiny (broadcast); corpus vectors are
+    cell-partitioned once at index build, so a query batch shuffles nothing
+    on the corpus side and scans ~n_probe/n_lists of the data.
+    """
     q = assigned.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -162,6 +217,76 @@ def ivf_topk(
         j.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """build_ivf_index + ivf_topk_from_index in one call (pass index_dir to
+    persist/reuse the index artifact across calls and processes)."""
+    cent_df, assigned = build_ivf_index(
+        emb, n_lists, id_col, vec_col, seed, index_dir=index_dir
+    )
+    return ivf_topk_from_index(
+        cent_df, assigned, query_filter, k, n_probe, id_col, vec_col
+    )
+
+
+def ivf_seeded_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a deterministic, engine-reproducible coarse
+    quantizer: "centroids" are the n_lists corpus vectors with the smallest
+    md5(vec_id) (a deterministic pseudo-random sample — md5 of the id is
+    uniform and engine-independent); every vector joins the cell whose seed
+    has the highest rounded cosine (tie -> lower cell). Unlike the k-means
+    path, every step is plain SQL, so the DuckDB oracle reproduces the
+    approximate result exactly — this is the hash-verifiable ANN path.
+
+    The seed fetch is a TakeOrdered (distributed, no full sort); the seed
+    table then flows through exactly the same broadcast-probe machinery as
+    the k-means index (ivf_topk_from_index) — assignment is a broadcast
+    crossJoin against the 16-row centroid table + per-vector argmax.
+    """
+    seeds = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_lists)
+    )
+    cent_df = seeds.withColumn(
+        "cell", (F.row_number().over(Window.orderBy("_h", id_col)) - 1).cast("int")
+    ).select("cell", F.col(vec_col).alias("centroid"))
+
+    # cell = argmax of rounded cosine to the seeds (tie -> lower cell)
+    x = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("csim", cosine_sim(F.col(vec_col), F.col("centroid")))
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        x.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), F.col(vec_col), "cell")
+    )
+    return ivf_topk_from_index(
+        cent_df, assigned, query_filter, k, n_probe, id_col, vec_col
     )
 
 

@@ -119,27 +119,32 @@ def flatten_batch(texts: pd.Series) -> tuple[pd.Series, np.ndarray, np.ndarray]:
     return pd.Series(flat, dtype="object"), turn_ids, lengths
 
 
-def gazetteer_flags(
-    low: np.ndarray,
+def kept_ngram_spans(
+    low_s: pd.Series,
     turn_ids: np.ndarray,
-    term_type: dict[str, str],
+    term_map: dict[str, object],
     max_n: int,
-) -> np.ndarray:
-    """[N, L] emission bonus matrix from phrase-gazetteer membership.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dominance-kept n-gram gazetteer matches over a flat token array.
 
-    Vectorized n-gram matching over the flat token array (pandas shift+concat
-    per n, masked at turn boundaries), then a TURN-SEGMENTED dominance filter
-    (set-based longest-then-leftmost, same predicate as mentions.py):
-    candidates are padded per turn to [T_active, Kmax] and compared pairwise
-    only within their turn — O(T·Kmax²) with Kmax small, instead of a
-    batch-wide K×K which is quadratic in mention density.
+    Vectorized n-gram matching (pandas shift+concat per n, masked at turn
+    boundaries), then a TURN-SEGMENTED dominance filter (set-based
+    longest-then-leftmost, same predicate as mentions.py): candidates are
+    padded per turn to [T_active, Kmax] and compared pairwise only within
+    their turn — O(T·Kmax²) with Kmax small, instead of a batch-wide K×K
+    which is quadratic in mention density.
+
+    Returns (starts, lens, values): flat-token start index, token length,
+    and term_map[matched term] per kept span. Shared by the tagger's
+    gazetteer feature family and the big-gazetteer mention scanner.
     """
-    n_tok = len(low)
-    bonus = np.zeros((n_tok, L), dtype=np.float32)
-    if n_tok == 0 or not term_type:
-        return bonus
-
-    low_s = pd.Series(low, dtype="object")
+    empty = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=object),
+    )
+    if len(low_s) == 0 or not term_map:
+        return empty
     tid_s = pd.Series(turn_ids)
 
     all_s, all_ln, all_ty = [], [], []
@@ -147,7 +152,7 @@ def gazetteer_flags(
     for n in range(1, max_n + 1):
         if n > 1:
             grams = grams.str.cat(low_s.shift(-(n - 1)), sep=" ")
-        hits = grams.map(term_type)
+        hits = grams.map(term_map)
         valid = hits.notna()
         if n > 1:
             valid &= tid_s.shift(-(n - 1)).eq(tid_s)  # stay within the turn
@@ -158,8 +163,7 @@ def gazetteer_flags(
             all_ty.append(hits.to_numpy(dtype=object)[idx])
 
     if not all_s:
-        bonus[:, 0] = 1.0
-        return bonus
+        return empty
 
     s = np.concatenate(all_s)
     ln = np.concatenate(all_ln)
@@ -196,7 +200,28 @@ def gazetteer_flags(
     # ty was reordered together with s above; flatten the keep mask back to
     # the sorted candidate order to index all three in lockstep:
     flat_keep = keep_mask[seg_of, pos_in_seg]
-    ks, kln, kty = s[flat_keep], ln[flat_keep], ty[flat_keep]
+    return s[flat_keep], ln[flat_keep], ty[flat_keep]
+
+
+def gazetteer_flags(
+    low: np.ndarray,
+    turn_ids: np.ndarray,
+    term_type: dict[str, str],
+    max_n: int,
+) -> np.ndarray:
+    """[N, L] emission bonus matrix from phrase-gazetteer membership
+    (kept_ngram_spans does the vectorized matching + dominance)."""
+    n_tok = len(low)
+    bonus = np.zeros((n_tok, L), dtype=np.float32)
+    if n_tok == 0 or not term_type:
+        return bonus
+
+    ks, kln, kty = kept_ngram_spans(
+        pd.Series(low, dtype="object"), turn_ids, term_type, max_n
+    )
+    if len(ks) == 0:
+        bonus[:, 0] = 1.0
+        return bonus
 
     b_rows = np.asarray([_B_OF[t] for t in kty], dtype=np.int64)
     bonus[ks, b_rows] += 1.0

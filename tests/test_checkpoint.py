@@ -51,7 +51,14 @@ def test_resume_skips_done_and_matches_full_run(spark, tmp_path):
 
     # lineage table covers every bucket exactly once with real counts
     lin = checkpoint.lineage(spark, out_dir, "r1")
-    per_bucket = lin.groupBy("partition_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    buckets = lin.filter(F.col("stage") == "triples")
+    per_bucket = buckets.groupBy("partition_key").agg(F.count(F.lit(1)).alias("n")).collect()
     assert sorted(r["partition_key"] for r in per_bucket) == all_buckets
     assert all(r["n"] == 1 for r in per_bucket)
-    assert lin.agg(F.sum("rows_in")).first()[0] == tx.count()
+    assert buckets.agg(F.sum("rows_in")).first()[0] == tx.count()
+    # wall clock lives on run-level rows only (shared cost is not copied
+    # onto every bucket row); bucket rows carry null wall_sec
+    runs = lin.filter(F.col("stage") == "run").collect()
+    assert len(runs) == 2  # the crashed half + the resume
+    assert all(r["wall_sec"] > 0 and r["partition_key"] == -1 for r in runs)
+    assert all(r["wall_sec"] is None for r in buckets.collect())

@@ -91,6 +91,26 @@ def test_canonical_map_matches_union_find(spark):
     assert got["C0102"] == got["C0101"]
 
 
+def test_cc_fixed_budget_converges_on_adversarial_path(spark):
+    """Regression: on the path 1-6-5-4-3-2 the '1' label propagates against
+    the id ordering one hop per round, so a ceil(log2 n)+1 budget alone is
+    NOT enough; the post-budget fixpoint verify must top up the rounds."""
+    import math
+
+    from cliner_spark.canonicalize import connected_components
+
+    path = ["1", "6", "5", "4", "3", "2"]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in zip(path, path[1:])], "src string, dst string"
+    )
+    budget = int(math.ceil(math.log2(len(path)))) + 1  # 4 rounds: too few
+    labels = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, fixed_iterations=budget).collect()
+    }
+    assert labels == {n: "1" for n in path}
+
+
 def test_triples_pr_against_oracle(spark):
     rows = _fixture_rows()
     df = fixtures.transcripts_df(spark, rows)
