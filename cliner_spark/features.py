@@ -16,6 +16,9 @@ Feature families (reference analogs):
                      FOURDIGITS NATURALNUM REALNUM ALPHANUM HASDASH PUNCT
   F5 prefix/suffix   first/last 3 chars
   F6 word shape      char-class map 'Abc12' -> 'Xxxdd' + collapsed run form
+  F8 POS tag         "pos=<tag>" closed-class + suffix heuristic (gated by
+                     TagModel.use_pos, mirroring the reference's optional
+                     GENIA/nltk POS features)
   F9 gazetteer flags are computed separately in tagger.py (phrase-level).
 """
 
@@ -135,6 +138,57 @@ def feature_indices(tokens: pd.Series) -> list[np.ndarray]:
     fired = uniq_low.map(is_metric_unit).to_numpy(dtype=bool)               # F7
     out.append(scatter(hash_bucket(pd.Series(np.where(fired, "UNIT", "NOFEAT")))))
     return out
+
+
+# F8 POS tags (SURVEY.md §2.8-F8; reference: GENIA/nltk POS-tag token
+# features, optional there and off by default). Context-free closed-class +
+# suffix heuristic in the spirit of the classic NLTK RegexpTagger backoff
+# patterns (public): tagset fidelity is not the point — a stable,
+# informative partition of the vocabulary is, since tags only feed the
+# hashed emission table.
+_POS_CLOSED = {
+    **{w: "DT" for w in "the a an this that these those each every no".split()},
+    **{
+        w: "IN"
+        for w in (
+            "of in on at by for with from to into over under after before "
+            "during without against between among per"
+        ).split()
+    },
+    **{w: "PRP" for w in "i you he she it we they me him her us them".split()},
+    **{w: "CC" for w in "and or but nor so yet".split()},
+    **{w: "MD" for w in "can could may might must shall should will would".split()},
+    **{w: "BE" for w in "is are was were be been being am".split()},
+}
+_POS_RULES = [
+    ("CD", re.compile(r"^-?\d+([.,/:]\d+)*$")),
+    ("PUNC", re.compile(r"^[^\w\s]+$")),
+    ("VBG", re.compile(r"^\w+ing$")),
+    ("VBD", re.compile(r"^\w+ed$")),
+    ("RB", re.compile(r"^\w+ly$")),
+    ("JJ", re.compile(r"^\w+(ous|ble|ive|ic|al|ful|less|ar|ary)$")),
+    ("NNS", re.compile(r"^\w+(ses|xes|zes|ches|shes|[^su]s)$")),
+]
+
+
+def pos_tag(tok_lower: str) -> str:
+    tag = _POS_CLOSED.get(tok_lower)
+    if tag is not None:
+        return tag
+    for tag, rx in _POS_RULES:
+        if rx.match(tok_lower):
+            return tag
+    return "NN"
+
+
+def pos_indices(tokens: pd.Series) -> list[np.ndarray]:
+    """F8 family: hashed 'pos=<tag>' bucket per token (memoized over the
+    batch vocabulary like every other family). Gated by TagModel.use_pos."""
+    toks = tokens.fillna("")
+    codes, uniq_idx = pd.factorize(toks)
+    uniq_low = pd.Series(uniq_idx, dtype="object").str.lower()
+    buckets = hash_bucket("pos=" + uniq_low.map(pos_tag))
+    return [buckets[codes]]
 
 
 def context_indices(

@@ -140,13 +140,31 @@ def cmd_evaluate(args) -> None:
 
 
 def cmd_train(args) -> None:
-    """Reference `cliner train` analog (fixture-scale, driver-local
-    perceptron — SURVEY.md M1): transcripts + gold mentions -> model dir."""
+    """Reference `cliner train` analog (SURVEY.md M1): transcripts + gold
+    mentions -> model dir. --distributed trains per-partition averaged
+    perceptrons with parameter mixing (transcripts never collected to the
+    driver — the path that survives real data volumes); the default
+    driver-local loop remains for fixture-scale runs."""
     from collections import defaultdict
 
-    from cliner_spark.tagger import save_model, train_perceptron
+    from cliner_spark.tagger import (
+        save_model,
+        train_perceptron,
+        train_perceptron_distributed,
+    )
 
     spark, created = _get_cli_spark("cliner_spark.train", args.master)
+    if args.distributed:
+        model = train_perceptron_distributed(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.gold),
+            epochs=args.epochs,
+        )
+        save_model(model, args.model)
+        print(f"trained (distributed, parameter mixing) -> {args.model}")
+        if created:
+            spark.stop()
+        return
     tx = spark.read.parquet(args.input).collect()
     gold = spark.read.parquet(args.gold).collect()
     by_turn = defaultdict(list)
@@ -189,11 +207,16 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--master", default=None)
     e.set_defaults(fn=cmd_evaluate)
 
-    t = sub.add_parser("train", help="fixture-scale perceptron training")
+    t = sub.add_parser("train", help="perceptron training (local or distributed)")
     t.add_argument("--input", required=True, help="parquet transcripts")
     t.add_argument("--gold", required=True, help="parquet gold mentions")
     t.add_argument("--model", required=True, help="output model dir")
     t.add_argument("--epochs", type=int, default=16)
+    t.add_argument(
+        "--distributed",
+        action="store_true",
+        help="per-partition perceptrons + parameter mixing (no driver collect)",
+    )
     t.add_argument("--master", default=None)
     t.set_defaults(fn=cmd_train)
 

@@ -67,6 +67,7 @@ class TagModel:
     o_bias     emission bonus on O for unflagged tokens
     max_n      max phrase length in tokens
     use_context include W1 prev/next conjunction features
+    use_pos    include F8 POS-tag features (features.pos_indices)
     """
 
     W: np.ndarray
@@ -76,6 +77,7 @@ class TagModel:
     o_bias: float = 1.0
     max_n: int = 4
     use_context: bool = True
+    use_pos: bool = True
 
 
 def best_term_type(entries: list[tuple]) -> dict[str, str]:
@@ -302,6 +304,8 @@ def tag_emissions(
     fams = FT.feature_indices(flat)
     if model.use_context:
         fams += FT.context_indices(fams, turn_ids)
+    if model.use_pos:
+        fams += FT.pos_indices(flat)
     em = FT.emissions_from_indices(fams, model.W)
     low = flat.str.lower().to_numpy(dtype=object)
     gflags = gazetteer_flags(low, turn_ids, model.term_type, model.max_n)
@@ -400,6 +404,7 @@ def save_model(model: TagModel, path: str) -> None:
                 "o_bias": model.o_bias,
                 "max_n": model.max_n,
                 "use_context": model.use_context,
+                "use_pos": model.use_pos,
             },
             f,
         )
@@ -422,6 +427,7 @@ def load_model(path: str) -> TagModel:
         o_bias=meta["o_bias"],
         max_n=meta["max_n"],
         use_context=meta["use_context"],
+        use_pos=meta.get("use_pos", True),
     )
 
 
@@ -466,6 +472,8 @@ def train_perceptron(
             fams = FT.feature_indices(flat)
             if model.use_context:
                 fams += FT.context_indices(fams, turn_ids)
+            if model.use_pos:
+                fams += FT.pos_indices(flat)
             for idx in fams:
                 np.add.at(W, (idx, g), 1.0)
                 np.add.at(W, (idx, pred), -1.0)
@@ -481,4 +489,137 @@ def train_perceptron(
         o_bias=model.o_bias,
         max_n=model.max_n,
         use_context=model.use_context,
+    )
+
+
+def train_perceptron_distributed(
+    transcripts: DataFrame,
+    gold: DataFrame,
+    epochs: int = 16,
+    base: TagModel | None = None,
+    n_partitions: int | None = None,
+    mix_rounds: int = 4,
+) -> TagModel:
+    """Distributed trainer: ITERATIVE parameter mixing (McDonald et al.
+    2010, "Distributed Training Strategies for the Structured Perceptron").
+    Each mixing round, every conv_id-sharded partition trains an averaged
+    structured perceptron locally — warm-started from the previous round's
+    count-weighted mixed weights — and ships back one compressed
+    [HASH_DIM, L] matrix; the driver mixes and re-broadcasts. One-shot
+    averaging of independently-trained shards measurably cancels feature
+    weights (disjoint shards push the same hashed feature in opposite
+    directions); the iterative warm start is what makes mixing converge in
+    the paper and in our fixture test.
+
+    Unlike the fixture-scale driver-local path, transcripts are NEVER
+    collected: gold mention spans are grouped and joined in Spark, only
+    weight matrices cross the wire (mix_rounds × n_partitions × ~5 MB).
+    Shards sort (conv_id, turn_idx), so the result is deterministic for a
+    fixed n_partitions/mix_rounds.
+    """
+    import io
+    import math
+
+    from pyspark.sql import functions as F
+
+    spark = transcripts.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    base_model = base or TagModel(
+        W=np.zeros((FT.HASH_DIM, L), dtype=np.float32),
+        trans=iob_transitions(),
+        term_type={},
+        gaz_weight=0.0,
+        o_bias=0.0,
+    )
+    static_cfg = {
+        "trans": base_model.trans,
+        "term_type": base_model.term_type,
+        "gaz_weight": base_model.gaz_weight,
+        "o_bias": base_model.o_bias,
+        "max_n": base_model.max_n,
+        "use_context": base_model.use_context,
+        "use_pos": base_model.use_pos,
+        "epochs": int(math.ceil(epochs / mix_rounds)),
+    }
+
+    spans = gold.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(
+            F.struct("tok_start", "tok_end", "concept_type")
+        ).alias("spans")
+    )
+    pairs = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .join(spans, ["conv_id", "turn_idx"], "left")
+        .repartition(n, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .localCheckpoint(eager=True)  # reused every mixing round
+    )
+
+    W_mixed = base_model.W
+    for _round in range(mix_rounds):
+        b_cfg = spark.sparkContext.broadcast({**static_cfg, "W": W_mixed})
+
+        def shard_train(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            texts: list[str] = []
+            tags: list[list[str]] = []
+            for pdf in batches:
+                for text, sp in zip(pdf["text"], pdf["spans"]):
+                    toks = (text or "").split()
+                    if not toks:
+                        continue
+                    t = ["O"] * len(toks)
+                    for s in sp if sp is not None else []:
+                        t[s["tok_start"]] = "B-" + s["concept_type"]
+                        for i in range(s["tok_start"] + 1, s["tok_end"] + 1):
+                            t[i] = "I-" + s["concept_type"]
+                    texts.append(text)
+                    tags.append(t)
+            if not texts:
+                return
+            cfg = b_cfg.value
+            shard_base = TagModel(
+                W=cfg["W"].copy(),
+                trans=cfg["trans"],
+                term_type=cfg["term_type"],
+                gaz_weight=cfg["gaz_weight"],
+                o_bias=cfg["o_bias"],
+                max_n=cfg["max_n"],
+                use_context=cfg["use_context"],
+                use_pos=cfg["use_pos"],
+            )
+            m = train_perceptron(
+                texts, tags, epochs=cfg["epochs"], base=shard_base
+            )
+            buf = io.BytesIO()
+            np.savez_compressed(buf, W=m.W)
+            yield pd.DataFrame(
+                {
+                    "n": pd.Series([len(texts)], dtype="int64"),
+                    "w": [buf.getvalue()],
+                }
+            )
+
+        rows = pairs.mapInPandas(shard_train, schema="n bigint, w binary").collect()
+        b_cfg.unpersist()
+        if not rows:
+            break
+        total = float(sum(r["n"] for r in rows))
+        W = np.zeros(base_model.W.shape, dtype=np.float64)
+        for r in rows:
+            W += (r["n"] / total) * np.load(io.BytesIO(bytes(r["w"])))[
+                "W"
+            ].astype(np.float64)
+        W_mixed = W.astype(np.float32)
+
+    return TagModel(
+        W=W_mixed,
+        trans=base_model.trans,
+        term_type=base_model.term_type,
+        gaz_weight=base_model.gaz_weight,
+        o_bias=base_model.o_bias,
+        max_n=base_model.max_n,
+        use_context=base_model.use_context,
+        use_pos=base_model.use_pos,
     )

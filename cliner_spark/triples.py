@@ -146,17 +146,33 @@ def write_triples(
     hot: DataFrame | None = None,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Sink: repartition by salted conv-hash, sort within partitions by the
-    stable ordering key, write parquet. (Iceberg `writeTo` is the production
-    target; parquet in-sandbox — the partitioning/salting logic is identical.)
+    stable ordering key, write.
+
+    fmt="parquet" (default): plain parquet directory sink.
+    fmt="iceberg": the north-rule production target — `path` is a catalog
+    table name, written via writeTo(...).using("iceberg") with
+    overwritePartitions (per-partition commits, snapshot isolation, the
+    semantics checkpoint.py emulates on parquet with dynamic partition
+    overwrite). Requires the iceberg-spark-runtime jars + a configured
+    catalog; this sandbox has neither (proof: tools/probe_iceberg.py), so
+    the path raises a clear error here and is exercised only by the probe.
+    The salting/ordering logic above the writer is format-independent.
     """
     df = salted_partition_col(hot, salt_buckets)(triples)
     n = num_partitions or triples.sparkSession.sparkContext.defaultParallelism
-    (
+    out = (
         df.repartition(n, "_pk")
         .sortWithinPartitions("conv_id", "turn_idx", "pred", "subj", "obj")
         .drop("_pk")
-        .write.mode(mode)
-        .parquet(path)
     )
+    if fmt == "iceberg":
+        writer = out.writeTo(path).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    out.write.mode(mode).parquet(path)

@@ -194,6 +194,78 @@ def test_pipeline_tagger_scanner_pr(spark):
     assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
 
 
+def test_pos_feature_family():
+    """F8: closed-class words, suffix rules, backoff; family shape matches
+    the other hashed families and gates off cleanly."""
+    assert FT.pos_tag("the") == "DT"
+    assert FT.pos_tag("with") == "IN"
+    assert FT.pos_tag("would") == "MD"
+    assert FT.pos_tag("81.5") == "CD"
+    assert FT.pos_tag("1/2") == "CD"
+    assert FT.pos_tag(",") == "PUNC"
+    assert FT.pos_tag("bleeding") == "VBG"
+    assert FT.pos_tag("elevated") == "VBD"
+    assert FT.pos_tag("acutely") == "RB"
+    assert FT.pos_tag("chronic") == "JJ"
+    assert FT.pos_tag("lesions") == "NNS"
+    assert FT.pos_tag("glucose") == "NN"  # backoff
+
+    toks = pd.Series(["The", "patient", "was", "bleeding", None])
+    fam = FT.pos_indices(toks)
+    assert len(fam) == 1 and fam[0].shape == (5,)
+    # memoized over distinct: same token -> same bucket
+    fam2 = FT.pos_indices(pd.Series(["bleeding", "bleeding"]))
+    assert fam2[0][0] == fam2[0][1] == fam[0][3]
+
+    # distant model (zero hashed weights): use_pos on/off must not change
+    # decoded spans — extra families contribute zero emission
+    model_on = tagger.make_distant_model(fixtures.CLINICAL_GAZETTEER, use_pos=True)
+    model_off = tagger.make_distant_model(fixtures.CLINICAL_GAZETTEER, use_pos=False)
+    texts = pd.Series(["patient has severe chest pain after blood test today"])
+    _, _, _, p_on = tagger.decode_texts(texts, model_on)
+    _, _, _, p_off = tagger.decode_texts(texts, model_off)
+    assert (p_on == p_off).all()
+
+
+def test_distributed_perceptron_matches_local_accuracy(spark):
+    """The parameter-mixing trainer (per-partition perceptrons, no driver
+    collect of transcripts) must clear the same fixture accuracy bar as the
+    driver-local trainer."""
+    term_type = tagger.best_term_type(fixtures.CLINICAL_GAZETTEER)
+    rows = fixtures.gen_transcripts(n_convs=15, avg_turns=6, seed=11)
+    texts, gold = _gold_tags(rows, term_type)
+
+    tx_df = spark.createDataFrame(
+        [
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "text": r["text"]}
+            for r in rows
+        ]
+    )
+    gold_rows = []
+    for r in rows:
+        for s, e, mt in oracle_py.scan_mentions(r["text"], set(term_type)):
+            gold_rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "tok_start": s,
+                    "tok_end": e,
+                    "concept_type": term_type[mt.lower()],
+                }
+            )
+    gold_df = spark.createDataFrame(gold_rows)
+
+    model = tagger.train_perceptron_distributed(
+        tx_df, gold_df, epochs=16, n_partitions=4
+    )
+    _, _, _, pred = tagger.decode_texts(pd.Series(texts), model)
+    g = np.concatenate([[tagger.LABEL_IDX[t] for t in ts] for ts in gold])
+    acc = float((pred == g).mean())
+    baseline = float((g == 0).mean())  # all-O
+    assert acc > baseline, (acc, baseline)
+    assert acc >= 0.85, acc
+
+
 def test_perceptron_learns_fixture():
     term_type = tagger.best_term_type(fixtures.CLINICAL_GAZETTEER)
     rows = fixtures.gen_transcripts(n_convs=15, avg_turns=6, seed=11)
