@@ -203,3 +203,38 @@ def simhash(
         term = F.when(F.col(f"s{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (driver mandate: the
+    embedding-space member of the dedup family).
+
+    All-pairs guard: candidates are restricted to a shared
+    sign-random-projection bucket (similarity.lsh_buckets) — the equi-join
+    on bucket replaces the O(n²) cross product, exactly the shape of the
+    minhash band join — then the exact rounded cosine is checked inside the
+    bucket. Collision probability per plane is 1 - θ/π, so recall → 1 as
+    cosine → 1: true near-duplicates (the 100 TB dedup regime) are almost
+    never lost, while distant pairs are pruned before any dot product.
+    Deterministic md5 hyperplanes make the result engine-reproducible
+    (DuckDB oracle twin replays it bit-for-bit).
+    """
+    from cliner_spark.similarity import cosine_sim, lsh_buckets
+
+    b = lsh_buckets(emb, n_planes, dims, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

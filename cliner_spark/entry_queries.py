@@ -1137,13 +1137,15 @@ seeded AS (
 # sign-random-projection LSH: weights from md5('{plane}#{dim}') first hex
 # digit (same grammar as similarity._projection_sign), projection rounded to
 # 6 dp before the sign test on both engines
-SQL_LSH_TOPK = f"""
+def _sql_lsh_buckets(n_planes: int) -> str:
+    """CTEs w/bk/b: per-vector LSH bucket id over n_planes hyperplanes."""
+    return f"""
 w AS (
   SELECT p, list(CASE WHEN substr(md5(CAST(p AS VARCHAR) || '#' ||
                                       CAST(d AS VARCHAR)), 1, 1)
                       BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
                  ORDER BY d) AS wv
-  FROM range(8) tp(p), range(64) td(d) GROUP BY p
+  FROM range({n_planes}) tp(p), range(64) td(d) GROUP BY p
 ),
 bk AS (
   SELECT e.vec_id,
@@ -1152,7 +1154,12 @@ bk AS (
                   THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
   FROM e CROSS JOIN w GROUP BY e.vec_id
 ),
-b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))
+"""
+
+
+SQL_LSH_TOPK = f"""
+{_sql_lsh_buckets(8).strip()},
 lsh AS (
   SELECT query_id, neighbor_id, sim, rn FROM (
     SELECT query_id, neighbor_id, sim,
@@ -1263,6 +1270,27 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_h"), F.lit(0)).cast("bigint").alias("hits"),
         F.lit(3).cast("bigint").alias("k"),
     )
+
+
+@register(
+    "q_embedding_neardup",
+    f"""
+WITH {SQL_EMB}, {_sql_lsh_buckets(4).strip()}
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_sql_cos('a.v', 'c.v')} AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+) WHERE sim >= 0.35
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates (all-pairs
+    guard), exact rounded cosine inside the bucket (dedup.embedding_neardup_pairs).
+    Hash-verified — the md5 hyperplanes are engine-reproducible."""
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _dedup.embedding_neardup_pairs(emb, threshold=0.35, n_planes=4, dims=64)
 
 
 @register(

@@ -93,6 +93,24 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_embedding_neardup_finds_planted_pair(spark):
+    """Planted near-identical vectors (cosine ~1) must be paired — the LSH
+    bucket collision probability (1-θ/π)^planes → 1 as θ → 0 — while
+    orthogonal vectors must not pass the cosine threshold."""
+    rng = np.random.RandomState(7)
+    base = rng.rand(16).astype("float64")
+    near = base + rng.rand(16) * 1e-3  # cosine ≈ 1
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    for i in range(2, 30):  # random background
+        rows.append((i, [float(x) for x in rng.rand(16)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = dedup.embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=4, dims=16
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    assert all(r["sim"] >= 0.99 for r in pairs)
+
+
 def test_ivf_topk_deterministic_and_high_recall(spark):
     rng = np.random.RandomState(11)
     vecs = rng.rand(120, 16).astype("float32")
