@@ -200,14 +200,15 @@ def canonical_concept_map(gazetteer: DataFrame) -> DataFrame:
 
     edges = concept_edges(gazetteer)
     nodes = gazetteer.select(F.col("cui").alias("node")).distinct()
-    # gazetteer is dimension-sized: one cheap count buys a round budget
-    # (ceil(log2 n) + 1 with pointer jumping) that removes the per-round
-    # convergence actions in the common case; connected_components verifies
-    # the fixpoint after the budget and tops up if propagation was slower
-    # (adversarial id orderings advance only one hop per round)
+    # Since connected_components VERIFIES the fixpoint after the budget and
+    # tops up, the budget is purely a cost knob: each round costs 2-3 Spark
+    # jobs, a verify costs 1, and gazetteer shared-string chains are shallow
+    # (2-3 hops; pointer jumping covers depth 2^rounds). A small budget +
+    # verify beats the former ceil(log2 n)+1 rounds — which, without the
+    # verify, was also not sufficient for adversarial id orderings.
     n = max(nodes.count(), 2)
     comps = connected_components(
         edges, nodes=nodes, node_col="node",
-        fixed_iterations=int(math.ceil(math.log2(n))) + 1,
+        fixed_iterations=min(3, int(math.ceil(math.log2(n))) + 1),
     )
     return comps.select(F.col("node").alias("cui"), F.col("comp").alias("canon_cui"))

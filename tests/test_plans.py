@@ -65,6 +65,51 @@ def test_topk_uses_single_partial_aggregation_shape(spark):
     assert "partial_count" in s, s  # map-side combine present
 
 
+def test_neardup_has_no_cartesian_product(spark):
+    """Embedding near-dup must pair via the bucket equi-join, never a cross
+    product — the property that survives a 100x corpus."""
+    import numpy as np
+
+    from cliner_spark import dedup
+
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.rand(16)]) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    s = plan(dedup.embedding_neardup_pairs(df, threshold=0.3, n_planes=4, dims=16))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_ivf_from_index_broadcasts_probes_no_corpus_shuffle(spark):
+    """The IVF candidate join must broadcast the (tiny) probe side; the
+    corpus side must not be exchanged — at 10^12 vectors a corpus shuffle
+    is the difference between an index probe and a table scan."""
+    import numpy as np
+
+    from cliner_spark import similarity
+
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.rand(16)]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cent, assigned = similarity.build_ivf_index(df, n_lists=4)
+    out = similarity.ivf_topk_from_index(
+        cent, assigned, F.col("vec_id") < 5, k=3, n_probe=2
+    )
+    s = plan(out)
+    assert "BroadcastHashJoin" in s, s
+    # the corpus (neighbor/cell) side is never hash-exchanged: every hash
+    # exchange in the plan keys on query_id — probe ranking and the final
+    # rerank window, both sized by the (tiny) query batch
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", s)
+    assert keys and all(k == "query_id" for k in keys), (keys, s)
+
+
 def test_fuzzy_link_broadcasts_dimension(spark):
     from cliner_spark.link import link_fuzzy
 
