@@ -1508,6 +1508,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_frames",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, lower(hex(encode(coalesce(text, '')))) AS h
+  FROM documents
+)
+SELECT media_id, CAST(t.i AS INTEGER) AS frame_idx,
+       CAST(length(substr(h, CAST(t.i * 64 + 1 AS BIGINT), 32)) / 2 AS BIGINT) AS n_bytes,
+       substr(h, CAST(t.i * 64 + 1 AS BIGINT), 32) AS frame_hex
+FROM m, unnest(range(CAST(ceil(length(h) / 64.0) AS BIGINT))) AS t(i)
+WHERE t.i % 2 = 0
+""",
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (multimodal.sample_frames:
+    32-byte frames, stride 2, 16-byte crop). The oracle twin slices the
+    identical frames in hex space (1 byte = 2 hex chars), so the mapInPandas
+    output is hash-checked end to end."""
+    media = _mm.attach_payload(load(spark, sf_dir, "documents"))
+    return _mm.sample_frames(media, frame_bytes=32, stride=2, crop_bytes=16)
+
+
+@register(
     "q_tagger_mentions",
     f"""
 WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}

@@ -92,3 +92,46 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = "media_id bigint, frame_idx int, n_bytes bigint, frame_hex string"
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, stride: int = 2, crop_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling over opaque binary payloads (driver mandate: the
+    frame-sample member of the multimodal family).
+
+    The payload is treated as a sequence of fixed-size frames; every
+    `stride`-th frame is sampled and cropped to `crop_bytes` (the byte-level
+    analog of decode->sample->resize). With real video the per-payload loop
+    body is where a demuxer slices packets — inherently a per-payload
+    library call; byte-granular slicing exercises identical Spark plumbing
+    (binary Arrow batches, fixed output schema, one mapInPandas pass, zero
+    shuffle) without codecs, and is exactly reproducible by the SQL oracle
+    via hex-space substrings.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hexes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_bytes : i * frame_bytes + crop_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    hexes.append(fr.hex())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=_FRAME_SCHEMA)

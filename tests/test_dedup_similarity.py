@@ -206,6 +206,25 @@ def test_surface_form_counts_salt_invariant(spark):
     assert one == many and len(one) > 10
 
 
+def test_sample_frames_matches_python_slicing(spark):
+    """Frame sampling must equal byte-level slicing: 32-byte frames,
+    every 2nd frame, cropped to 16 bytes, hex-encoded."""
+    rows = [(1, "a" * 100), (2, ""), (3, "short")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    media = multimodal.attach_payload(df)
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_bytes"], r["frame_hex"])
+        for r in multimodal.sample_frames(media).collect()
+    }
+    want = {}
+    for did, text in rows:
+        b = text.encode()
+        for i in range(0, (len(b) + 31) // 32, 2):
+            fr = b[i * 32 : i * 32 + 16]
+            want[(did, i)] = (len(fr), fr.hex())
+    assert got == want and (1, 2) in got and (2, 0) not in got
+
+
 def test_multimodal_plumbing(spark):
     df = _docs(spark, ["hello", "world!"])
     media = multimodal.attach_payload(df)
