@@ -1651,3 +1651,223 @@ def q_mention_scan_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").cast("bigint").alias("doc_id"),
         "tok_start", "tok_end", "mention_text",
     )
+
+
+# ===========================================================================
+# Assertion + KG-graph family (assertion.py / graph.py)
+# ===========================================================================
+
+# Vocab-present stand-in triggers so the windowed-trigger logic is exercised
+# on the driver's synthetic documents (clinical NegEx defaults live in
+# assertion.NEGEX_*; the algorithm is identical — only the literal lists
+# differ). 'slow' pre-negates, 'small' post-negates, 'fast' hedges.
+_A_PRE, _A_POST, _A_UNC = ["slow"], ["small"], ["fast"]
+
+
+@register(
+    "q_assertion",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}
+SELECT m.doc_id, m.tok_start, m.tok_end, m.mention_text,
+       CASE
+         WHEN len(list_filter(d.toks[greatest(1, m.tok_start - 3) : m.tok_start],
+                              x -> lower(x) IN ('slow'))) > 0
+           OR len(list_filter(d.toks[m.tok_end + 2 : least(len(d.toks), m.tok_end + 5)],
+                              x -> lower(x) IN ('small'))) > 0
+         THEN 'negated'
+         WHEN len(list_filter(d.toks[greatest(1, m.tok_start - 3) : m.tok_start],
+                              x -> lower(x) IN ('fast'))) > 0
+           OR len(list_filter(d.toks[m.tok_end + 2 : least(len(d.toks), m.tok_end + 5)],
+                              x -> lower(x) IN ('fast'))) > 0
+         THEN 'uncertain'
+         ELSE 'affirmed'
+       END AS assertion
+FROM mentions m JOIN docs d USING (doc_id)
+""",
+)
+def q_assertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NegEx windowed-trigger assertion classification (assertion.py) over
+    detected mentions: window=4 tokens, same-turn, pure JVM expressions."""
+    from cliner_spark.assertion import classify_assertions
+
+    m = _doc_mentions_spark(spark, sf_dir)
+    toks = tokenize(load_docs(spark, sf_dir)).select("doc_id", "tokens")
+    return classify_assertions(
+        m, toks, pre_neg=_A_PRE, post_neg=_A_POST, uncertain=_A_UNC,
+        window=4, keys=("doc_id",),
+    ).select("doc_id", "tok_start", "tok_end", "mention_text", "assertion")
+
+
+# distinct (doc, concept) pairs + co-occurrence edge list, shared by the
+# graph queries (mirrors graph.cooccurrence_edges input shaping)
+SQL_DOC_CUI = """
+dcui AS (SELECT DISTINCT l.doc_id, l.cui FROM linked l),
+coedges AS (
+  SELECT a.cui AS src, b.cui AS dst, CAST(count(*) AS BIGINT) AS n_pair
+  FROM dcui a JOIN dcui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+)
+"""
+
+
+def _doc_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    return link_mentions(m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark))
+
+
+@register(
+    "q_cooccur_pmi",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+dcui AS (SELECT DISTINCT l.doc_id, l.cui FROM linked l),
+pairs AS (
+  SELECT a.cui AS src, b.cui AS dst, CAST(count(*) AS BIGINT) AS n_pair
+  FROM dcui a JOIN dcui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+),
+marg AS (SELECT cui, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_node FROM dcui GROUP BY cui),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys FROM dcui)
+SELECT p.src, p.dst, p.n_pair, ms.n_node AS n_src, md.n_node AS n_dst, t.n_keys,
+       round(ln(p.n_pair * t.n_keys / (ms.n_node * md.n_node)), 6) AS pmi
+FROM pairs p
+JOIN marg ms ON p.src = ms.cui
+JOIN marg md ON p.dst = md.cui
+CROSS JOIN tot t
+""",
+)
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept co-occurrence edges with PMI (graph.cooccurrence_edges):
+    per-document distinct concept sets self-joined, marginals broadcast."""
+    from cliner_spark.graph import cooccurrence_edges
+
+    linked = _doc_linked(spark, sf_dir).withColumnRenamed("conv_id", "doc_id")
+    return cooccurrence_edges(linked, key="doc_id", node="cui")
+
+
+@register(
+    "q_kg_degrees",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+dcui AS (SELECT DISTINCT l.doc_id, l.cui FROM linked l),
+tri AS (
+  SELECT 'doc:' || doc_id AS subj, 'MENTIONS' AS pred, 'concept:' || cui AS obj
+  FROM dcui
+)
+SELECT subj AS node, pred, CAST(count(*) AS BIGINT) AS degree, 'out' AS direction
+FROM tri GROUP BY subj, pred
+UNION ALL
+SELECT obj AS node, pred, CAST(count(*) AS BIGINT) AS degree, 'in' AS direction
+FROM tri GROUP BY obj, pred
+""",
+)
+def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree by predicate/direction (graph.degrees) over the
+    MENTIONS edge class — the KG's dominant (corpus-sized) edge family."""
+    from cliner_spark.graph import degrees
+
+    dcui = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    tri = dcui.select(
+        F.concat(F.lit("doc:"), F.col("conv_id")).alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.concat(F.lit("concept:"), F.col("cui")).alias("obj"),
+    )
+    return degrees(tri).select("node", "pred", "degree", "direction")
+
+
+@register(
+    "q_kg_2hop",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+e2 AS (SELECT src AS s, dst AS t FROM coedges UNION SELECT dst, src FROM coedges),
+n1 AS (SELECT DISTINCT t FROM e2 WHERE s = 'CD001'),
+n2 AS (
+  SELECT DISTINCT e2.t FROM e2 JOIN n1 ON e2.s = n1.t
+  WHERE e2.t <> 'CD001' AND e2.t NOT IN (SELECT t FROM n1)
+)
+SELECT 'CD001' AS node, CAST(0 AS INTEGER) AS hops
+UNION ALL SELECT t, CAST(1 AS INTEGER) FROM n1
+UNION ALL SELECT t, CAST(2 AS INTEGER) FROM n2
+""",
+)
+def q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood of concept CD001 over the co-occurrence graph
+    (graph.k_hop): per-hop frontier join + anti-join, frontiers broadcast."""
+    from cliner_spark.graph import k_hop
+
+    dcui = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = dcui.alias("a"), dcui.alias("b")
+    edges = (
+        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.cui") < F.col("b.cui")))
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+    )
+    return k_hop(edges, "CD001", k=2).select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point PageRank CTE chain mirroring
+    graph.pagerank_fixed_point exactly (BIGINT ops only — hash-stable)."""
+    ctes = [
+        "nodes AS (SELECT DISTINCT s AS node FROM e2)",
+        "nn AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r_init,"
+        " CAST(((15 * 1000000000000) // 100) // count(*) AS BIGINT) AS base FROM nodes)",
+        "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY s)",
+        "r0 AS (SELECT node, nn.r_init AS rank_fp FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e2.t AS node, CAST(sum(r{i-1}.rank_fp // d.deg) AS BIGINT) AS s"
+            f" FROM e2 JOIN r{i-1} ON e2.s = r{i-1}.node JOIN deg d ON e2.s = d.s GROUP BY e2.t)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST(nn.base + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS rank_fp"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iters}"
+
+
+@register(
+    "q_pagerank",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+e2 AS (SELECT src AS s, dst AS t FROM coedges UNION SELECT dst, src FROM coedges),
+{_pagerank_sql(3)}
+""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer fixed-point PageRank over the concept
+    co-occurrence graph (graph.pagerank_fixed_point) — the iterative graph
+    algorithm is hash-checked against an unrolled SQL twin because BIGINT
+    arithmetic is reduction-order-independent."""
+    from cliner_spark.graph import pagerank_fixed_point
+
+    dcui = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = dcui.alias("a"), dcui.alias("b")
+    edges = (
+        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.cui") < F.col("b.cui")))
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iters=3).select("node", "rank_fp")
+
+
+@register(
+    "q_event_transitions",
+    """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE prev IS NOT NULL GROUP BY prev, event_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts per user (graph.transition_edges) —
+    the same operator backs tool-flow FOLLOWED_BY edges on transcripts."""
+    from cliner_spark.graph import transition_edges
+
+    ev = load(spark, sf_dir, "events")
+    return transition_edges(ev, "user_id", ["ts", "event_id"], "event_type")

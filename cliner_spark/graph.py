@@ -1,0 +1,233 @@
+"""Graph materialization & analytics over the constructed knowledge graph.
+
+The north rule's last stage is "graph materialize": after triples exist
+(triples.py), a KG consumer immediately needs graph-shaped queries —
+which concepts co-occur (edge building), how connected each node is
+(degrees), what is near a node (k-hop), and which nodes matter
+(PageRank). All of it is expressed as DataFrame joins/aggregations so
+Catalyst plans the shuffles; nothing here collects edge data to the
+driver (only O(1) scalars such as the node count).
+
+Scale notes (100 TB / 10^12 turns):
+- co-occurrence self-joins on the per-document *distinct concept set*,
+  never on raw mentions — the join input is ≤ |vocabulary| rows per
+  document regardless of turn count, and marginal tables are broadcast.
+- PageRank iterates over the concept graph, whose size is bounded by the
+  gazetteer (~10^6 rows at UMLS scale), not by the corpus; each
+  iteration is one shuffle on dst. Ranks use integer fixed-point
+  arithmetic so results are bit-identical across engines, partition
+  counts, and reduction orders — floating-point PageRank is
+  order-dependent under Spark's partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FP_SCALE = 10**12  # fixed-point denominator for engine-exact PageRank
+
+
+def cooccurrence_edges(
+    linked: DataFrame, key: str = "conv_id", node: str = "cui"
+) -> DataFrame:
+    """Concept co-occurrence edges with PMI.
+
+    For every unordered concept pair {a, b} appearing in the same `key`
+    group (conversation/document): n_pair = #groups containing both,
+    n_src/n_dst = #groups containing each, n_keys = #groups containing
+    any concept. pmi = ln(n_pair * n_keys / (n_src * n_dst)) rounded to
+    6 dp (the ratio is a small-integer quotient, so libm log agrees
+    across engines at this precision).
+
+    Plan shape: distinct() gives one row per (group, concept) — the
+    self-join then touches k*(k-1)/2 pairs per group where k ≤ |gazetteer
+    concepts|, independent of group text size. Marginals are concept-
+    cardinality tables, broadcast into the pair aggregate.
+    """
+    d = linked.select(key, node).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col(f"a.{node}") < F.col(f"b.{node}")),
+        )
+        .groupBy(
+            F.col(f"a.{node}").alias("src"),
+            F.col(f"b.{node}").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    marg = d.groupBy(node).agg(F.countDistinct(key).alias("n_node"))
+    totals = d.agg(F.countDistinct(key).alias("n_keys"))
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col(node).alias("src"), F.col("n_node").alias("n_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(marg.select(F.col(node).alias("dst"), F.col("n_node").alias("n_dst"))),
+            "dst",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "src",
+            "dst",
+            "n_pair",
+            "n_src",
+            "n_dst",
+            "n_keys",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.col("n_keys")
+                    / (F.col("n_src") * F.col("n_dst"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def degrees(triples: DataFrame) -> DataFrame:
+    """Per-node degree by predicate and direction over (subj, pred, obj).
+
+    Two groupBys + union — each a single partial-aggregated shuffle.
+    """
+    out = triples.groupBy(F.col("subj").alias("node"), "pred").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).withColumn("direction", F.lit("out"))
+    inn = triples.groupBy(F.col("obj").alias("node"), "pred").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).withColumn("direction", F.lit("in"))
+    return out.unionByName(inn)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view of (src, dst) edges: both directions, no self-loops."""
+    e = edges.select("src", "dst")
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def k_hop(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
+    """Nodes within ≤k undirected hops of `seed`, with min hop distance.
+
+    Breadth-first frontier expansion: each hop is one equi-join frontier ×
+    edges + one anti-join against visited — k shuffles total, never
+    materializing paths. For web-scale graphs the frontier stays a node
+    set (no multiplicities): distinct() after each expansion.
+    """
+    sym = symmetrize(edges)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(seed, 0)], "node string, hops int")
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            sym.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        # small concept graph -> local checkpointing unnecessary; at true
+        # graph scale persist frontier per hop to cut lineage growth
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = FP_SCALE,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer fixed-point PageRank over the undirected edge set.
+
+    rank_fp is the PageRank scaled by `scale` (1e12) and computed entirely
+    in BIGINT arithmetic (`div` = truncating integer division):
+
+        r0       = scale div N
+        base     = ((100 - damping_pct) * scale div 100) div N
+        contrib  = r div deg                  (per out-edge)
+        r_next   = base + (damping_pct * sum(contrib)) div 100
+
+    Float PageRank is reduction-order-dependent (Spark partial aggregation
+    vs single-node summation differ in last ulps, amplified per
+    iteration); fixed-point makes the result bit-identical across engines
+    and partitionings, which is what lets the DuckDB oracle hash-check an
+    iterative graph algorithm. Nodes = endpoints of `edges`; the node
+    count is the only driver-side scalar.
+    """
+    sym = symmetrize(edges)
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # O(1) scalar; graph is gazetteer-bounded
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = ((100 - damping_pct) * scale // 100) // n
+    r = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("rank_fp div deg").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("bigint").alias("rank_fp"),
+            )
+        )
+    return r
+
+
+def transition_edges(
+    df: DataFrame,
+    part_key: str,
+    order_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """First-order transition counts: (prev_label, label) pairs per
+    partition key under a total order — e.g. tool-call flow in agent
+    transcripts (tool_a FOLLOWED_BY tool_b) or event-type funnels.
+
+    One window (lag) + one groupBy; the window partitions by the same key
+    the data is naturally bucketed on, so at scale this is a single
+    shuffle shared by both steps.
+    """
+    w = Window.partitionBy(part_key).orderBy(*order_cols)
+    return (
+        df.withColumn("_prev", F.lag(F.col(label_col)).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("src"), F.col(label_col).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tool_flow_triples(transcripts: DataFrame) -> DataFrame:
+    """Agent-transcript tool-flow edges as KG triples:
+    (tool:a, FOLLOWED_BY, tool:b) weighted by transition count, ordered by
+    (conv_id, turn_idx) — the input_hint's transcript shape directly."""
+    t = transcripts.filter(F.col("tool").isNotNull())
+    e = transition_edges(t, "conv_id", ["turn_idx"], "tool")
+    return e.select(
+        F.concat(F.lit("tool:"), F.col("src")).alias("subj"),
+        F.lit("FOLLOWED_BY").alias("pred"),
+        F.concat(F.lit("tool:"), F.col("dst")).alias("obj"),
+        F.col("n").alias("weight"),
+    )

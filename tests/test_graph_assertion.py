@@ -1,0 +1,171 @@
+"""Unit tests for assertion.py (NegEx windowed triggers) and graph.py
+(k-hop, fixed-point PageRank, transitions, tool-flow triples)."""
+
+from __future__ import annotations
+
+from cliner_spark import fixtures
+from cliner_spark.assertion import assertion_triples, classify_assertions
+from cliner_spark.graph import (
+    FP_SCALE,
+    k_hop,
+    pagerank_fixed_point,
+    tool_flow_triples,
+    transition_edges,
+)
+from cliner_spark.tokenization import tokenize
+
+
+def _mk_turns(spark, texts):
+    rows = [
+        {"conv_id": "c0", "turn_idx": i, "text": t} for i, t in enumerate(texts)
+    ]
+    return tokenize(spark.createDataFrame(rows))
+
+
+def test_negex_classification(spark):
+    # mention "chest pain" is at a known token span in each turn
+    turns = _mk_turns(
+        spark,
+        [
+            "patient denies chest pain today",  # pre 'denies' -> negated
+            "chest pain was ruled out",  # post 'ruled' -> negated
+            "possible chest pain noted",  # pre 'possible' -> uncertain
+            "patient reports chest pain",  # no trigger -> affirmed
+            "not here but far away from chest pain",  # 'not' outside window=4
+        ],
+    )
+    mentions = spark.createDataFrame(
+        [
+            {"conv_id": "c0", "turn_idx": 0, "tok_start": 2, "tok_end": 3},
+            {"conv_id": "c0", "turn_idx": 1, "tok_start": 0, "tok_end": 1},
+            {"conv_id": "c0", "turn_idx": 2, "tok_start": 1, "tok_end": 2},
+            {"conv_id": "c0", "turn_idx": 3, "tok_start": 2, "tok_end": 3},
+            {"conv_id": "c0", "turn_idx": 4, "tok_start": 6, "tok_end": 7},
+        ]
+    )
+    out = {
+        r["turn_idx"]: r["assertion"]
+        for r in classify_assertions(
+            mentions, turns.select("conv_id", "turn_idx", "tokens")
+        ).collect()
+    }
+    assert out == {
+        0: "negated",
+        1: "negated",
+        2: "uncertain",
+        3: "affirmed",
+        4: "affirmed",  # trigger beyond the 4-token window
+    }
+
+
+def test_assertion_window_clamps_at_turn_edges(spark):
+    # mention at token 0: empty pre-window must not error or match
+    turns = _mk_turns(spark, ["chest pain no more words after window end"])
+    mentions = spark.createDataFrame(
+        [{"conv_id": "c0", "turn_idx": 0, "tok_start": 0, "tok_end": 1}]
+    )
+    rows = classify_assertions(
+        mentions, turns.select("conv_id", "turn_idx", "tokens")
+    ).collect()
+    # 'no' IS within the 4-token post-window -> but 'no' is a PRE trigger
+    # only, so this stays affirmed (post triggers are unlikely/resolved/ruled)
+    assert rows[0]["assertion"] == "affirmed"
+
+
+def test_assertion_triples_preds(spark):
+    la = spark.createDataFrame(
+        [
+            {"conv_id": "c0", "turn_idx": 0, "cui": "C1", "assertion": "negated"},
+            {"conv_id": "c0", "turn_idx": 1, "cui": "C1", "assertion": "uncertain"},
+            {"conv_id": "c0", "turn_idx": 2, "cui": "C2", "assertion": "affirmed"},
+        ]
+    )
+    preds = {
+        (r["obj"], r["pred"]) for r in assertion_triples(la).collect()
+    }
+    assert preds == {
+        ("turn:c0#0", "NEGATED_IN"),
+        ("turn:c0#1", "HEDGED_IN"),
+        ("turn:c0#2", "ASSERTED_IN"),
+    }
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [{"src": a, "dst": b} for a, b in pairs]
+    )
+
+
+def test_k_hop_path_graph(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {r["node"]: r["hops"] for r in k_hop(e, "a", k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def _pagerank_py(pairs, iters=3, scale=FP_SCALE, damping=85):
+    """Plain-Python replica of the integer fixed-point recurrence."""
+    sym = set()
+    for a, b in pairs:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    n = len(nodes)
+    deg = {a: sum(1 for s, _ in sym if s == a) for a in nodes}
+    base = ((100 - damping) * scale // 100) // n
+    r = {a: scale // n for a in nodes}
+    for _ in range(iters):
+        s = {a: 0 for a in nodes}
+        for a, b in sym:
+            s[b] += r[a] // deg[a]
+        r = {a: base + (damping * s[a]) // 100 for a in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replica_exactly(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e")]
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(_edges(spark, pairs), iters=3).collect()
+    }
+    assert got == _pagerank_py(pairs)
+    # hub 'b'/'d' outrank leaves; total mass stays ~scale (truncation loses
+    # at most a few units per node per iteration)
+    assert got["b"] > got["a"] and got["d"] > got["e"]
+    assert abs(sum(got.values()) - FP_SCALE) < 100 * len(got)
+
+
+def test_transition_edges(spark):
+    rows = [
+        {"u": 1, "t": 1, "ev": "view"},
+        {"u": 1, "t": 2, "ev": "click"},
+        {"u": 1, "t": 3, "ev": "view"},
+        {"u": 2, "t": 1, "ev": "view"},
+        {"u": 2, "t": 2, "ev": "click"},
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in transition_edges(df, "u", ["t"], "ev").collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_tool_flow_triples_match_python(spark):
+    rows = fixtures.gen_transcripts(n_convs=6, avg_turns=6, seed=7)
+    tx = spark.createDataFrame(rows)
+    trip = tool_flow_triples(tx).collect()
+    got = {(r["subj"], r["obj"]): r["weight"] for r in trip}
+    assert {r["pred"] for r in trip} == {"FOLLOWED_BY"}
+    # independent python count over the same deterministic rows
+    from collections import Counter, defaultdict
+
+    per_conv = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        if r["tool"] is not None:
+            per_conv[r["conv_id"]].append(r["tool"])
+    want = Counter()
+    for seq in per_conv.values():
+        for a, b in zip(seq, seq[1:]):
+            want[(f"tool:{a}", f"tool:{b}")] += 1
+    assert got == dict(want)
