@@ -1871,3 +1871,99 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return transition_edges(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+# ===========================================================================
+# Corpus-curation family (sampling.py): deterministic sampling, splits,
+# decontamination, domain mixing
+# ===========================================================================
+
+
+@register(
+    "q_hash_sample",
+    """
+SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+""",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hex-bucket sample (sampling.hash_sample): pure
+    function of the key — reproducible across engines/partitionings."""
+    from cliner_spark.sampling import hash_sample
+
+    return hash_sample(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "bucket"
+    )
+
+
+@register(
+    "q_train_split",
+    """
+WITH b AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 'cc' THEN 'train'
+            WHEN bucket < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1
+""",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash split assignment + per-split counts
+    (sampling.split_assign)."""
+    from cliner_spark.sampling import split_assign
+
+    return (
+        split_assign(load(spark, sf_dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q_decontaminate",
+    f"""
+WITH {SQL_DOCS_TOKS},
+sh5 AS (
+  SELECT DISTINCT d.doc_id,
+         lower(array_to_string(d.toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 3 <= len(d.toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 101 = 0),
+cand AS (SELECT * FROM sh5 WHERE doc_id % 101 <> 0)
+SELECT c.doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_hits
+FROM cand c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (sampling.contamination): docs sharing a
+    token n-gram with the 'benchmark' subset (doc_id % 101 = 0 stands in
+    for an eval suite; n=3 suits the synthetic vocab, production n=13)."""
+    from cliner_spark.sampling import contamination
+
+    docs = load_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    return contamination(docs, bench, n=3)
+
+
+@register(
+    "q_mix_weights",
+    """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(DISTINCT source) AS BIGINT) AS k
+      FROM documents)
+SELECT c.source, c.n_docs,
+       round(CAST(t.total AS DOUBLE) / t.k / c.n_docs, 6) AS weight
+FROM c CROSS JOIN t
+""",
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target domain-mixture weights per source
+    (sampling.mix_weights)."""
+    from cliner_spark.sampling import mix_weights
+
+    return mix_weights(load(spark, sf_dir, "documents"), "source")

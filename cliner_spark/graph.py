@@ -122,7 +122,10 @@ def k_hop(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
     materializing paths. For web-scale graphs the frontier stays a node
     set (no multiplicities): distinct() after each expansion.
     """
-    sym = symmetrize(edges)
+    # materialize the edge set once: every hop joins it, and without this
+    # each hop would re-run the upstream edge-building lineage (e.g. the
+    # full mention scan) from scratch
+    sym = symmetrize(edges).localCheckpoint(eager=True)
     spark = edges.sparkSession
     visited = spark.createDataFrame([(seed, 0)], "node string, hops int")
     frontier = visited
@@ -135,9 +138,8 @@ def k_hop(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)  # frontier is small; cuts lineage
         )
-        # small concept graph -> local checkpointing unnecessary; at true
-        # graph scale persist frontier per hop to cut lineage growth
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -166,14 +168,19 @@ def pagerank_fixed_point(
     iterative graph algorithm. Nodes = endpoints of `edges`; the node
     count is the only driver-side scalar.
     """
-    sym = symmetrize(edges)
+    # materialize edges/nodes/degrees once — every iteration joins all
+    # three, and ranks feed the next iteration: without checkpoints the
+    # plan (and the upstream edge-building lineage, e.g. a corpus-wide
+    # mention scan) re-executes per iteration and grows multiplicatively
+    sym = symmetrize(edges).localCheckpoint(eager=True)
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # O(1) scalar; graph is gazetteer-bounded
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     base = ((100 - damping_pct) * scale // 100) // n
     r = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
     for _ in range(iters):
@@ -192,6 +199,7 @@ def pagerank_fixed_point(
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("bigint").alias("rank_fp"),
             )
+            .localCheckpoint(eager=True)  # rank table: |nodes| rows
         )
     return r
 
