@@ -43,12 +43,19 @@ def run_pipeline(
     gazetteer: DataFrame | None = None,
     scanner: str = "expr",
     canon_map: DataFrame | None = None,
+    assertions: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns dict with mentions, linked, canon_map, triples DataFrames.
 
     canon_map: optionally pass the precomputed concept-canonicalization map
     (a gazetteer-version artifact — dimension-sized, independent of the turn
     stream; production computes it once per gazetteer release, not per batch).
+
+    assertions: classify each mention as negated/uncertain/affirmed (NegEx
+    windowed triggers, assertion.py) and refine the per-turn concept edge to
+    NEGATED_IN / HEDGED_IN / ASSERTED_IN. Adds one equi-join on
+    (conv_id, turn_idx) against the tokenized turns — no extra shuffle of
+    the turn stream itself.
     """
     gaz = gazetteer if gazetteer is not None else fixtures.gazetteer_df(spark)
     terms = [r["term"] for r in gaz.select("term").distinct().collect()]
@@ -77,6 +84,12 @@ def run_pipeline(
         raise ValueError(f"unknown scanner {scanner!r}")
 
     linked = link_mentions(mentions, gaz)
+    if assertions:
+        from cliner_spark.assertion import classify_assertions
+        from cliner_spark.tokenization import tokenize
+
+        turn_toks = tokenize(turns).select("conv_id", "turn_idx", "tokens")
+        linked = classify_assertions(linked, turn_toks)
     if canon_map is None:
         canon_map = canonical_concept_map(gaz)
     triples = build_triples(linked, canon_map=canon_map)
@@ -108,7 +121,9 @@ def cmd_predict(args) -> None:
         transcripts = fixtures.transcripts_df(spark)
 
     t0 = time.time()
-    out = run_pipeline(spark, transcripts, scanner=args.scanner)
+    out = run_pipeline(
+        spark, transcripts, scanner=args.scanner, assertions=args.assertions
+    )
     hot = hot_conversations(transcripts, threshold=args.hot_threshold)
     write_triples(out["triples"], args.output, hot=hot)
     n = spark.read.parquet(args.output).count()
@@ -197,6 +212,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", help="parquet transcripts (default: fixture)")
     p.add_argument("--output", required=True)
     p.add_argument("--scanner", default="udf", choices=["expr", "udf", "tagger"])
+    p.add_argument(
+        "--assertions",
+        action="store_true",
+        help="NegEx assertion pass: NEGATED_IN/HEDGED_IN refined edges",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--hot-threshold", type=int, default=100_000)
     p.set_defaults(fn=cmd_predict)

@@ -9,7 +9,9 @@ invariant key = (conv_id, turn_idx), stable):
   (conv:<conv_id>,            MENTIONS,    concept:<canon_cui>)  one per
       distinct (conv, canon_cui); provenance turn = first mentioning turn
   (concept:<canon_cui>,       ASSERTED_IN, turn:<conv>#<turn_idx>) one per
-      distinct (canon_cui, conv, turn)
+      distinct (canon_cui, conv, turn); when the linked mentions carry an
+      `assertion` column (assertion.py, pipeline --assertions), the pred
+      is refined to NEGATED_IN / HEDGED_IN (negation dominates per turn)
   (mention:<conv>#<turn>#<s>, LINKED_TO,   concept:<cui>)  one per mention
   (concept:<cui>,             SAME_AS,     concept:<canon_cui>)  one per cui
       with canon_cui != cui; provenance = first turn where the cui occurs
@@ -57,19 +59,46 @@ def build_triples(linked: DataFrame, gazetteer: DataFrame | None = None,
             F.col("turn_idx"),
         )
     )
-    asserted_t = (
-        m.select("conv_id", "turn_idx", "canon_cui")
-        .distinct()
-        .select(
-            F.concat(F.lit("concept:"), F.col("canon_cui")).alias("subj"),
-            F.lit("ASSERTED_IN").alias("pred"),
-            F.concat(
-                F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx")
-            ).alias("obj"),
-            F.col("conv_id"),
-            F.col("turn_idx"),
+    if "assertion" in m.columns:
+        # assertion-refined edge (assertion.py): any negated mention of the
+        # concept in the turn dominates, then hedged, then affirmed — one
+        # extra max() in the same aggregation, no new shuffle
+        arank = (
+            F.when(F.col("assertion") == "negated", 2)
+            .when(F.col("assertion") == "uncertain", 1)
+            .otherwise(0)
         )
-    )
+        pred = F.element_at(
+            F.array(F.lit("ASSERTED_IN"), F.lit("HEDGED_IN"), F.lit("NEGATED_IN")),
+            F.col("_ar") + 1,
+        )
+        asserted_t = (
+            m.groupBy("conv_id", "turn_idx", "canon_cui")
+            .agg(F.max(arank).alias("_ar"))
+            .select(
+                F.concat(F.lit("concept:"), F.col("canon_cui")).alias("subj"),
+                pred.alias("pred"),
+                F.concat(
+                    F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx")
+                ).alias("obj"),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+            )
+        )
+    else:
+        asserted_t = (
+            m.select("conv_id", "turn_idx", "canon_cui")
+            .distinct()
+            .select(
+                F.concat(F.lit("concept:"), F.col("canon_cui")).alias("subj"),
+                F.lit("ASSERTED_IN").alias("pred"),
+                F.concat(
+                    F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx")
+                ).alias("obj"),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+            )
+        )
     linked_t = m.select(
         F.concat(
             F.lit("mention:"),

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cliner_spark import fixtures
 from cliner_spark.assertion import assertion_triples, classify_assertions
 from cliner_spark.graph import (
@@ -169,3 +171,29 @@ def test_tool_flow_triples_match_python(spark):
         for a, b in zip(seq, seq[1:]):
             want[(f"tool:{a}", f"tool:{b}")] += 1
     assert got == dict(want)
+
+
+def test_pipeline_assertion_refined_triples(spark):
+    from cliner_spark.pipeline import run_pipeline
+
+    tx = spark.createDataFrame(
+        [
+            {"conv_id": "c1", "turn_idx": 0, "text": "patient denies heart attack today"},
+            {"conv_id": "c1", "turn_idx": 1, "text": "patient has diabetes mellitus"},
+            {"conv_id": "c1", "turn_idx": 2, "text": "possible hypertension noted"},
+        ]
+    )
+    out = run_pipeline(spark, tx, assertions=True)
+    edges = {
+        (r["pred"], r["obj"])
+        for r in out["triples"].filter(
+            F.col("pred").isin("ASSERTED_IN", "NEGATED_IN", "HEDGED_IN")
+        ).collect()
+    }
+    assert ("NEGATED_IN", "turn:c1#0") in edges
+    assert ("ASSERTED_IN", "turn:c1#1") in edges
+    assert ("HEDGED_IN", "turn:c1#2") in edges
+    # default path unchanged: no refined predicates without the flag
+    plain = run_pipeline(spark, tx)
+    preds = {r["pred"] for r in plain["triples"].collect()}
+    assert "NEGATED_IN" not in preds and "HEDGED_IN" not in preds
