@@ -152,3 +152,35 @@ def test_streaming_windowed_counts(spark, tmp_path):
     # append-mode file sink only emits windows finalized by the watermark;
     # rows may be few but schema and non-negativity must hold
     assert out.filter(F.col("n_mentions") <= 0).count() == 0
+
+
+def test_streaming_triples_match_batch(spark, tmp_path):
+    """foreachBatch triple sink == batch pipeline triples on the same input,
+    including assertion-refined predicates."""
+    from cliner_spark.pipeline import run_pipeline
+
+    rows = fixtures.gen_transcripts(n_convs=8, avg_turns=5, seed=33)
+    # plant an explicit negation so NEGATED_IN appears deterministically
+    rows[0]["text"] = "patient denies heart attack today"
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    df.filter(F.col("conv_id") < "conv00004").coalesce(1).write.parquet(in_dir)
+    df.filter(F.col("conv_id") >= "conv00004").coalesce(1).write.mode("append").parquet(in_dir)
+
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stream_triples(spark, in_dir, out_dir, ck, gaz, assertions=True)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_pipeline(spark, df, gazetteer=gaz, assertions=True)["triples"].collect()
+    }
+    assert got == want and len(want) > 50
+    assert any(p == "NEGATED_IN" for (_, p, _o) in got)
