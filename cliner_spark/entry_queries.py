@@ -1967,3 +1967,106 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.sampling import mix_weights
 
     return mix_weights(load(spark, sf_dir, "documents"), "source")
+
+
+# ===========================================================================
+# Repetition + bigram-LM quality family (textstats.repetition_features, lm.py)
+# ===========================================================================
+
+
+@register(
+    "q_repetition",
+    f"""
+WITH {SQL_DOCS_TOKS},
+g2 AS (
+  SELECT d.doc_id, lower(array_to_string(d.toks[t.i + 1 : t.i + 2], ' ')) AS gram
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 2 <= len(d.toks)
+),
+gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g2 GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dup,
+         CAST(max(c * length(gram)) AS BIGINT) AS top,
+         CAST(sum(c * length(gram)) AS BIGINT) AS tot
+  FROM gc GROUP BY doc_id
+),
+tokpos AS (
+  SELECT d.doc_id, t.i AS i, lower(d.toks[t.i + 1]) AS tok
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+),
+isl AS (
+  SELECT doc_id, tok, i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+  FROM tokpos
+),
+runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run FROM isl GROUP BY doc_id, tok, grp),
+mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN coalesce(r.tot, 0) > 0 THEN CAST(r.dup AS DOUBLE) / r.tot ELSE 0.0 END, 6) AS dup2_frac,
+       round(CASE WHEN coalesce(r.tot, 0) > 0 THEN CAST(r.top AS DOUBLE) / r.tot ELSE 0.0 END, 6) AS top2_frac,
+       CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_run
+FROM docs d LEFT JOIN rep r USING (doc_id) LEFT JOIN mr USING (doc_id)
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, zero-shuffle sorted-array fold
+    (textstats.repetition_features)."""
+    from cliner_spark.textstats import repetition_features
+
+    return repetition_features(load_docs(spark, sf_dir))
+
+
+# token pairs + unigram/vocab counts shared by the LM queries (mirrors lm.py)
+SQL_LM_COUNTS = """
+pairs AS (
+  SELECT d.doc_id, lower(d.toks[t.i + 1]) AS w1, lower(d.toks[t.i + 2]) AS w2
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 2 <= len(d.toks)
+),
+uni AS (
+  SELECT lower(t.tok) AS w1, CAST(count(*) AS BIGINT) AS c_w1
+  FROM docs d, unnest(d.toks) AS t(tok) GROUP BY 1
+),
+vv AS (
+  SELECT CAST(count(DISTINCT lower(t.tok)) AS BIGINT) AS vocab
+  FROM docs d, unnest(d.toks) AS t(tok)
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram FROM pairs GROUP BY w1, w2)
+"""
+
+
+@register(
+    "q_lm_bigrams",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_LM_COUNTS}
+SELECT bg.w1, bg.w2, bg.c_bigram, u.c_w1, vv.vocab,
+       round(ln(CAST(bg.c_bigram + 1 AS DOUBLE) / (u.c_w1 + vv.vocab)), 6) AS logp
+FROM bg JOIN uni u ON bg.w1 = u.w1 CROSS JOIN vv
+""",
+)
+def q_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed corpus bigram LM table (lm.bigram_lm)."""
+    from cliner_spark.lm import bigram_lm
+
+    return bigram_lm(load_docs(spark, sf_dir))
+
+
+@register(
+    "q_lm_doc_score",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_LM_COUNTS}
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(floor(ln(CAST(bg.c_bigram + 1 AS DOUBLE) / (u.c_w1 + vv.vocab)) * 1000000) AS BIGINT)) AS BIGINT) AS score_fp
+FROM pairs p
+JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+JOIN uni u ON p.w1 = u.w1
+CROSS JOIN vv
+GROUP BY p.doc_id
+""",
+)
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fixed-point LM score (lm.doc_lm_score) — the perplexity-filter
+    signal, BIGINT-exact across engines."""
+    from cliner_spark.lm import doc_lm_score
+
+    return doc_lm_score(load_docs(spark, sf_dir))

@@ -90,3 +90,94 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.md5(F.lower(F.concat_ws(" ", toks))).alias("fp"),
         poly.alias("len_hash"),
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    computed per document with ZERO shuffles and zero UDFs:
+
+      dup2_frac  — fraction of bigram characters inside bigrams occurring
+                   ≥2× in the doc (chars weighted by occurrence count)
+      top2_frac  — character share of the single most frequent bigram
+      max_run    — longest run of consecutive identical tokens
+
+    Instead of explode + groupBy(doc, gram) — which shuffles corpus-sized
+    n-gram rows — the bigram array is array_sort'ed per row and folded with
+    one aggregate() pass (equal grams are adjacent after the sort), so the
+    whole computation stays inside the row's whole-stage-codegen stage.
+    That is the difference between a per-doc map pass and a corpus-wide
+    shuffle at 100 TB.
+    """
+    toks = F.transform(tokens_col(text_col), lambda t: F.lower(t))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = F.array_sort(grams)
+
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup"),
+        zero.alias("top"),
+        zero.alias("tot"),
+    )
+
+    def merge(acc, x):
+        is_same = x == acc["prev"]
+        flush = acc["run"] * F.length(acc["prev"])  # chars of the ended run
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_same, acc["run"] + 1).otherwise(one).alias("run"),
+            (
+                acc["dup"]
+                + F.when(~is_same & (acc["run"] >= 2), flush).otherwise(zero)
+            ).alias("dup"),
+            F.greatest(
+                acc["top"], F.when(~is_same, flush).otherwise(zero)
+            ).alias("top"),
+            (acc["tot"] + F.length(x)).alias("tot"),
+        )
+
+    def finish(acc):
+        flush = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            (
+                acc["dup"] + F.when(acc["run"] >= 2, flush).otherwise(zero)
+            ).alias("dup"),
+            F.greatest(acc["top"], flush).alias("top"),
+            acc["tot"].alias("tot"),
+        )
+
+    rep = F.aggregate(sg, init, merge, finish)
+
+    init_r = F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("mx"))
+
+    def merge_r(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(one)
+        return F.struct(
+            x.alias("prev"), newrun.alias("run"), F.greatest(acc["mx"], newrun).alias("mx")
+        )
+
+    max_run = F.aggregate(toks, init_r, merge_r, lambda acc: acc["mx"])
+
+    frac = lambda num: F.round(  # noqa: E731
+        F.when(rep["tot"] > 0, num.cast("double") / rep["tot"]).otherwise(F.lit(0.0)), 6
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        frac(rep["dup"]).alias("dup2_frac"),
+        frac(rep["top"]).alias("top2_frac"),
+        max_run.alias("max_run"),
+    )

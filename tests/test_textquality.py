@@ -1,0 +1,84 @@
+"""Unit tests for repetition_features (textstats) and the bigram LM (lm)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from cliner_spark.lm import FP, bigram_lm, doc_lm_score
+from cliner_spark.textstats import repetition_features
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_repetition_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            "a b a b c",  # bigrams: ab,ba,ab,bc -> 'a b'x2 dup
+            "x x x y",  # runs: xxx -> max_run 3; bigrams: xx,xx,xy
+            "q",  # no bigrams
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc0: grams [a b, b a, a b, b c] each 3 chars, tot=12; 'a b'x2 -> dup=6
+    # top = 6 ('a b' twice)
+    assert got[0]["n_tokens"] == 5
+    assert got[0]["dup2_frac"] == round(6 / 12, 6)
+    assert got[0]["top2_frac"] == round(6 / 12, 6)
+    assert got[0]["max_run"] == 1
+    # doc1: grams [x x, x x, x y] tot=9, dup=6 ('x x'x2), top=6, run xxx=3
+    assert got[1]["dup2_frac"] == round(6 / 9, 6)
+    assert got[1]["top2_frac"] == round(6 / 9, 6)
+    assert got[1]["max_run"] == 3
+    # doc2: no bigrams -> fractions 0, max_run 1
+    assert got[2]["dup2_frac"] == 0.0 and got[2]["top2_frac"] == 0.0
+    assert got[2]["max_run"] == 1
+
+
+def _py_lm(texts):
+    """Plain-Python replica of the add-1 bigram LM."""
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    vocab = len(uni)
+    return uni, bg, vocab
+
+
+def test_bigram_lm_matches_python(spark):
+    texts = ["the cat sat", "the cat ran", "a dog sat"]
+    uni, bg, vocab = _py_lm(texts)
+    got = {
+        (r["w1"], r["w2"]): (r["c_bigram"], r["c_w1"], r["vocab"], r["logp"])
+        for r in bigram_lm(_docs(spark, texts)).collect()
+    }
+    assert set(got) == set(bg)
+    for (w1, w2), c in bg.items():
+        want_logp = round(math.log((c + 1) / (uni[w1] + vocab)), 6)
+        assert got[(w1, w2)] == (c, uni[w1], vocab, want_logp)
+
+
+def test_doc_lm_score_matches_python(spark):
+    texts = ["the cat sat on the mat", "the cat cat cat", "dog"]
+    uni, bg, vocab = _py_lm(texts)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_fp"])
+        for r in doc_lm_score(_docs(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert i not in got  # no bigrams -> no score row
+            continue
+        want = sum(
+            math.floor(math.log((bg[p] + 1) / (uni[p[0]] + vocab)) * FP)
+            for p in pairs
+        )
+        assert got[i] == (len(pairs), want)
