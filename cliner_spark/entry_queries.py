@@ -2070,3 +2070,37 @@ def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.lm import doc_lm_score
 
     return doc_lm_score(load_docs(spark, sf_dir))
+
+
+@register(
+    "q_tool_flow",
+    """
+WITH tx AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         source AS tool
+  FROM documents
+),
+t AS (
+  SELECT tool, lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tx
+)
+SELECT 'tool:' || prev AS subj, 'FOLLOWED_BY' AS pred, 'tool:' || tool AS obj,
+       CAST(count(*) AS BIGINT) AS weight
+FROM t WHERE prev IS NOT NULL GROUP BY prev, tool
+""",
+)
+def q_tool_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-flow FOLLOWED_BY triples (graph.tool_flow_triples) over the
+    input_hint transcript shape (conv_id, turn_idx, tool) derived from
+    documents exactly as q_triples derives it (source = tool stand-in)."""
+    from cliner_spark.graph import tool_flow_triples
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("source").alias("tool"),
+    )
+    return tool_flow_triples(tx)

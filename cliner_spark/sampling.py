@@ -83,7 +83,9 @@ def contamination(
     bench_sh = F.broadcast(
         shingles(benchmark, n, id_col, text_col).select("shingle").distinct()
     )
-    cand = docs.join(benchmark.select(id_col), id_col, "left_anti")
+    # broadcast the exclusion set too: a sort-merge anti-join here would
+    # shuffle the full corpus just to drop the handful of benchmark ids
+    cand = docs.join(F.broadcast(benchmark.select(id_col)), id_col, "left_anti")
     cand_sh = shingles(cand, n, id_col, text_col)
     return (
         cand_sh.join(bench_sh, "shingle")

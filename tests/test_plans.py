@@ -118,3 +118,51 @@ def test_fuzzy_link_broadcasts_dimension(spark):
     )
     s = plan(link_fuzzy(oov, fixtures.gazetteer_df(spark, fixtures.DOC_GAZETTEER)))
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s, s
+
+
+def test_repetition_features_zero_shuffle(spark):
+    # sorted-array fold: the whole computation must stay in the scan stage
+    from cliner_spark.textstats import repetition_features
+
+    docs = spark.createDataFrame([{"doc_id": 1, "text": "a b a b"}])
+    s = plan(repetition_features(docs))
+    assert "Exchange" not in s, s
+
+
+def test_assertion_adds_no_extra_shuffle_beyond_join(spark):
+    # assertion windows are row-local expressions; plan = mention/token join
+    # only, with no aggregation exchange introduced by the classification
+    from cliner_spark.assertion import classify_assertions
+    from cliner_spark.tokenization import tokenize
+
+    turns = tokenize(
+        spark.createDataFrame([{"conv_id": "c", "turn_idx": 0, "text": "no pain"}])
+    )
+    mentions = spark.createDataFrame(
+        [{"conv_id": "c", "turn_idx": 0, "tok_start": 1, "tok_end": 1}]
+    )
+    s = plan(
+        classify_assertions(mentions, turns.select("conv_id", "turn_idx", "tokens"))
+    )
+    assert "HashAggregate" not in s, s
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from cliner_spark.sampling import contamination
+
+    docs = spark.createDataFrame(
+        [{"doc_id": i, "text": "w x y z " * 4} for i in range(10)]
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    s = plan(contamination(docs, bench, n=3))
+    # benchmark shingles arrive via broadcast, not a corpus-side shuffle join
+    assert "BroadcastHashJoin" in s, s
+    assert "SortMergeJoin" not in s, s
+
+
+def test_lm_score_broadcasts_lm_table(spark):
+    from cliner_spark.lm import doc_lm_score
+
+    docs = spark.createDataFrame([{"doc_id": i, "text": "a b c a b"} for i in range(5)])
+    s = plan(doc_lm_score(docs))
+    assert "BroadcastHashJoin" in s, s
