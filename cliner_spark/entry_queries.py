@@ -2104,3 +2104,77 @@ def q_tool_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("tool"),
     )
     return tool_flow_triples(tx)
+
+
+# ===========================================================================
+# Scrubbing + profiling family (scrub.py, profile.py)
+# ===========================================================================
+
+
+@register(
+    "q_scrub",
+    """
+SELECT event_id,
+       regexp_replace(props, '\\d+', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(props, '\\d+')) AS BIGINT) AS n_redactions
+FROM events
+""",
+)
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction pass (scrub.scrub) — digit rule here because the
+    synthetic tables contain no emails/URLs; the clinical default rule
+    chain (URL/EMAIL/PHONE/ID) is pytest-verified on planted strings."""
+    from cliner_spark.scrub import scrub
+
+    ev = load(spark, sf_dir, "events").withColumnRenamed("props", "text")
+    return scrub(ev, rules=[(r"\d+", "<NUM>")]).select(
+        "event_id", "scrubbed", "n_redactions"
+    )
+
+
+@register(
+    "q_profile_events",
+    """
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_val, CAST(max(event_id) AS VARCHAR) AS max_val
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM events
+""",
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiler (profile.profile_table)."""
+    from cliner_spark.profile import profile_table
+
+    return profile_table(
+        load(spark, sf_dir, "events"), ["event_id", "user_id", "event_type"]
+    )
+
+
+@register(
+    "q_value_hist",
+    """
+SELECT CAST(floor((value - 0.0) / 5.0) AS BIGINT) AS bucket,
+       CAST(floor((value - 0.0) / 5.0) AS BIGINT) * 5.0 + 0.0 AS lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value (profile.histogram)."""
+    from cliner_spark.profile import histogram
+
+    return histogram(load(spark, sf_dir, "events"), "value", 5.0)
