@@ -220,3 +220,20 @@ def run_stream_triples(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once turn delivery over an at-least-once upstream:
+    dropDuplicatesWithinWatermark on the turn key keeps one state entry per
+    key only until the event-time watermark passes it, so state is bounded
+    by the (re)delivery window — not by stream history, which is what makes
+    streaming dedup viable at 10^12 turns. Re-deliveries later than the
+    watermark are the upstream's contract violation, same as any late data.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -184,3 +184,32 @@ def test_streaming_triples_match_batch(spark, tmp_path):
     }
     assert got == want and len(want) > 50
     assert any(p == "NEGATED_IN" for (_, p, _o) in got)
+
+
+def test_dedup_stream_drops_redelivered_turns(spark, tmp_path):
+    rows = fixtures.gen_transcripts(n_convs=5, avg_turns=4, seed=11)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    # at-least-once upstream: the same rows land twice as separate files
+    df.coalesce(1).write.parquet(in_dir)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = streaming.read_transcript_stream(spark, in_dir)
+    q = (
+        streaming.dedup_stream(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(rows)  # every turn exactly once
+    assert out.select("conv_id", "turn_idx").distinct().count() == len(rows)
