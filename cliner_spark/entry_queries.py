@@ -1765,7 +1765,13 @@ def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     MENTIONS edge class — the KG's dominant (corpus-sized) edge family."""
     from cliner_spark.graph import degrees
 
-    dcui = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    # materialize once: degrees() consumes the triple set twice (out + in)
+    dcui = (
+        _doc_linked(spark, sf_dir)
+        .select("conv_id", "cui")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     tri = dcui.select(
         F.concat(F.lit("doc:"), F.col("conv_id")).alias("subj"),
         F.lit("MENTIONS").alias("pred"),
@@ -1792,15 +1798,9 @@ UNION ALL SELECT t, CAST(2 AS INTEGER) FROM n2
 def q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighborhood of concept CD001 over the co-occurrence graph
     (graph.k_hop): per-hop frontier join + anti-join, frontiers broadcast."""
-    from cliner_spark.graph import k_hop
+    from cliner_spark.graph import group_concept_pairs, k_hop
 
-    dcui = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
-    a, b = dcui.alias("a"), dcui.alias("b")
-    edges = (
-        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.cui") < F.col("b.cui")))
-        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
-        .distinct()
-    )
+    edges = group_concept_pairs(_doc_linked(spark, sf_dir))
     return k_hop(edges, "CD001", k=2).select("node", F.col("hops").cast("int").alias("hops"))
 
 
@@ -1840,15 +1840,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph (graph.pagerank_fixed_point) — the iterative graph
     algorithm is hash-checked against an unrolled SQL twin because BIGINT
     arithmetic is reduction-order-independent."""
-    from cliner_spark.graph import pagerank_fixed_point
+    from cliner_spark.graph import group_concept_pairs, pagerank_fixed_point
 
-    dcui = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
-    a, b = dcui.alias("a"), dcui.alias("b")
-    edges = (
-        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.cui") < F.col("b.cui")))
-        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
-        .distinct()
-    )
+    edges = group_concept_pairs(_doc_linked(spark, sf_dir))
     return pagerank_fixed_point(edges, iters=3).select("node", "rank_fp")
 
 

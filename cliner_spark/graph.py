@@ -44,8 +44,13 @@ def cooccurrence_edges(
     self-join then touches k*(k-1)/2 pairs per group where k ≤ |gazetteer
     concepts|, independent of group text size. Marginals are concept-
     cardinality tables, broadcast into the pair aggregate.
+
+    The distinct set is materialized once (localCheckpoint): four subtrees
+    consume it (self-join a/b, marginals, totals), and without
+    materialization each would re-execute the upstream mention-scan
+    lineage — the same multiplicative-lineage trap fixed in pagerank/k_hop.
     """
-    d = linked.select(key, node).distinct()
+    d = linked.select(key, node).distinct().localCheckpoint(eager=True)
     a, b = d.alias("a"), d.alias("b")
     pairs = (
         a.join(
@@ -87,6 +92,26 @@ def cooccurrence_edges(
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+def group_concept_pairs(
+    linked: DataFrame, key: str = "conv_id", node: str = "cui"
+) -> DataFrame:
+    """Distinct unordered co-occurrence pairs (src < dst) per group — the
+    edge set consumed by k_hop/pagerank. The distinct (group, node) set is
+    materialized before the self-join so the upstream scan lineage executes
+    once, and the self-join reads the checkpointed rows twice."""
+    d = linked.select(key, node).distinct().localCheckpoint(eager=True)
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col(f"a.{node}") < F.col(f"b.{node}")),
+        )
+        .select(F.col(f"a.{node}").alias("src"), F.col(f"b.{node}").alias("dst"))
+        .distinct()
     )
 
 
