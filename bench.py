@@ -28,6 +28,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_TURNS = int(os.environ.get("CLINER_BENCH_TURNS", "300000"))
 
+# 60+ sequential queries in one 32-thread local JVM: give the shared heap
+# headroom so later queries aren't benched under GC pressure from earlier
+# ones (the machine has 128 GiB; explicit state release below does the rest)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
+
+def free_state(spark) -> None:
+    """Release cached tables and pinned localCheckpoint RDD blocks between
+    queries — each query must be benched cold-state, not under the storage
+    pressure of every previous query's checkpoints."""
+    try:
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values().toArray():
+            jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001 - best-effort hygiene
+        pass
+
 
 def guess_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -93,6 +111,7 @@ def main() -> None:
             qtimes[name] = round(dt, 3)
             total += dt
             print(f"# {name}: FAILED after {dt:.2f}s: {e}", file=sys.stderr)
+        free_state(spark)
 
     # Flagship throughput: full KG pipeline over generated transcripts.
     from cliner_spark import fixtures
