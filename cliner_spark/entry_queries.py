@@ -2172,3 +2172,87 @@ def q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.profile import histogram
 
     return histogram(load(spark, sf_dir, "events"), "value", 5.0)
+
+
+# near-dup cluster CTE chain (identical to q_dup_clusters' oracle)
+SQL_DUP_CLUSTER_CTES = f"""
+{SQL_SHINGLES_3},
+keepsh AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50),
+shf AS (SELECT sh.* FROM sh JOIN keepsh USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+),
+dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION SELECT doc_b, doc_a FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+"""
+
+
+@register(
+    "q_dedup_keep",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_DUP_CLUSTER_CTES}
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM clusters
+""",
+)
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION (curate.py stage 1): keep iff the doc is its
+    near-dup cluster's representative (min id)."""
+    from cliner_spark.dedup import dup_clusters
+
+    c = dup_clusters(load_docs(spark, sf_dir), min_jaccard=0.5)
+    return c.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
+
+
+@register(
+    "q_quality_filter",
+    f"""
+WITH {SQL_DOCS_TOKS},
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs),
+bounds AS (
+  SELECT quantile_cont(n_tokens, 0.05) AS lo, quantile_cont(n_tokens, 0.95) AS hi
+  FROM lens
+)
+SELECT l.doc_id, l.n_tokens, b.lo, b.hi,
+       l.n_tokens >= b.lo AND l.n_tokens <= b.hi AS keep
+FROM lens l CROSS JOIN bounds b
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-band quality filter (curate.length_bounds): exact percentile
+    bounds broadcast into the per-doc keep decision; approx_percentile is
+    the drop-in at 100 TB."""
+    from cliner_spark.curate import length_bounds
+    from cliner_spark.tokenization import tokenize
+
+    lens = tokenize(load_docs(spark, sf_dir)).select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
+    )
+    b = length_bounds(lens, "n_tokens")
+    return lens.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "n_tokens",
+        "lo",
+        "hi",
+        ((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi"))).alias(
+            "keep"
+        ),
+    )

@@ -204,6 +204,25 @@ def cmd_train(args) -> None:
         spark.stop()
 
 
+def cmd_curate(args) -> None:
+    """Corpus curation verb: documents parquet -> curated manifest parquet
+    (per-stage keep flags + split), partitioned by split, plus a one-line
+    JSON drop-reason report on stdout (curate.py)."""
+    import json as _json
+
+    from cliner_spark.curate import curate, curation_report
+
+    spark, created = _get_cli_spark("cliner_spark.curate", args.master)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    cur = curate(docs, bench)
+    cur.write.partitionBy("split").mode("overwrite").parquet(args.output)
+    rep = curation_report(spark.read.parquet(args.output)).collect()[0]
+    print(_json.dumps(rep.asDict()))
+    if created:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="cliner_spark KG pipeline")
     sub = ap.add_subparsers(dest="cmd")
@@ -239,6 +258,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     t.add_argument("--master", default=None)
     t.set_defaults(fn=cmd_train)
+
+    c = sub.add_parser("curate", help="documents -> curated corpus manifest")
+    c.add_argument("--input", required=True, help="parquet documents")
+    c.add_argument("--output", required=True, help="curated manifest dir")
+    c.add_argument("--benchmark", help="parquet eval docs for decontamination")
+    c.add_argument("--master", default=None)
+    c.set_defaults(fn=cmd_curate)
 
     argv = list(argv) if argv is not None else None
     import sys

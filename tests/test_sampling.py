@@ -57,3 +57,32 @@ def test_mix_weights_exact(spark):
     # total=8, k=2 -> target 4 per group: a has 6 (downsample 4/6), b has 2 (upsample 2x)
     assert w["a"] == (6, round(8 / 2 / 6, 6))
     assert w["b"] == (2, 2.0)
+
+
+def test_curate_end_to_end_flags(spark):
+    from cliner_spark.curate import curate, curation_report
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},  # exact dup of 0
+            {"doc_id": 2, "text": "spam spam spam spam spam spam spam spam"},  # repetitive
+            {"doc_id": 3, "text": "one two three four five six seven eight"},  # contaminated
+            {"doc_id": 4, "text": "nine ten eleven twelve thirteen fourteen fifteen sixteen"},
+        ]
+    )
+    bench = spark.createDataFrame(
+        [{"doc_id": 100, "text": "zzz three four five qqq aaa bbb ccc"}]
+    )
+    cur = {r["doc_id"]: r for r in curate(docs, bench).collect()}
+    assert cur[0]["keep"] and cur[4]["keep"]
+    assert not cur[1]["keep_dedup"] and cur[1]["cluster_id"] == 0
+    assert not cur[2]["keep_repetition"]
+    assert not cur[3]["keep_decontam"]
+    # all lengths equal -> length band keeps everything
+    assert all(cur[i]["keep_length"] for i in cur)
+    assert all(cur[i]["split"] in ("train", "val", "test") for i in cur)
+
+    rep = curation_report(curate(docs, bench)).collect()[0]
+    assert rep["n_docs"] == 5 and rep["n_kept"] == 2
+    assert rep["n_dup"] == 1 and rep["n_contaminated"] == 1 and rep["n_repetitive"] == 1
