@@ -82,3 +82,41 @@ def test_doc_lm_score_matches_python(spark):
             for p in pairs
         )
         assert got[i] == (len(pairs), want)
+
+
+def test_repetition_random_corpus_matches_replica(spark):
+    """Seeded random corpus, one DataFrame pass vs a Counter-based replica —
+    guards the sorted-array fold's run-length logic across arbitrary shapes
+    (empty, single-token, all-same, high-collision)."""
+    import random
+
+    rng = random.Random(0)
+    vocab = ["a", "bb", "ccc", "dd"]
+    texts = [""] + ["a"] + ["a a a a"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+        for _ in range(60)
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup2_frac"], r["top2_frac"], r["max_run"])
+        for r in repetition_features(_docs(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        c = Counter(grams)
+        tot = sum(n * len(g) for g, n in c.items())
+        dup = sum(n * len(g) for g, n in c.items() if n >= 2)
+        top = max((n * len(g) for g, n in c.items()), default=0)
+        runs, cur = [], 0
+        prev = None
+        for w in toks:
+            cur = cur + 1 if w == prev else 1
+            prev = w
+            runs.append(cur)
+        want = (
+            len(toks),
+            round(dup / tot, 6) if tot else 0.0,
+            round(top / tot, 6) if tot else 0.0,
+            max(runs, default=0),
+        )
+        assert got[i] == want, (i, t, got[i], want)
