@@ -28,10 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Published NegEx trigger subsets (single-token; the full phrase lists from
-# the paper collapse to these heads under whitespace tokenization).
+# Published NegEx trigger subsets. Single tokens match per-token; entries
+# containing a space are PHRASE triggers, matched against the space-joined
+# window (token-boundary-safe: the window string is padded with spaces).
 NEGEX_PRE_NEG = ["no", "not", "without", "denies", "denied", "absence", "negative"]
-NEGEX_POST_NEG = ["unlikely", "resolved", "ruled"]
+NEGEX_POST_NEG = ["unlikely", "resolved", "ruled out"]
 NEGEX_UNCERTAIN = [
     "possible",
     "possibly",
@@ -54,10 +55,24 @@ def _window_slice(tokens, start0, length):
     return F.slice(tokens, start0 + F.lit(1), length)
 
 
-def _any_in(arr, words: list[str]):
-    if not words:
-        return F.lit(False)
-    return F.exists(arr, lambda x: F.lower(x).isin(*[w.lower() for w in words]))
+def _any_in(arr, triggers: list[str]):
+    """True when the token window contains any trigger: single tokens via
+    exists+isin, multi-token phrases via substring match on the space-joined,
+    space-padded window (token boundaries = spaces, so no partial-word hits)."""
+    words = [t.lower() for t in triggers if " " not in t]
+    phrases = [t.lower() for t in triggers if " " in t]
+    cond = F.lit(False)
+    if words:
+        cond = cond | F.exists(arr, lambda x: F.lower(x).isin(*words))
+    if phrases:
+        joined = F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.transform(arr, lambda x: F.lower(x))),
+            F.lit(" "),
+        )
+        for p in phrases:
+            cond = cond | joined.contains(f" {p} ")
+    return cond
 
 
 def classify_assertions(

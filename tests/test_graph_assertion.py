@@ -197,3 +197,27 @@ def test_pipeline_assertion_refined_triples(spark):
     plain = run_pipeline(spark, tx)
     preds = {r["pred"] for r in plain["triples"].collect()}
     assert "NEGATED_IN" not in preds and "HEDGED_IN" not in preds
+
+
+def test_phrase_trigger_boundaries(spark):
+    # 'ruled out' is a phrase trigger; 'ruled outward' must not match it
+    turns = _mk_turns(
+        spark,
+        [
+            "chest pain was ruled out",
+            "chest pain was ruled outward",
+        ],
+    )
+    mentions = spark.createDataFrame(
+        [
+            {"conv_id": "c0", "turn_idx": 0, "tok_start": 0, "tok_end": 1},
+            {"conv_id": "c0", "turn_idx": 1, "tok_start": 0, "tok_end": 1},
+        ]
+    )
+    got = {
+        r["turn_idx"]: r["assertion"]
+        for r in classify_assertions(
+            mentions, turns.select("conv_id", "turn_idx", "tokens")
+        ).collect()
+    }
+    assert got == {0: "negated", 1: "affirmed"}
