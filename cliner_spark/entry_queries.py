@@ -2149,8 +2149,8 @@ FROM events
 """,
 )
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-column profiler (profile.profile_table)."""
-    from cliner_spark.profile import profile_table
+    """One-pass per-column profiler (profiling.profile_table)."""
+    from cliner_spark.profiling import profile_table
 
     return profile_table(
         load(spark, sf_dir, "events"), ["event_id", "user_id", "event_type"]
@@ -2168,8 +2168,8 @@ GROUP BY 1, 2
 """,
 )
 def q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram over events.value (profile.histogram)."""
-    from cliner_spark.profile import histogram
+    """Fixed-width histogram over events.value (profiling.histogram)."""
+    from cliner_spark.profiling import histogram
 
     return histogram(load(spark, sf_dir, "events"), "value", 5.0)
 
@@ -2255,4 +2255,30 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi"))).alias(
             "keep"
         ),
+    )
+
+
+@register(
+    "q_role_concepts",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}
+SELECT CASE CAST(l.doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       l.concept_type, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT l.cui) AS BIGINT) AS n_concepts
+FROM linked l GROUP BY 1, 2
+""",
+)
+def q_role_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept mentions by speaker role (input_hint's role dimension —
+    'who asserted it'): role derived deterministically from doc_id the same
+    way q_triples derives conv/turn."""
+    linked = _doc_linked(spark, sf_dir)
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("conv_id") % 3).cast("int") + 1,
+    )
+    return linked.groupBy(role.alias("role"), "concept_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("cui").alias("n_concepts"),
     )

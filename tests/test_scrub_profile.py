@@ -1,8 +1,8 @@
-"""Unit tests for scrub.py (PII redaction chain) and profile.py."""
+"""Unit tests for scrub.py (PII redaction chain) and profiling.py."""
 
 from __future__ import annotations
 
-from cliner_spark.profile import histogram, profile_table
+from cliner_spark.profiling import histogram, profile_table
 from cliner_spark.scrub import scrub
 
 
