@@ -93,3 +93,55 @@ DEFAULT_TYPE_MAP = {
     "Clinical Drug": "treatment",
     "Antibiotic": "treatment",
 }
+
+
+# ---------------------------------------------------------------------------
+# Raw i2b2 document ingestion (the reference's actual on-disk input: paired
+# <record>.txt / <record>.con files — SURVEY.md S1/S2)
+# ---------------------------------------------------------------------------
+
+
+def _file_stem(path_col, ext: str):
+    return F.regexp_replace(
+        F.element_at(F.split(path_col, "/"), -1), rf"\.{ext}$", ""
+    )
+
+
+def read_i2b2_docs(spark: SparkSession, txt_glob: str) -> DataFrame:
+    """Raw i2b2 .txt records -> transcript-shaped (conv_id, turn_idx, text).
+
+    Each file is one record (conv_id = filename stem); each line one turn —
+    the reference's annotation unit (.con line numbers are 1-based line
+    indices). `wholetext` reads each file as ONE row, so line order is
+    structural (posexplode over split), not an accident of partitioning —
+    the per-turn text-equality invariant needs that stability. At scale one
+    file = one row is exactly right for documents; the downstream
+    ensure_parallelism handles few-huge-files skew.
+    """
+    # NB: the wholetext kwarg, not .option("wholetext", ...) — .text()
+    # re-sets its own options and silently drops a prior .option() value
+    raw = spark.read.text(txt_glob, wholetext=True).select(
+        F.input_file_name().alias("_path"), "value"
+    )
+    return raw.select(
+        _file_stem(F.col("_path"), "txt").alias("conv_id"),
+        F.posexplode(F.split(F.col("value"), "\n")).alias("turn_idx", "text"),
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
+
+
+def read_i2b2_cons(spark: SparkSession, con_glob: str) -> DataFrame:
+    """Raw i2b2 .con annotation files -> gold mention rows
+    (conv_id, turn_idx, tok_start, tok_end, mention_text, concept_type).
+
+    Plain line-per-row text read (records self-describe their line numbers,
+    so file-internal order is irrelevant); conv_id from the filename stem;
+    parsing/malformed-drop semantics are con_format.parse_con_lines.
+    """
+    from cliner_spark.con_format import parse_con_lines
+
+    raw = spark.read.text(con_glob).select(
+        F.input_file_name().alias("_path"), F.col("value").alias("con_line")
+    )
+    return parse_con_lines(
+        raw.select(_file_stem(F.col("_path"), "con").alias("conv_id"), "con_line")
+    )

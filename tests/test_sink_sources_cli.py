@@ -126,3 +126,60 @@ def test_cli_predict_evaluate_train(spark, tmp_path, capsys):
               "--model", model_path, "--epochs", "2"])
     m = tagger.load_model(model_path)
     assert m.W.any()  # training actually moved weights
+
+
+def test_i2b2_raw_pair_roundtrip(spark, tmp_path):
+    """Reference on-disk format: paired .txt/.con files -> transcripts +
+    gold mentions; planted annotations evaluate at P=R=1 vs the scan."""
+    import os
+
+    from cliner_spark.sources import read_i2b2_cons, read_i2b2_docs
+
+    d = tmp_path / "i2b2"
+    os.makedirs(d)
+    (d / "rec1.txt").write_text(
+        "patient has a heart attack today\nno other complaints\n"
+    )
+    (d / "rec1.con").write_text(
+        'c="heart attack" 1:3 1:4||t="problem"\n'
+        "malformed line that must be dropped\n"
+    )
+    (d / "rec2.txt").write_text("history of diabetes mellitus\n\n")
+    (d / "rec2.con").write_text('c="diabetes mellitus" 1:2 1:3||t="problem"\n')
+
+    docs = read_i2b2_docs(spark, str(d / "*.txt"))
+    got_docs = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in docs.collect()
+    }
+    assert got_docs[("rec1", 0)] == "patient has a heart attack today"
+    assert got_docs[("rec1", 1)] == "no other complaints"
+    assert got_docs[("rec2", 0)] == "history of diabetes mellitus"
+    assert ("rec2", 1) not in got_docs  # blank line filtered
+
+    gold = read_i2b2_cons(spark, str(d / "*.con"))
+    rows = {
+        (r["conv_id"], r["turn_idx"], r["tok_start"], r["tok_end"], r["concept_type"])
+        for r in gold.collect()
+    }
+    assert rows == {
+        ("rec1", 0, 3, 4, "problem"),
+        ("rec2", 0, 2, 3, "problem"),
+    }
+
+    # end-to-end: scan the raw docs with the clinical gazetteer and align
+    from cliner_spark.evaluate import exact_match_counts, prf
+    from cliner_spark.mentions import scan_mentions_expr
+
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    pred = scan_mentions_expr(docs, terms).select(
+        "conv_id", "turn_idx", "tok_start", "tok_end"
+    )
+    gold_k = gold.select("conv_id", "turn_idx", "tok_start", "tok_end")
+    counts = prf(
+        exact_match_counts(
+            pred.withColumn("concept_type", F.lit("any")),
+            gold_k.withColumn("concept_type", F.lit("any")),
+        )
+    ).collect()
+    micro = [r for r in counts if r["concept_type"] == "any"][0]
+    assert micro["precision"] == 1.0 and micro["recall"] == 1.0
