@@ -2282,3 +2282,89 @@ def q_role_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("cui").alias("n_concepts"),
     )
+
+
+@register(
+    "q_assertion_triples",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ},
+asserted AS (
+  SELECT m.doc_id, m.tok_start, m.tok_end, m.mention_text,
+         CASE
+           WHEN len(list_filter(d.toks[greatest(1, m.tok_start - 3) : m.tok_start],
+                                x -> lower(x) IN ('slow'))) > 0
+             OR len(list_filter(d.toks[m.tok_end + 2 : least(len(d.toks), m.tok_end + 5)],
+                                x -> lower(x) IN ('small'))) > 0
+           THEN 'negated'
+           WHEN len(list_filter(d.toks[greatest(1, m.tok_start - 3) : m.tok_start],
+                                x -> lower(x) IN ('fast'))) > 0
+             OR len(list_filter(d.toks[m.tok_end + 2 : least(len(d.toks), m.tok_end + 5)],
+                                x -> lower(x) IN ('fast'))) > 0
+           THEN 'uncertain'
+           ELSE 'affirmed'
+         END AS assertion
+  FROM mentions m JOIN docs d USING (doc_id)
+)
+SELECT DISTINCT 'concept:' || b.cui AS subj,
+       CASE a.assertion WHEN 'negated' THEN 'NEGATED_IN'
+                        WHEN 'uncertain' THEN 'HEDGED_IN'
+                        ELSE 'ASSERTED_IN' END AS pred,
+       'turn:' || CAST(a.doc_id AS VARCHAR) || '#0' AS obj,
+       CAST(a.doc_id AS VARCHAR) AS conv_id, CAST(0 AS INTEGER) AS turn_idx
+FROM asserted a JOIN best_gaz b ON lower(a.mention_text) = b.term
+""",
+)
+def q_assertion_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion-refined (concept, NEGATED_IN/HEDGED_IN/ASSERTED_IN, turn)
+    edges (assertion.assertion_triples) — the KG output of the --assertions
+    pipeline stage, hash-checked end to end."""
+    from cliner_spark.assertion import assertion_triples, classify_assertions
+
+    m = _doc_mentions_spark(spark, sf_dir)
+    toks = tokenize(load_docs(spark, sf_dir)).select("doc_id", "tokens")
+    asserted = classify_assertions(
+        m, toks, pre_neg=_A_PRE, post_neg=_A_POST, uncertain=_A_UNC,
+        window=4, keys=("doc_id",),
+    )
+    linked = link_mentions(
+        asserted.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "tok_start", "tok_end", "mention_text", "assertion",
+        ),
+        doc_gazetteer_df(spark),
+    )
+    return assertion_triples(linked)
+
+
+@register(
+    "q_embedding_quantize",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xd,
+         list_aggregate(xd, 'min') AS lo, list_aggregate(xd, 'max') AS hi,
+         (list_aggregate(xd, 'max') - list_aggregate(xd, 'min')) / 255.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, xd, lo, hi, scale,
+         list_transform(xd, x -> CAST(CASE WHEN scale > 0 THEN round((x - lo) / scale)
+                                           ELSE 0 END AS INTEGER)) AS qv
+  FROM s
+)
+SELECT vec_id, lo, hi, array_to_string(qv, ',') AS q_str,
+       list_aggregate(list_transform(list_zip(xd, qv),
+                      p -> abs(p[1] - (lo + CAST(p[2] AS DOUBLE) * scale))), 'max') AS max_abs_err
+FROM q
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range embedding quantization (similarity.quantize_int8):
+    4x storage path for the ANN index, with per-vector reconstruction error."""
+    from cliner_spark.similarity import quantize_int8
+
+    return quantize_int8(load(spark, sf_dir, "embeddings"))

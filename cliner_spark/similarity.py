@@ -318,3 +318,36 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector min/max int8-range quantization of float embeddings —
+    the standard 4x storage reduction before ANN indexing at corpus scale.
+
+    q_i = round((x_i - lo) / scale), scale = (hi - lo)/255, stored with the
+    (lo, hi) dequantization range and the max absolute reconstruction error
+    per vector. Pure array expressions: float32 values are widened to double
+    FIRST so arithmetic is engine-exact (float ops promote differently
+    across engines); one map pass, no shuffle, no UDF.
+    """
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    lo = F.array_min(xd)
+    hi = F.array_max(xd)
+    scale = (hi - lo) / F.lit(255.0)
+    q = F.transform(
+        xd,
+        lambda v: F.when(scale > 0, F.round((v - lo) / scale, 0))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    err = F.array_max(
+        F.zip_with(xd, q, lambda a, b: F.abs(a - (lo + b.cast("double") * scale)))
+    )
+    return df.select(
+        F.col(id_col),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        # serialized for sink/oracle portability; consumers split(',') back
+        F.concat_ws(",", q).alias("q_str"),
+        err.alias("max_abs_err"),
+    )

@@ -237,3 +237,26 @@ def test_multimodal_plumbing(spark):
     assert math.isclose(sum(feats[0]["feature"]), 1.0, abs_tol=1e-5)
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x")
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values must be within scale/2 of the originals (the
+    round()'s half-step bound), and codes within [0, 255]."""
+    import numpy as np
+
+    from cliner_spark.similarity import quantize_int8
+
+    rng = np.random.RandomState(7)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in rng.randn(16)]}
+        for i in range(20)
+    ] + [{"vec_id": 99, "embedding": [0.5] * 8}]  # constant vector: scale 0
+    df = spark.createDataFrame(rows)
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, row in enumerate(rows):
+        r = out[row["vec_id"]]
+        codes = [int(c) for c in r["q_str"].split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        scale = (r["hi"] - r["lo"]) / 255.0
+        assert r["max_abs_err"] <= scale / 2 + 1e-12
+    assert out[99]["max_abs_err"] == 0.0  # constant vector reconstructs exactly
