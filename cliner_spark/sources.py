@@ -145,3 +145,51 @@ def read_i2b2_cons(spark: SparkSession, con_glob: str) -> DataFrame:
     return parse_con_lines(
         raw.select(_file_stem(F.col("_path"), "con").alias("conv_id"), "con_line")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transcript ingestion from interchange formats (JSONL / CSV)
+# ---------------------------------------------------------------------------
+
+
+def _transcripts_with_corrupt():
+    # StructType.add mutates in place — copy the shared schema, don't extend it.
+    from pyspark.sql import types as T
+
+    from cliner_spark import schemas
+
+    return T.StructType(
+        list(schemas.TRANSCRIPTS.fields) + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+
+
+def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL transcripts -> (transcript schema + _corrupt string).
+
+    PERMISSIVE mode with an explicit corrupt-record column: malformed lines
+    land in `_corrupt` instead of killing a 10^12-row ingest (FAILFAST) or
+    vanishing silently (DROPMALFORMED). Callers quarantine
+    `WHERE _corrupt IS NOT NULL` rows to a dead-letter sink and proceed
+    (Spark requires materializing — cache/write — before a query that
+    touches ONLY the corrupt column; normal scans that read data columns
+    are unaffected). Schema is enforced, never inferred — inference is a full extra pass at
+    scale and drifts with the data.
+    """
+    return (
+        spark.read.schema(_transcripts_with_corrupt())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV transcripts (headered) with the same PERMISSIVE quarantine
+    contract as read_transcripts_json."""
+    return (
+        spark.read.schema(_transcripts_with_corrupt())
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )

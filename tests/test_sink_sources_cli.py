@@ -183,3 +183,32 @@ def test_i2b2_raw_pair_roundtrip(spark, tmp_path):
     ).collect()
     micro = [r for r in counts if r["concept_type"] == "any"][0]
     assert micro["precision"] == 1.0 and micro["recall"] == 1.0
+
+
+def test_json_csv_transcript_ingest_quarantines_corrupt(spark, tmp_path):
+    from cliner_spark.sources import read_transcripts_csv, read_transcripts_json
+
+    jl = tmp_path / "tx.jsonl"
+    jl.write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello there", "tool": null, "ts": "2024-01-01T00:00:00"}\n'
+        "this is not json at all\n"
+        '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hi", "tool": "search", "ts": "2024-01-01T00:00:30"}\n'
+    )
+    # Spark forbids filtering on ONLY the corrupt column straight off the
+    # scan (SQLSTATE 0A000) — materialize first, per its documented guidance
+    df = read_transcripts_json(spark, str(jl)).cache()
+    good = df.filter("_corrupt IS NULL")
+    bad = df.filter("_corrupt IS NOT NULL")
+    assert good.count() == 2 and bad.count() == 1
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in good.collect()}
+    assert rows == {("c1", 0): "hello there", ("c1", 1): "hi"}
+
+    cs = tmp_path / "tx.csv"
+    cs.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c2,0,user,hello csv,,2024-01-01T00:00:00\n"
+        'c2,not_an_int,user,broken row,,2024-01-01T00:00:30\n'
+    )
+    dfc = read_transcripts_csv(spark, str(cs)).cache()
+    assert dfc.filter("_corrupt IS NULL").count() == 1
+    assert dfc.filter("_corrupt IS NOT NULL").count() == 1
