@@ -260,9 +260,7 @@ def q_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_concept_map(doc_gazetteer_df(spark))
 
 
-@register(
-    "q_triples",
-    f"""
+SQL_TRIPLES = f"""
 WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON},
 tx AS (
   SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id,
@@ -295,9 +293,12 @@ FROM (
                             ORDER BY conv_id ASC, turn_idx ASC) AS rn
   FROM lm WHERE cui <> canon_cui
 ) WHERE rn = 1
-""",
-)
-def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _doc_linked_transcript(spark: SparkSession, sf_dir: str):
+    """documents-as-transcript -> linked mentions + gazetteer (shared by the
+    triple-family queries)."""
     docs = load_docs(spark, sf_dir)
     w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
     tx = docs.select(
@@ -310,8 +311,31 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gaz = doc_gazetteer_df(spark)
     mentions = scan_mentions_expr(tx, DOC_TERMS)
-    linked = link_mentions(mentions, gaz)
+    return link_mentions(mentions, gaz), gaz
+
+
+@register("q_triples", SQL_TRIPLES)
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    linked, gaz = _doc_linked_transcript(spark, sf_dir)
     return build_triples(linked, gazetteer=gaz)
+
+
+@register("q_triple_upsert", SQL_TRIPLES)
+def q_triple_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance (triples.merge_triples): the transcript
+    arrives as two batches (even turns, then odd turns); triples are built
+    per batch and merged with min-provenance upsert. Because every per-key
+    aggregate in build_triples is a min, the merged KG must equal the
+    single-shot build row-for-row — the oracle is q_triples' SQL verbatim.
+    """
+    from cliner_spark.triples import merge_triples
+
+    linked, gaz = _doc_linked_transcript(spark, sf_dir)
+    linked = linked.localCheckpoint(eager=False)  # one scan, two batch filters
+    canon = canonical_concept_map(gaz)
+    batch_a = build_triples(linked.filter(F.col("turn_idx") % 2 == 0), canon_map=canon)
+    batch_b = build_triples(linked.filter(F.col("turn_idx") % 2 == 1), canon_map=canon)
+    return merge_triples(batch_a, batch_b)
 
 
 ENTRY_QUERY = "q_triples"

@@ -130,6 +130,46 @@ def build_triples(linked: DataFrame, gazetteer: DataFrame | None = None,
     )
 
 
+TRIPLE_KEY = ["subj", "pred", "obj"]
+
+
+def merge_triples(*batches: DataFrame) -> DataFrame:
+    """Deterministic KG merge: union triple batches, one row per
+    (subj, pred, obj), provenance = lexicographic min (conv_id, turn_idx).
+
+    Because every per-key aggregate in build_triples is itself a min (first
+    mentioning turn / first asserting conv), merge is associative:
+    merge(triples(batch_a), triples(batch_b)) == triples(batch_a ∪ batch_b)
+    exactly — re-running the pipeline over accumulated input and merging
+    per-batch outputs agree row-for-row. One shuffle on the triple key with
+    map-side partial aggregation; assertion-refined preds (NEGATED_IN /
+    HEDGED_IN) are part of the key, so refinements from different batches
+    coexist rather than silently overwriting.
+    """
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return (
+        out.groupBy(*TRIPLE_KEY)
+        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
+        .select(*TRIPLE_KEY, F.col("prov.conv_id").alias("conv_id"),
+                F.col("prov.turn_idx").alias("turn_idx"))
+    )
+
+
+def incremental_new_triples(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Append-only increment: incoming triples whose (subj, pred, obj) key is
+    not already in the KG — the `MERGE INTO ... WHEN NOT MATCHED THEN INSERT`
+    plan for the Iceberg sink. First-writer-wins provenance (existing rows are
+    never rewritten), which is the scale-correct choice: the existing KG is
+    10^12-row-sized and stays untouched on disk; only the (small) incoming
+    batch shuffles against it, and with the sink bucketed by the same key the
+    anti-join is co-located. Use merge_triples for an exact global-min
+    provenance rebuild instead.
+    """
+    return incoming.join(existing.select(*TRIPLE_KEY), TRIPLE_KEY, "left_anti")
+
+
 def hot_conversations(turns: DataFrame, threshold: int = HOT_CONV_THRESHOLD) -> DataFrame:
     """Pre-pass heavy-hitter detection: conversations with > threshold turns.
 

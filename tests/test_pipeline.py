@@ -140,3 +140,39 @@ def test_per_turn_text_equality_invariant(spark):
     assert [r["text"] for r in round_trip] == [r["text"] for r in src]
     # fixture text is single-space separated, so rebuilt == text here
     assert all(r["rebuilt"] == r["text"] for r in round_trip)
+
+
+def test_merge_triples_equals_single_shot_build(spark):
+    """merge(triples(even turns), triples(odd turns)) == triples(all):
+    every per-key aggregate in build_triples is a min, so the batch merge
+    is associative and must agree row-for-row."""
+    from cliner_spark.canonicalize import canonical_concept_map
+    from cliner_spark.link import link_mentions
+    from cliner_spark.triples import (
+        build_triples,
+        incremental_new_triples,
+        merge_triples,
+    )
+
+    rows = _fixture_rows()
+    df = fixtures.transcripts_df(spark, rows)
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})
+    gaz = fixtures.gazetteer_df(spark)
+    linked = link_mentions(scan_mentions_expr(df, terms), gaz).cache()
+    canon = canonical_concept_map(gaz)
+
+    whole = set(map(tuple, build_triples(linked, canon_map=canon).collect()))
+    a = build_triples(linked.filter(F.col("turn_idx") % 2 == 0), canon_map=canon)
+    b = build_triples(linked.filter(F.col("turn_idx") % 2 == 1), canon_map=canon)
+    merged = set(map(tuple, merge_triples(a, b).collect()))
+    assert merged == whole and len(whole) > 100
+
+    # append-only increment: same key set, zero key overlap with existing,
+    # existing provenance never rewritten (first-writer-wins)
+    new = incremental_new_triples(a, b)
+    a_rows = a.collect()
+    a_keys = {(r["subj"], r["pred"], r["obj"]) for r in a_rows}
+    new_keys = {(r["subj"], r["pred"], r["obj"]) for r in new.collect()}
+    assert not (a_keys & new_keys)
+    merged_keys = {(s, p, o) for (s, p, o, *_prov) in merged}
+    assert a_keys | new_keys == merged_keys
