@@ -161,18 +161,27 @@ def dup_clusters(
     cluster; cluster_id = min doc_id in the component.
 
     Scale: the pair graph after the df_cut + threshold is tiny relative to
-    the corpus; the CC loop (canonicalize.connected_components) shuffles only
-    that graph. Cluster ids are numeric min (no lexicographic trap).
+    the corpus; the CC loop (canonicalize.connected_components) runs over
+    edge ENDPOINTS only — singletons (the overwhelming majority of a 100 TB
+    corpus) never enter the iterative rounds and are attached afterwards by
+    a single left join, label = own id. Cluster ids are numeric min (no
+    lexicographic trap).
     """
     from cliner_spark.canonicalize import connected_components
 
     pairs = jaccard_pairs(df, n=n, df_cut=df_cut, min_jaccard=min_jaccard,
                           id_col=id_col, text_col=text_col)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    nodes = df.select(F.col(id_col).alias("node"))
-    comps = connected_components(edges, nodes=nodes, node_col="node")
-    return comps.select(
-        F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
+    comps = connected_components(edges, node_col="node").withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+        )
     )
 
 
