@@ -2392,3 +2392,282 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.similarity import quantize_int8
 
     return quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Graph analytics round 2b: triangles; skew profiling; approx aggregates
+# ===========================================================================
+
+
+@register(
+    "q_triangles",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+e AS (SELECT DISTINCT src AS lo, dst AS hi FROM coedges WHERE src <> dst),
+w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e1.hi = e2.lo),
+tri AS (SELECT w.a, w.b, w.c FROM w JOIN e ON w.a = e.lo AND w.c = e.hi)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the concept co-occurrence graph
+    (graph.triangle_count): canonical low<high orientation, wedge join +
+    closing join — each triangle enumerated exactly once."""
+    from cliner_spark.graph import group_concept_pairs, triangle_count
+
+    edges = group_concept_pairs(_doc_linked(spark, sf_dir))
+    return triangle_count(edges)
+
+
+@register(
+    "q_key_skew",
+    """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n) AS t, avg(n) AS m FROM counts),
+ranked AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM counts
+)
+SELECT r.key, r.n, round(r.n / t.t, 6) AS share, round(r.n / t.m, 4) AS skew,
+       CAST(r.rank AS INTEGER) AS rank
+FROM ranked r CROSS JOIN tot t WHERE r.rank <= 20
+""",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew profile of events.user_id (profiling.key_skew):
+    the pre-pass that decides whether a shuffle key needs salting. Top-k via
+    distributed TakeOrdered, totals broadcast — no global window over the
+    (potentially key-cardinality-sized) count table."""
+    from cliner_spark.profiling import key_skew
+
+    return key_skew(load(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
+@register(
+    "q_approx_distinct",
+    """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count with a verified error bound: the Spark side
+    REALLY computes approx_count_distinct (rsd=2%) next to the exact count
+    and asserts |approx - exact| <= 5% * exact into `within_bound`; the
+    oracle pins the exact count and expects the bound to hold (TRUE). The
+    sketch itself is engine-specific so its raw value can't be hash-matched
+    — the bound can. At 100 TB the exact column is dropped and the sketch
+    is the answer; partial HLL buffers merge map-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    ).select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("_approx") - F.col("n_exact"))
+         <= 0.05 * F.col("n_exact")).alias("within_bound"),
+    )
+
+
+@register(
+    "q_approx_quantile",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with a verified sandwich bound: approx p50
+    (accuracy=10000) must lie within the exact [p49, p51] band; the exact
+    interpolated median is the hash-checked column. At scale the exact
+    percentile (full sort per group) is dropped and the KLL/GK sketch is
+    the answer."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_ap"),
+        F.expr("percentile(value, 0.49)").alias("_lo"),
+        F.expr("percentile(value, 0.51)").alias("_hi"),
+    ).select(
+        "event_type",
+        "p50_exact",
+        ((F.col("_ap") >= F.col("_lo")) & (F.col("_ap") <= F.col("_hi"))).alias("within_bound"),
+    )
+
+
+# ===========================================================================
+# Relational round 2b: TPC-H q3/q6/q10 (adapted to the testdata columns)
+# ===========================================================================
+
+
+@register(
+    "q_tpch_q6",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: pure scan + filter + 1-row aggregate; the
+    plan check is that every predicate reaches PushedFilters and the scan
+    reads only 4 columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q3",
+    """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority (o_orderpriority stands in for the
+    missing o_shippriority): dimension filter broadcast into the fact join,
+    DECIMAL revenue so the top-10 ordering is reduction-order-exact."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    joined = li.join(
+        orders.join(
+            F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).alias("_rev")
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q_tpch_q10",
+    """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: quarter-filtered orders join the
+    returned lineitems, customer + nation dims broadcast; DECIMAL revenue
+    keeps the top-20 ordering exact."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).alias("_rev")
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("_rev").cast("double").alias("revenue"),
+                "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "q_conv_kg_summary",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON},
+tx AS (
+  SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+  FROM documents
+),
+lm AS (
+  SELECT t.conv_id, t.turn_idx, m.tok_start, b.cui, c.canon_cui
+  FROM mentions m
+  JOIN best_gaz b ON lower(m.mention_text) = b.term
+  JOIN canon c ON b.cui = c.cui
+  JOIN tx t ON m.doc_id = t.doc_id
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT cui) AS BIGINT) AS n_cuis,
+       CAST(count(DISTINCT canon_cui) AS BIGINT) AS n_concepts,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns_active,
+       CAST(min(turn_idx) AS INTEGER) AS first_turn
+FROM lm GROUP BY conv_id
+""",
+)
+def q_conv_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation KG rollup — the summary table a KG consumer reads
+    first: mention volume, surface vs canonical concept cardinality, active
+    turns. One shuffle on conv_id over canonical-joined mentions."""
+    from cliner_spark.triples import with_canonical
+
+    linked, gaz = _doc_linked_transcript(spark, sf_dir)
+    m = with_canonical(linked, canonical_concept_map(gaz))
+    return m.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.countDistinct("cui").cast("bigint").alias("n_cuis"),
+        F.countDistinct("canon_cui").cast("bigint").alias("n_concepts"),
+        F.countDistinct("turn_idx").cast("bigint").alias("n_turns_active"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+    )

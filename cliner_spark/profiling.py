@@ -47,6 +47,47 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return one.select(F.explode(structs).alias("s")).select("s.*")
 
 
+def key_skew(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Heavy-hitter skew profile for a prospective join/groupBy key:
+    (key, n, share, skew) for the top_k hottest keys, skew = n / mean
+    count per key. skew ≈ straggler factor if the key were shuffled on
+    directly — the pre-pass that decides whether a join needs salting
+    (triples.salted_partition_col) or AQE skew-join can handle it.
+
+    One map-side-combined count over the key; the count table can itself be
+    huge (billions of distinct keys), so NO global window touches it: top-k
+    goes through orderBy().limit() (Spark's distributed TakeOrdered — per-
+    partition heaps, driver merge of k·p rows) and the totals are a 1-row
+    aggregate broadcast-cross-joined onto the k survivors. The count table
+    is checkpointed once so the totals pass reuses it instead of re-scanning
+    the input.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("n").alias("_tot"), F.avg("n").alias("_mean")
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("n") / F.col("_mean"), 4).alias("skew"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("key").asc()))
+        .alias("rank"),
+    )
+
+
 def histogram(
     df: DataFrame, col: str, width: float, min_val: float = 0.0
 ) -> DataFrame:

@@ -221,3 +221,29 @@ def test_phrase_trigger_boundaries(spark):
         ).collect()
     }
     assert got == {0: "negated", 1: "affirmed"}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: triangles {a,b,c} and {a,b,d}; node degrees in
+    triangles: a=2, b=2, c=1, d=1. Edge orientation/duplicates must not
+    matter."""
+    from cliner_spark.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_key_skew_profile(spark):
+    from cliner_spark.profiling import key_skew
+
+    rows = [("hot",)] * 6 + [("w1",), ("w2",), ("w3",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew(df, "k", top_k=2).collect()
+    assert [(r["key"], r["n"], r["rank"]) for r in out] == [("hot", 6, 1), ("w1", 1, 2)]
+    top = out[0]
+    # 6 of 9 rows, mean count = 9/4 keys
+    assert abs(top["share"] - 6 / 9) < 1e-6 and abs(top["skew"] - 6 / 2.25) < 1e-3
