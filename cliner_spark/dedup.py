@@ -214,6 +214,55 @@ def simhash(
     return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs via hamming-band blocking:
+    (doc_a, doc_b, hamming) for pairs with hamming(simhash) <= max_hamming.
+
+    The fingerprint is split into n_bands bit-bands; candidates must share
+    at least one full band (equi-join on (band, value) — never all-pairs).
+    Pigeonhole guarantee: with n_bands > max_hamming the blocking is
+    EXHAUSTIVE, not approximate — <=max_hamming differing bits cannot touch
+    all n_bands, so every qualifying pair shares some band. Verification is
+    a JVM popcount on the XOR of the two fingerprints.
+    """
+    assert n_bands > max_hamming, "need n_bands > max_hamming for completeness"
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, bits=bits, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(f"shiftright(simhash, band * {band_bits})").bitwiseAND(F.lit(mask)),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "band", "bv"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -2671,3 +2671,44 @@ def q_conv_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("turn_idx").cast("bigint").alias("n_turns_active"),
         F.min("turn_idx").cast("int").alias("first_turn"),
     )
+
+
+@register(
+    "q_simhash_neardup",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tok AS (
+  SELECT d.doc_id, substr(md5(lower(u.tok)), 1, 4) AS hx
+  FROM docs d, unnest(d.toks) AS u(tok)
+),
+bits AS (
+  SELECT doc_id, p.p AS p,
+         ((strpos('0123456789abcdef', substr(hx, (p.p // 4) + 1, 1)) - 1)
+          // (1 << (p.p % 4))) % 2 AS bit
+  FROM tok, unnest(range(16)) AS p(p)
+),
+sums AS (SELECT doc_id, p, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 4)) & 15 AS bv
+  FROM sh, unnest(range(4)) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (dedup.simhash_pairs): hamming-band blocking
+    with the pigeonhole completeness guarantee (4 bands > 3 max hamming) —
+    the third member of the near-dup family next to Jaccard and MinHash."""
+    return _dedup.simhash_pairs(load_docs(spark, sf_dir), bits=16)

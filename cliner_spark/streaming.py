@@ -171,6 +171,8 @@ def run_stream_triples(
     checkpoint_path: str,
     gazetteer: DataFrame,
     assertions: bool = False,
+    merge: bool = False,
+    max_files: int = 16,
 ) -> None:
     """Streaming KG materialization: drain transcript micro-batches through
     the FULL batch pipeline (scan -> link [-> assert] -> canonicalize ->
@@ -189,15 +191,23 @@ def run_stream_triples(
 
     Dedup scope note: aggregate-grain edges (MENTIONS min-turn provenance,
     SAME_AS first-occurrence) are exact within a micro-batch. When a
-    conversation spans micro-batches, the append sink can hold one such edge
-    per batch; the production sink is an Iceberg MERGE INTO keyed on
-    (subj, pred, obj) (or a compaction view with min(turn_idx)), which is
-    where Spark puts cross-batch upserts — not in stream state. Turn-grain
-    edges (ASSERTED_IN/NEGATED_IN/HEDGED_IN, LINKED_TO) are exact
-    regardless of batch boundaries.
+    conversation spans micro-batches, the plain append sink can hold one
+    such edge per batch. merge=True closes that gap: each batch's triples
+    are anti-joined against the keys already in the sink
+    (triples.incremental_new_triples — the MERGE INTO ... WHEN NOT MATCHED
+    plan) before appending, so the sink stays one-row-per-(subj, pred, obj)
+    with first-writer-wins provenance across batch boundaries. On parquet
+    that is a per-batch sink read (bounded by sink size, not stream
+    history); on the production Iceberg sink the same anti-join IS the
+    MERGE INTO, pushed to the table format. Turn-grain edges
+    (ASSERTED_IN/NEGATED_IN/HEDGED_IN, LINKED_TO) are exact regardless of
+    batch boundaries either way.
     """
+    from pyspark.errors import AnalysisException
+
     from cliner_spark.canonicalize import canonical_concept_map
     from cliner_spark.pipeline import run_pipeline
+    from cliner_spark.triples import incremental_new_triples
 
     canon = canonical_concept_map(gazetteer).localCheckpoint(eager=True)
 
@@ -210,10 +220,21 @@ def run_stream_triples(
             canon_map=canon,
             assertions=assertions,
         )
-        out["triples"].write.mode("append").parquet(output_path)
+        tri = out["triples"]
+        if merge:
+            try:
+                existing = batch_df.sparkSession.read.parquet(output_path)
+                # materialize the increment BEFORE the write touches the
+                # directory it was computed against
+                tri = incremental_new_triples(existing, tri).localCheckpoint(
+                    eager=True
+                )
+            except AnalysisException:
+                pass  # first batch: sink doesn't exist yet
+        tri.write.mode("append").parquet(output_path)
 
     q = (
-        read_transcript_stream(spark, input_path)
+        read_transcript_stream(spark, input_path, max_files=max_files)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)

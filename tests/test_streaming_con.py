@@ -213,3 +213,37 @@ def test_dedup_stream_drops_redelivered_turns(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == len(rows)  # every turn exactly once
     assert out.select("conv_id", "turn_idx").distinct().count() == len(rows)
+
+
+def test_streaming_merge_dedups_cross_batch_edges(spark, tmp_path):
+    """merge=True: conversations SPAN micro-batches (split by turn parity),
+    yet the sink holds exactly one row per (subj, pred, obj) and the key
+    set equals the single-shot batch build — the streaming form of
+    triples.incremental_new_triples."""
+    from cliner_spark.pipeline import run_pipeline
+
+    rows = fixtures.gen_transcripts(n_convs=6, avg_turns=6, seed=77)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    # every conv contributes turns to BOTH files -> aggregate-grain edges
+    # (MENTIONS, SAME_AS) would duplicate across batches without merge
+    df.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(in_dir)
+    df.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stream_triples(
+        spark, in_dir, out_dir, ck, gaz, merge=True, max_files=1
+    )
+
+    sink = spark.read.parquet(out_dir).collect()
+    keys = [(r["subj"], r["pred"], r["obj"]) for r in sink]
+    assert len(keys) == len(set(keys)), "duplicate (subj,pred,obj) in merged sink"
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_pipeline(spark, df, gazetteer=gaz)["triples"].collect()
+    }
+    assert set(keys) == want and len(want) > 50
