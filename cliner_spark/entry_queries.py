@@ -2712,3 +2712,112 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the pigeonhole completeness guarantee (4 bands > 3 max hamming) —
     the third member of the near-dup family next to Jaccard and MinHash."""
     return _dedup.simhash_pairs(load_docs(spark, sf_dir), bits=16)
+
+
+@register(
+    "q_stratified_sample",
+    """
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '33' WHEN 'de' THEN '80'
+                WHEN 'es' THEN 'cc' WHEN 'fr' THEN 'ff' ELSE '00' END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampling.stratified_hash_sample):
+    keep ~20% of en, 50% of de, 80% of es, ~100% of fr, drop zh — the
+    language-rebalancing primitive of a corpus-mixture recipe. The bound
+    lookup is a literal map, evaluated inside the scan stage."""
+    from cliner_spark.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        load(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        {"en": "33", "de": "80", "es": "cc", "fr": "ff"},
+    ).select("doc_id", "lang", "bucket")
+
+
+@register(
+    "q_gap_fill",
+    """
+WITH bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+grps AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT g.event_type, h.hour, coalesce(c.n, 0) AS n
+FROM hours h CROSS JOIN grps g
+LEFT JOIN counts c ON c.event_type = g.event_type AND c.hour = h.hour
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine with zero-filled gaps (timeseries.gap_fill_hours):
+    sequence()-generated hours x broadcast group dim, left-joined counts —
+    the spine is dimension-sized, never fact-sized."""
+    from cliner_spark.timeseries import gap_fill_hours
+
+    return gap_fill_hours(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_gazetteer_diff",
+    f"""
+WITH gazv AS (SELECT * FROM {GAZ_SQL}),
+v2 AS (
+  SELECT term, cui, sem_type, canonical,
+         CASE WHEN sem_type = 'problem' THEN score + 0.05 ELSE score END AS score
+  FROM gazv WHERE cui NOT LIKE '%4'
+  UNION ALL
+  SELECT 'bloom filter', 'CD999', 'test', 'bloom filter', 0.88
+),
+o AS (SELECT term, cui, score AS old_score FROM gazv),
+n AS (SELECT term, cui, score AS new_score FROM v2)
+SELECT coalesce(o.term, n.term) AS term, coalesce(o.cui, n.cui) AS cui,
+       round(o.old_score, 4) AS old_score, round(n.new_score, 4) AS new_score,
+       CASE WHEN o.old_score IS NULL THEN 'added'
+            WHEN n.new_score IS NULL THEN 'removed'
+            WHEN o.old_score <> n.new_score THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n ON o.term = n.term AND o.cui = n.cui
+WHERE NOT (o.old_score IS NOT NULL AND n.new_score IS NOT NULL
+           AND o.old_score = n.new_score)
+""",
+)
+def q_gazetteer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer release diff (sources.gazetteer_diff): v2 bumps problem
+    scores by 0.05, retires cuis ending in 4, adds one concept. The
+    changed/removed set is the incremental re-link scope."""
+    from cliner_spark.sources import gazetteer_diff
+
+    v1 = doc_gazetteer_df(spark)
+    v2 = (
+        v1.filter(~F.col("cui").endswith("4"))
+        .withColumn(
+            "score",
+            F.when(F.col("sem_type") == "problem", F.col("score") + 0.05).otherwise(
+                F.col("score")
+            ),
+        )
+        .unionByName(
+            v1.sparkSession.createDataFrame(
+                [("bloom filter", "CD999", "test", "bloom filter", 0.88)],
+                v1.schema,
+            )
+        )
+    )
+    d = gazetteer_diff(v1, v2)
+    return d.select(
+        "term", "cui",
+        F.round("old_score", 4).alias("old_score"),
+        F.round("new_score", 4).alias("new_score"),
+        "change",
+    )

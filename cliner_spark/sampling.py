@@ -47,6 +47,29 @@ def hash_sample(df: DataFrame, key_col: str, hex_lt: str = SAMPLE_10PCT) -> Data
     return df.withColumn("bucket", b).filter(F.col("bucket") < hex_lt)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    thresholds: dict[str, str],
+    default: str = "00",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum gets its own hex
+    bound (e.g. keep 50% of rare-language docs but 5% of English), rows
+    selected by the same engine-portable md5 bucket as hash_sample. The
+    stratum→bound map is a literal map expression — no join, no shuffle,
+    fully pushed into the scan stage; strata absent from the map default
+    to `default` ("00" = drop).
+    """
+    m = F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv])
+    b = hex_bucket(F.col(key_col), 2)
+    thr = F.coalesce(m[F.col(stratum_col)], F.lit(default))
+    return (
+        df.withColumn("bucket", b)
+        .filter(F.col("bucket") < thr)
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

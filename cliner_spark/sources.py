@@ -147,6 +147,27 @@ def read_i2b2_cons(spark: SparkSession, con_glob: str) -> DataFrame:
     )
 
 
+def gazetteer_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Dimension-version diff for gazetteer releases (UMLS updates twice a
+    year): (term, cui, old_score, new_score, change) where change ∈
+    {added, removed, changed} — unchanged rows are dropped. One full-outer
+    join on the natural key; both sides are dimension-sized (broadcastable
+    next to the corpus, shuffled against each other here). Downstream, the
+    changed/removed set is exactly the re-link scope: only mentions whose
+    cui appears in the diff need re-scoring against the new release.
+    """
+    o = old.select("term", "cui", F.col("score").alias("old_score"))
+    n = new.select("term", "cui", F.col("score").alias("new_score"))
+    full = o.join(n, ["term", "cui"], "full_outer")
+    change = (
+        F.when(F.col("old_score").isNull(), "added")
+        .when(F.col("new_score").isNull(), "removed")
+        .when(F.col("old_score") != F.col("new_score"), "changed")
+        .otherwise("unchanged")
+    )
+    return full.withColumn("change", change).filter(F.col("change") != "unchanged")
+
+
 # ---------------------------------------------------------------------------
 # Transcript ingestion from interchange formats (JSONL / CSV)
 # ---------------------------------------------------------------------------
