@@ -2821,3 +2821,59 @@ def q_gazetteer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("new_score", 4).alias("new_score"),
         "change",
     )
+
+
+@register(
+    "q_incremental_relink",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS},
+v2 AS (
+  SELECT term, cui, sem_type, canonical,
+         CASE WHEN sem_type = 'problem' THEN score + 0.05 ELSE score END AS score
+  FROM gazv WHERE cui NOT LIKE '%4'
+  UNION ALL
+  SELECT 'bloom filter', 'CD999', 'test', 'bloom filter', 0.88
+),
+best_gaz2 AS (
+  SELECT term, cui, sem_type AS concept_type, score AS link_score
+  FROM (SELECT g.*, row_number() OVER (PARTITION BY term ORDER BY score DESC, cui ASC) AS rn
+        FROM v2 g)
+  WHERE rn = 1
+)
+SELECT m.doc_id, m.tok_start, m.tok_end, m.mention_text,
+       b.cui, b.concept_type, round(b.link_score, 4) AS link_score
+FROM mentions m JOIN best_gaz2 b ON lower(m.mention_text) = b.term
+""",
+)
+def q_incremental_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-link after a gazetteer release (link.incremental_relink):
+    only mentions whose term is in the release diff are re-scored against
+    v2; the oracle is the FULL v2 re-link — the incremental path must equal
+    it row-for-row (terms outside the diff cannot change their best row).
+    Removed cuis (…4) drop their links; the diff is broadcast, the linked
+    corpus is never shuffled."""
+    from cliner_spark.link import incremental_relink, link_mentions
+    from cliner_spark.sources import gazetteer_diff
+
+    m = _doc_mentions_spark(spark, sf_dir).localCheckpoint(eager=False)
+    v1 = doc_gazetteer_df(spark)
+    v2 = (
+        v1.filter(~F.col("cui").endswith("4"))
+        .withColumn(
+            "score",
+            F.when(F.col("sem_type") == "problem", F.col("score") + 0.05).otherwise(
+                F.col("score")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("bloom filter", "CD999", "test", "bloom filter", 0.88)], v1.schema
+            )
+        )
+    )
+    linked_v1 = link_mentions(m, v1)
+    out = incremental_relink(linked_v1, m, v2, gazetteer_diff(v1, v2))
+    return out.select(
+        "doc_id", "tok_start", "tok_end", "mention_text",
+        "cui", "concept_type", F.round("link_score", 4).alias("link_score"),
+    )

@@ -48,6 +48,37 @@ def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     ).drop("term")
 
 
+def incremental_relink(
+    linked_v1: DataFrame, mentions: DataFrame, gaz_v2: DataFrame, diff: DataFrame
+) -> DataFrame:
+    """Re-link ONLY what a gazetteer release touched: mentions whose
+    lowercase term appears in the release diff (sources.gazetteer_diff) are
+    re-scored against v2; everything else keeps its v1 link row untouched.
+
+    Exactness: a term absent from the diff has an identical candidate set
+    and scores in both releases, so its best-per-term row cannot change —
+    the incremental result equals a full v2 re-link row-for-row. Terms
+    REMOVED in v2 drop their links (inner join against v2 finds nothing);
+    terms ADDED in v2 affect the mention SCAN, not re-linking — they are
+    picked up by scanning new text with the v2 term list (the scan term
+    automaton is itself a gazetteer-version artifact).
+
+    Scale: the diff is release-sized (tiny) and broadcast twice (anti/semi);
+    the corpus-sized linked table is never shuffled, and only the touched
+    slice re-enters the broadcast link join.
+    """
+    terms = F.broadcast(
+        diff.select(F.lower("term").alias("_dterm")).distinct()
+    )
+    keep = linked_v1.join(
+        terms, F.lower(linked_v1["mention_text"]) == F.col("_dterm"), "left_anti"
+    )
+    stale = mentions.join(
+        terms, F.lower(mentions["mention_text"]) == F.col("_dterm"), "left_semi"
+    )
+    return keep.unionByName(link_mentions(stale, gaz_v2))
+
+
 def link_fuzzy(
     oov_mentions: DataFrame,
     gazetteer: DataFrame,
