@@ -1622,27 +1622,45 @@ def q_iob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def roundtrip(batches):
+        # ONE spans_to_flat_tags + chunk_flat_tags call per Arrow batch
+        # (both are natively batched over a turn_ids vector); the only
+        # Python loop left is flattening the per-doc span lists.
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "tok_start": pd.Series([], dtype="int32"),
+                "tok_end": pd.Series([], dtype="int32"),
+                "concept_type": pd.Series([], dtype="object"),
+            }
+        )
         for pdf in batches:
-            out = {"doc_id": [], "tok_start": [], "tok_end": [], "concept_type": []}
-            for conv, spans, text in zip(pdf["conv_id"], pdf["spans"], pdf["text"]):
-                n_tok = len((text or "").split())
-                lengths = np.asarray([n_tok], dtype=np.int64)
-                tri = [(0, int(s["tok_start"]), int(s["tok_end"]), s["concept_type"]) for s in spans]
-                flat = spans_to_flat_tags(tri, lengths, LABELS)
-                chunked = chunk_flat_tags(flat, np.zeros(n_tok, dtype=np.int64), LABELS)
-                if chunked:
-                    _, ss, ee, ty = chunked
-                    for a, b, t in zip(ss, ee, ty):
-                        out["doc_id"].append(int(conv))
-                        out["tok_start"].append(int(a))
-                        out["tok_end"].append(int(b))
-                        out["concept_type"].append(t)
+            if len(pdf) == 0:
+                yield empty
+                continue
+            lengths = (
+                pdf["text"].fillna("").str.split().str.len().to_numpy(np.int64)
+            )
+            rows = np.repeat(
+                np.arange(len(pdf)), pdf["spans"].str.len().to_numpy(np.int64)
+            )
+            tri = [
+                (int(r), int(s["tok_start"]), int(s["tok_end"]), s["concept_type"])
+                for r, s in zip(rows, (s for lst in pdf["spans"] for s in lst))
+            ]
+            flat = spans_to_flat_tags(tri, lengths, LABELS)
+            turn_ids = np.repeat(np.arange(len(pdf)), lengths)
+            chunked = chunk_flat_tags(flat, turn_ids, LABELS)
+            if not chunked:
+                yield empty
+                continue
+            rr, ss, ee, ty = chunked
+            conv = pdf["conv_id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "tok_start": pd.Series(out["tok_start"], dtype="int32"),
-                    "tok_end": pd.Series(out["tok_end"], dtype="int32"),
-                    "concept_type": pd.Series(out["concept_type"], dtype="object"),
+                    "doc_id": pd.Series(conv[rr].astype(np.int64), dtype="int64"),
+                    "tok_start": pd.Series(ss, dtype="int32"),
+                    "tok_end": pd.Series(ee, dtype="int32"),
+                    "concept_type": pd.Series(ty, dtype="object"),
                 }
             )
 
