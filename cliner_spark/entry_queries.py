@@ -1274,9 +1274,14 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
     flt = F.col("vec_id") < 20
-    exact = _sim.brute_force_topk(emb, flt, k=3)
-    seeded = _sim.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4)
-    lsh = _sim.lsh_topk(emb, flt, k=3, n_planes=8, dims=64)
+    # each top-k is <=60 rows; localCheckpoint so (a) `exact` isn't evaluated
+    # twice (hits join + query spine) and (b) the recall joins don't re-run
+    # three full similarity plans per branch of the union
+    exact = _sim.brute_force_topk(emb, flt, k=3).localCheckpoint(eager=False)
+    seeded = _sim.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4).localCheckpoint(
+        eager=False
+    )
+    lsh = _sim.lsh_topk(emb, flt, k=3, n_planes=8, dims=64).localCheckpoint(eager=False)
     appx = seeded.select(
         F.lit("ivf_seeded").alias("method"), "query_id", "neighbor_id"
     ).unionByName(lsh.select(F.lit("lsh").alias("method"), "query_id", "neighbor_id"))

@@ -73,19 +73,25 @@ def brute_force_topk(
     )
 
 
+def _plane_weights(plane: int, dims: int) -> list[float]:
+    """h_plane[d] = +1 if the first hex digit of md5('{plane}#{d}') < 8 else -1.
+
+    Computed driver-side with hashlib — bit-identical to the SQL
+    `conv(substring(md5(...),1,1),16,10) < 8` the DuckDB oracle runs, but it
+    keeps the per-row expression tree tiny: 512 nested md5/conv/when exprs
+    (8 planes x 64 dims) made Catalyst optimization the dominant cost of
+    every LSH query (~25 s warm on 2k rows)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}#{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+        for d in range(dims)
+    ]
+
+
 def _projection_sign(vec: Column, plane: int, dims: int) -> Column:
-    """Sign of <vec, h_plane> where h_plane[d] = +1 if the first hex digit of
-    md5('{plane}#{d}') < 8 else -1 (deterministic pseudo-random hyperplane).
-    """
-    weights = F.array(
-        *[
-            F.when(
-                F.conv(F.substring(F.md5(F.lit(f"{plane}#{d}")), 1, 1), 16, 10).cast("int") < 8,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for d in range(dims)
-        ]
-    )
+    """Sign of <vec, h_plane> for the deterministic md5 hyperplane."""
+    weights = F.array(*[F.lit(w) for w in _plane_weights(plane, dims)])
     proj = F.aggregate(
         F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
@@ -258,32 +264,40 @@ def ivf_seeded_topk(
     path, every step is plain SQL, so the DuckDB oracle reproduces the
     approximate result exactly — this is the hash-verifiable ANN path.
 
-    The seed fetch is a TakeOrdered (distributed, no full sort); the seed
-    table then flows through exactly the same broadcast-probe machinery as
-    the k-means index (ivf_topk_from_index) — assignment is a broadcast
-    crossJoin against the 16-row centroid table + per-vector argmax.
+    The seed fetch is a TakeOrdered (distributed, no full sort) collected to
+    the driver — n_lists rows, the same dim-table allowance as the gazetteer.
+    Corpus cell assignment is then a NARROW per-row argmax over n_lists
+    inline cosine expressions (greatest over (csim, -cell) structs — ties
+    break to the lower cell, exactly the old window's desc(csim)/asc(cell)
+    order) instead of a crossJoin explosion + corpus-wide row_number window:
+    at 10^12 rows that removes a 16x row blow-up and a full shuffle on the
+    unique vector id.
     """
-    seeds = (
+    spark = emb.sparkSession
+    seed_rows = (
         emb.select(F.col(id_col), F.col(vec_col))
         .withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
         .limit(n_lists)
+        .collect()
     )
-    cent_df = seeds.withColumn(
-        "cell", (F.row_number().over(Window.orderBy("_h", id_col)) - 1).cast("int")
-    ).select("cell", F.col(vec_col).alias("centroid"))
+    centroids = [(int(c), [float(v) for v in r[vec_col]]) for c, r in enumerate(seed_rows)]
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in centroids], f"cell int, centroid array<double>"
+    )
 
     # cell = argmax of rounded cosine to the seeds (tie -> lower cell)
-    x = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("csim", cosine_sim(F.col(vec_col), F.col("centroid")))
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine_sim(F.col(vec_col), F.array(*[F.lit(v) for v in vec])).alias("csim"),
+                F.lit(-c).alias("negcell"),
+            )
+            for c, vec in centroids
+        ]
     )
-    wa = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
-    assigned = (
-        x.withColumn("_r", F.row_number().over(wa))
-        .filter(F.col("_r") == 1)
-        .select(F.col(id_col), F.col(vec_col), "cell")
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), (-best["negcell"]).cast("int").alias("cell")
     )
     return ivf_topk_from_index(
         cent_df, assigned, query_filter, k, n_probe, id_col, vec_col
