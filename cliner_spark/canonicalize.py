@@ -196,19 +196,16 @@ def surface_form_counts(
 
 def canonical_concept_map(gazetteer: DataFrame) -> DataFrame:
     """(cui, canon_cui): every cui -> min cui of its connected component."""
-    import math
-
     edges = concept_edges(gazetteer)
     nodes = gazetteer.select(F.col("cui").alias("node")).distinct()
     # Since connected_components VERIFIES the fixpoint after the budget and
     # tops up, the budget is purely a cost knob: each round costs 2-3 Spark
     # jobs, a verify costs 1, and gazetteer shared-string chains are shallow
-    # (2-3 hops; pointer jumping covers depth 2^rounds). A small budget +
-    # verify beats the former ceil(log2 n)+1 rounds — which, without the
-    # verify, was also not sufficient for adversarial id orderings.
-    n = max(nodes.count(), 2)
+    # (2-3 hops; pointer jumping covers depth 2^rounds). A flat budget of 3
+    # + verify beats the former ceil(log2 n)+1 rounds — which, without the
+    # verify, was also not sufficient for adversarial id orderings — and
+    # needs no up-front count() job just to size the budget.
     comps = connected_components(
-        edges, nodes=nodes, node_col="node",
-        fixed_iterations=min(3, int(math.ceil(math.log2(n))) + 1),
+        edges, nodes=nodes, node_col="node", fixed_iterations=3,
     )
     return comps.select(F.col("node").alias("cui"), F.col("comp").alias("canon_cui"))

@@ -1851,6 +1851,37 @@ def q_kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop(edges, "CD001", k=2).select("node", F.col("hops").cast("int").alias("hops"))
 
 
+@register(
+    "q_kg_bfs",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+e2 AS (SELECT src AS s, dst AS t FROM coedges UNION SELECT dst, src FROM coedges),
+bfs(node, hops) AS (
+  SELECT 'CD001', 0
+  UNION
+  SELECT e2.t, bfs.hops + 1
+  FROM bfs JOIN e2 ON e2.s = bfs.node
+  WHERE bfs.hops < 10
+)
+SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM bfs GROUP BY node
+""",
+)
+def q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest distances from CD001 over the concept
+    co-occurrence graph, run to frontier EXHAUSTION (graph.bfs_distances —
+    data-dependent superstep count, the loop shape fixed-k k_hop can't
+    express). The oracle is a recursive CTE: DuckDB's UNION-recursion
+    saturates reachability and min(hops) recovers the shortest distance, so
+    a Pregel-style iterative algorithm gets a full rows+schema+hash check.
+    """
+    from cliner_spark.graph import bfs_distances, group_concept_pairs
+
+    edges = group_concept_pairs(_doc_linked(spark, sf_dir))
+    return bfs_distances(edges, "CD001", max_hops=10).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Unrolled fixed-point PageRank CTE chain mirroring
     graph.pagerank_fixed_point exactly (BIGINT ops only — hash-stable)."""

@@ -205,6 +205,49 @@ def k_hop(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
     return visited
 
 
+def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 10) -> DataFrame:
+    """Single-source shortest hop distances over the undirected edge set,
+    expanded to EXHAUSTION (the loop stops when the frontier empties, not at
+    a fixed k — the Pregel/BSP shape: per-superstep frontier-x-edges join +
+    anti-join against visited, frontier count as the driver-side loop
+    control).
+
+    max_hops bounds the supersteps (diameter guard); hitting it raises
+    rather than silently returning partial distances. Scale: each superstep
+    shuffles only frontier-adjacent edges; the visited/frontier sets stay
+    node-sized and are broadcast into the expansion join.
+    """
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(seed, 0)], "node string, hops int")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            return visited
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    if (
+        sym.join(F.broadcast(frontier.select(F.col("node").alias("src"))), "src")
+        .select(F.col("dst").alias("node"))
+        .join(visited.select("node"), "node", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise RuntimeError(f"bfs_distances: frontier not empty after {max_hops} hops")
+    return visited
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = 3,
