@@ -260,6 +260,28 @@ def q_canonical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_concept_map(doc_gazetteer_df(spark))
 
 
+@register(
+    "q_canonical_cc_twostar",
+    f"""
+WITH RECURSIVE gazv AS (SELECT * FROM {GAZ_SQL}), {SQL_CANON}
+SELECT cui, canon_cui FROM canon
+""",
+)
+def q_canonical_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same canonical map, computed by the alternating large-star/small-star
+    algorithm (canonicalize.connected_components_twostar — proven O(log n)
+    rounds, Kiveris et al. 2014) instead of min-label propagation. Shares
+    q_canonical_cc's oracle: both must produce the identical component-min
+    labelling."""
+    from cliner_spark.canonicalize import concept_edges, connected_components_twostar
+
+    gaz = doc_gazetteer_df(spark)
+    comps = connected_components_twostar(
+        concept_edges(gaz), nodes=gaz.select(F.col("cui").alias("node")).distinct()
+    )
+    return comps.select(F.col("node").alias("cui"), F.col("comp").alias("canon_cui"))
+
+
 SQL_TRIPLES = f"""
 WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON},
 tx AS (

@@ -111,6 +111,49 @@ def test_cc_fixed_budget_converges_on_adversarial_path(spark):
     assert labels == {n: "1" for n in path}
 
 
+def test_twostar_cc_equals_minlabel_on_random_graphs(spark):
+    """large-star/small-star CC must produce the identical component-min
+    labelling as min-label propagation — on the adversarial path, a seeded
+    random graph (incl. isolated nodes), and a graph of disjoint cliques."""
+    import random
+
+    from cliner_spark.canonicalize import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    rng = random.Random(41)
+    rand_edges = [
+        (f"n{rng.randrange(40):02d}", f"n{rng.randrange(40):02d}") for _ in range(30)
+    ]
+    cases = [
+        ([("1", "6"), ("6", "5"), ("5", "4"), ("4", "3"), ("3", "2")], None),
+        (rand_edges, [f"n{i:02d}" for i in range(45)]),  # 5 isolated nodes
+        (
+            [(f"c{g}{i}", f"c{g}{j}") for g in "ab" for i in range(4) for j in range(i)],
+            None,
+        ),
+    ]
+    for edge_rows, node_ids in cases:
+        edges = spark.createDataFrame(
+            [e for e in edge_rows if e[0] != e[1]], "src string, dst string"
+        )
+        nodes = (
+            spark.createDataFrame([(n,) for n in node_ids], "node string")
+            if node_ids
+            else None
+        )
+        a = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+        b = {
+            r["node"]: r["comp"]
+            for r in connected_components_twostar(edges, nodes=nodes).collect()
+        }
+        assert a == b
+
+
 def test_triples_pr_against_oracle(spark):
     rows = _fixture_rows()
     df = fixtures.transcripts_df(spark, rows)
