@@ -2749,6 +2749,78 @@ def q_conv_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_TX_LMT = """
+tx AS (
+  SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx
+  FROM documents
+),
+lmt AS (
+  SELECT DISTINCT t.conv_id, t.turn_idx, b.cui
+  FROM mentions m
+  JOIN best_gaz b ON lower(m.mention_text) = b.term
+  JOIN tx t ON m.doc_id = t.doc_id
+)
+"""
+
+
+@register(
+    "q_cooccur_window",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_TX_LMT.strip()}
+SELECT a.cui AS src, b.cui AS dst, CAST(count(*) AS BIGINT) AS n_cooc
+FROM lmt a
+JOIN lmt b ON a.conv_id = b.conv_id
+          AND abs(a.turn_idx - b.turn_idx) <= 2
+          AND a.cui < b.cui
+GROUP BY a.cui, b.cui
+""",
+)
+def q_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG edges: concept pairs mentioned within ±2 turns in the
+    same conversation (graph.windowed_cooccurrence). The Spark plan is a
+    BANDED range join (bucket = turn div w, left side expanded to adjacent
+    buckets, pure equi-join) — the oracle states the same semantics as the
+    naive theta join DuckDB can afford at this scale."""
+    from cliner_spark.graph import windowed_cooccurrence
+
+    linked, _ = _doc_linked_transcript(spark, sf_dir)
+    return windowed_cooccurrence(linked, window=2)
+
+
+@register(
+    "q_concept_lifespan",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON}, {SQL_TX_LMT.strip()}
+SELECT c.canon_cui,
+       CAST(min(l.turn_idx) AS INTEGER) AS first_turn,
+       CAST(max(l.turn_idx) AS INTEGER) AS last_turn,
+       CAST(count(DISTINCT l.conv_id) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT l.conv_id || '#' || l.turn_idx) AS BIGINT) AS n_turns_active
+FROM lmt l JOIN canon c ON l.cui = c.cui
+GROUP BY c.canon_cui
+""",
+)
+def q_concept_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept lifespan/drift summary: per canonical concept, first/last
+    active turn, conversation reach, and distinct active turns — the
+    temporal profile a KG consumer reads to spot emerging or dying
+    concepts. One shuffle on canon_cui."""
+    from cliner_spark.triples import with_canonical
+
+    linked, gaz = _doc_linked_transcript(spark, sf_dir)
+    m = with_canonical(
+        linked.select("conv_id", "turn_idx", "cui").distinct(),
+        canonical_concept_map(gaz),
+    )
+    return m.groupBy("canon_cui").agg(
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.countDistinct("conv_id", "turn_idx").cast("bigint").alias("n_turns_active"),
+    )
+
+
 @register(
     "q_simhash_neardup",
     f"""

@@ -205,6 +205,56 @@ def k_hop(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
     return visited
 
 
+def windowed_cooccurrence(
+    mentions: DataFrame,
+    window: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    node_col: str = "cui",
+) -> DataFrame:
+    """Temporal co-occurrence edges: concept pairs mentioned within ±window
+    turns of each other in the same conversation.
+
+    NOT a naive theta self-join (|ta-tb| <= w on top of a conv-only equi-join
+    degenerates to per-conversation all-pairs — quadratic in conversation
+    length, fatal on 10^5-turn hot conversations). Banded range join
+    instead: the right side keys rows by bucket = turn div w; the left side
+    expands each row to its 3 adjacent buckets; the join is then a pure
+    equi-join on (conv, bucket) whose candidates are within 2w turns by
+    construction, and the exact |ta-tb| <= w predicate prunes the rest.
+    Each (left,right) row pair meets in exactly one bucket, so no dedup is
+    needed. Output: (src, dst, n_cooc) per unordered pair, src < dst.
+    """
+    m = mentions.select(conv_col, turn_col, node_col).distinct()
+    w = max(int(window), 1)
+    bucket = (F.col(turn_col) / w).cast("long")  # floor for non-negative turns
+    right = m.select(
+        F.col(conv_col).alias("_c"),
+        F.col(turn_col).alias("_tb"),
+        F.col(node_col).alias("_nb"),
+        bucket.alias("_bkt"),
+    )
+    left = (
+        m.select(
+            F.col(conv_col).alias("_c"),
+            F.col(turn_col).alias("_ta"),
+            F.col(node_col).alias("_na"),
+            bucket.alias("_b0"),
+        )
+        .withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_bkt", F.col("_b0") + F.col("_off"))
+    )
+    return (
+        left.join(right, ["_c", "_bkt"])
+        .filter(
+            (F.abs(F.col("_ta") - F.col("_tb")) <= w)
+            & (F.col("_na") < F.col("_nb"))
+        )
+        .groupBy(F.col("_na").alias("src"), F.col("_nb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+
+
 def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 10) -> DataFrame:
     """Single-source shortest hop distances over the undirected edge set,
     expanded to EXHAUSTION (the loop stops when the frontier empties, not at

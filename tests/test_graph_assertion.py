@@ -247,3 +247,32 @@ def test_key_skew_profile(spark):
     top = out[0]
     # 6 of 9 rows, mean count = 9/4 keys
     assert abs(top["share"] - 6 / 9) < 1e-6 and abs(top["skew"] - 6 / 2.25) < 1e-3
+
+
+def test_windowed_cooccurrence_equals_naive_theta_join(spark):
+    """The banded range join (bucket expansion + equi-join) must count
+    exactly the pairs the naive |ta-tb| <= w theta join counts — including
+    pairs that meet across bucket boundaries — and each (ta, tb) pair
+    exactly once."""
+    import itertools
+    import random
+
+    from cliner_spark.graph import windowed_cooccurrence
+
+    rng = random.Random(13)
+    rows = [
+        (f"c{rng.randrange(3)}", rng.randrange(12), f"CU{rng.randrange(5)}")
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, cui string")
+    for w in (1, 2, 3):
+        got = {
+            (r["src"], r["dst"]): r["n_cooc"]
+            for r in windowed_cooccurrence(df, window=w).collect()
+        }
+        distinct = sorted(set(rows))
+        want = {}
+        for (ca, ta, na), (cb, tb, nb) in itertools.product(distinct, distinct):
+            if ca == cb and abs(ta - tb) <= w and na < nb:
+                want[(na, nb)] = want.get((na, nb), 0) + 1
+        assert got == want, f"window={w}"
