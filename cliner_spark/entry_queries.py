@@ -2749,6 +2749,34 @@ def q_conv_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_compaction_plan",
+    """
+SELECT doc_id, bytes, CAST(floor(cum_before / 16384.0) AS INTEGER) AS bin
+FROM (
+  SELECT doc_id, CAST(strlen(coalesce(text, '')) AS BIGINT) AS bytes,
+         coalesce(sum(strlen(coalesce(text, ''))) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM documents
+)
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (maintenance.compaction_plan): pack
+    items in deterministic key order into ~16 KiB bins via a cumulative-sum
+    window — the metadata-only planner the triple sink's maintenance path
+    uses (documents stand in for the file listing so the oracle can verify
+    the packing rule)."""
+    from cliner_spark.maintenance import compaction_plan
+
+    sizes = load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias("bytes"),
+    )
+    return compaction_plan(sizes, 16384, key_col="doc_id", size_col="bytes")
+
+
 SQL_TX_LMT = """
 tx AS (
   SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id,

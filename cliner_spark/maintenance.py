@@ -1,0 +1,82 @@
+"""Table maintenance: small-file compaction (driver mandate — operational
+path for the triple/checkpoint sinks).
+
+A 10^12-turn pipeline writing per-partition incremental batches accumulates
+small files; readers then pay per-file open cost and lose row-group-sized
+scans. Compaction is metadata-planned (the file LISTING is dimension-sized
+even when the data is 100 TB): deterministic first-fit bin packing by
+cumulative size, then one rewrite job per bin.
+
+At prod the rewrite would be Iceberg's rewrite_data_files; here the planner
+is engine-agnostic and the executor rewrites parquet directories directly
+(same jar-absence note as the Iceberg sink, tools/probe_iceberg.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    key_col: str = "path",
+    size_col: str = "bytes",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign each file to a compaction bin: files in deterministic key
+    order are packed so every bin's START offset is a multiple of
+    target_bytes of cumulative input (bin = floor(cum_before / target)).
+    Bins therefore hold ~target_bytes each regardless of the input's
+    small-file skew, and the assignment is a pure window expression — no
+    driver loop, reproducible across engines.
+
+    The un-partitioned window is intentional: a file listing is metadata
+    (thousands of rows for a 100 TB table), not data. Pass partition_col to
+    plan independently per table partition (window becomes
+    partitionBy(partition_col) — parallel and safe at any partition count).
+    """
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "bin", F.floor(cum_before / F.lit(int(target_bytes))).cast("int")
+    )
+
+
+def list_data_files(spark: SparkSession, path: str) -> DataFrame:
+    """(path, bytes) listing of a directory's data files via the Hadoop
+    FileSystem API (works on file://, hdfs://, s3a:// alike). Metadata-only:
+    one driver-side RPC, no data read."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    rows = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith("_") and not name.startswith("."):
+            rows.append((st.getPath().toString(), int(st.getLen())))
+    return spark.createDataFrame(rows or [], "path string, bytes bigint")
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, target_bytes: int
+) -> int:
+    """Rewrite the parquet files under src into dst with ~target_bytes
+    files: plan bins from the listing, then one coalesce(1) write per bin
+    (bin count is metadata-scale; each write is a distributed read of just
+    that bin's files). Returns the number of bins written."""
+    plan = compaction_plan(list_data_files(spark, src), target_bytes).collect()
+    bins: dict[int, list[str]] = {}
+    for r in plan:
+        bins.setdefault(r["bin"], []).append(r["path"])
+    for b, paths in sorted(bins.items()):
+        spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst, f"bin={b}")
+        )
+    return len(bins)

@@ -62,3 +62,43 @@ def test_resume_skips_done_and_matches_full_run(spark, tmp_path):
     assert len(runs) == 2  # the crashed half + the resume
     assert all(r["wall_sec"] > 0 and r["partition_key"] == -1 for r in runs)
     assert all(r["wall_sec"] is None for r in buckets.collect())
+
+
+def test_compaction_roundtrip(spark, tmp_path):
+    """compact_parquet_dir: many small files -> few ~target-size bins with
+    row-for-row identical data; the plan's bins start at multiples of the
+    target in cumulative input bytes."""
+    from cliner_spark.maintenance import (
+        compact_parquet_dir,
+        compaction_plan,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 2000).withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    df.repartition(40).write.mode("overwrite").parquet(src)
+
+    listing = list_data_files(spark, src)
+    n_small = listing.count()
+    assert n_small >= 30  # genuinely a small-file mess
+
+    total = listing.agg(F.sum("bytes")).collect()[0][0]
+    target = int(total // 4) + 1
+    plan = compaction_plan(listing, target).collect()
+    assert {r["bin"] for r in plan} <= set(range(5))
+
+    n_bins = compact_parquet_dir(spark, src, dst, target)
+    assert n_bins <= 5
+    out = spark.read.parquet(dst)
+    assert out.count() == 2000
+    assert (
+        out.select("id", "payload").exceptAll(df.select("id", "payload")).count() == 0
+    )
+    out_files = [
+        r["path"]
+        for b in range(n_bins)
+        for r in list_data_files(spark, f"{dst}/bin={b}").collect()
+        if r["path"].endswith(".parquet")
+    ]
+    assert len(out_files) == n_bins < n_small
