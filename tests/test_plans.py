@@ -166,3 +166,47 @@ def test_lm_score_broadcasts_lm_table(spark):
     docs = spark.createDataFrame([{"doc_id": i, "text": "a b c a b"} for i in range(5)])
     s = plan(doc_lm_score(docs))
     assert "BroadcastHashJoin" in s, s
+
+
+def test_windowed_cooccurrence_is_equi_join_no_cartesian(spark):
+    """The banded range join must execute as a hash/sort-merge equi-join on
+    (conv, bucket) — never a nested-loop theta join, which would degenerate
+    to per-conversation all-pairs on 10^5-turn hot conversations."""
+    from cliner_spark.graph import windowed_cooccurrence
+
+    df = spark.createDataFrame(
+        [(f"c{i%3}", i % 11, f"CU{i%5}") for i in range(60)],
+        "conv_id string, turn_idx int, cui string",
+    )
+    s = plan(windowed_cooccurrence(df, window=2))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_twostar_round_is_two_aggregations_no_cartesian(spark):
+    """One large-star+small-star round = groupBy-min aggregations feeding
+    equi-joins; no cross products anywhere in the round plan."""
+    from cliner_spark.canonicalize import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(20)],
+        "src string, dst string",
+    )
+    s = plan(_small_star(_large_star(edges)))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_compaction_plan_partitioned_window_has_no_global_sort(spark):
+    """With partition_col, the planner's window partitions by the table
+    partition — the plan must hash-partition on it (parallel), not funnel
+    everything through a single global sort partition."""
+    from cliner_spark.maintenance import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"pt{i%4}", f"f{i:03d}", 1000 + i) for i in range(40)],
+        "pt string, path string, bytes bigint",
+    )
+    s = plan(compaction_plan(files, 4096, partition_col="pt"))
+    assert "hashpartitioning(pt" in s, s
+    assert "SinglePartition" not in s, s
