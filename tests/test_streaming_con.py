@@ -247,3 +247,35 @@ def test_streaming_merge_dedups_cross_batch_edges(spark, tmp_path):
         for r in run_pipeline(spark, df, gazetteer=gaz)["triples"].collect()
     }
     assert set(keys) == want and len(want) > 50
+
+
+def test_streaming_merge_is_idempotent_under_replay(spark, tmp_path):
+    """Crash-recovery redelivery: re-running the stream over the SAME input
+    with a fresh checkpoint (the worst case — all source files redelivered)
+    must leave the merge=True sink unchanged: the per-batch anti-join
+    against sink keys makes the append idempotent, i.e. exactly-once
+    per (subj, pred, obj) end to end."""
+    rows = fixtures.gen_transcripts(n_convs=4, avg_turns=5, seed=91)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    df.coalesce(1).write.parquet(in_dir)
+    gaz = fixtures.gazetteer_df(spark)
+
+    streaming.run_stream_triples(
+        spark, in_dir, out_dir, str(tmp_path / "ck1"), gaz, merge=True, max_files=1
+    )
+    first = sorted(
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert len(first) > 20
+
+    # redeliver everything (fresh checkpoint -> source replays all files)
+    streaming.run_stream_triples(
+        spark, in_dir, out_dir, str(tmp_path / "ck2"), gaz, merge=True, max_files=1
+    )
+    second = sorted(
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert second == first
