@@ -64,6 +64,81 @@ def list_data_files(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows or [], "path string, bytes bigint")
 
 
+def file_column_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """Manifest-style per-file column stats (min/max/null_count/rows) read
+    from parquet FOOTERS only — the metadata Iceberg keeps in manifests,
+    reconstructed for a raw parquet directory. Footer reads are a few KB per
+    file regardless of data size, so building the stats table costs
+    metadata I/O, not a table scan.
+
+    Output: (path, column, min_val, max_val, null_count, num_rows) with
+    values rendered as strings (mixed column types in one tall table).
+    """
+    import pyarrow.parquet as pq
+
+    listing = [r["path"] for r in list_data_files(spark, path).collect()]
+    rows = []
+    for fpath in listing:
+        local = fpath.removeprefix("file:")
+        md = pq.read_metadata(local)
+        agg: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name not in columns:
+                    continue
+                st = c.statistics
+                ent = agg.setdefault(name, [None, None, 0])
+                if st is not None and st.has_min_max:
+                    ent[0] = st.min if ent[0] is None else min(ent[0], st.min)
+                    ent[1] = st.max if ent[1] is None else max(ent[1], st.max)
+                if st is not None and st.null_count is not None:
+                    ent[2] += st.null_count
+        for name, (mn, mx, nulls) in agg.items():
+            rows.append(
+                (
+                    fpath,
+                    name,
+                    None if mn is None else str(mn),
+                    None if mx is None else str(mx),
+                    int(nulls),
+                    int(md.num_rows),
+                )
+            )
+    return spark.createDataFrame(
+        rows or [],
+        "path string, column string, min_val string, max_val string,"
+        " null_count bigint, num_rows bigint",
+    )
+
+
+def pruned_read(
+    spark: SparkSession, path: str, column: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose footer [min, max] range for `column`
+    overlaps [lo, hi] — manifest pruning on raw parquet. Returns
+    (dataframe filtered to the exact predicate, files_read, files_total).
+    The caller's predicate is re-applied so the result is exact; the stats
+    only decide which files to OPEN. NOTE: string-rendered stat comparison —
+    use for string keys or zero-padded numerics.
+    """
+    stats = file_column_stats(spark, path, [column]).filter(F.col("column") == column)
+    keep = [
+        r["path"]
+        for r in stats.collect()
+        if r["min_val"] is not None
+        and not (r["max_val"] < str(lo) or r["min_val"] > str(hi))
+    ]
+    total = stats.count()
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(F.col(column).between(lo, hi))
+    return df, len(keep), total
+
+
 def compact_parquet_dir(
     spark: SparkSession, src: str, dst: str, target_bytes: int
 ) -> int:

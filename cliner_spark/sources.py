@@ -214,3 +214,33 @@ def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
     )
+
+
+def read_transcripts_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet transcript batches whose schemas have DRIFTED (columns
+    added in later batches, columns not yet present in earlier ones) and
+    normalize every batch to the canonical transcript schema
+    (schemas.TRANSCRIPTS).
+
+    mergeSchema unions the physical schemas (a footer-level operation);
+    missing canonical columns are then filled with typed NULLs and extras
+    dropped, so downstream operators always see exactly the input_hint
+    shape. A batch missing a NON-NULLABLE canonical column (conv_id /
+    turn_idx) is a contract violation and raises instead of fabricating
+    keys.
+    """
+    from cliner_spark import schemas
+
+    df = spark.read.option("mergeSchema", True).parquet(*paths)
+    present = set(df.columns)
+    cols = []
+    for f in schemas.TRANSCRIPTS.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif not f.nullable:
+            raise ValueError(
+                f"evolving read: required column '{f.name}' absent from every batch"
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

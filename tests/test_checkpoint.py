@@ -102,3 +102,29 @@ def test_compaction_roundtrip(spark, tmp_path):
         if r["path"].endswith(".parquet")
     ]
     assert len(out_files) == n_bins < n_small
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """file_column_stats reads only footers; pruned_read must open strictly
+    fewer files than the directory holds when data is clustered by the
+    predicate column, and return exactly the rows a full-scan filter
+    returns."""
+    from cliner_spark.maintenance import file_column_stats, pruned_read
+
+    p = str(tmp_path / "clustered")
+    df = spark.range(0, 1000).withColumn(
+        "k", F.format_string("k%04d", F.col("id"))
+    )
+    # repartitionByRange -> files are clustered (disjoint k ranges per file)
+    df.repartitionByRange(10, "k").write.mode("overwrite").parquet(p)
+
+    stats = file_column_stats(spark, p, ["k"])
+    assert stats.count() == 10
+    assert stats.filter(F.col("num_rows") <= 0).count() == 0
+
+    got, n_read, n_total = pruned_read(spark, p, "k", "k0100", "k0199")
+    assert n_total == 10 and 0 < n_read < 10
+    want = sorted(
+        r["id"] for r in df.filter(F.col("k").between("k0100", "k0199")).collect()
+    )
+    assert sorted(r["id"] for r in got.collect()) == want and len(want) == 100

@@ -212,3 +212,39 @@ def test_json_csv_transcript_ingest_quarantines_corrupt(spark, tmp_path):
     dfc = read_transcripts_csv(spark, str(cs)).cache()
     assert dfc.filter("_corrupt IS NULL").count() == 1
     assert dfc.filter("_corrupt IS NOT NULL").count() == 1
+
+
+def test_evolving_schema_read_normalizes_batches(spark, tmp_path):
+    """Batch v1 lacks `tool`, batch v2 adds it plus an extra column; the
+    evolving read must union both under the exact canonical transcript
+    schema with NULL tool for v1 rows, extras dropped, and raise only when
+    a required key column is missing everywhere."""
+    import pytest
+
+    from cliner_spark import schemas
+    from cliner_spark.sources import read_transcripts_evolving
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(
+        [("c1", 0, "user", "hello", None)],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [("c2", 0, "agent", "hi", "search", None, "extra")],
+        "conv_id string, turn_idx int, role string, text string, tool string,"
+        " ts timestamp, debug_blob string",
+    ).write.parquet(p2)
+
+    out = read_transcripts_evolving(spark, p1, p2)
+    # parquet reads are nullable by construction; names/types/order must match
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in schemas.TRANSCRIPTS.fields
+    ]
+    rows = {r["conv_id"]: r for r in out.collect()}
+    assert rows["c1"]["tool"] is None and rows["c2"]["tool"] == "search"
+    assert "debug_blob" not in out.columns
+
+    p3 = str(tmp_path / "b3")
+    spark.createDataFrame([("no keys",)], "text string").write.parquet(p3)
+    with pytest.raises(ValueError, match="conv_id"):
+        read_transcripts_evolving(spark, p3)
