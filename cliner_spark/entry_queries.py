@@ -2750,6 +2750,33 @@ def q_conv_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_pairs",
+    f"""
+WITH {SQL_DOCS_TOKS},
+wc AS (
+  SELECT lower(u.tok) AS w, CAST(count(*) AS BIGINT) AS c
+  FROM docs d, unnest(d.toks) AS u(tok)
+  GROUP BY 1
+)
+SELECT substr(w, CAST(i.i AS INTEGER) + 1, 1) AS a,
+       substr(w, CAST(i.i AS INTEGER) + 2, 1) AS b,
+       CAST(sum(c) AS BIGINT) AS n
+FROM wc, unnest(range(strlen(w) - 1)) AS i(i)
+GROUP BY 1, 2
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 of BPE induction (lm.pair_counts over lm.word_freqs): the
+    corpus-weighted adjacent character-pair table the first merge argmax
+    reads. Runs over the DISTINCT-word frequency table, so the pair shuffle
+    is vocabulary-sized, not corpus-sized. The iterative merge loop itself
+    (lm.bpe_merges) is pytest-verified against a plain-Python BPE."""
+    from cliner_spark.lm import pair_counts, word_freqs
+
+    return pair_counts(word_freqs(load_docs(spark, sf_dir)))
+
+
+@register(
     "q_compaction_plan",
     """
 SELECT doc_id, bytes, CAST(floor(cum_before / 16384.0) AS INTEGER) AS bin
