@@ -2750,6 +2750,81 @@ def q_conv_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mention_contexts",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}
+SELECT m.doc_id, m.tok_start, m.tok_end, m.mention_text,
+       coalesce(array_to_string(d.toks[greatest(1, m.tok_start - 1) : m.tok_start], ' '), '') AS left_ctx,
+       coalesce(array_to_string(d.toks[m.tok_end + 2 : m.tok_end + 3], ' '), '') AS right_ctx
+FROM mentions m JOIN docs d USING (doc_id)
+""",
+)
+def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention-centric context windows (±2 tokens) — the training-example
+    extraction an entity-linking / embedding fine-tune consumes. One
+    equi-join mention->turn tokens, slices as JVM array expressions."""
+    w = 2
+    docs = load_docs(spark, sf_dir)
+    toks = F.col("toks")
+    m = _doc_mentions_spark(spark, sf_dir)
+    d = docs.select("doc_id", tokens_col("text").alias("toks"))
+    left_len = F.least(F.lit(w), F.col("tok_start"))
+    return (
+        m.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "tok_start",
+            "tok_end",
+            "mention_text",
+            F.concat_ws(
+                " ", F.slice(toks, F.col("tok_start") - left_len + 1, left_len)
+            ).alias("left_ctx"),
+            F.concat_ws(" ", F.slice(toks, F.col("tok_end") + 2, w)).alias(
+                "right_ctx"
+            ),
+        )
+    )
+
+
+@register(
+    "q_kg_negatives",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON}, {SQL_LINKED},
+pos AS (
+  SELECT DISTINCT CAST(l.doc_id AS VARCHAR) AS conv_id, c.canon_cui
+  FROM linked l JOIN canon c ON l.cui = c.cui
+),
+cdim AS (
+  SELECT canon_cui, CAST(row_number() OVER (ORDER BY canon_cui) - 1 AS BIGINT) AS rid
+  FROM (SELECT DISTINCT canon_cui FROM pos)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cdim),
+px AS (
+  SELECT p.conv_id, p.canon_cui,
+         CAST(concat('0x', substr(md5(p.conv_id || '|' || p.canon_cui), 1, 8)) AS BIGINT) % n.n AS i1
+  FROM pos p CROSS JOIN n
+)
+SELECT px.conv_id, px.canon_cui AS pos_obj,
+       CASE WHEN c1.canon_cui <> px.canon_cui THEN c1.canon_cui ELSE c2.canon_cui END AS neg_obj
+FROM px
+CROSS JOIN n
+JOIN cdim c1 ON c1.rid = px.i1
+JOIN cdim c2 ON c2.rid = (px.i1 + 1) % n.n
+""",
+)
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative samples for KG-embedding training
+    (graph.kg_negative_samples): md5-indexed corruption of the object side
+    of each (conv, canon_cui) positive — reproducible, hash-checked."""
+    from cliner_spark.graph import kg_negative_samples
+    from cliner_spark.triples import with_canonical
+
+    linked, gaz = _doc_linked(spark, sf_dir), doc_gazetteer_df(spark)
+    m = with_canonical(linked, canonical_concept_map(gaz))
+    return kg_negative_samples(m.select("conv_id", "canon_cui"))
+
+
+@register(
     "q_bpe_pairs",
     f"""
 WITH {SQL_DOCS_TOKS},

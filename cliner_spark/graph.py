@@ -205,6 +205,52 @@ def k_hop(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
     return visited
 
 
+def kg_negative_samples(
+    positives: DataFrame,
+    subj_col: str = "conv_id",
+    obj_col: str = "canon_cui",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training: for every
+    positive (subj, obj) edge, one corrupted edge (subj, neg_obj) with
+    neg_obj drawn pseudo-uniformly from the concept vocabulary by an
+    md5-derived index — reproducible across engines and partitionings (no
+    RNG), so the sample is hash-verifiable. If the drawn concept equals the
+    true object, the next index (mod n) is taken instead.
+
+    Scale shape: the concept dimension (distinct objects) gets dense ids
+    via one dimension-sized window, then TWO broadcast equi-joins attach
+    the candidate and its fallback — the fact side never shuffles.
+    """
+    concepts = positives.select(obj_col).distinct()
+    n = concepts.count()  # dimension cardinality (driver scalar, like n_lists)
+    if n < 2:
+        raise ValueError("negative sampling needs >= 2 distinct objects")
+    cdim = concepts.withColumn(
+        "rid", (F.row_number().over(Window.orderBy(obj_col)) - 1).cast("long")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(subj_col), F.col(obj_col))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    pos = positives.select(subj_col, obj_col).distinct().withColumn(
+        "_i1", F.pmod(h, F.lit(n))
+    ).withColumn("_i2", F.pmod(F.col("_i1") + 1, F.lit(n)))
+    c1 = cdim.select(F.col("rid").alias("_i1"), F.col(obj_col).alias("_c1"))
+    c2 = cdim.select(F.col("rid").alias("_i2"), F.col(obj_col).alias("_c2"))
+    return (
+        pos.join(F.broadcast(c1), "_i1")
+        .join(F.broadcast(c2), "_i2")
+        .select(
+            F.col(subj_col),
+            F.col(obj_col).alias("pos_obj"),
+            F.when(F.col("_c1") != F.col(obj_col), F.col("_c1"))
+            .otherwise(F.col("_c2"))
+            .alias("neg_obj"),
+        )
+    )
+
+
 def windowed_cooccurrence(
     mentions: DataFrame,
     window: int = 2,
