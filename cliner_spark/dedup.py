@@ -296,3 +296,65 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def crossdoc_ngram_dup(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact n-gram duplication rate per document (the
+    corpus-level substring-dup signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at n-gram granularity):
+
+      n_pos      — number of n-gram positions in the doc
+      n_dup_pos  — positions whose gram also occurs in >=1 OTHER doc
+      dup_rate   — n_dup_pos / n_pos (0.0 when the doc has no grams)
+
+    Scale shape: gram->doc-count is a two-level aggregation (map-side
+    partial combine collapses within-doc repeats before the shuffle); the
+    duplicated-gram set joins back as a LEFT SEMI join on the gram key —
+    never a fact x fact join, and AQE's skew split handles stop-gram
+    hot keys. Per-position rows exist only inside the stage that feeds the
+    final per-doc count; nothing corpus-sized is ever collected.
+    """
+    toks = tokens_col(text_col)
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.lower(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = (
+        pos.join(dup_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_pos"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(grams_arr).cast("bigint").alias("n_pos")
+    )
+    return (
+        totals.join(dup_pos, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.greatest("n_pos", F.lit(0).cast("bigint")).alias("n_pos"),
+            F.coalesce("n_dup_pos", F.lit(0).cast("bigint")).alias("n_dup_pos"),
+            F.round(
+                F.when(
+                    F.col("n_pos") > 0,
+                    F.coalesce("n_dup_pos", F.lit(0).cast("bigint"))
+                    / F.col("n_pos").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

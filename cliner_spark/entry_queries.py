@@ -3155,3 +3155,115 @@ def q_incremental_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tok_start", "tok_end", "mention_text",
         "cui", "concept_type", F.round("link_score", 4).alias("link_score"),
     )
+
+
+# ===========================================================================
+# Retrieval / corpus-duplication family (round 2)
+# ===========================================================================
+
+
+@register(
+    "q_tfidf_top_terms",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tk AS (
+  SELECT d.doc_id, lower(t.tok) AS term
+  FROM docs d, unnest(d.toks) AS t(tok)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfq.df + 1)), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rk
+  FROM s
+) WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (textstats.tfidf_top_terms)."""
+    from cliner_spark.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(load_docs(spark, sf_dir), k=3)
+
+
+BM25_QUERY = ("stream", "vector", "window", "scan")
+
+
+@register(
+    "q_bm25_search",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tk AS (
+  SELECT d.doc_id, lower(t.tok) AS term
+  FROM docs d, unnest(d.toks) AS t(tok)
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE term IN ('stream', 'vector', 'window', 'scan') GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+           6) AS DECIMAL(38,6)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score FROM s GROUP BY 1)
+SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents table for a fixed 4-term query
+    (textstats.bm25_rank; k1=1.2, b=0.75)."""
+    from cliner_spark.textstats import bm25_rank
+
+    return bm25_rank(load_docs(spark, sf_dir), list(BM25_QUERY), k=10)
+
+
+@register(
+    "q_ngram_dup_rate",
+    f"""
+WITH {SQL_DOCS_TOKS},
+pos AS (
+  SELECT d.doc_id, lower(array_to_string(d.toks[t.i + 1 : t.i + 3], ' ')) AS gram
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 3 <= len(d.toks)
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1
+  ) WHERE nd >= 2
+),
+dp AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+  FROM pos p JOIN dup USING (gram) GROUP BY 1
+),
+tot AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_pos
+  FROM docs
+)
+SELECT t.doc_id, t.n_pos, coalesce(dp.n_dup_pos, 0) AS n_dup_pos,
+       round(CASE WHEN t.n_pos > 0
+             THEN CAST(coalesce(dp.n_dup_pos, 0) AS DOUBLE) / t.n_pos
+             ELSE 0.0 END, 6) AS dup_rate
+FROM tot t LEFT JOIN dp USING (doc_id)
+""",
+)
+def q_ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-document exact 3-gram duplication rate
+    (dedup.crossdoc_ngram_dup; production n=13 per Lee et al. 2022)."""
+    from cliner_spark.dedup import crossdoc_ngram_dup
+
+    return crossdoc_ngram_dup(load_docs(spark, sf_dir), n=3)

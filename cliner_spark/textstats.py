@@ -181,3 +181,112 @@ def repetition_features(
         frac(rep["top"]).alias("top2_frac"),
         max_run.alias("max_run"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (retrieval/feature-selection op).
+
+    score = tf * ln((N + 1) / (df + 1)), rounded to 6 decimals so the value
+    is reproducible bit-for-bit across engines and partition orders.
+    Deterministic tie-break (score desc, term asc). Scale shape: tf is one
+    shuffle on (doc, term) with map-side combine; df is an aggregation of
+    the tf table (no second pass over text); N is a driver-free scalar
+    carried via a 1-row crossJoin (broadcast — no collect); top-k is a
+    row_number window partitioned by doc — no global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    ).select(F.col(id_col), F.lower("term").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rk")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set (Robertson/Sparck
+    Jones; the retrieval scorer a training-data search index runs).
+
+      idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+      s(d, t)    = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+      score(d)   = sum over query terms, each term score rounded to 6
+                   decimals and summed as DECIMAL so the total is exact and
+                   partition-order independent.
+
+    Scale shape: the query-term filter is applied BEFORE the tf shuffle
+    (isin over a literal list — pushed into the scan stage), so only rows
+    matching the query ever shuffle; df/avgdl/N are tiny aggregates carried
+    by broadcast crossJoins; final top-k is one row_number window over the
+    scored docs (cardinality <= docs containing any query term).
+    """
+    from pyspark.sql import Window
+
+    qt = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    ).select(F.col(id_col), F.lower("term").alias("term"))
+    # doc length BEFORE the query filter (BM25 norm uses full doc length)
+    dl = df.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("term").isin(*qt))
+    tf = qtoks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = F.round(idf * F.col("tf") * (k1 + 1) / denom, 6)
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", term_score.cast("decimal(38,6)"))
+        .groupBy(id_col)
+        .agg(F.sum("s").cast("double").alias("score"))
+    )
+    # top-k as orderBy+limit -> TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows), NOT a row_number window that would shuffle
+    # every scored doc into a single partition; the rank window then runs
+    # over just the k survivors.
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        topk.withColumn("rk", F.row_number().over(w))
+        .select(id_col, "score", "rk")
+    )
