@@ -438,3 +438,57 @@ def tool_flow_triples(transcripts: DataFrame) -> DataFrame:
         F.concat(F.lit("tool:"), F.col("dst")).alias("obj"),
         F.col("n").alias("weight"),
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Adamic–Adar link-prediction score over an undirected edge list:
+    for every non-adjacent? (we keep all) candidate pair (a, b) with at
+    least one common neighbor w, score = Σ_w 1 / ln(deg(w)), rounded to 6
+    decimals via a fixed-point BIGINT sum so partial-aggregation order
+    cannot change the hash.
+
+    Plan shape: degrees are one aggregation; the common-neighbor pair
+    generation is a self-join of the adjacency list ON THE SHARED NEIGHBOR
+    (w) — each neighbor w contributes deg(w)² ordered pairs, so the classic
+    skew guard applies: a hub with degree d generates d² candidates. The
+    inverse-log weighting is exactly why the algorithm stays usable — hubs
+    contribute least — but at 100 TB a degree cap (drop w with deg > cap,
+    provably contributing < 1/ln(cap) each) bounds the blowup; here the
+    concept graph is gazetteer-sized so no cap is applied.
+
+    Nodes with deg(w) == 1 are excluded as common neighbors (1/ln(1) is
+    undefined/infinite and a degree-1 node cannot be a common neighbor of
+    two distinct others anyway).
+    """
+    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).distinct()
+    deg = und.groupBy(F.col("u").alias("w")).agg(F.count(F.lit(1)).alias("deg"))
+    # adjacency keyed by the neighbor: (w, x) means x is adjacent to w
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    a = adj.select("w", F.col("x").alias("a"))
+    b = adj.select("w", F.col("x").alias("b"))
+    contrib_fp = F.floor(F.lit(1e6) / F.log(F.col("deg").cast("double"))).cast(
+        "bigint"
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(deg.filter(F.col("deg") >= 2)), "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(contrib_fp).alias("score_fp"),
+        )
+    )
+    return pairs.filter(
+        F.col("score_fp") >= F.lit(int(min_score * 1e6))
+    ).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        "n_common",
+        "score_fp",
+    )

@@ -212,3 +212,70 @@ def bpe_merges(
             eager=True
         )
     return merges, w
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document, the
+    fixed-point log-likelihood ratio between a bigram LM fit on the TARGET
+    domain sample and one fit on the full (background) corpus:
+
+      weight_fp = Σ_bigrams floor(1e6·ln p_t(w2|w1)) − floor(1e6·ln p_b(w2|w1))
+
+    Both LMs are add-one smoothed over their own vocabulary; bigrams unseen
+    by the target LM fall back to ln(1/(C_t(w1)+V_t)) with C_t(w1)=0 when
+    w1 itself is out-of-vocabulary — handled by LEFT joins with coalesce,
+    never by dropping rows. floor of a deterministic double + BIGINT sums
+    keep the result exact under any partitioning (same trick as
+    doc_lm_score).
+
+    Scale shape: both LM tables are vocabulary-sized (broadcast); the
+    corpus-side bigram stream joins them map-side. Fitting the target LM on
+    a hash-sampled domain slice (the DSIR recipe) keeps even the target fit
+    a fraction of one corpus pass.
+    """
+    bg_lm = bigram_lm(df, id_col, text_col).select(
+        "w1", "w2", F.col("c_bigram").alias("cb_b"), F.col("c_w1").alias("cw_b"),
+        F.col("vocab").alias("v_b"),
+    )
+    t_bi = (
+        _doc_bigrams(target, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb_t"))
+    )
+    t_uni = (
+        _unigrams(target, text_col)
+        .groupBy(F.col("w").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("cw_t"))
+    )
+    t_v = _unigrams(target, text_col).agg(F.countDistinct("w").alias("v_t"))
+
+    dp = _doc_bigrams(df, id_col, text_col)
+    j = (
+        dp.join(F.broadcast(bg_lm), ["w1", "w2"])
+        .join(F.broadcast(t_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(t_uni), "w1", "left")
+        .crossJoin(F.broadcast(t_v))
+    )
+    fp_t = F.floor(
+        F.log(
+            (F.coalesce(F.col("cb_t"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("cw_t"), F.lit(0)) + F.col("v_t"))
+        )
+        * FP
+    ).cast("bigint")
+    fp_b = F.floor(
+        F.log((F.col("cb_b") + 1).cast("double") / (F.col("cw_b") + F.col("v_b"))) * FP
+    ).cast("bigint")
+    # every doc bigram exists in the background LM (fit on the same corpus),
+    # so the inner join is lossless; docs with <2 tokens have no row (same
+    # contract as doc_lm_score)
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(fp_t - fp_b).alias("weight_fp"),
+    )
