@@ -358,3 +358,44 @@ def crossdoc_ngram_dup(
             ).alias("dup_rate"),
         )
     )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup decision (Abbas et al. 2023): cluster
+    embedding near-duplicates (cosine >= threshold within an LSH bucket)
+    by connected components, keep exactly one representative per cluster
+    (the min id). Returns (id, cluster_id, keep) for EVERY vector.
+
+    Scale: pairs come from embedding_neardup_pairs (bucketed, never
+    all-pairs); the CC loop runs over pair-graph ENDPOINTS only —
+    singletons join in afterwards with keep = true, so the iterative part
+    touches only near-duplicate vectors (a sliver of a 100 TB corpus).
+    """
+    from cliner_spark.canonicalize import connected_components
+
+    pairs = embedding_neardup_pairs(
+        emb, threshold=threshold, n_planes=n_planes, dims=dims,
+        id_col=id_col, vec_col=vec_col,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components(edges, node_col="node").withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        emb.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+            (
+                F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+    )

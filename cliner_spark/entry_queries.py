@@ -3549,3 +3549,62 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return adamic_adar(edges)
+
+
+@register(
+    "q_semdedup",
+    f"""
+WITH RECURSIVE {SQL_EMB}, {_sql_lsh_buckets(4).strip()},
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_sql_cos('a.v', 'c.v')} AS sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  ) WHERE sim >= 0.35
+),
+sedges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, g.dst FROM reach r JOIN sedges g ON r.dst = g.src
+)
+SELECT src AS vec_id, min(dst) AS cluster_id, min(dst) = src AS keep
+FROM reach GROUP BY src
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision over embeddings
+    (dedup.semdedup_keep; LSH-bucketed cosine pairs -> CC -> min-id rep)."""
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _dedup.semdedup_keep(emb, threshold=0.35, n_planes=4, dims=64)
+
+
+@register(
+    "q_frame_dedup",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, lower(hex(encode(coalesce(text, '')))) AS h
+  FROM documents
+),
+fr AS (
+  SELECT media_id, CAST(t.i AS INTEGER) AS frame_idx,
+         substr(h, CAST(t.i * 64 + 1 AS BIGINT), 32) AS frame_hex
+  FROM m, unnest(range(CAST(ceil(length(h) / 64.0) AS BIGINT))) AS t(i)
+  WHERE t.i % 2 = 0
+)
+SELECT md5(frame_hex) AS frame_md5,
+       CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(media_id) AS rep_media,
+       CAST(min(CASE WHEN media_id = mm THEN frame_idx END) AS INTEGER) AS rep_frame_idx
+FROM (SELECT *, min(media_id) OVER (PARTITION BY frame_hex) AS mm FROM fr)
+GROUP BY frame_hex
+HAVING count(DISTINCT media_id) >= 2
+""",
+)
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media duplicated sampled frames (multimodal.frame_dedup)."""
+    media = _mm.attach_payload(load(spark, sf_dir, "documents"))
+    return _mm.frame_dedup(media, frame_bytes=32, stride=2, crop_bytes=16)

@@ -135,3 +135,35 @@ def sample_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+def frame_dedup(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 2,
+    crop_bytes: int = 16,
+) -> DataFrame:
+    """Cross-media duplicated frames: sampled frames (sample_frames) that
+    occur in >= 2 distinct media payloads — the repeated-intro /
+    shared-asset signal a video/image pipeline dedups on. One aggregation
+    keyed by frame content hash; representative = (min media, then min
+    frame_idx within that media), computed with a single min over a
+    (media_id, frame_idx) struct so no second pass or window is needed.
+    """
+    frames = sample_frames(media, frame_bytes, stride, crop_bytes)
+    return (
+        frames.groupBy(F.md5("frame_hex").alias("frame_md5"))
+        .agg(
+            F.count_distinct("media_id").alias("n_media"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("media_id", "frame_idx")).alias("_rep"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .select(
+            "frame_md5",
+            "n_media",
+            "n_occurrences",
+            F.col("_rep.media_id").alias("rep_media"),
+            F.col("_rep.frame_idx").alias("rep_frame_idx"),
+        )
+    )

@@ -81,3 +81,68 @@ def test_adamic_adar_star_hub_contributes_little(spark):
     got = adamic_adar(edges).collect()
     assert len(got) == 6  # C(4,2) pairs
     assert all(r["score_fp"] == math.floor(1e6 / math.log(4)) for r in got)
+
+
+def test_semdedup_keeps_one_per_cluster(spark):
+    import numpy as np
+
+    from cliner_spark.dedup import semdedup_keep
+
+    # two identical vectors (cosine 1.0) + one orthogonal
+    v1 = [1.0] + [0.0] * 63
+    v3 = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [
+            {"vec_id": 10, "embedding": v1},
+            {"vec_id": 20, "embedding": v1},
+            {"vec_id": 30, "embedding": v3},
+        ]
+    )
+    got = {r["vec_id"]: r for r in semdedup_keep(emb, threshold=0.9).collect()}
+    assert got[10]["keep"] and got[10]["cluster_id"] == 10
+    assert not got[20]["keep"] and got[20]["cluster_id"] == 10
+    assert got[30]["keep"] and got[30]["cluster_id"] == 30
+
+
+def test_frame_dedup_cross_media_only(spark):
+    from cliner_spark.multimodal import attach_payload, frame_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # same 64-byte prefix -> shared frame 0 across media 1 and 2
+            {"doc_id": 1, "text": "A" * 64 + "unique-tail-one!" * 4},
+            {"doc_id": 2, "text": "A" * 64 + "other-tail-here!" * 4},
+            {"doc_id": 3, "text": "B" * 64},
+        ]
+    )
+    got = frame_dedup(attach_payload(docs)).collect()
+    # frame 0 of media 1/2 is the 16-byte crop of 'A'*32 -> one dup row
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_media"] == 2 and r["rep_media"] == 1 and r["rep_frame_idx"] == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned triple sink layout: a conv-bucket filter must reach
+    the scan as a PartitionFilter (directory pruning), not a data filter —
+    at 10^12 turns this is the difference between touching 1/64 of the
+    files and touching all of them."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "tri")
+    df = spark.range(1000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(8)).alias("bucket")
+    )
+    df.write.partitionBy("bucket").mode("overwrite").parquet(p)
+    plan = (
+        spark.read.parquet(p)
+        .filter(F.col("bucket") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [" in plan
+    # the partition predicate must NOT appear as a post-scan data Filter
+    assert plan.index("PartitionFilters") >= 0
+    got = spark.read.parquet(p).filter(F.col("bucket") == 3).count()
+    assert got == 125
