@@ -3608,3 +3608,158 @@ def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-media duplicated sampled frames (multimodal.frame_dedup)."""
     media = _mm.attach_payload(load(spark, sf_dir, "documents"))
     return _mm.frame_dedup(media, frame_bytes=32, stride=2, crop_bytes=16)
+
+
+# ===========================================================================
+# Round-2 batch 5: window stats, pivot, ntile, salted skew join
+# ===========================================================================
+
+
+@register(
+    "q_moving_zscore",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(n) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS sd,
+         count(*) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS nw
+  FROM hourly
+)
+SELECT event_type, hour, n,
+       round(CASE WHEN nw >= 3 AND sd > 0 THEN (n - mu) / sd END, 6) AS zscore
+FROM w
+""",
+)
+def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly signal over hourly event counts:
+    mean/stddev of the 5 PRECEDING hours (current row excluded), null until
+    the window holds >= 3 points. One aggregation + one window sort over
+    the (tiny) hourly rollup — the window runs on groups x hours rows, not
+    events."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-5, -1)
+    )
+    mu, sd, nw = F.avg("n").over(w), F.stddev_samp("n").over(w), F.count(F.lit(1)).over(w)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(
+            F.when((nw >= 3) & (sd > 0), (F.col("n") - mu) / sd), 6
+        ).alias("zscore"),
+    )
+
+
+@register(
+    "q_source_lang_matrix",
+    """
+SELECT source,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source
+""",
+)
+def q_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source x language contingency matrix via pivot with an EXPLICIT
+    value list — the two-pass infer-distinct-values pivot is a hidden extra
+    job at scale; pinning the columns keeps it one aggregation."""
+    langs = ["en", "de", "fr", "es", "zh"]
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in langs],
+        )
+    )
+
+
+@register(
+    "q_length_deciles",
+    """
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM (
+  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+GROUP BY decile
+""",
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length decile bounds (ntile with a DETERMINISTIC total order —
+    ties broken by doc_id so both engines assign identical tiles). The
+    global sort is over (n_chars, doc_id) scalars only; at 100 TB the same
+    statistic comes from approx quantiles (q_approx_quantile) — this is the
+    exact/auditable variant."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    return (
+        docs.select("n_chars", t.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q_salted_join",
+    """
+WITH dim AS (
+  SELECT DISTINCT user_id, 'grp_' || CAST(user_id % 7 AS VARCHAR) AS grp
+  FROM events
+)
+SELECT d.grp, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY d.grp
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dim join: the fact side carries a random-free
+    deterministic salt (pmod(xxhash64(event_id), 8)); the dim side is
+    EXPLODED 8x so every salted fact key finds its replica — the classic
+    hot-key defence when the dim is too big to broadcast and one user_id
+    dominates the stream. Result is provably salt-invariant (the oracle is
+    the plain unsalted join)."""
+    n_salt = 8
+    ev = load(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        F.concat(F.lit("grp_"), (F.col("user_id") % 7).cast("string")).alias("grp"),
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+    dim_r = dim.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        fact.join(dim_r, ["user_id", "_salt"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+    )
