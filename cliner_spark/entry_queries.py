@@ -3763,3 +3763,123 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ===========================================================================
+# Round-2 batch 6: trend regression, winsorized mean, cohort retention
+# ===========================================================================
+
+
+@register(
+    "q_concept_trend",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON}, {SQL_TX_LMT.strip()},
+act AS (
+  SELECT c.canon_cui, l.turn_idx // 4 AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM lmt l JOIN canon c ON l.cui = c.cui
+  GROUP BY 1, 2
+)
+SELECT canon_cui, CAST(count(*) AS BIGINT) AS n_buckets,
+       round(regr_slope(n, bucket), 6) AS slope
+FROM act GROUP BY canon_cui
+""",
+)
+def q_concept_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-concept mention-volume trend: least-squares slope of
+    turn-bucketed mention counts (emerging vs dying concepts). regr_slope
+    is a single-pass algebraic aggregate in both engines — no window sort,
+    one shuffle on canon_cui."""
+    from cliner_spark.triples import with_canonical
+
+    linked, gaz = _doc_linked_transcript(spark, sf_dir)
+    m = with_canonical(
+        linked.select("conv_id", "turn_idx", "cui").distinct(),
+        cached_canon_map(spark),
+    )
+    act = m.groupBy(
+        "canon_cui", (F.col("turn_idx") / 4).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return act.groupBy("canon_cui").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.regr_slope(F.col("n").cast("double"), F.col("bucket").cast("double")), 6).alias("slope"),
+    )
+
+
+@register(
+    "q_winsorized_mean",
+    """
+WITH b AS (
+  SELECT event_type,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END), 6) AS wmean,
+       round(avg(e.value), 6) AS mean
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type (outlier-robust cleaning stat): exact
+    p5/p95 bounds per group, values clamped, then averaged. The bounds
+    table is group-cardinality (broadcast back); the clamp+avg is one more
+    grouped pass — two shuffles total, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clamped), 6).alias("wmean"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+    )
+
+
+@register(
+    "q_user_retention",
+    """
+WITH wk AS (
+  SELECT user_id, CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS INTEGER) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+activity AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT c.cohort_week, CAST(a.week - c.cohort_week AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week, counted
+    in each later active week offset. Cohort table is user-cardinality
+    (broadcast); activity is a distinct aggregate — two shuffles, no
+    user x week crossing."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    wk = ev.select("user_id", week.alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = wk.distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
