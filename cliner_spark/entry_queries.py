@@ -3883,3 +3883,96 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ===========================================================================
+# Round-2 batch 7: grouping sets, min_by/max_by, JSON extraction
+# ===========================================================================
+
+
+@register(
+    "q_grouping_sets",
+    """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(extract(hour FROM ts) AS VARCHAR), '<all>') AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(event_type) * 2 + grouping(extract(hour FROM ts)) AS INTEGER) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type), (extract(hour FROM ts)), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS aggregation (marginals by type, by hour, and
+    the grand total in ONE pass — Spark expands the sets inside a single
+    Expand+Aggregate, not three scans) with grouping_id disambiguation."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    )
+    g = ev.groupingSets(
+        [["event_type"], ["hod"], []], "event_type", "hod"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("event_type") * 2 + F.grouping("hod")).cast("int").alias("gid"),
+    )
+    return g.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("hod").cast("string"), F.lit("<all>")).alias("hour_of_day"),
+        "n",
+        "gid",
+    )
+
+
+@register(
+    "q_first_last_event",
+    """
+SELECT user_id,
+       CAST(min_by(event_id, ts) AS BIGINT) AS first_event,
+       min_by(event_type, ts) AS first_type,
+       CAST(max_by(event_id, ts) AS BIGINT) AS last_event,
+       max_by(event_type, ts) AS last_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""",
+)
+def q_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user via min_by/max_by — ONE aggregation, no
+    row_number window over the full stream (the window formulation sorts
+    every user's events; the argmin aggregate keeps one candidate per
+    partition). ts ties cannot occur in this data (microsecond event grid);
+    at scale break ties by (ts, event_id) struct ordering."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_id", "ts").alias("last_event"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_json_props",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: JSON path into the `props`
+    column, aggregated per type. get_json_object evaluates in the scan
+    stage (codegen'd Jackson parse, no UDF); at scale prefer from_json with
+    an explicit schema once the shape is known — this is the
+    exploratory-path twin."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )

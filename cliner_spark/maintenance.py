@@ -155,3 +155,53 @@ def compact_parquet_dir(
             os.path.join(dst, f"bin={b}")
         )
     return len(bins)
+
+
+def cluster_rewrite(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cluster_col: str,
+    n_files: int = 8,
+) -> dict:
+    """Cluster-by rewrite (the Z-ORDER/CLUSTER BY table maintenance verb for
+    a single key): rewrite src's files range-partitioned and sorted on
+    `cluster_col`, so every output file owns a contiguous, (near-)disjoint
+    key range and manifest pruning (pruned_read / Iceberg min-max) can skip
+    whole files for point/range predicates.
+
+    repartitionByRange samples the key distribution to build balanced range
+    bounds (one extra pass over the key column only), then
+    sortWithinPartitions makes each file internally ordered — which also
+    tightens per-ROW-GROUP stats, the sub-file pruning unit.
+
+    Returns {files, overlap_before, overlap_after}: overlap = average number
+    of files whose [min, max] stat range covers a probed key (1.0 = perfect
+    clustering; = file count when every file spans the whole key space —
+    the shape an unclustered insert-order layout degrades to).
+    """
+    def _avg_overlap(path: str) -> float:
+        stats = [
+            (r["min_val"], r["max_val"])
+            for r in file_column_stats(spark, path, [cluster_col]).collect()
+            if r["min_val"] is not None
+        ]
+        if not stats:
+            return 0.0
+        probes = sorted({s for s, _ in stats} | {e for _, e in stats})
+        hits = sum(
+            sum(1 for s, e in stats if s <= p <= e) for p in probes
+        )
+        return round(hits / len(probes), 3)
+
+    before = _avg_overlap(src)
+    df = spark.read.parquet(src)
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    after = _avg_overlap(dst)
+    n = list_data_files(spark, dst).count()
+    return {"files": n, "overlap_before": before, "overlap_after": after}

@@ -146,3 +146,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert plan.index("PartitionFilters") >= 0
     got = spark.read.parquet(p).filter(F.col("bucket") == 3).count()
     assert got == 125
+
+
+def test_cluster_rewrite_tightens_file_stats(spark, tmp_path):
+    """After a cluster-by rewrite, per-file min/max ranges on the cluster
+    key must be (near-)disjoint: average probe overlap drops from ~n_files
+    (round-robin layout: every file spans the key space) to ~1."""
+    import pyspark.sql.functions as F
+
+    from cliner_spark.maintenance import cluster_rewrite, pruned_read
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # round-robin write: every file gets keys from the whole range
+    df = spark.range(4000).select(
+        F.format_string("k%05d", F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(8).write.mode("overwrite").parquet(src)
+    rep = cluster_rewrite(spark, src, dst, "k", n_files=8)
+    assert rep["overlap_before"] > 4  # unclustered: most files cover any probe
+    assert rep["overlap_after"] <= 2  # clustered: near-disjoint ranges
+    # manifest pruning now actually skips files
+    _, read, total = pruned_read(spark, dst, "k", "k00100", "k00200")
+    assert total == rep["files"] and read <= 2
+    # rewrite is lossless
+    assert spark.read.parquet(dst).count() == 4000
