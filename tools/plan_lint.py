@@ -1,0 +1,101 @@
+"""Physical-plan lint over the whole query registry: `.explain` every
+registered query at a small SF (plan analysis only — nothing executes unless
+a query's construction itself runs jobs) and flag scale-hostile operators:
+
+  - CartesianProduct / BroadcastNestedLoopJoin   (join exploded or keyless)
+  - BatchEvalPython / row-at-a-time PythonUDF    (per-row Python in the plan;
+    ArrowEvalPython / mapInPandas stages are fine and NOT flagged)
+
+Whitelist: queries that legitimately contain a flagged shape declare it
+below with the reason (e.g. a crossJoin against a broadcast 1-row aggregate
+is a scalar-carry, not a blowup — Spark renders it BroadcastNestedLoopJoin).
+
+Usage: python tools/plan_lint.py [query ...]   exit 1 if any unexplained flag
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# query -> (pattern, reason) pairs that are allowed
+ALLOWED: dict[str, list[tuple[str, str]]] = {
+    # scalar-carry crossJoins: the build side is a broadcast 1-row aggregate
+    # (n_docs / avgdl / vocab / min-max bounds), so the "nested loop" join
+    # multiplies by exactly one row — a constant attach, not a product.
+    "q_tfidf_top_terms": [("BroadcastNestedLoopJoin", "1-row corpus-size carry")],
+    "q_bm25_search": [("BroadcastNestedLoopJoin", "1-row n_docs/avgdl carry")],
+    "q_lm_bigrams": [("BroadcastNestedLoopJoin", "1-row vocab-size carry")],
+    "q_lm_doc_score": [("BroadcastNestedLoopJoin", "1-row vocab-size carry")],
+    "q_dsir_weights": [("BroadcastNestedLoopJoin", "1-row vocab carries (x2)")],
+    "q_gap_fill": [("BroadcastNestedLoopJoin", "hour-spine x group dim (both tiny)")],
+    "q_mix_weights": [("BroadcastNestedLoopJoin", "1-row total carry")],
+    "q_embedding_ivf_seeded": [("BroadcastNestedLoopJoin", "16-row centroid table probe")],
+    "q_embedding_ivf_topk": [("BroadcastNestedLoopJoin", "16-row centroid table probe")],
+    "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
+    "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
+    "q_cooccur_pmi": [("BroadcastNestedLoopJoin", "1-row n_keys marginal carry")],
+    "q_key_skew": [("BroadcastNestedLoopJoin", "1-row total-rows carry")],
+    "q_embedding_topk": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast query-spine x corpus: the brute-force exact baseline BY "
+         "DESIGN (corpus never shuffles; the scale path is IVF/LSH)")
+    ],
+    "q_fuzzy_link": [
+        ("BroadcastNestedLoopJoin",
+         "theta probe against the broadcast gazetteer DIMENSION (fuzzy "
+         "band has no equi key; dimension-sized build side)")
+    ],
+    "q_embedding_ann_recall": [
+        ("CartesianProduct",
+         "<=20-row query spine x 2-row method literal (bookkeeping base)")
+    ],
+}
+
+
+def main() -> int:
+    from cliner_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("plan_lint", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    wanted = sys.argv[1:] or sorted(qs)
+    bad = 0
+    for name in wanted:
+        try:
+            plan = (
+                qs[name](spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: EXPLAIN FAILED: {e}")
+            bad += 1
+            continue
+        flags = []
+        for pat in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+            if pat in plan:
+                allowed = any(
+                    pat == a and True for a, _ in ALLOWED.get(name, [])
+                )
+                if allowed:
+                    reason = dict(ALLOWED[name])[pat]
+                    flags.append(f"{pat} (allowed: {reason})")
+                else:
+                    flags.append(f"{pat} UNEXPLAINED")
+                    bad += 1
+        status = "; ".join(flags) if flags else "clean"
+        print(f"{name}: {status}")
+    print(f"# {len(wanted)} plans, {bad} unexplained flags")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
