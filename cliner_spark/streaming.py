@@ -258,3 +258,81 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_stream_mention_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    band_minutes: int = 10,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of
+    timeseries.banded_interval_join): pair each right-stream mention with
+    same-conversation left-stream mentions in the preceding `band_minutes`
+    of event time.
+
+    Both sides carry watermarks and the join condition bounds right.ts in
+    [left.ts, left.ts + band], which is what lets the state store EVICT
+    buffered left rows once the right watermark passes left.ts + band —
+    without the time bound the join would buffer both streams forever. The
+    equi key (conv_id) partitions state; per-key state is bounded by one
+    band of one conversation's rows, the same hot-key bound as the batch
+    decomposition.
+
+    Inputs are linked-mention streams (conv_id, turn_idx, cui, ts).
+    """
+    l = left.select(
+        F.col("conv_id"),
+        F.col("cui").alias("left_cui"),
+        F.col("turn_idx").alias("left_turn"),
+        F.col("ts").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    r = right.select(
+        F.col("conv_id").alias("r_conv_id"),
+        F.col("cui").alias("right_cui"),
+        F.col("turn_idx").alias("right_turn"),
+        F.col("ts").alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    cond = (
+        (F.col("conv_id") == F.col("r_conv_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr(f"INTERVAL {band_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond).select(
+        "conv_id",
+        "left_cui",
+        "right_cui",
+        "left_turn",
+        "right_turn",
+        (
+            F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")
+        ).alias("lag_sec"),
+    )
+
+
+def run_stream_pairs_once(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gazetteer: DataFrame,
+    band_minutes: int = 10,
+) -> None:
+    """Drain two transcript directories through the stream-stream interval
+    join (each side: scan -> link -> watermark) into a parquet sink."""
+    lm = streaming_mentions(read_transcript_stream(spark, left_path), gazetteer)
+    rm = streaming_mentions(read_transcript_stream(spark, right_path), gazetteer)
+    q = (
+        stream_stream_mention_pairs(lm, rm, band_minutes=band_minutes)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

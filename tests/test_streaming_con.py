@@ -279,3 +279,52 @@ def test_streaming_merge_is_idempotent_under_replay(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert second == first
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked, state-evicting) must emit
+    exactly the pairs the batch theta join produces over the same two
+    inputs once both streams are drained."""
+    left_rows = fixtures.gen_transcripts(n_convs=6, avg_turns=4, seed=31)
+    right_rows = fixtures.gen_transcripts(n_convs=6, avg_turns=4, seed=32)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    fixtures.transcripts_df(spark, left_rows).coalesce(1).write.parquet(ldir)
+    fixtures.transcripts_df(spark, right_rows).coalesce(1).write.parquet(rdir)
+
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stream_pairs_once(spark, ldir, rdir, out, ck, gaz, band_minutes=10)
+    got = {
+        (r["conv_id"], r["left_cui"], r["right_cui"], r["left_turn"],
+         r["right_turn"], r["lag_sec"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    def _with_ts(rows):
+        ts = fixtures.transcripts_df(spark, rows).select("conv_id", "turn_idx", "ts")
+        return _linked(spark, rows).join(ts, ["conv_id", "turn_idx"])
+
+    l = _with_ts(left_rows).select(
+        "conv_id", F.col("cui").alias("left_cui"),
+        F.col("turn_idx").alias("left_turn"), F.col("ts").alias("left_ts"),
+    )
+    r = _with_ts(right_rows).select(
+        F.col("conv_id").alias("rc"), F.col("cui").alias("right_cui"),
+        F.col("turn_idx").alias("right_turn"), F.col("ts").alias("right_ts"),
+    )
+    want = {
+        (x["conv_id"], x["left_cui"], x["right_cui"], x["left_turn"],
+         x["right_turn"], x["lag_sec"])
+        for x in l.join(
+            r,
+            (F.col("conv_id") == F.col("rc"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "conv_id", "left_cui", "right_cui", "left_turn", "right_turn",
+            (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")).alias("lag_sec"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
