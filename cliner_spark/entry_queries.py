@@ -3976,3 +3976,73 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@register(
+    "q_event_trigrams",
+    """
+WITH s AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events
+)
+SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY a, b, c
+""",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-gram mining over per-user event sequences (lead x2 over
+    a deterministic (ts, event_id) order, then one aggregation) — the
+    sequence-pattern rollup a session-modeling pipeline feeds on. The
+    window partitions by user, so state per sort is one user's events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        s.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_conv_turn_stats",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tx AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM docs
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_turn_tokens,
+       CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_turns
+FROM tx GROUP BY conv_id
+""",
+)
+def q_conv_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-grain conversation rollup (S1-family health stats: volume,
+    token mass, hottest turn, blank turns) — the table a pipeline operator
+    watches for skewed/hot conversations before choosing salt factors."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return tx.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_turn_tokens"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).cast("bigint").alias("n_blank_turns"),
+    )
