@@ -4046,3 +4046,248 @@ def q_conv_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_turn_tokens"),
         F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).cast("bigint").alias("n_blank_turns"),
     )
+
+
+@register(
+    "q_eval_kappa",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_PRED_GOLD},
+aligned AS (
+  SELECT g.concept_type AS gold_type, p.concept_type AS pred_type
+  FROM gold g JOIN pred p
+    ON g.doc_id = p.doc_id AND g.tok_start = p.tok_start AND g.tok_end = p.tok_end
+),
+cm AS (
+  SELECT gold_type, pred_type, count(*) AS n FROM aligned GROUP BY 1, 2
+),
+marg AS (
+  SELECT sum(n) AS n_aligned,
+         sum(CASE WHEN gold_type = pred_type THEN n ELSE 0 END) AS n_agree,
+         sum(gr * pc) AS chance
+  FROM (
+    SELECT gold_type, pred_type, n,
+           sum(n) OVER (PARTITION BY gold_type) AS gr,
+           sum(n) OVER (PARTITION BY pred_type) AS pc
+    FROM cm
+  )
+)
+SELECT CAST(n_aligned AS BIGINT) AS n_aligned,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_aligned * n_agree - chance AS BIGINT) AS kappa_num,
+       CAST(n_aligned * n_aligned - chance AS BIGINT) AS kappa_den,
+       CAST(n_aligned * n_agree - chance AS DOUBLE)
+         / CAST(n_aligned * n_aligned - chance AS DOUBLE) AS kappa
+FROM marg
+""",
+)
+def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the gold and predicted concept types on
+    span-aligned mentions (chance-corrected inter-annotator agreement, the
+    standard companion to the confusion matrix in annotation-QA).
+
+    kappa = (po - pe) / (1 - pe) is computed from exact integer counts —
+    kappa_num = N*agree - sum_k(row_k*col_k), kappa_den = N^2 - sum_k(...) —
+    so both engines divide the SAME two BIGINTs and the double is
+    bit-identical (no order-dependent float summation anywhere). The whole
+    thing is one confusion-matrix aggregation (tiny: types x types) after the
+    aligned-span equi-join; marginals come from windows over the cm rows, not
+    a rescan."""
+    pred, gold = _pred_gold_spark(spark, sf_dir)
+    keys = ["doc_id", "tok_start", "tok_end"]
+    cm = (
+        gold.withColumnRenamed("concept_type", "gold_type")
+        .join(pred.withColumnRenamed("concept_type", "pred_type"), keys)
+        .groupBy("gold_type", "pred_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy("gold_type")
+    wp = Window.partitionBy("pred_type")
+    marg = cm.select(
+        "n",
+        (F.col("gold_type") == F.col("pred_type")).alias("diag"),
+        (F.sum("n").over(wg) * F.sum("n").over(wp)).alias("gr_pc"),
+    ).agg(
+        F.sum("n").alias("n_aligned"),
+        F.sum(F.when(F.col("diag"), F.col("n")).otherwise(0)).alias("n_agree"),
+        F.sum("gr_pc").alias("chance"),
+    )
+    return marg.select(
+        F.col("n_aligned").cast("bigint").alias("n_aligned"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        (F.col("n_aligned") * F.col("n_agree") - F.col("chance"))
+        .cast("bigint")
+        .alias("kappa_num"),
+        (F.col("n_aligned") * F.col("n_aligned") - F.col("chance"))
+        .cast("bigint")
+        .alias("kappa_den"),
+        (
+            (F.col("n_aligned") * F.col("n_agree") - F.col("chance")).cast("double")
+            / (F.col("n_aligned") * F.col("n_aligned") - F.col("chance")).cast("double")
+        ).alias("kappa"),
+    )
+
+
+# Shared turn-pair CTE: adjacent-turn distinct-token overlap within each
+# derived conversation (docs-as-transcripts convention, header comment).
+SQL_TURN_PAIRS = f"""
+{SQL_DOCS_TOKS},
+tx AS (
+  SELECT doc_id % 97 AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         list_distinct(toks) AS dtoks
+  FROM docs
+),
+pairs AS (
+  SELECT conv_id, turn_idx, dtoks,
+         lag(dtoks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_toks
+  FROM tx
+),
+overlap AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_intersect(dtoks, prev_toks)) AS BIGINT) AS n_common,
+         CAST(len(dtoks) + len(prev_toks) - len(list_intersect(dtoks, prev_toks)) AS BIGINT) AS n_union
+  FROM pairs WHERE prev_toks IS NOT NULL
+)
+"""
+
+
+@register(
+    "q_turn_echo",
+    f"""
+WITH {SQL_TURN_PAIRS}
+SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(n_common) AS BIGINT) AS sum_common,
+       CAST(sum(n_union) AS BIGINT) AS sum_union,
+       max(CASE WHEN n_union = 0 THEN 0.0
+                ELSE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) END) AS max_echo,
+       CAST(sum(CASE WHEN n_union > 0 AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_echo
+FROM overlap GROUP BY 1
+""",
+)
+def q_turn_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn echo rate per conversation: distinct-token Jaccard
+    between each turn and its predecessor (lag window), rolled up per conv.
+    The transcript-QA signal for parroting/copy-looping agents — a high
+    echo conversation is degenerate training data.
+
+    Scale: one window (partitioned by conv, state = one conversation) + one
+    agg; per-pair Jaccard is exact-integer n_common/n_union so the doubles
+    are engine-identical (max / threshold-count only — no float summation).
+    The per-conv means are published as exact integer sums (micro-average =
+    sum_common/sum_union downstream)."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        (F.col("doc_id") % 97).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.array_distinct(tokens_col("text")).alias("dtoks"),
+    )
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = tx.withColumn("prev_toks", F.lag("dtoks").over(wc)).filter(
+        F.col("prev_toks").isNotNull()
+    )
+    ov = pairs.select(
+        "conv_id",
+        F.size(F.array_intersect("dtoks", "prev_toks")).cast("bigint").alias("n_common"),
+        (
+            F.size("dtoks") + F.size("prev_toks") - F.size(F.array_intersect("dtoks", "prev_toks"))
+        )
+        .cast("bigint")
+        .alias("n_union"),
+    )
+    jac = F.when(F.col("n_union") == 0, F.lit(0.0)).otherwise(
+        F.col("n_common").cast("double") / F.col("n_union").cast("double")
+    )
+    return ov.groupBy(F.col("conv_id").cast("string").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_common").alias("sum_common"),
+        F.sum("n_union").alias("sum_union"),
+        F.max(jac).alias("max_echo"),
+        F.sum(F.when(jac >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_high_echo"),
+    )
+
+
+@register(
+    "q_conv_segments",
+    f"""
+WITH {SQL_TURN_PAIRS},
+bounds AS (
+  SELECT t.conv_id, t.turn_idx,
+         CASE WHEN o.turn_idx IS NULL THEN 1
+              WHEN o.n_union = 0 OR CAST(o.n_common AS DOUBLE) / CAST(o.n_union AS DOUBLE) < 0.2
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM tx t LEFT JOIN overlap o ON t.conv_id = o.conv_id AND t.turn_idx = o.turn_idx
+),
+segs AS (
+  SELECT conv_id, turn_idx,
+         sum(is_boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM bounds
+),
+seg_sizes AS (
+  SELECT conv_id, seg_id, count(*) AS seg_len FROM segs GROUP BY 1, 2
+)
+SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(seg_len) AS BIGINT) AS n_turns,
+       CAST(max(seg_len) AS BIGINT) AS max_segment_len
+FROM seg_sizes GROUP BY 1
+""",
+)
+def q_conv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based conversation segmentation: a turn opens a new segment
+    when its distinct-token Jaccard vs the previous turn drops below 0.2
+    (topic shift), segment ids via a running boundary sum — sessionize
+    applied to content similarity instead of time gaps. Per-conv rollup:
+    segment count / turn count / longest segment.
+
+    Scale: two windows over the same conv partitioning (Catalyst reuses the
+    sort) + two aggs; boundary decisions compare exact-integer ratios so
+    both engines cut identically."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        (F.col("doc_id") % 97).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.array_distinct(tokens_col("text")).alias("dtoks"),
+    )
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    jac_prev = F.when(
+        F.col("prev_toks").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.when(
+            F.size(F.array_union("dtoks", "prev_toks")) == 0, F.lit(0.0)
+        ).otherwise(
+            F.size(F.array_intersect("dtoks", "prev_toks")).cast("double")
+            / (
+                F.size("dtoks")
+                + F.size("prev_toks")
+                - F.size(F.array_intersect("dtoks", "prev_toks"))
+            ).cast("double")
+        )
+    )
+    bounds = (
+        tx.withColumn("prev_toks", F.lag("dtoks").over(wc))
+        .withColumn("jac", jac_prev)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.col("jac").isNull() | (F.col("jac") < 0.2), 1)
+            .otherwise(0)
+            .alias("is_boundary"),
+        )
+    )
+    segs = bounds.withColumn(
+        "seg_id",
+        F.sum("is_boundary").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seg_sizes = segs.groupBy("conv_id", "seg_id").agg(F.count(F.lit(1)).alias("seg_len"))
+    return seg_sizes.groupBy(F.col("conv_id").cast("string").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_len").alias("n_turns"),
+        F.max("seg_len").alias("max_segment_len"),
+    )
