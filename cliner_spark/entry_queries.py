@@ -4291,3 +4291,137 @@ def q_conv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("seg_len").alias("n_turns"),
         F.max("seg_len").alias("max_segment_len"),
     )
+
+
+@register(
+    "q_heavy_hitters",
+    f"""
+WITH {SQL_DOCS_TOKS},
+alltoks AS (SELECT lower(u.tok) AS tok FROM docs, unnest(toks) AS u(tok)),
+tot AS (SELECT count(*) AS total FROM alltoks)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM alltoks GROUP BY tok
+HAVING CAST(count(*) AS DOUBLE) > 0.01 * (SELECT CAST(total AS DOUBLE) FROM tot)
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi=1% heavy-hitter tokens via two-pass Misra-Gries (textstats.
+    heavy_hitters): per-partition mergeable sketches -> candidate superset ->
+    exact recount of candidates only. The oracle is the brute-force
+    GROUP BY/HAVING — outputs match exactly because pass 2 recounts, which is
+    the whole point of sketch-then-verify at 100 TB (the shuffle carries only
+    candidate tokens, not the full vocabulary)."""
+    return _ts.heavy_hitters(load_docs(spark, sf_dir), phi=0.01)
+
+
+@register(
+    "q_tpch_q14",
+    """
+SELECT CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                AS DECIMAL(38,4))) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4)))
+            AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 (promo revenue share) on the testdata's column subset: the
+    month filter prunes the lineitem scan (PushedFilters on l_shipdate
+    min/max footer stats), part is the broadcast side. Revenues published as
+    exact DECIMALs; the percentage is downstream arithmetic."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev.cast("decimal(38,4)")).cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "q_tpch_q19",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape (disjunctive multi-column predicates spanning both
+    join sides) on the testdata's column subset. The single-side conjuncts
+    Catalyst can factor out (l_quantity BETWEEN 1 AND 30, p_size BETWEEN 1
+    AND 15, p_brand IN (...)) push into the scans; the cross-side
+    disjunction evaluates post-join. Part is broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_tpch_q12",
+    """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (priority-class CASE-sum after a fact-fact join) on
+    the testdata's column subset (l_returnflag stands in for l_shipmode).
+    The year filter reduces lineitem BEFORE the shuffle join with orders;
+    the CASE-sums ride the same aggregation (one shuffle each side, one
+    agg)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )

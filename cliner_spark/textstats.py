@@ -290,3 +290,61 @@ def bm25_rank(
         topk.withColumn("rk", F.row_number().over(w))
         .select(id_col, "score", "rk")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    phi: float = 0.01,
+    capacity: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phi-heavy hitters (tokens with count > phi * total) via the
+    two-pass sketch-then-verify pattern that survives 100 TB:
+
+      pass 1 — per-partition Misra-Gries summaries (capacity = 2/phi) built
+        inside one mapInPandas stage; batch counts merge via the mergeable-
+        summaries rule (sum counts, subtract the (k+1)-th largest, drop <=0),
+        so the per-partition error stays <= n_p/capacity. Any token with
+        global count > phi*N has, in at least one partition, local count
+        > phi*n_p > n_p/capacity, so the UNION of summaries is a superset of
+        every true heavy hitter — no false negatives by construction.
+      pass 2 — exact recount of ONLY the candidate set (broadcast semi-join
+        on the exploded tokens) and the final threshold filter, so the
+        OUTPUT is exact and engine-deterministic even though the sketch is
+        approximate. Candidates number <= partitions * capacity (tiny), vs a
+        full vocab groupBy whose shuffle carries every distinct token.
+
+    Returns (tok, n) for tokens with n > phi * total_tokens, lowercase.
+    """
+    import pandas as pd
+
+    k = capacity or max(8, int(2.0 / phi))
+    toks = df.select(F.explode(tokens_col(text_col)).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+
+    def mg_partition(batches):
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf["tok"].value_counts()
+            summary = summary.add(counts, fill_value=0).astype("int64")
+            if len(summary) > k:
+                # mergeable-summaries prune (Agarwal et al.): subtract the
+                # (k+1)-th largest count from EVERY entry, keep > 0. The
+                # subtraction (not a bare tail drop) is what bounds the total
+                # undercount at n_p/(k+1), which the superset guarantee needs.
+                cut = summary.nlargest(k + 1).iloc[-1]
+                summary = summary - cut
+                summary = summary[summary > 0]
+        yield pd.DataFrame({"tok": summary.index.astype(str)})
+
+    candidates = toks.mapInPandas(mg_partition, schema="tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n").cast("double") > F.lit(phi) * F.col("total").cast("double"))
+        .select("tok", "n")
+    )

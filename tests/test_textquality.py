@@ -174,3 +174,41 @@ def test_bpe_merges_match_sequential_reference(spark):
     assert got_merges == want_merges and len(got_merges) == 8
     got_vocab = {r["word"]: list(r["syms"]) for r in final.collect()}
     assert got_vocab == want_vocab
+
+
+def test_heavy_hitters_matches_exact_on_random_skewed_streams(spark):
+    """Misra-Gries superset guarantee + exact recount: on random Zipf-ish
+    token streams (heavy tokens deliberately arriving LATE and spread thin
+    across partitions — the adversarial order for a prune-too-early bug),
+    the two-pass heavy_hitters output must equal the brute-force
+    count/threshold answer exactly, including counts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cliner_spark.textstats import heavy_hitters
+
+    rng = random.Random(41)
+    for trial in range(3):
+        # tail vocab first, heavy tokens injected afterwards in small chunks
+        toks = [f"t{rng.randrange(400)}" for _ in range(4000)]
+        for h in ("alpha", "beta"):
+            spots = sorted(rng.randrange(len(toks)) for _ in range(120))
+            for s in spots:
+                toks.insert(s, h)
+        docs = [(i, " ".join(toks[i * 40 : (i + 1) * 40])) for i in range(len(toks) // 40)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string").repartition(8)
+
+        got = {r["tok"]: r["n"] for r in heavy_hitters(df, phi=0.02).collect()}
+
+        exact = (
+            df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .select(F.lower("tok").alias("tok"))
+            .groupBy("tok")
+            .count()
+        )
+        rows = exact.collect()
+        total = sum(r["count"] for r in rows)
+        want = {r["tok"]: r["count"] for r in rows if r["count"] > 0.02 * total}
+        assert got == want and "alpha" in got, (trial, got, want)
