@@ -4425,3 +4425,153 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "q_relations",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+pairs AS (
+  SELECT a.doc_id, a.cui AS subj_cui, b.cui AS obj_cui, b.concept_type AS obj_type,
+         d.toks[a.tok_end + 2 : b.tok_start] AS gap
+  FROM linked a
+  JOIN linked b ON a.doc_id = b.doc_id AND a.tok_end < b.tok_start
+                AND b.tok_start - a.tok_end <= 8
+  JOIN docs d ON d.doc_id = a.doc_id
+  WHERE a.concept_type = 'problem'
+),
+rels AS (
+  SELECT doc_id, subj_cui,
+         CASE WHEN obj_type = 'treatment' AND list_contains(gap, 'fast')
+              THEN 'TREATED_WITH'
+              WHEN obj_type = 'test' AND list_contains(gap, 'value')
+              THEN 'INVESTIGATED_BY' END AS pred,
+         obj_cui
+  FROM pairs
+)
+SELECT subj_cui, pred, obj_cui, CAST(count(*) AS BIGINT) AS n
+FROM rels WHERE pred IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed relation extraction — the KG edge family beyond co-mention:
+    (problem, TREATED_WITH, treatment) / (problem, INVESTIGATED_BY, test)
+    when a trigger token appears in the gap between two linked mentions at
+    most 8 tokens apart. Pattern-based relation extraction is the classic
+    rule layer over an NER pipeline (the reference's concept layer feeds it);
+    output is the weighted typed-edge table.
+
+    Scale: mention pairs join on doc_id (the theta conditions ride the equi
+    key — same shape as eval overlap), the gap slice is a JVM expression on
+    the already-present token array, and the trigger test is array_contains
+    — zero Python anywhere."""
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(
+        m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark)
+    ).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "tok_start",
+        "tok_end",
+        "cui",
+        "concept_type",
+    )
+    docs = load_docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("toks"))
+    a = linked.filter(F.col("concept_type") == "problem").select(
+        "doc_id",
+        F.col("tok_end").alias("a_end"),
+        F.col("cui").alias("subj_cui"),
+    )
+    b = linked.select(
+        "doc_id",
+        F.col("tok_start").alias("b_start"),
+        F.col("cui").alias("obj_cui"),
+        F.col("concept_type").alias("obj_type"),
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter((F.col("a_end") < F.col("b_start")) & (F.col("b_start") - F.col("a_end") <= 8))
+        .join(docs, "doc_id")
+        .withColumn(
+            "gap",
+            F.slice(
+                F.col("toks"),
+                F.col("a_end") + 2,
+                F.col("b_start") - F.col("a_end") - 1,
+            ),
+        )
+    )
+    pred = F.when(
+        (F.col("obj_type") == "treatment") & F.array_contains("gap", "fast"),
+        F.lit("TREATED_WITH"),
+    ).when(
+        (F.col("obj_type") == "test") & F.array_contains("gap", "value"),
+        F.lit("INVESTIGATED_BY"),
+    )
+    return (
+        pairs.withColumn("pred", pred)
+        .filter(F.col("pred").isNotNull())
+        .groupBy("subj_cui", "pred", "obj_cui")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_coref_antecedent",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+anaphors AS (
+  SELECT d.doc_id, CAST(t.i AS INTEGER) AS anaphor_idx
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE lower(d.toks[t.i + 1]) = 'the'
+),
+acand AS (
+  SELECT x.doc_id, x.anaphor_idx, m.tok_end, m.cui,
+         row_number() OVER (PARTITION BY x.doc_id, x.anaphor_idx
+                            ORDER BY m.tok_end DESC, m.cui ASC) AS rn
+  FROM anaphors x JOIN linked m
+    ON m.doc_id = x.doc_id AND m.tok_end < x.anaphor_idx
+   AND x.anaphor_idx - m.tok_end <= 10
+)
+SELECT doc_id, anaphor_idx, tok_end AS antecedent_end, cui AS antecedent_cui
+FROM acand WHERE rn = 1
+""",
+)
+def q_coref_antecedent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-lite: resolve each anaphor token to the NEAREST preceding
+    linked mention in the same document within a 10-token window (nearest-
+    antecedent heuristic, deterministic tie-break on cui) — the cheap
+    recall-booster that turns 'the <anaphor>' rows into extra concept
+    evidence for the KG. Same plan family as the as-of join: equi-join on
+    doc_id with the range predicate riding the key, then a per-anaphor
+    top-1 window."""
+    docs = load_docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("toks"))
+    anaphors = docs.select(
+        "doc_id",
+        F.posexplode(F.col("toks")).alias("anaphor_idx", "tok"),
+    ).filter(F.lower("tok") == "the").select("doc_id", "anaphor_idx")
+    m = _doc_mentions_spark(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    linked = link_mentions(
+        m.withColumn("turn_idx", F.lit(0)), doc_gazetteer_df(spark)
+    ).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("tok_end"),
+        "cui",
+    )
+    cand = anaphors.join(linked, "doc_id").filter(
+        (F.col("tok_end") < F.col("anaphor_idx"))
+        & (F.col("anaphor_idx") - F.col("tok_end") <= 10)
+    )
+    w = Window.partitionBy("doc_id", "anaphor_idx").orderBy(
+        F.desc("tok_end"), F.asc("cui")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "anaphor_idx",
+            F.col("tok_end").alias("antecedent_end"),
+            F.col("cui").alias("antecedent_cui"),
+        )
+    )
