@@ -4575,3 +4575,47 @@ def q_coref_antecedent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cui").alias("antecedent_cui"),
         )
     )
+
+
+@register(
+    "q_kg_walks",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI.strip().rstrip()},
+sym AS (
+  SELECT src, dst FROM coedges UNION ALL SELECT dst, src FROM coedges
+),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM sym
+),
+s0 AS (SELECT DISTINCT src AS walk_start FROM adj),
+s1 AS (
+  SELECT f.walk_start, a.dst AS step_1
+  FROM s0 f JOIN adj a ON a.src = f.walk_start
+  WHERE a.rank = CAST(('0x' || substr(md5(f.walk_start || '#1'), 1, 4)) AS BIGINT) % a.deg
+),
+s2 AS (
+  SELECT f.walk_start, f.step_1, a.dst AS step_2
+  FROM s1 f JOIN adj a ON a.src = f.step_1
+  WHERE a.rank = CAST(('0x' || substr(md5(f.step_1 || '#2'), 1, 4)) AS BIGINT) % a.deg
+),
+s3 AS (
+  SELECT f.walk_start, f.step_1, f.step_2, a.dst AS step_3
+  FROM s2 f JOIN adj a ON a.src = f.step_2
+  WHERE a.rank = CAST(('0x' || substr(md5(f.step_2 || '#3'), 1, 4)) AS BIGINT) % a.deg
+)
+SELECT walk_start, step_1, step_2, step_3 FROM s3
+""",
+)
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic random-walk corpus over the concept co-occurrence
+    graph (graph.deterministic_walks): the DeepWalk/node2vec training-data
+    generator with engine-reproducible md5 step selection instead of RNG
+    state. One 3-step walk per node."""
+    from cliner_spark.graph import cooccurrence_edges, deterministic_walks
+
+    linked = _doc_linked(spark, sf_dir).withColumnRenamed("conv_id", "doc_id")
+    edges = cooccurrence_edges(linked, key="doc_id", node="cui").select("src", "dst")
+    return deterministic_walks(edges, steps=3)

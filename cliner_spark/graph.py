@@ -492,3 +492,51 @@ def adamic_adar(
         "n_common",
         "score_fp",
     )
+
+
+def deterministic_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
+    """Random-walk corpus for KG-embedding training (DeepWalk/node2vec input),
+    with the RNG replaced by a hash so walks are reproducible across engines,
+    partitionings, and reruns (the repo-wide determinism invariant): from
+    every node, one `steps`-step walk where step t leaves node v through its
+    (md5(v '#' t) mod degree(v))-th neighbor (neighbors ranked by id).
+
+    Input: undirected edge list (src, dst), one row per unordered pair.
+    Output: (walk_start, step_1 .. step_{steps}).
+
+    Scale: the adjacency (src, dst, rank, degree) is one window over the
+    symmetrized edges; each step is one equi-join of the frontier against it
+    — k steps = k joins of |V| rows each against |2E|, all broadcast-free
+    hash joins keyed on the node id. No RNG state, so walks for different
+    nodes never serialize on a shared generator — the property that lets
+    this fan out to 10^12 edges."""
+    sym = symmetrize(edges)
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = sym.select(
+        "src",
+        "dst",
+        (F.row_number().over(w) - 1).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+
+    def step_idx(node_col, t: int):
+        hx = F.substring(F.md5(F.concat(node_col, F.lit(f"#{t}"))), 1, 4)
+        return F.conv(hx, 16, 10).cast("bigint")
+
+    frontier = adj.select(F.col("src").alias("walk_start")).distinct().withColumn(
+        "cur", F.col("walk_start")
+    )
+    for t in range(1, steps + 1):
+        nxt = adj.select(
+            F.col("src").alias("cur"),
+            F.col("dst").alias(f"step_{t}"),
+            "rank",
+            "deg",
+        )
+        frontier = (
+            frontier.join(nxt, "cur")
+            .filter(F.col("rank") == step_idx(F.col("cur"), t) % F.col("deg"))
+            .drop("cur", "rank", "deg")
+            .withColumn("cur", F.col(f"step_{t}"))
+        )
+    return frontier.drop("cur")

@@ -276,3 +276,29 @@ def test_windowed_cooccurrence_equals_naive_theta_join(spark):
             if ca == cb and abs(ta - tb) <= w and na < nb:
                 want[(na, nb)] = want.get((na, nb), 0) + 1
         assert got == want, f"window={w}"
+
+
+def test_deterministic_walks_follow_edges_and_ignore_partitioning(spark):
+    """Every step of a deterministic walk must traverse a real edge, every
+    node gets exactly one walk, and the output is identical under a
+    different input partitioning (the no-RNG-state property that makes the
+    corpus reproducible on any cluster layout)."""
+    from cliner_spark.graph import deterministic_walks
+
+    raw = [(f"n{i}", f"n{(i * 3 + 1) % 12}") for i in range(12)] + [
+        ("n0", "n5"), ("n2", "n9"), ("n4", "n11")
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    out = sorted(tuple(r) for r in deterministic_walks(edges, steps=3).collect())
+
+    eset = {(a, b) for a, b in raw} | {(b, a) for a, b in raw}
+    starts = [w[0] for w in out]
+    assert len(starts) == len(set(starts)) == len({n for e in eset for n in e})
+    for w in out:
+        for a, b in zip(w, w[1:]):
+            assert (a, b) in eset, (w, a, b)
+
+    out2 = sorted(
+        tuple(r) for r in deterministic_walks(edges.repartition(7), steps=3).collect()
+    )
+    assert out == out2
