@@ -4614,8 +4614,18 @@ def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (graph.deterministic_walks): the DeepWalk/node2vec training-data
     generator with engine-reproducible md5 step selection instead of RNG
     state. One 3-step walk per node."""
-    from cliner_spark.graph import cooccurrence_edges, deterministic_walks
+    from cliner_spark.graph import deterministic_walks
 
-    linked = _doc_linked(spark, sf_dir).withColumnRenamed("conv_id", "doc_id")
-    edges = cooccurrence_edges(linked, key="doc_id", node="cui").select("src", "dst")
+    dcui = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"), "cui")
+        .distinct()
+    )
+    b = dcui.withColumnRenamed("cui", "cui_b")
+    edges = (
+        dcui.join(b, "doc_id")
+        .filter(F.col("cui") < F.col("cui_b"))
+        .select(F.col("cui").alias("src"), F.col("cui_b").alias("dst"))
+        .distinct()
+    )
     return deterministic_walks(edges, steps=3)
