@@ -4629,3 +4629,87 @@ def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return deterministic_walks(edges, steps=3)
+
+
+@register(
+    "q_minhash_calibration",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_2},
+sig AS (
+  SELECT doc_id,
+         min(md5('0#' || shingle)) AS h0, min(md5('1#' || shingle)) AS h1,
+         min(md5('2#' || shingle)) AS h2, min(md5('3#' || shingle)) AS h3
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, h1 FROM sig
+  UNION ALL SELECT doc_id, 2, h2 FROM sig
+  UNION ALL SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS n_common
+  FROM cand c
+  JOIN sh2 sa ON sa.doc_id = c.doc_a
+  JOIN sh2 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id)
+SELECT m.doc_a, m.doc_b, m.n_bands,
+       CAST(m.n_common AS BIGINT) AS n_common,
+       CAST(m.n_bands AS DOUBLE) / 4 AS est_jaccard,
+       CAST(m.n_common AS DOUBLE) / (za.sz + zb.sz - m.n_common) AS exact_jaccard,
+       abs(CAST(m.n_bands AS DOUBLE) / 4
+           - CAST(m.n_common AS DOUBLE) / (za.sz + zb.sz - m.n_common)) AS abs_err
+FROM common m
+JOIN sizes za ON m.doc_a = za.doc_id
+JOIN sizes zb ON m.doc_b = zb.doc_id
+""",
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate VERIFICATION + sketch calibration: for every MinHash
+    band-collision pair, the estimated Jaccard (agreeing minhashes / 4) next
+    to the exact 2-shingle Jaccard computed ONLY for the candidates (the
+    standard verify stage of LSH dedup — exact similarity is affordable
+    because it runs on the candidate set, never all pairs), plus the
+    absolute sketch error. The table an operator reads before trusting a
+    sketch threshold at 100 TB."""
+    from cliner_spark.dedup import lsh_candidate_pairs, shingles
+
+    docs = load_docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, min_bands=1)
+    sh = shingles(docs, 2)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_bands")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    est = F.col("n_bands").cast("double") / 4
+    exact = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
