@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_TURNS = int(os.environ.get("CLINER_BENCH_TURNS", "300000"))
+# Wall budget for the per-query sweep (the flagship still always runs).
+# Far above any quiet-epoch total (~6 min); exists so a catastrophic
+# noisy-neighbor epoch (this sandbox shows up to 4x slowdowns) degrades to an
+# explicit "skipped" list in the JSON instead of a driver-side timeout with
+# NO output. Skips are reported, never silent.
+BENCH_BUDGET_SEC = float(os.environ.get("CLINER_BENCH_BUDGET_SEC", "2700"))
 
 # 60+ sequential queries in one 32-thread local JVM: give the shared heap
 # headroom so later queries aren't benched under GC pressure from earlier
@@ -97,7 +103,12 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     total = 0.0
+    skipped: list[str] = []
+    sweep_t0 = time.time()
     for name, fn in sorted(entry.queries().items()):
+        if time.time() - sweep_t0 > BENCH_BUDGET_SEC:
+            skipped.append(name)
+            continue
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
@@ -154,6 +165,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": qtimes,
+                "skipped_over_budget": skipped,
                 "sf": guess_sf(SF_DIR),
                 "turns_per_sec": round(turns_per_sec, 1),
                 "n_turns": BENCH_TURNS,
