@@ -4651,7 +4651,7 @@ cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 common AS (
   SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS n_common
@@ -4674,7 +4674,8 @@ JOIN sizes zb ON m.doc_b = zb.doc_id
 )
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate VERIFICATION + sketch calibration: for every MinHash
-    band-collision pair, the estimated Jaccard (agreeing minhashes / 4) next
+    pair colliding on >= 2 of the 4 bands (the dedup path's own candidate
+    rule), the estimated Jaccard (agreeing minhashes / 4) next
     to the exact 2-shingle Jaccard computed ONLY for the candidates (the
     standard verify stage of LSH dedup — exact similarity is affordable
     because it runs on the candidate set, never all pairs), plus the
@@ -4683,7 +4684,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.dedup import lsh_candidate_pairs, shingles
 
     docs = load_docs(spark, sf_dir)
-    cand = lsh_candidate_pairs(docs, min_bands=1)
+    cand = lsh_candidate_pairs(docs, min_bands=2)
     sh = shingles(docs, 2)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
