@@ -244,3 +244,19 @@ def read_transcripts_evolving(spark: SparkSession, *paths: str) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC transcripts (the columnar alternative in mixed-lake estates —
+    Hive-era tables are commonly ORC). Schema enforced, never inferred,
+    same contract as the parquet path: ORC carries file/stripe min-max
+    stats, so predicate pushdown and column pruning behave like parquet."""
+    from cliner_spark import schemas
+
+    return spark.read.schema(schemas.TRANSCRIPTS).orc(path)
+
+
+def write_transcripts_orc(df: DataFrame, path: str) -> None:
+    """ORC transcript sink (zstd): partition-shape decisions (salting,
+    sortWithinPartitions) are the caller's, as with the parquet sink."""
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)

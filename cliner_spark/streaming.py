@@ -336,3 +336,86 @@ def run_stream_pairs_once(
         .start()
     )
     q.awaitTermination()
+
+
+def session_windows(stream: DataFrame, gap_minutes: int = 5, wm: str = "0 seconds") -> DataFrame:
+    """Event-time session windows with TIMEOUT-based close
+    (applyInPandasWithState + EventTimeTimeout): a conversation's session
+    stays open in the state store while turns keep arriving; when the
+    watermark passes last_turn_ts + gap, the state times out and the CLOSED
+    session row (start, end, n_turns) is emitted exactly once, then the
+    state is removed.
+
+    This is the stateful pattern the fixed-window aggregation can't express
+    — session length is data-driven, so only a timeout can close it. State
+    is 3 ints per OPEN conversation; closed sessions leave the store, so
+    state size tracks concurrent activity, not history — the property that
+    holds at 10^12 turns."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, session_start timestamp, session_end timestamp, n_turns bigint"
+    )
+    state_schema = "start_ms bigint, last_ms bigint, n bigint"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "session_start": [pd.to_datetime(start_ms, unit="ms")],
+                    "session_end": [pd.to_datetime(last_ms, unit="ms")],
+                    "n_turns": [n],
+                }
+            )
+            return
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_ms = pdf["ts"].values.astype("datetime64[ms]").astype("int64")
+            mn, mx = int(ts_ms.min()), int(ts_ms.max())
+            start_ms = mn if start_ms is None else min(start_ms, mn)
+            last_ms = mx if last_ms is None else max(last_ms, mx)
+            n += len(pdf)
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return (
+        stream.withWatermark("ts", wm)
+        .select("conv_id", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessions_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap_minutes: int = 5,
+) -> None:
+    """Drain available input through the session-window operator; open
+    sessions persist in the state store across drains and close (emit) when
+    a later drain's watermark passes their gap."""
+    stream = read_transcript_stream(spark, input_path)
+    q = (
+        session_windows(stream, gap_minutes=gap_minutes)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

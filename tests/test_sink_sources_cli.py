@@ -248,3 +248,35 @@ def test_evolving_schema_read_normalizes_batches(spark, tmp_path):
     spark.createDataFrame([("no keys",)], "text string").write.parquet(p3)
     with pytest.raises(ValueError, match="conv_id"):
         read_transcripts_evolving(spark, p3)
+
+
+def test_orc_transcript_roundtrip_runs_pipeline(spark, tmp_path):
+    """ORC source/sink: write fixture transcripts as zstd ORC, read them back
+    through the enforced schema, run the full pipeline, and get the same
+    triples as the parquet path (format must be semantics-neutral)."""
+    from cliner_spark import fixtures
+    from cliner_spark.pipeline import run_pipeline
+    from cliner_spark.sources import read_transcripts_orc, write_transcripts_orc
+
+    tx = fixtures.transcripts_df(spark)
+    p = str(tmp_path / "tx_orc")
+    write_transcripts_orc(tx, p)
+    back = read_transcripts_orc(spark, p)
+    # nullability flags differ between createDataFrame and the enforced
+    # schema; names+types are the contract
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in tx.schema.fields
+    ]
+    want = sorted(
+        tuple(r)
+        for r in run_pipeline(spark, tx, scanner="expr")["triples"]
+        .select("conv_id", "subj", "pred", "obj", "turn_idx")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in run_pipeline(spark, back, scanner="expr")["triples"]
+        .select("conv_id", "subj", "pred", "obj", "turn_idx")
+        .collect()
+    )
+    assert got == want and len(got) > 0

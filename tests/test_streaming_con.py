@@ -328,3 +328,50 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_session_windows_close_on_event_time_timeout(spark, tmp_path):
+    """Event-time session windows: sessions stay OPEN in the state store
+    while turns keep arriving, and close (emit exactly one row) only when a
+    later drain's watermark passes last_ts + gap. Three drains: (1) convs
+    A+B arrive, (2) a much-later turn advances the watermark source data,
+    (3) the watermark from drain 2 fires A's and B's timeouts."""
+    import datetime as dt
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+
+    def tx(rows):
+        return spark.createDataFrame(
+            [
+                (c, i, "user", f"turn {i}", "none", t)
+                for (c, i, t) in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    tx([("A", 0, m(0)), ("A", 1, m(2)), ("B", 0, m(1))]).coalesce(1).write.parquet(in_dir)
+    streaming.run_sessions_once(spark, in_dir, out_dir, ck, gap_minutes=5)
+
+    tx([("C", 0, m(60))]).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_sessions_once(spark, in_dir, out_dir, ck, gap_minutes=5)
+
+    tx([("D", 0, m(90))]).coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_sessions_once(spark, in_dir, out_dir, ck, gap_minutes=5)
+
+    out = {r["conv_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert "A" in out and "B" in out, sorted(out)
+    assert out["A"]["n_turns"] == 2
+    assert out["A"]["session_start"] == m(0) and out["A"]["session_end"] == m(2)
+    assert out["B"]["n_turns"] == 1
+    # C's timeout (65min) is past the last watermark (90min)? 90 > 65 -> C
+    # may close in drain 3; D is certainly still open (no later data).
+    assert "D" not in out
