@@ -4714,3 +4714,138 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+@register(
+    "q_conv_dedup",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tx AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id, doc_id, text
+  FROM docs
+),
+fps AS (
+  SELECT conv_id,
+         md5(string_agg(coalesce(text, ''), chr(31) ORDER BY doc_id)) AS conv_fp
+  FROM tx GROUP BY conv_id
+)
+SELECT conv_fp, min(conv_id) AS representative,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM fps GROUP BY conv_fp
+""",
+)
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-level exact dedup: fingerprint = md5 over the turn texts
+    in stable turn order (the dedup granularity agent-transcript corpora
+    need — whole sessions get re-ingested, not individual turns). Order is
+    imposed inside the aggregation (sort_array over (turn_key, text)
+    structs), so the fingerprint is partitioning-independent; the group-by
+    then yields representative + multiplicity per distinct conversation."""
+    docs = load_docs(spark, sf_dir)
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    fps = tx.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            )
+        ).alias("conv_fp")
+    )
+    return fps.groupBy("conv_fp").agg(
+        F.min("conv_id").alias("representative"),
+        F.count(F.lit(1)).alias("n_convs"),
+    )
+
+
+@register(
+    "q_context_disambiguation",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS},
+ambig AS (
+  SELECT term FROM gazv GROUP BY term HAVING count(*) > 1
+),
+am AS (
+  SELECT m.doc_id, m.tok_start, m.tok_end, lower(m.mention_text) AS term,
+         d.toks[m.tok_end + 2 : m.tok_end + 4] AS ctx
+  FROM mentions m JOIN docs d USING (doc_id)
+  WHERE lower(m.mention_text) IN (SELECT term FROM ambig)
+),
+scored AS (
+  SELECT a.doc_id, a.tok_start, a.tok_end, a.term, g.cui,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(a.ctx,
+               t -> CAST(('0x' || substr(md5(g.cui || '|' || t), 1, 2)) AS BIGINT))),
+           (acc, x) -> acc + x) AS ctx_score,
+         row_number() OVER (PARTITION BY a.doc_id, a.tok_start, a.tok_end
+                            ORDER BY list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                list_transform(a.ctx,
+                                  t -> CAST(('0x' || substr(md5(g.cui || '|' || t), 1, 2)) AS BIGINT))),
+                              (acc, x) -> acc + x) DESC, g.cui ASC) AS rn
+  FROM am a JOIN gazv g ON g.term = a.term
+)
+SELECT doc_id, tok_start, tok_end, term, cui AS chosen_cui,
+       CAST(ctx_score AS BIGINT) AS ctx_score
+FROM scored WHERE rn = 1
+""",
+)
+def q_context_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-sensitive disambiguation of AMBIGUOUS gazetteer terms (same
+    surface form, multiple cuis — the word-sense problem score-based
+    tie-breaks can't see): each candidate cui is scored by hash-affinity
+    against the 3 tokens FOLLOWING the mention and the argmax wins
+    (deterministic md5 affinity stands in for an embedding dot product;
+    swap the affinity expression for a real vector similarity at prod — the
+    PLAN is identical). Per-mention top-1 window over (mention x candidate),
+    candidates broadcast-joined on the term."""
+    m = _doc_mentions_spark(spark, sf_dir)
+    gaz = doc_gazetteer_df(spark).select(F.lower("term").alias("term"), "cui")
+    ambig = gaz.groupBy("term").agg(F.count(F.lit(1)).alias("nc")).filter(
+        F.col("nc") > 1
+    ).select("term")
+    docs = load_docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("toks"))
+    am = (
+        m.withColumn("term", F.lower("mention_text"))
+        .join(F.broadcast(ambig), "term")
+        .join(docs, "doc_id")
+        .withColumn("ctx", F.slice("toks", F.col("tok_end") + 2, 3))
+        .select("doc_id", "tok_start", "tok_end", "term", "ctx")
+    )
+    scored = am.join(F.broadcast(gaz), "term").withColumn(
+        "ctx_score",
+        F.aggregate(
+            F.transform(
+                "ctx",
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(F.col("cui"), F.lit("|"), t)), 1, 2),
+                    16,
+                    10,
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("doc_id", "tok_start", "tok_end").orderBy(
+        F.desc("ctx_score"), F.asc("cui")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "tok_start",
+            "tok_end",
+            "term",
+            F.col("cui").alias("chosen_cui"),
+            F.col("ctx_score").cast("bigint").alias("ctx_score"),
+        )
+    )
