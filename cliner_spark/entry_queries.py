@@ -4849,3 +4849,138 @@ def q_context_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ctx_score").cast("bigint").alias("ctx_score"),
         )
     )
+
+
+@register(
+    "q_window_analytics",
+    """
+SELECT user_id, event_id,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist,
+       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY value DESC, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_best
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+""",
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window completeness (SURVEY §2.5): ntile quartiles,
+    percent_rank, cume_dist, and an unbounded nth_value over one shared
+    per-user ordering — Catalyst plans all four over a SINGLE sort (one
+    Window node), which is the point: adding analytics to an existing
+    ordering is free at scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.nth_value("value", 2).over(wall).alias("second_best"),
+    )
+
+
+@register(
+    "q_set_ops",
+    """
+WITH early AS (
+  SELECT DISTINCT event_type FROM events WHERE extract(hour FROM ts) < 12
+),
+late AS (
+  SELECT DISTINCT event_type FROM events WHERE extract(hour FROM ts) >= 12
+)
+SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type FROM early INTERSECT SELECT event_type FROM late)
+UNION ALL
+SELECT 'early_only', CAST(count(*) AS BIGINT)
+FROM (SELECT event_type FROM early EXCEPT SELECT event_type FROM late)
+UNION ALL
+SELECT 'late_only', CAST(count(*) AS BIGINT)
+FROM (SELECT event_type FROM late EXCEPT SELECT event_type FROM early)
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation completeness (SURVEY §2.7): INTERSECT / EXCEPT / UNION
+    ALL over the morning-vs-afternoon event-type vocabularies. Spark plans
+    intersect/except as left-semi/anti joins on the distinct sets —
+    dimension-sized, no full-fact shuffle."""
+    ev = load(spark, sf_dir, "events")
+    early = ev.filter(F.hour("ts") < 12).select("event_type").distinct()
+    late = ev.filter(F.hour("ts") >= 12).select("event_type").distinct()
+    both = early.intersect(late).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    eo = early.exceptAll(late).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("early_only").alias("bucket"), "n"
+    )
+    lo = late.exceptAll(early).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("late_only").alias("bucket"), "n"
+    )
+    return both.unionByName(eo).unionByName(lo)
+
+
+@register(
+    "q_link_priors",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS},
+ambig AS (
+  SELECT term FROM gazv GROUP BY term HAVING count(*) > 1
+),
+am AS (
+  SELECT m.doc_id, m.tok_start, m.tok_end, lower(m.mention_text) AS term,
+         d.toks[m.tok_end + 2 : m.tok_end + 4] AS ctx
+  FROM mentions m JOIN docs d USING (doc_id)
+  WHERE lower(m.mention_text) IN (SELECT term FROM ambig)
+),
+scored AS (
+  SELECT a.term, g.cui,
+         row_number() OVER (PARTITION BY a.doc_id, a.tok_start, a.tok_end
+                            ORDER BY list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                list_transform(a.ctx,
+                                  t -> CAST(('0x' || substr(md5(g.cui || '|' || t), 1, 2)) AS BIGINT))),
+                              (acc, x) -> acc + x) DESC, g.cui ASC) AS rn
+  FROM am a JOIN gazv g ON g.term = a.term
+),
+votes AS (
+  SELECT term, cui, count(*) AS n_votes FROM scored WHERE rn = 1 GROUP BY 1, 2
+)
+SELECT term, cui AS prior_cui, CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(n_mentions AS BIGINT) AS n_mentions
+FROM (
+  SELECT term, cui, n_votes,
+         sum(n_votes) OVER (PARTITION BY term) AS n_mentions,
+         row_number() OVER (PARTITION BY term ORDER BY n_votes DESC, cui ASC) AS rk
+  FROM votes
+) WHERE rk = 1
+""",
+)
+def q_link_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned LINK PRIORS: run the context disambiguator over every
+    ambiguous mention, count its per-(term, cui) votes, and keep the
+    majority cui per term — the P(cui|term) prior table a second-pass
+    linker uses instead of static gazetteer scores (the classic
+    learn-from-the-corpus upgrade, entirely label-free). Two aggregations
+    over the mention-grain votes; the prior table is dimension-sized."""
+    votes = (
+        q_context_disambiguation(spark, sf_dir)
+        .groupBy("term", F.col("chosen_cui").alias("cui"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wt = Window.partitionBy("term")
+    wr = Window.partitionBy("term").orderBy(F.desc("n_votes"), F.asc("cui"))
+    return (
+        votes.withColumn("n_mentions", F.sum("n_votes").over(wt))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "term",
+            F.col("cui").alias("prior_cui"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            F.col("n_mentions").cast("bigint").alias("n_mentions"),
+        )
+    )
