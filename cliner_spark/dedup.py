@@ -109,9 +109,15 @@ def minhash_signatures(
     shingle_n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, h0..h{k-1}): h_i = min md5(i # shingle) as hex string."""
-    sh = shingles(df, shingle_n, id_col, text_col)
+    """(id, h0..h{k-1}): h_i = min md5(i # shingle) as hex string.
+
+    sh: optionally pass a precomputed/persisted (id, shingle) set so callers
+    that also need the shingles (e.g. the LSH verify stage) shingle ONCE —
+    at 100 TB the shingle explode is the expensive pass, not the min-agg."""
+    if sh is None:
+        sh = shingles(df, shingle_n, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -126,9 +132,10 @@ def lsh_candidate_pairs(
     min_bands: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs agreeing on >= min_bands of the n (1-row) bands."""
-    sig = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col)
+    sig = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col, sh=sh)
     bands = None
     for i in range(n_hashes):
         b = sig.select(F.col(id_col), F.lit(i).alias("band"), F.col(f"h{i}").alias("sig"))

@@ -4684,8 +4684,10 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.dedup import lsh_candidate_pairs, shingles
 
     docs = load_docs(spark, sf_dir)
-    cand = lsh_candidate_pairs(docs, min_bands=2)
-    sh = shingles(docs, 2)
+    # shingle ONCE: signatures, the common-count join, and the sizes agg all
+    # reuse the pinned shingle set instead of re-exploding the corpus 3x
+    sh = shingles(docs, 2).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(docs, min_bands=2, sh=sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

@@ -309,7 +309,9 @@ def heavy_hitters(
         > phi*n_p > n_p/capacity, so the UNION of summaries is a superset of
         every true heavy hitter — no false negatives by construction.
       pass 2 — exact recount of ONLY the candidate set (broadcast semi-join
-        on the exploded tokens) and the final threshold filter, so the
+        on the exploded tokens) and the final threshold filter (the global
+        token total is carried out of pass 1 as per-partition subtotal rows,
+        so the denominator costs no extra scan), so the
         OUTPUT is exact and engine-deterministic even though the sketch is
         approximate. Candidates number <= partitions * capacity (tiny), vs a
         full vocab groupBy whose shuffle carries every distinct token.
@@ -325,7 +327,9 @@ def heavy_hitters(
 
     def mg_partition(batches):
         summary = pd.Series(dtype="int64")
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             counts = pdf["tok"].value_counts()
             summary = summary.add(counts, fill_value=0).astype("int64")
             if len(summary) > k:
@@ -336,10 +340,21 @@ def heavy_hitters(
                 cut = summary.nlargest(k + 1).iloc[-1]
                 summary = summary - cut
                 summary = summary[summary > 0]
-        yield pd.DataFrame({"tok": summary.index.astype(str)})
+        # the partition's token total rides along as a tok=NULL row, so the
+        # global N needs no separate full scan (pass 1 produces both the
+        # candidate superset AND the denominator)
+        yield pd.DataFrame(
+            {
+                "tok": list(summary.index.astype(str)) + [None],
+                "part_total": [0] * len(summary) + [n_part],
+            }
+        )
 
-    candidates = toks.mapInPandas(mg_partition, schema="tok string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    sketch = toks.mapInPandas(
+        mg_partition, schema="tok string, part_total bigint"
+    ).localCheckpoint(eager=False)  # tiny (partitions x capacity); read twice
+    candidates = sketch.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = sketch.agg(F.sum("part_total").alias("total"))
     return (
         toks.join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")
