@@ -4986,3 +4986,91 @@ def q_link_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_mentions").cast("bigint").alias("n_mentions"),
         )
     )
+
+
+@register(
+    "q_assoc_rules",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+dcui AS (SELECT DISTINCT l.doc_id, l.cui FROM linked l),
+pairs AS (
+  SELECT a.cui AS src, b.cui AS dst, CAST(count(*) AS BIGINT) AS n_pair
+  FROM dcui a JOIN dcui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+),
+marg AS (SELECT cui, CAST(count(*) AS BIGINT) AS n_node FROM dcui GROUP BY cui),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dcui)
+SELECT p.src, p.dst, p.n_pair,
+       CAST(p.n_pair AS DOUBLE) / t.n_docs AS support,
+       CAST(p.n_pair AS DOUBLE) / ms.n_node AS confidence,
+       CAST(p.n_pair * t.n_docs AS DOUBLE) / (ms.n_node * md.n_node) AS lift
+FROM pairs p
+JOIN marg ms ON p.src = ms.cui
+JOIN marg md ON p.dst = md.cui
+CROSS JOIN tot t
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-document concept sets: support,
+    confidence, lift per ordered concept pair (the market-basket companion
+    to PMI — lift > 1 marks concept pairs that co-occur beyond chance, the
+    edge-weighting a curation pipeline thresholds on). All three measures
+    are exact-integer ratios, so the doubles match the oracle bit-for-bit;
+    marginals and the doc total broadcast into the pair table."""
+    from cliner_spark.graph import cooccurrence_edges
+
+    linked = _doc_linked(spark, sf_dir).withColumnRenamed("conv_id", "doc_id")
+    dcui = linked.select("doc_id", "cui").distinct().localCheckpoint(eager=False)
+    b = dcui.withColumnRenamed("cui", "cui_b")
+    pairs = (
+        dcui.join(b, "doc_id")
+        .filter(F.col("cui") < F.col("cui_b"))
+        .groupBy(F.col("cui").alias("src"), F.col("cui_b").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    marg = dcui.groupBy("cui").agg(F.count(F.lit(1)).alias("n_node"))
+    tot = dcui.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    ms = marg.select(F.col("cui").alias("src"), F.col("n_node").alias("n_src"))
+    md = marg.select(F.col("cui").alias("dst"), F.col("n_node").alias("n_dst"))
+    return (
+        pairs.join(F.broadcast(ms), "src")
+        .join(F.broadcast(md), "dst")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            (F.col("n_pair").cast("double") / F.col("n_docs")).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n_src")).alias("confidence"),
+            (
+                (F.col("n_pair") * F.col("n_docs")).cast("double")
+                / (F.col("n_src") * F.col("n_dst"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_vocab_ids",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tf AS (
+  SELECT lower(u.tok) AS tok, CAST(count(*) AS BIGINT) AS n
+  FROM docs, unnest(toks) AS u(tok) GROUP BY 1
+)
+SELECT tok, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok ASC) - 1 AS INTEGER) AS token_id
+FROM tf WHERE n >= 3
+""",
+)
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable vocabulary-id assignment (the LM-pipeline staple): tokens with
+    frequency >= cutoff get contiguous ids ordered by (count desc, tok asc)
+    — deterministic under any partitioning. The global row_number is a
+    single-partition sort BY DESIGN: it runs on the already-aggregated
+    vocab table (dimension-sized), never on the corpus."""
+    tf = _ts.token_frequencies(load_docs(spark, sf_dir)).filter(F.col("n") >= 3)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return tf.select(
+        "tok", "n", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )

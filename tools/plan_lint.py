@@ -39,6 +39,7 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
     "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
     "q_heavy_hitters": [("BroadcastNestedLoopJoin", "1-row total-token-count carry into the threshold filter")],
+    "q_assoc_rules": [("BroadcastNestedLoopJoin", "1-row doc-total carry into support/lift")],
     "q_cooccur_pmi": [("BroadcastNestedLoopJoin", "1-row n_keys marginal carry")],
     "q_key_skew": [("BroadcastNestedLoopJoin", "1-row total-rows carry")],
     "q_embedding_topk": [
