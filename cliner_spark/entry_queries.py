@@ -5017,8 +5017,6 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-weighting a curation pipeline thresholds on). All three measures
     are exact-integer ratios, so the doubles match the oracle bit-for-bit;
     marginals and the doc total broadcast into the pair table."""
-    from cliner_spark.graph import cooccurrence_edges
-
     linked = _doc_linked(spark, sf_dir).withColumnRenamed("conv_id", "doc_id")
     dcui = linked.select("doc_id", "cui").distinct().localCheckpoint(eager=False)
     b = dcui.withColumnRenamed("cui", "cui_b")
