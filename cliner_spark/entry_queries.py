@@ -5072,3 +5072,58 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.select(
         "tok", "n", (F.row_number().over(w) - 1).cast("int").alias("token_id")
     )
+
+
+@register(
+    "q_temporal_relations",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_TX_LMT.strip()},
+spans AS (
+  SELECT conv_id, cui,
+         min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+  FROM lmt GROUP BY 1, 2
+),
+prec AS (
+  SELECT a.cui AS src, b.cui AS dst,
+         CAST(b.first_turn - a.last_turn AS BIGINT) AS gap
+  FROM spans a JOIN spans b
+    ON a.conv_id = b.conv_id AND a.cui <> b.cui
+   AND a.last_turn < b.first_turn
+)
+SELECT src, 'PRECEDES' AS pred, dst,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap
+FROM prec GROUP BY 1, 3
+""",
+)
+def q_temporal_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG edges: (a, PRECEDES, b) when concept a's mention span
+    ENDS before concept b's span BEGINS within the same conversation —
+    strict-order temporal relations, the KG edge family that encodes
+    progression (problem before treatment, click before error). One
+    aggregation to concept spans (conv x concept grain — tiny), then a
+    self-join on conv_id with the order predicate riding the equi key, then
+    the edge rollup with conversation support and gap bounds."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    spans = (
+        linked.select("conv_id", "cui", "turn_idx")
+        .groupBy("conv_id", "cui")
+        .agg(
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .localCheckpoint(eager=False)  # self-join consumes it twice
+    )
+    a = spans.select("conv_id", F.col("cui").alias("src"), F.col("last_turn").alias("a_last"))
+    b = spans.select("conv_id", F.col("cui").alias("dst"), F.col("first_turn").alias("b_first"))
+    prec = (
+        a.join(b, "conv_id")
+        .filter((F.col("src") != F.col("dst")) & (F.col("a_last") < F.col("b_first")))
+        .select("src", "dst", (F.col("b_first") - F.col("a_last")).cast("bigint").alias("gap"))
+    )
+    return prec.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+    ).select("src", F.lit("PRECEDES").alias("pred"), "dst", "n_convs", "min_gap", "max_gap")
