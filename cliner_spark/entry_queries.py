@@ -4060,16 +4060,12 @@ aligned AS (
 cm AS (
   SELECT gold_type, pred_type, count(*) AS n FROM aligned GROUP BY 1, 2
 ),
+rowm AS (SELECT gold_type AS t, sum(n) AS r FROM cm GROUP BY 1),
+colm AS (SELECT pred_type AS t, sum(n) AS c FROM cm GROUP BY 1),
 marg AS (
-  SELECT sum(n) AS n_aligned,
-         sum(CASE WHEN gold_type = pred_type THEN n ELSE 0 END) AS n_agree,
-         sum(gr * pc) AS chance
-  FROM (
-    SELECT gold_type, pred_type, n,
-           sum(n) OVER (PARTITION BY gold_type) AS gr,
-           sum(n) OVER (PARTITION BY pred_type) AS pc
-    FROM cm
-  )
+  SELECT (SELECT sum(n) FROM cm) AS n_aligned,
+         (SELECT sum(CASE WHEN gold_type = pred_type THEN n ELSE 0 END) FROM cm) AS n_agree,
+         (SELECT sum(r * c) FROM rowm JOIN colm USING (t)) AS chance
 )
 SELECT CAST(n_aligned AS BIGINT) AS n_aligned,
        CAST(n_agree AS BIGINT) AS n_agree,
@@ -4086,12 +4082,15 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard companion to the confusion matrix in annotation-QA).
 
     kappa = (po - pe) / (1 - pe) is computed from exact integer counts —
-    kappa_num = N*agree - sum_k(row_k*col_k), kappa_den = N^2 - sum_k(...) —
-    so both engines divide the SAME two BIGINTs and the double is
-    bit-identical (no order-dependent float summation anywhere). The whole
-    thing is one confusion-matrix aggregation (tiny: types x types) after the
-    aligned-span equi-join; marginals come from windows over the cm rows, not
-    a rescan."""
+    chance = sum over LABELS t of row_t * col_t (matching-label marginal
+    products only, per Cohen), kappa_num = N*agree - chance, kappa_den =
+    N^2 - chance — so both engines divide the SAME two BIGINTs and the
+    double is bit-identical (no order-dependent float summation anywhere).
+    The whole thing is one confusion-matrix aggregation (tiny: types x
+    types) after the aligned-span equi-join. A randomized replica test
+    (tests/test_random_replicas_r2b.py) checks the formula against a
+    pure-Python kappa on random dense confusions, where a wrong chance term
+    degenerates to division by zero."""
     pred, gold = _pred_gold_spark(spark, sf_dir)
     keys = ["doc_id", "tok_start", "tok_end"]
     cm = (
@@ -4100,31 +4099,9 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gold_type", "pred_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wg = Window.partitionBy("gold_type")
-    wp = Window.partitionBy("pred_type")
-    marg = cm.select(
-        "n",
-        (F.col("gold_type") == F.col("pred_type")).alias("diag"),
-        (F.sum("n").over(wg) * F.sum("n").over(wp)).alias("gr_pc"),
-    ).agg(
-        F.sum("n").alias("n_aligned"),
-        F.sum(F.when(F.col("diag"), F.col("n")).otherwise(0)).alias("n_agree"),
-        F.sum("gr_pc").alias("chance"),
-    )
-    return marg.select(
-        F.col("n_aligned").cast("bigint").alias("n_aligned"),
-        F.col("n_agree").cast("bigint").alias("n_agree"),
-        (F.col("n_aligned") * F.col("n_agree") - F.col("chance"))
-        .cast("bigint")
-        .alias("kappa_num"),
-        (F.col("n_aligned") * F.col("n_aligned") - F.col("chance"))
-        .cast("bigint")
-        .alias("kappa_den"),
-        (
-            (F.col("n_aligned") * F.col("n_agree") - F.col("chance")).cast("double")
-            / (F.col("n_aligned") * F.col("n_aligned") - F.col("chance")).cast("double")
-        ).alias("kappa"),
-    )
+    from cliner_spark.evaluate import kappa_from_confusion
+
+    return kappa_from_confusion(cm)
 
 
 # Shared turn-pair CTE: adjacent-turn distinct-token overlap within each

@@ -98,3 +98,40 @@ def triple_prf(pred_triples: DataFrame, gold_triples: DataFrame) -> dict[str, fl
     recall = tp / ng if ng else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"tp": tp, "n_pred": np_, "n_gold": ng, "precision": precision, "recall": recall, "f1": f1}
+
+
+def kappa_from_confusion(cm: DataFrame) -> DataFrame:
+    """Cohen's kappa from a confusion-count table (gold_type, pred_type, n).
+
+    chance = sum over LABELS t of row_t * col_t (matching-label marginal
+    products, per Cohen 1960); kappa = (N*agree - chance) / (N^2 - chance).
+    Numerator and denominator are exact BIGINTs, so the final double is
+    bit-identical in any engine/partitioning. The confusion table is
+    types x types (tiny) — every aggregate here is dimension-sized."""
+    cm = cm.localCheckpoint(eager=False)  # three tiny aggregates reuse it
+    rowm = cm.groupBy(F.col("gold_type").alias("t")).agg(F.sum("n").alias("r"))
+    colm = cm.groupBy(F.col("pred_type").alias("t")).agg(F.sum("n").alias("c"))
+    chance = rowm.join(colm, "t").agg(F.sum(F.col("r") * F.col("c")).alias("chance"))
+    marg = (
+        cm.agg(
+            F.sum("n").alias("n_aligned"),
+            F.sum(
+                F.when(F.col("gold_type") == F.col("pred_type"), F.col("n")).otherwise(0)
+            ).alias("n_agree"),
+        )
+        .crossJoin(F.broadcast(chance))
+    )
+    return marg.select(
+        F.col("n_aligned").cast("bigint").alias("n_aligned"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        (F.col("n_aligned") * F.col("n_agree") - F.col("chance"))
+        .cast("bigint")
+        .alias("kappa_num"),
+        (F.col("n_aligned") * F.col("n_aligned") - F.col("chance"))
+        .cast("bigint")
+        .alias("kappa_den"),
+        (
+            (F.col("n_aligned") * F.col("n_agree") - F.col("chance")).cast("double")
+            / (F.col("n_aligned") * F.col("n_aligned") - F.col("chance")).cast("double")
+        ).alias("kappa"),
+    )
