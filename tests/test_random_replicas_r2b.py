@@ -171,3 +171,88 @@ def test_gap_trigger_relations_match_python(spark):
                     elif t2 == "test" and "value" in gap:
                         want[(c1, "INVESTIGATED_BY", c2)] += 1
         assert got == dict(want), (seed, got, dict(want))
+
+
+def test_bm25_matches_python_on_random_corpus(spark):
+    """textstats.bm25_rank must equal a straight-line Python BM25 (idf, tf
+    norm, per-term 6-dp rounding, top-k tie-break) on random corpora —
+    parameter/formula drift here is invisible to the shared-formula oracle."""
+    import math
+
+    from cliner_spark.textstats import bm25_rank
+
+    vocab = [f"w{i}" for i in range(15)]
+    query = ["w1", "w2", "w3"]
+    for seed in (13, 31):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25))))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(5)
+        got = [
+            (r["doc_id"], round(r["score"], 6), r["rk"])
+            for r in bm25_rank(df, query, k=10).collect()
+        ]
+
+        k1, b = 1.2, 0.75
+        docs = {i: t.split() for i, t in rows}
+        n_docs = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n_docs
+        dfreq = {
+            q: sum(1 for t in docs.values() if q in t) for q in query
+        }
+        scores = {}
+        for i, t in docs.items():
+            s = 0.0
+            for q in query:
+                tf = t.count(q)
+                if not tf or not dfreq[q]:
+                    continue
+                idf = math.log(1 + (n_docs - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+                s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl)), 6)
+            if s:
+                scores[i] = round(s, 6)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        want = [(i, s, rk + 1) for rk, (i, s) in enumerate(want)]
+        assert got == want, (seed, got, want)
+
+
+def test_cooccurrence_pmi_matches_python(spark):
+    """cooccurrence_edges' pair counts and PMI must equal a Counter-based
+    Python replica on random doc->concept sets (the same pair/marginal
+    machinery q_assoc_rules' support/confidence/lift ride on)."""
+    import math
+
+    from cliner_spark.graph import cooccurrence_edges
+
+    for seed in (23,):
+        rng = random.Random(seed)
+        dcui = set()
+        for doc in range(80):
+            for _ in range(rng.randrange(0, 5)):
+                dcui.add((doc, f"C{rng.randrange(8)}"))
+        rowsdf = spark.createDataFrame(
+            sorted(dcui), "doc_id bigint, cui string"
+        )
+        # python truth
+        node = Counter(c for _, c in dcui)
+        docs_with = len({d for d, _ in dcui})
+        by_doc = {}
+        for d, c in dcui:
+            by_doc.setdefault(d, set()).add(c)
+        pair = Counter()
+        for d, cs in by_doc.items():
+            cs = sorted(cs)
+            for i in range(len(cs)):
+                for j in range(i + 1, len(cs)):
+                    pair[(cs[i], cs[j])] += 1
+
+        got_pmi = {
+            (r["src"], r["dst"]): r["pmi"]
+            for r in cooccurrence_edges(rowsdf, key="doc_id", node="cui").collect()
+        }
+        for (a, bb), n in pair.items():
+            want = round(math.log(n * docs_with / (node[a] * node[bb])), 6)
+            assert abs(got_pmi[(a, bb)] - want) < 1e-9, (a, bb)
+        assert len(got_pmi) == len(pair)
