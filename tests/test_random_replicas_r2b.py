@@ -256,3 +256,67 @@ def test_cooccurrence_pmi_matches_python(spark):
             want = round(math.log(n * docs_with / (node[a] * node[bb])), 6)
             assert abs(got_pmi[(a, bb)] - want) < 1e-9, (a, bb)
         assert len(got_pmi) == len(pair)
+
+
+def test_dsir_weights_match_python_on_random_corpora(spark):
+    """lm.importance_weights must equal a straight-line Python DSIR replica
+    (add-one bigram LMs, OOV fallback, fixed-point floors) on random corpora
+    with deliberate target-OOV bigrams — the join/coalesce fallback path is
+    where a formula restated in both engines could drift together."""
+    import math
+
+    from cliner_spark.lm import importance_weights
+
+    vocab = [f"w{i}" for i in range(10)]
+    for seed in (19, 43):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(4)
+        target = df.filter((F.col("doc_id") % 3) == 0)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["weight_fp"])
+            for r in importance_weights(df, target).collect()
+        }
+
+        def bigrams(toks):
+            return list(zip([t.lower() for t in toks], [t.lower() for t in toks[1:]]))
+
+        docs = {i: t.split() for i, t in rows}
+        tdocs = {i: t for i, t in docs.items() if i % 3 == 0}
+        cb_b, cw_b = Counter(), Counter()
+        for t in docs.values():
+            for w1, w2 in bigrams(t):
+                cb_b[(w1, w2)] += 1
+                cw_b[w1] += 1
+        # background unigram counts/vocab mirror bigram_lm: unigrams over ALL tokens
+        uni_b = Counter(w.lower() for t in docs.values() for w in t)
+        v_b = len(uni_b)
+        cb_t, uni_t = Counter(), Counter()
+        for t in tdocs.values():
+            for w1, w2 in bigrams(t):
+                cb_t[(w1, w2)] += 1
+        for t in tdocs.values():
+            for w in t:
+                uni_t[w.lower()] += 1
+        v_t = len(uni_t)
+
+        FP = 10**6
+        want = {}
+        for i, t in docs.items():
+            bs = bigrams(t)
+            if not bs:
+                continue
+            w = 0
+            for w1, w2 in bs:
+                ft = math.floor(
+                    math.log((cb_t.get((w1, w2), 0) + 1) / (uni_t.get(w1, 0) + v_t)) * FP
+                )
+                fb = math.floor(
+                    math.log((cb_b[(w1, w2)] + 1) / (uni_b[w1] + v_b)) * FP
+                )
+                w += ft - fb
+            want[i] = (len(bs), w)
+        assert got == want, (seed, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)})
