@@ -5104,3 +5104,9 @@ def q_temporal_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap").alias("min_gap"),
         F.max("gap").alias("max_gap"),
     ).select("src", F.lit("PRECEDES").alias("pred"), "dst", "n_convs", "min_gap", "max_gap")
+
+
+# Round-2 additions (remaining TPC-H shapes + corpus document operators)
+# register themselves via this module's @register; imported last so every
+# helper above is defined.
+from cliner_spark import queries_r2  # noqa: E402,F401

@@ -56,6 +56,9 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("CartesianProduct",
          "<=20-row query spine x 2-row method literal (bookkeeping base)")
     ],
+    "q_tpch_q11": [("BroadcastNestedLoopJoin", "1-row grand-total carry into the HAVING predicate")],
+    "q_tpch_q15": [("BroadcastNestedLoopJoin", "1-row max-revenue carry (top-supplier tie filter)")],
+    "q_tpch_q22": [("BroadcastNestedLoopJoin", "1-row sum/count balance-stats carry")],
 }
 
 
