@@ -540,3 +540,137 @@ def deterministic_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
             .withColumn("cur", F.col(f"step_{t}"))
         )
     return frontier.drop("cur")
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over undirected (src, dst)
+    edges: coeff = 2*triangles / (deg*(deg-1)), 0 when deg < 2.
+
+    Reuses the canonical-orientation triangle_count (two equi-joins, wedge
+    set bounded by oriented sum(deg^2)) plus one degree aggregation over the
+    deduped undirected edge set; the final division is the only float op —
+    both operands exact BIGINTs, rounded to 6 dp for engine parity.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + triangle joins share it
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(und.select(F.col("lo").alias("src"), F.col("hi").alias("dst")))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+def bellman_ford_sssp(
+    weighted_edges: DataFrame, seed: str, max_hops: int = 10
+) -> DataFrame:
+    """Single-source shortest WEIGHTED distances from `seed` over undirected
+    (src, dst, w) edges — Bellman-Ford relaxation, one equi-join + one
+    min-aggregation per round, early exit at fixpoint.
+
+    After r rounds the distances equal the min over paths of <= r edges, so
+    an early exit (no row improved) and running out the full max_hops budget
+    produce identical output — the property that lets a hop-bounded
+    recursive-CTE oracle check a data-dependent iterative algorithm.
+    Frontier-sized state only: (node, dist) rows, localCheckpointed per
+    round to cut the iterative lineage.
+    """
+    und = (
+        weighted_edges.select("src", "dst", "w")
+        .unionByName(
+            weighted_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = weighted_edges.sparkSession
+    dist = spark.createDataFrame([(seed, 0)], "node string, dist long").localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_hops):
+        cand = (
+            und.join(dist, und.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new.join(dist.withColumnRenamed("dist", "_old"), "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .limit(1)
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """k-core decomposition for a FIXED k: iteratively peel nodes of degree
+    < k until the degree->=k fixpoint; returns the surviving nodes with
+    their core-subgraph degree.
+
+    Each round is one degree aggregation + two semi-joins filtering the
+    edge list to surviving endpoints — the standard distributed peeling
+    loop. The edge set shrinks monotonically, so per-round cost falls;
+    lineage is cut every round (the loop is the algorithm, as with
+    PageRank/CC). Raises if the peel hasn't converged in max_rounds — at
+    that point the caller's graph is adversarial, not big.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        n_drop = deg.filter(F.col("degree") < k).limit(1).count()
+        if n_drop == 0:
+            return deg.filter(F.col("degree") >= k)
+        e = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core: no fixpoint after {max_rounds} peel rounds")

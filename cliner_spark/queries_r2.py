@@ -791,3 +791,185 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Graph analytics round 2: clustering coefficient, weighted SSSP, k-core
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_BEST_GAZ,
+    SQL_DOC_CUI,
+    SQL_KEPT_MENTIONS,
+    SQL_LINKED,
+    _doc_linked,
+)
+
+# doc similarity graph: pairs sharing >= 2 distinct 3-shingles (after the
+# same df<=50 stop-shingle cut the Jaccard path uses) — dense enough for
+# triangles/cores, still generated via the inverted index (never all-pairs)
+SQL_DOCPAIR_GRAPH = """
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+keep2 AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50),
+shf2 AS (SELECT sh2.* FROM sh2 JOIN keep2 USING (shingle)),
+ge AS MATERIALIZED (
+  SELECT a.doc_id AS lo, b.doc_id AS hi
+  FROM shf2 a JOIN shf2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+"""
+
+
+def _docpair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SQL_DOCPAIR_GRAPH: (src, dst) doc pairs sharing >= 2
+    distinct 3-shingles, via the dedup module's df-cut inverted index."""
+    from cliner_spark import dedup as _dd
+
+    pairs = _dd.jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50)
+    return pairs.filter(F.col("common") >= 2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+
+@register(
+    "q_clustering_coeff",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_DOCPAIR_GRAPH.strip()},
+dg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT lo AS node FROM ge UNION ALL SELECT hi FROM ge
+  ) GROUP BY node
+),
+wedge AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM ge e1 JOIN ge e2 ON e1.hi = e2.lo
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedge w JOIN ge e ON w.a = e.lo AND w.c = e.hi
+),
+tcnt AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                       / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM dg d LEFT JOIN tcnt t USING (node)
+""",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the doc-similarity graph (pairs
+    sharing >=2 distinct 3-shingles): how clique-like each document's
+    near-dup neighborhood is — the standard template-cluster vs chain-dup
+    discriminator. Triangles via the canonical-orientation wedge join
+    (graph.triangle_count); the only float op is the final exact-int
+    division, rounded to 6 dp."""
+    from cliner_spark.graph import clustering_coefficient
+
+    return clustering_coefficient(_docpair_edges(spark, sf_dir))
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: each round = degree agg + >=k filter + edge
+    restriction, mirroring graph.k_core exactly. `rounds` must exceed the
+    data's peel depth (verified at sf0.01: 6 rounds to fixpoint for k=4)."""
+    ctes = []
+    prev = "ge"
+    for i in range(1, rounds + 1):
+        # MATERIALIZED stops DuckDB inlining each round's CTE into the
+        # next (plain CTEs expand exponentially across 10 rounds and the
+        # parquet scan gets duplicated until fd exhaustion)
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM ("
+            f"SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev}"
+            f") GROUP BY node)"
+        )
+        ctes.append(f"k{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT {prev}.lo, {prev}.hi FROM {prev} "
+            f"JOIN k{i} a ON {prev}.lo = a.node "
+            f"JOIN k{i} b ON {prev}.hi = b.node)"
+        )
+        prev = f"e{i}"
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node, CAST(deg AS BIGINT) AS degree FROM d{rounds} WHERE deg >= {k}"
+    )
+
+
+@register(
+    "q_kcore",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_DOCPAIR_GRAPH.strip()},
+{_kcore_sql(4, 10)}
+""",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the doc-similarity graph (graph.k_core): iterative peeling
+    of nodes with degree < 4 until fixpoint — the dense-duplication
+    backbone a curation pass inspects first. Data-dependent round count in
+    Spark (early exit at fixpoint) checked against a 10-round unrolled
+    oracle: once the peel converges, extra unrolled rounds are identity,
+    so the two agree whenever convergence happens within the unroll budget
+    (asserted by the sf0.01 check; sf0.01 converges in 6)."""
+    from cliner_spark.graph import k_core
+
+    return k_core(_docpair_edges(spark, sf_dir), k=4)
+
+
+@register(
+    "q_kg_sssp",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+we AS (
+  SELECT src AS s, dst AS t, 1000 // n_pair + 1 AS w FROM coedges
+  UNION ALL
+  SELECT dst, src, 1000 // n_pair + 1 FROM coedges
+),
+walk(node, dist, hops) AS (
+  SELECT 'CD001', CAST(0 AS BIGINT), 0
+  UNION
+  SELECT we.t, walk.dist + we.w, walk.hops + 1
+  FROM walk JOIN we ON we.s = walk.node
+  WHERE walk.hops < 10
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+""",
+)
+def q_kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from CD001 over the concept
+    co-occurrence graph, edge weight = 1000 // co-occurrence-count + 1
+    (strong associations are short hops). Bellman-Ford relaxation rounds
+    with early exit (graph.bellman_ford_sssp); after r rounds distances
+    equal the min over <=r-edge paths, which is what the hop-bounded
+    recursive-CTE oracle computes — so early exit and the full budget give
+    identical, hash-checkable output. Integer weights keep every distance
+    exact."""
+    from cliner_spark.graph import bellman_ford_sssp
+
+    d = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.cui") < F.col("b.cui")),
+        )
+        .groupBy(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    we = pairs.select(
+        "src",
+        "dst",
+        (F.floor(F.lit(1000) / F.col("n_pair")).cast("long") + 1).alias("w"),
+    )
+    return bellman_ford_sssp(we, "CD001", max_hops=10)
