@@ -973,3 +973,189 @@ def q_kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.lit(1000) / F.col("n_pair")).cast("long") + 1).alias("w"),
     )
     return bellman_ford_sssp(we, "CD001", max_hops=10)
+
+
+# --------------------------------------------------------------------------
+# Sketches, dimension history, smoothing
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    GAZ_SQL,
+    SQL_CANON,
+    SQL_TX_LMT,
+    _doc_linked_transcript,
+    cached_canon_map,
+    doc_gazetteer_df,
+)
+
+CM_VALUES = "(VALUES (0), (1), (2), (3)) AS i(i)"
+
+
+@register(
+    "q_countmin",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tok AS (SELECT lower(t.tok) AS tok FROM docs, unnest(toks) AS t(tok)),
+buck AS (
+  SELECT i.i AS row,
+         CAST(('0x' || substr(md5(i.i || '|' || tok), 1, 4)) AS BIGINT) % 256 AS bucket
+  FROM tok CROSS JOIN {CM_VALUES}
+),
+sketch AS MATERIALIZED (SELECT row, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+exact AS (SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok HAVING count(*) >= 100),
+probe AS (
+  SELECT e.tok, e.n_exact, i.i AS row,
+         CAST(('0x' || substr(md5(i.i || '|' || e.tok), 1, 4)) AS BIGINT) % 256 AS bucket
+  FROM exact e CROSS JOIN {CM_VALUES}
+)
+SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(min(s.cnt) AS BIGINT) AS n_est,
+       CAST(min(s.cnt) - p.n_exact AS BIGINT) AS overcount
+FROM probe p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.tok, p.n_exact
+""",
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over the corpus token stream
+    (sketch.countmin_estimates): depth 4 x width 256 with md5-derived
+    engine-reproducible bucket hashing, audit columns = exact vs estimate
+    vs overcount (>= 0 by the CM guarantee — the whole audit is
+    hash-checked, not just the estimates). The sketch build is one
+    partially-aggregated groupBy to <= 1024 rows (a mergeable sketch:
+    per-split partial sketches sum), estimates broadcast the sketch onto
+    the vocabulary."""
+    from cliner_spark.sketch import countmin_estimates
+    from cliner_spark.tokenization import tokens_col
+
+    toks = (
+        load_docs(spark, sf_dir)
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+    )
+    return countmin_estimates(toks, min_exact=100)
+
+
+@register(
+    "q_gazetteer_scd2",
+    f"""
+WITH gazv AS (SELECT * FROM {GAZ_SQL}),
+v2 AS (
+  SELECT term, cui, sem_type, canonical,
+         CASE WHEN sem_type = 'problem' THEN score + 0.05 ELSE score END AS score
+  FROM gazv WHERE cui NOT LIKE '%4'
+  UNION ALL
+  SELECT 'bloom filter', 'CD999', 'test', 'bloom filter', 0.88
+),
+o AS (SELECT term, cui, score AS old_score FROM gazv),
+n AS (SELECT term, cui, score AS new_score FROM v2),
+full_j AS (
+  SELECT coalesce(o.term, n.term) AS term, coalesce(o.cui, n.cui) AS cui,
+         o.old_score, n.new_score
+  FROM o FULL OUTER JOIN n ON o.term = n.term AND o.cui = n.cui
+)
+SELECT term, cui, round(v.score, 4) AS score,
+       CAST(v.valid_from AS INTEGER) AS valid_from,
+       CAST(v.valid_to AS INTEGER) AS valid_to
+FROM full_j, unnest(
+  CASE WHEN new_score IS NULL
+         THEN [{{'score': old_score, 'valid_from': 1, 'valid_to': 1}}]
+       WHEN old_score IS NULL
+         THEN [{{'score': new_score, 'valid_from': 2, 'valid_to': NULL}}]
+       WHEN old_score <> new_score
+         THEN [{{'score': old_score, 'valid_from': 1, 'valid_to': 1}},
+               {{'score': new_score, 'valid_from': 2, 'valid_to': NULL}}]
+       ELSE [{{'score': old_score, 'valid_from': 1, 'valid_to': NULL}}]
+  END) AS t(v)
+""",
+)
+def q_gazetteer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension history across the two gazetteer releases used
+    by q_gazetteer_diff (v2 bumps problem scores, retires %4 cuis, adds one
+    concept): one validity-interval row per value version
+    (sources.scd2_intervals) — the dimension-lineage table an Iceberg KG
+    keeps next to the gazetteer so triples can be joined against the
+    release that produced them."""
+    from cliner_spark.sources import scd2_intervals
+
+    v1 = doc_gazetteer_df(spark)
+    v2 = (
+        v1.filter(~F.col("cui").endswith("4"))
+        .withColumn(
+            "score",
+            F.when(F.col("sem_type") == "problem", F.col("score") + 0.05).otherwise(
+                F.col("score")
+            ),
+        )
+        .unionByName(
+            v1.sparkSession.createDataFrame(
+                [("bloom filter", "CD999", "test", "bloom filter", 0.88)],
+                v1.schema,
+            )
+        )
+    )
+    return scd2_intervals(v1, v2)
+
+
+@register(
+    "q_concept_ewma",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON}, {SQL_TX_LMT.strip()},
+act AS (
+  SELECT c.canon_cui, l.turn_idx // 4 AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM lmt l JOIN canon c ON l.cui = c.cui
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT canon_cui, bucket, n,
+         lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3
+  FROM act
+  WINDOW w AS (PARTITION BY canon_cui ORDER BY bucket)
+)
+SELECT canon_cui, CAST(bucket AS INTEGER) AS bucket, n,
+       round((CAST(n AS DOUBLE) + 0.5 * coalesce(l1, 0) + 0.25 * coalesce(l2, 0)
+              + 0.125 * coalesce(l3, 0))
+             / (1.0 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+                + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+                + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END), 6) AS ewma
+FROM lagged
+""",
+)
+def q_concept_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA (alpha=0.5, 4 observations) of per-concept
+    turn-bucketed mention counts — the smoothed trend signal next to
+    q_concept_trend's least-squares slope. Weights renormalize over the
+    observations present (series heads don't dilute toward zero). One
+    window sort per concept; the float expression tree is written
+    identically in both engines and rounded to 6 dp."""
+    from cliner_spark.triples import with_canonical
+
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    m = with_canonical(
+        linked.select("conv_id", "turn_idx", "cui").distinct(),
+        cached_canon_map(spark),
+    )
+    act = m.groupBy(
+        "canon_cui", (F.col("turn_idx") / 4).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("canon_cui").orderBy("bucket")
+    l1, l2, l3 = (F.lag("n", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.col("n").cast("double")
+        + 0.5 * F.coalesce(l1, F.lit(0))
+        + 0.25 * F.coalesce(l2, F.lit(0))
+        + 0.125 * F.coalesce(l3, F.lit(0))
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(l1.isNull(), 0.0).otherwise(0.5)
+        + F.when(l2.isNull(), 0.0).otherwise(0.25)
+        + F.when(l3.isNull(), 0.0).otherwise(0.125)
+    )
+    return act.select(
+        "canon_cui",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -260,3 +260,43 @@ def write_transcripts_orc(df: DataFrame, path: str) -> None:
     """ORC transcript sink (zstd): partition-shape decisions (salting,
     sortWithinPartitions) are the caller's, as with the parquet sink."""
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
+def scd2_intervals(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from two gazetteer
+    releases: one validity-interval row per (term, cui, score) version —
+    (score, valid_from=1, valid_to=1) for retired v1 values,
+    (score, valid_from=2, valid_to=NULL) for values introduced in v2, and a
+    single open (valid_from=1, valid_to=NULL) row when the value never
+    changed. The standard dimension-history build: one full-outer join on
+    the natural key, then an exploded per-branch row array — no window, no
+    second pass; both sides dimension-sized.
+    """
+    o = old.select("term", "cui", F.col("score").alias("old_score"))
+    n = new.select("term", "cui", F.col("score").alias("new_score"))
+    full = o.join(n, ["term", "cui"], "full_outer")
+    removed = F.struct(
+        F.col("old_score").alias("score"), F.lit(1).alias("valid_from"),
+        F.lit(1).cast("int").alias("valid_to"),
+    )
+    added = F.struct(
+        F.col("new_score").alias("score"), F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    unchanged = F.struct(
+        F.col("old_score").alias("score"), F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    rows = (
+        F.when(F.col("new_score").isNull(), F.array(removed))
+        .when(F.col("old_score").isNull(), F.array(added))
+        .when(F.col("old_score") != F.col("new_score"), F.array(removed, added))
+        .otherwise(F.array(unchanged))
+    )
+    return full.select("term", "cui", F.explode(rows).alias("v")).select(
+        "term",
+        "cui",
+        F.round(F.col("v.score"), 4).alias("score"),
+        F.col("v.valid_from").alias("valid_from"),
+        F.col("v.valid_to").alias("valid_to"),
+    )
