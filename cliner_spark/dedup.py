@@ -19,7 +19,7 @@ swap the hash function, not the algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cliner_spark.tokenization import tokens_col
@@ -406,3 +406,81 @@ def semdedup_keep(
             ).alias("keep"),
         )
     )
+
+
+def ssjoin_prefix(
+    df: DataFrame,
+    n: int = 3,
+    theta_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT thresholded set-similarity join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008) — all pairs with n-gram-set Jaccard
+    >= theta_pct/100, with NO df-cut approximation and NO all-pairs stage.
+
+    Prefix principle: order each document's shingle set by a global total
+    order (document frequency asc, shingle asc — rarest first); if
+    J(A,B) >= t then A and B must share a shingle within their first
+    |X| - ceil(t*|X|) + 1 shingles. So the inverted index is built over
+    PREFIXES only — the hot head of the df distribution (the shingles the
+    df-cut would drop) sits at the END of the order and almost never lands
+    in a prefix, which is what makes this exact AND skew-safe: candidate
+    generation cost tracks rare-shingle frequency, verification touches
+    candidates only. The final threshold predicate is the exact integer
+    cross-multiplication 100*common >= theta_pct*(|A|+|B|-common).
+
+    theta_pct is an integer percentage so the filter stays in exact
+    integer arithmetic end to end (float thresholds drift on boundaries).
+    """
+    sh = shingles(df, n, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("_rn")
+            <= F.col("sz") - F.ceil(F.col("sz") * theta_pct / 100) + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("_db"), F.col("shingle").alias("_sb"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("_sa") == F.col("_sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .filter(
+            100 * F.col("common")
+            >= theta_pct * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+    )
+    return out.select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")

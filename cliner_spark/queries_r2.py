@@ -1159,3 +1159,41 @@ def q_concept_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@register(
+    "q_ssjoin",
+    f"""
+WITH {SQL_DOCS_TOKS},
+sh3 AS (
+  SELECT DISTINCT doc_id,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc_id
+JOIN sizes sb ON common.doc_b = sb.doc_id
+WHERE 100 * common >= 50 * (sa.sz + sb.sz - common)
+""",
+)
+def q_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.5 set-similarity join via prefix filtering
+    (dedup.ssjoin_prefix, PPJoin family): the inverted index is built over
+    rarest-first PREFIXES only, so hot shingles never generate candidates
+    yet the result is exact — the scale-correct alternative to the df-cut
+    approximation, hash-checked against a brute-force all-pairs oracle.
+    The threshold predicate is the exact integer cross-multiplication
+    100*common >= 50*(|A|+|B|-common)."""
+    from cliner_spark.dedup import ssjoin_prefix
+
+    return ssjoin_prefix(load_docs(spark, sf_dir), n=3, theta_pct=50)

@@ -232,3 +232,36 @@ def test_tpch_q21_semi_anti_matches_bruteforce(spark):
             ):
                 exp.append((r["l_orderkey"], r["l_suppkey"]))
     assert got == sorted(exp)
+
+
+def test_ssjoin_prefix_matches_naive_allpairs(spark):
+    """Prefix-filter ssjoin is EXACT: equals the brute-force thresholded
+    all-pairs join on a random corpus with heavy shared shingles."""
+    import itertools
+
+    from cliner_spark.dedup import shingles, ssjoin_prefix
+
+    rng = random.Random(17)
+    base = "the quick brown fox jumps over the lazy dog again and again".split()
+    docs = []
+    for _ in range(40):
+        words = [rng.choice(base) for _ in range(rng.randint(3, 20))]
+        if rng.random() < 0.4:  # inject near-dups
+            words = base[:10] + words[:3]
+        docs.append(" ".join(words))
+    df = _docs_df(spark, docs)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["common"], r["size_a"], r["size_b"])
+        for r in ssjoin_prefix(df, n=3, theta_pct=50).collect()
+    )
+
+    sets: dict[int, set] = {}
+    for r in shingles(df, 3).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        common = len(sets[a] & sets[b])
+        sa, sb = len(sets[a]), len(sets[b])
+        if 100 * common >= 50 * (sa + sb - common):
+            exp.append((a, b, common, sa, sb))
+    assert got == sorted(exp)
