@@ -1197,3 +1197,131 @@ def q_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.dedup import ssjoin_prefix
 
     return ssjoin_prefix(load_docs(spark, sf_dir), n=3, theta_pct=50)
+
+
+@register(
+    "q_tpch_q2",
+    """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+elig AS (
+  SELECT c.l_partkey, c.l_suppkey, c.cost, e.s_name
+  FROM costs c JOIN eu e ON c.l_suppkey = e.s_suppkey
+),
+mc AS (SELECT l_partkey, min(cost) AS min_cost FROM elig GROUP BY 1)
+SELECT p.p_partkey, p.p_name, el.l_suppkey AS s_suppkey, el.s_name,
+       el.cost AS supply_cost
+FROM elig el
+JOIN mc ON el.l_partkey = mc.l_partkey AND el.cost = mc.min_cost
+JOIN part p ON el.l_partkey = p.p_partkey
+WHERE p.p_size IN (5, 15, 25)
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (min-cost supplier per part within a region, ties
+    kept; min l_extendedprice per (part, supplier) stands in for
+    ps_supplycost). The correlated MIN decorrelates to a per-part aggregate
+    joined back on (part, cost) — equality on a double MIN is exact (min
+    SELECTS an input value, both engines compare the identical bits). The
+    region filter prunes the supplier dim before anything joins it."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    elig = costs.join(F.broadcast(eu), costs.l_suppkey == eu.s_suppkey).select(
+        "l_partkey", "l_suppkey", "cost", "s_name"
+    )
+    elig = elig.localCheckpoint(eager=False)  # consumed by detail + min
+    mc = elig.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(5, 15, 25))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        elig.join(mc, (elig.l_partkey == mc._pk) & (elig.cost == mc.min_cost))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name",
+            F.col("l_suppkey").alias("s_suppkey"), "s_name",
+            F.col("cost").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q20",
+    """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(38,4))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(sq) AS tq FROM qty GROUP BY 1)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_acctbal > 0
+  AND s.s_suppkey IN (
+    SELECT q.l_suppkey FROM qty q
+    JOIN tot t ON q.l_partkey = t.l_partkey
+    WHERE q.sq * 2 > t.tq
+      AND q.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  )
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (double-nested IN: suppliers responsible for more
+    than half a part's annual volume, over a name-filtered part subset).
+    Both INs decorrelate to LEFT SEMI joins; the majority predicate is the
+    exact decimal cross-multiplication sq*2 > total. The per-(supp, part)
+    aggregate reuses its own rollup for the denominator — one shuffle, one
+    re-aggregation, no second scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
+    )
+    qty = qty.localCheckpoint(eager=False)  # detail + per-part rollup
+    tot = qty.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("sq").alias("tq"))
+    small = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    majors = (
+        qty.join(tot, (qty.l_partkey == tot._pk))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    return (
+        s.join(majors, s.s_suppkey == majors.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
