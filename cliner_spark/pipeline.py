@@ -44,6 +44,7 @@ def run_pipeline(
     scanner: str = "expr",
     canon_map: DataFrame | None = None,
     assertions: bool = False,
+    with_metrics: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns dict with mentions, linked, canon_map, triples DataFrames.
 
@@ -56,13 +57,31 @@ def run_pipeline(
     NEGATED_IN / HEDGED_IN / ASSERTED_IN. Adds one equi-join on
     (conv_id, turn_idx) against the tokenized turns — no extra shuffle of
     the turn stream itself.
+
+    with_metrics: attach pyspark Observations (df.observe) at the stage
+    boundaries — turn/mention/triple row counts collected as a side effect
+    of the sink action, ZERO extra jobs (the metrics-table mandate without
+    re-counting the stream). Returned under key "metrics" as
+    {stage: Observation}; read obs.get AFTER the first action.
     """
     gaz = gazetteer if gazetteer is not None else fixtures.gazetteer_df(spark)
     terms = [r["term"] for r in gaz.select("term").distinct().collect()]
 
     from cliner_spark.session import ensure_parallelism
 
-    turns = drop_blank_turns(ensure_parallelism(transcripts))
+    metrics: dict = {}
+
+    def _observe(df: DataFrame, stage: str) -> DataFrame:
+        if not with_metrics:
+            return df
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(stage)
+        metrics[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    turns = _observe(drop_blank_turns(ensure_parallelism(transcripts)), "turns")
     if scanner == "expr":
         mentions = scan_mentions_expr(turns, terms)
     elif scanner == "udf":
@@ -83,6 +102,7 @@ def run_pipeline(
     else:
         raise ValueError(f"unknown scanner {scanner!r}")
 
+    mentions = _observe(mentions, "mentions")
     linked = link_mentions(mentions, gaz)
     if assertions:
         from cliner_spark.assertion import classify_assertions
@@ -92,13 +112,19 @@ def run_pipeline(
         linked = classify_assertions(linked, turn_toks)
     if canon_map is None:
         canon_map = canonical_concept_map(gaz)
-    triples = build_triples(linked, canon_map=canon_map)
-    return {
+    triples = _observe(
+        build_triples(linked, canon_map=canon_map, eager_checkpoint=with_metrics),
+        "triples",
+    )
+    out = {
         "mentions": mentions,
         "linked": linked,
         "canon_map": canon_map,
         "triples": triples,
     }
+    if with_metrics:
+        out["metrics"] = metrics
+    return out
 
 
 def _get_cli_spark(name: str, master):
@@ -122,11 +148,16 @@ def cmd_predict(args) -> None:
 
     t0 = time.time()
     out = run_pipeline(
-        spark, transcripts, scanner=args.scanner, assertions=args.assertions
+        spark, transcripts, scanner=args.scanner, assertions=args.assertions,
+        with_metrics=True,
     )
     hot = hot_conversations(transcripts, threshold=args.hot_threshold)
     write_triples(out["triples"], args.output, hot=hot)
     n = spark.read.parquet(args.output).count()
+    stages = " ".join(
+        f"{k}={v.get['rows']}" for k, v in out.get("metrics", {}).items()
+    )
+    print(f"# stage rows (observed in-flight, zero extra jobs): {stages}")
     print(f"wrote {n} triples to {args.output} in {time.time() - t0:.1f}s")
     if created:
         spark.stop()

@@ -36,8 +36,16 @@ def with_canonical(linked: DataFrame, canon_map: DataFrame) -> DataFrame:
 
 
 def build_triples(linked: DataFrame, gazetteer: DataFrame | None = None,
-                  canon_map: DataFrame | None = None) -> DataFrame:
-    """linked mentions (+gazetteer for the concept graph) -> triples DF."""
+                  canon_map: DataFrame | None = None,
+                  eager_checkpoint: bool = False) -> DataFrame:
+    """linked mentions (+gazetteer for the concept graph) -> triples DF.
+
+    eager_checkpoint: materialize the mention-grain checkpoint NOW rather
+    than on first action. Required when upstream carries df.observe
+    metrics: a lazily-materialized checkpoint evaluates its child outside
+    the tracked SQL execution, so observations below it report 0; eager
+    checkpointing runs as its own execution and fires them correctly.
+    """
     if canon_map is None:
         if gazetteer is None:
             raise ValueError("need gazetteer or canon_map")
@@ -46,7 +54,7 @@ def build_triples(linked: DataFrame, gazetteer: DataFrame | None = None,
     # each trigger their own job, and without this the upstream scan UDF (the
     # expensive stage) would run four times. localCheckpoint = executor-local
     # materialization (at warehouse scale: a staging table / exchange reuse).
-    m = with_canonical(linked, canon_map).localCheckpoint(eager=False)
+    m = with_canonical(linked, canon_map).localCheckpoint(eager=eager_checkpoint)
 
     mentions_t = (
         m.groupBy("conv_id", "canon_cui")

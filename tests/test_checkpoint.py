@@ -128,3 +128,19 @@ def test_manifest_stats_prune_files(spark, tmp_path):
         r["id"] for r in df.filter(F.col("k").between("k0100", "k0199")).collect()
     )
     assert sorted(r["id"] for r in got.collect()) == want and len(want) == 100
+
+
+def test_pipeline_observe_metrics_match_counts(spark):
+    """with_metrics=True attaches df.observe at stage boundaries: the
+    observed row counts equal real counts and cost zero extra jobs (they
+    ride the sink action)."""
+    from cliner_spark import fixtures
+    from cliner_spark.pipeline import run_pipeline
+
+    tx = fixtures.transcripts_df(spark)
+    out = run_pipeline(spark, tx, with_metrics=True)
+    n_triples = out["triples"].count()  # the single action
+    m = {k: v.get["rows"] for k, v in out["metrics"].items()}
+    assert m["triples"] == n_triples
+    assert m["mentions"] == out["mentions"].count()
+    assert m["turns"] > 0
