@@ -1325,3 +1325,88 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# KG consumption: pattern matching and star summaries over the TRIPLES table
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_TRIPLES  # noqa: E402
+from cliner_spark.triples import build_triples  # noqa: E402
+
+# wrap the flagship triple query's SELECT body as a `tr` CTE so downstream
+# pattern queries verify against the SAME materialized KG the entry query
+# emits (prefix = the WITH chain, body = the UNION ALL of projections)
+_TR_PREFIX = SQL_TRIPLES[: SQL_TRIPLES.index("SELECT 'conv:'")]
+_TR_BODY = SQL_TRIPLES[SQL_TRIPLES.index("SELECT 'conv:'") :]
+SQL_TR_CTE = f"{_TR_PREFIX.rstrip().rstrip(',')},\ntr AS MATERIALIZED (\n{_TR_BODY}\n)"
+
+
+@register(
+    "q_triple_pattern",
+    f"""
+{SQL_TR_CTE}
+SELECT m.conv_id, m.obj AS concept, a.turn_idx,
+       CAST(count(*) AS BIGINT) AS n_bindings
+FROM tr m
+JOIN tr a ON a.subj = m.obj AND a.conv_id = m.conv_id
+WHERE m.pred = 'MENTIONS' AND a.pred = 'ASSERTED_IN'
+GROUP BY 1, 2, 3
+""",
+)
+def q_triple_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-pattern matching over the MATERIALIZED KG — the SPARQL-style
+    join (?conv MENTIONS ?c) . (?c ASSERTED_IN ?turn) with conversation
+    agreement, i.e. the consumer-side query a KG exists to answer. Both
+    patterns are predicate-filtered slices of ONE triples table self-joined
+    on (concept, conv) — at warehouse scale the triples table is
+    partitioned by conv-hash (triples.write_triples), so this join is
+    partition-local. Verified against the identical pattern over the SQL
+    twin's `tr` CTE (the exact same KG the flagship query emits)."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    m = tr.filter(F.col("pred") == "MENTIONS").select(
+        F.col("conv_id").alias("m_conv"), F.col("obj").alias("concept")
+    )
+    a = tr.filter(F.col("pred") == "ASSERTED_IN").select(
+        F.col("subj").alias("a_subj"), "conv_id", "turn_idx"
+    )
+    return (
+        m.join(a, (m.concept == a.a_subj) & (m.m_conv == a.conv_id))
+        .groupBy("conv_id", "concept", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n_bindings"))
+    )
+
+
+@register(
+    "q_kg_star",
+    f"""
+{SQL_TR_CTE}
+SELECT conv_id,
+       CAST(sum(CASE WHEN pred = 'MENTIONS' THEN 1 ELSE 0 END) AS BIGINT) AS n_mentions,
+       CAST(sum(CASE WHEN pred = 'ASSERTED_IN' THEN 1 ELSE 0 END) AS BIGINT) AS n_asserted,
+       CAST(sum(CASE WHEN pred = 'LINKED_TO' THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+       CAST(sum(CASE WHEN pred = 'SAME_AS' THEN 1 ELSE 0 END) AS BIGINT) AS n_same_as,
+       CAST(count(DISTINCT CASE WHEN pred = 'MENTIONS' THEN obj END) AS BIGINT)
+         AS n_concepts
+FROM tr GROUP BY conv_id
+""",
+)
+def q_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation star summary of the materialized KG: triple counts
+    by predicate + distinct mentioned concepts — one conditional-sum
+    aggregation over the triples table (the shape a KG health dashboard
+    reads; at scale it rides the table's conv-hash partitioning with one
+    partial-aggregated shuffle)."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    one = lambda p: F.sum(F.when(F.col("pred") == p, 1).otherwise(0))  # noqa: E731
+    return tr.groupBy("conv_id").agg(
+        one("MENTIONS").alias("n_mentions"),
+        one("ASSERTED_IN").alias("n_asserted"),
+        one("LINKED_TO").alias("n_linked"),
+        one("SAME_AS").alias("n_same_as"),
+        F.count_distinct(
+            F.when(F.col("pred") == "MENTIONS", F.col("obj"))
+        ).alias("n_concepts"),
+    )
