@@ -419,3 +419,42 @@ def run_sessions_once(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_once_with_drop_metrics(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gazetteer: DataFrame,
+) -> dict:
+    """Windowed drain (availableNow) that also harvests the state-store
+    operational metrics from the query progress — most importantly
+    numRowsDroppedByWatermark, the counter an operator watches to know the
+    watermark is discarding late data (silent data loss otherwise). The
+    watermark itself persists in the checkpoint, so a restart drops events
+    older than the PREVIOUS run's high-water mark — exactly the behavior
+    the late-data test pins down.
+
+    Returns {"dropped_by_watermark": int, "state_rows": int}.
+    """
+    stream = read_transcript_stream(spark, input_path)
+    linked = streaming_mentions(stream, gazetteer)
+    q = (
+        windowed_concept_counts(linked)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    state_rows = 0
+    for prog in q.recentProgress:
+        p = prog if isinstance(prog, dict) else prog.asDict()  # version-safe
+        for op in p.get("stateOperators") or []:
+            dropped += int(op.get("numRowsDroppedByWatermark") or 0)
+            state_rows = max(state_rows, int(op.get("numRowsTotal") or 0))
+    return {"dropped_by_watermark": dropped, "state_rows": state_rows}

@@ -375,3 +375,46 @@ def test_session_windows_close_on_event_time_timeout(spark, tmp_path):
     # C's timeout (65min) is past the last watermark (90min)? 90 > 65 -> C
     # may close in drain 3; D is certainly still open (no later data).
     assert "D" not in out
+
+
+def test_watermark_drops_late_data_and_reports_metric(spark, tmp_path):
+    """Late events arriving AFTER the checkpointed watermark has passed them
+    are dropped by the windowed aggregation, and the drop is visible in the
+    query progress (numRowsDroppedByWatermark) — the operational counter
+    that distinguishes 'window closed' from 'data silently lost'."""
+    import datetime as dt
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    gaz = fixtures.gazetteer_df(spark)
+    terms = sorted({t for (t, *_r) in fixtures.CLINICAL_GAZETTEER})[:3]
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def tx(conv, ts, term):
+        return {
+            "conv_id": conv, "turn_idx": 0, "role": "user",
+            "text": f"patient has {term} today", "tool": None, "ts": ts,
+        }
+
+    # batch 1: events at noon + 2h -> watermark advances to ~13:50
+    fixtures.transcripts_df(
+        spark,
+        [tx(f"a{i}", base + dt.timedelta(hours=2), terms[0]) for i in range(4)],
+    ).coalesce(1).write.parquet(in_dir)
+    m1 = streaming.run_stream_once_with_drop_metrics(spark, in_dir, out_dir, ck, gaz)
+    assert m1["dropped_by_watermark"] == 0
+
+    # batch 2 (restart from checkpoint): events at noon — 2h LATE, far below
+    # the persisted watermark -> dropped, counted. One event per DISTINCT
+    # concept: the counter tallies state-operator INPUT rows, i.e. after the
+    # map-side partial aggregation, so same-key events collapse first.
+    fixtures.transcripts_df(
+        spark, [tx(f"b{i}", base, t) for i, t in enumerate(terms)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    m2 = streaming.run_stream_once_with_drop_metrics(spark, in_dir, out_dir, ck, gaz)
+    assert m2["dropped_by_watermark"] == 3
+
+    # and the late rows never reach the sink: no window at noon
+    wins = {r["window_start"] for r in spark.read.parquet(out_dir).collect()}
+    assert all(w >= base + dt.timedelta(hours=1) for w in wins)
