@@ -1410,3 +1410,155 @@ def q_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pred") == "MENTIONS", F.col("obj"))
         ).alias("n_concepts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-point k-means (iterative ML as relational ops, unrolled oracle)
+# --------------------------------------------------------------------------
+
+
+def _kmeans_sql(k: int, rounds: int) -> str:
+    """Unrolled Lloyd's rounds mirroring similarity.kmeans_fixed_point:
+    integer squared distances, argmin with centroid-id tie-break, integer
+    mean update, empty clusters carry forward."""
+    ctes = [
+        """pts AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(t.i AS INTEGER) AS dim,
+         CAST(floor((CAST(embedding[t.i + 1] AS DOUBLE) + 1) * 1000) AS BIGINT) AS v
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+)""",
+        f"""seeds AS (
+  SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS c
+  FROM (SELECT DISTINCT id FROM pts)
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= {k}
+)""",
+        """cent0 AS MATERIALIZED (
+  SELECT s.c, p.dim, p.v FROM pts p JOIN seeds s ON p.id = s.id
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT p.id, c.c, sum((p.v - c.v) * (p.v - c.v)) AS dist
+  FROM pts p JOIN cent{r - 1} c ON p.dim = c.dim
+  GROUP BY p.id, c.c
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT id, c, dist FROM (
+    SELECT id, c, dist,
+           row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""u{r} AS (
+  SELECT a.c, p.dim, sum(p.v) // count(*) AS nv
+  FROM a{r} a JOIN pts p ON a.id = p.id
+  GROUP BY a.c, p.dim
+)"""
+        )
+        ctes.append(
+            f"""cent{r} AS MATERIALIZED (
+  SELECT c0.c, c0.dim, coalesce(u.nv, c0.v) AS v
+  FROM cent{r - 1} c0
+  LEFT JOIN u{r} u ON c0.c = u.c AND c0.dim = u.dim
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id AS vec_id, CAST(c AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist
+FROM a{rounds}"""
+    )
+
+
+@register("q_kmeans", _kmeans_sql(4, 3))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means (k=4, 3 rounds) over the embeddings
+    table as pure relational ops (similarity.kmeans_fixed_point): integer
+    quantized coordinates, exact integer distances and means, md5-seeded
+    init — the whole iterative algorithm is hash-checked against a 3-round
+    unrolled SQL twin, the same contract as q_pagerank. This is also the
+    honest replacement story for MLlib KMeans wherever engine-exact
+    reproducibility matters more than convergence speed."""
+    from cliner_spark.similarity import kmeans_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(emb, k=4, rounds=3)
+
+
+@register(
+    "q_corr_matrix",
+    """
+SELECT
+  round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+  round(corr(l_quantity, l_discount), 6) AS qty_disc,
+  round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+  round(corr(l_discount, l_tax), 6) AS disc_tax,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+""",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across the lineitem measures — the
+    one-pass profiling statistic a feature-engineering pass reads first.
+    corr is a single-pass algebraic aggregate in both engines (no window,
+    no second scan); rounded to 6 dp because float accumulation order
+    differs across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    """
+WITH tx AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id, doc_id, coalesce(text, '') AS t
+  FROM documents
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || t), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS checksum
+FROM tx GROUP BY conv_id
+""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per conversation partition:
+    sum of md5-derived 48-bit integers over (key, payload) rows. The
+    anti-entropy primitive for 100 TB replication/backfill verification —
+    two replicas (or a resumable run and its re-run) compare one tiny
+    checksum row per partition instead of row-level diffs; sums are
+    commutative so partition layout and row order don't matter. 48-bit
+    values keep the BIGINT sum overflow-free up to ~2^15 rows per
+    partition beyond any test SF (overflow would need 2^63/2^48 = 32k
+    rows per conversation)."""
+    docs = load(spark, sf_dir, "documents")
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        F.col("doc_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+    row_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("t"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return tx.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_h).alias("checksum"),
+    )

@@ -365,3 +365,83 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_
         F.concat_ws(",", q).alias("q_str"),
         err.alias("max_abs_err"),
     )
+
+
+def kmeans_fixed_point(
+    embeddings: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means as PURE relational DataFrame ops in exact integer
+    arithmetic — every round is hash-checkable against an unrolled SQL twin
+    (the iterative-ML-on-DataFrames shape, engine-exact by construction).
+
+    Determinism recipe:
+    - coordinates quantize to positive ints: floor((double(x) + 1) * 1000)
+      (floor is engine-identical; the +1 shift keeps everything positive so
+      integer division semantics agree across engines),
+    - init = the k vectors with smallest md5(vec_id) (seedless, reproducible),
+    - assignment = argmin of the exact integer squared distance, ties broken
+      by centroid id,
+    - update = per-dimension integer mean (sum div count, positive), empty
+      clusters keep their previous centroid,
+    - FIXED round count (the unrolled-oracle contract, like q_pagerank).
+
+    Long format (id, dim, v): distances are a join on dim + one aggregation;
+    at corpus scale the pts table partitions by id and the k*dims centroid
+    table broadcasts — no shuffle of the corpus inside a round.
+
+    Returns (vec_id, cluster, dist) — final assignment with its exact
+    squared distance.
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "_x")
+    ).select(
+        "id",
+        "dim",
+        F.floor((F.col("_x").cast("double") + 1) * 1000).cast("bigint").alias("v"),
+    )
+    pts = pts.localCheckpoint(eager=True)  # consumed every round
+
+    w_seed = Window.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    seeds = (
+        pts.select("id").distinct()
+        .withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("id").alias("_sid"), (F.col("_rn") - 1).alias("c"))
+    )
+    cent = (
+        pts.join(F.broadcast(seeds), pts.id == seeds._sid)
+        .select("c", "dim", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    assign = None
+    for _ in range(rounds):
+        dist = (
+            pts.join(F.broadcast(cent.withColumnRenamed("v", "_cv")), "dim")
+            .groupBy("id", "c")
+            .agg(F.sum((F.col("v") - F.col("_cv")) * (F.col("v") - F.col("_cv"))).alias("dist"))
+        )
+        w = Window.partitionBy("id").orderBy("dist", "c")
+        assign = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "c", "dist")
+            .localCheckpoint(eager=True)
+        )
+        upd = (
+            assign.join(pts, "id")
+            .groupBy("c", "dim")
+            .agg(F.expr("sum(v) div count(*)").cast("bigint").alias("_nv"))
+        )
+        cent = (
+            cent.join(upd, ["c", "dim"], "left")
+            .select("c", "dim", F.coalesce("_nv", "v").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return assign.select(
+        F.col("id").alias(id_col), F.col("c").cast("int").alias("cluster"), "dist"
+    )

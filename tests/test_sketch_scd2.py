@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import functions as F
@@ -90,3 +91,45 @@ def test_scd2_row_count_identity(spark):
     n_keys = len({(t, c) for t, c in keys[:40]} | {(t, c, )[0:2] for t, c, _ in new_rows})
     got = scd2_intervals(old, new).count()
     assert got == n_keys + n_changed
+
+
+def test_kmeans_fixed_point_properties(spark):
+    """Assignment rows: one per vector, cluster in [0,k), dist equals the
+    exact integer distance to the NEAREST final-1 centroid recomputed in
+    python (the argmin property, replicated straight-line)."""
+    import hashlib
+
+    from cliner_spark.similarity import kmeans_fixed_point
+
+    rng = random.Random(9)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    emb = spark.createDataFrame(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    k, rounds = 3, 2
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_fixed_point(emb, k=k, rounds=rounds).collect()}
+    assert set(got) == set(vecs)
+    assert {c for c, _ in got.values()} <= set(range(k))
+
+    # python replica
+    pts = {i: [math.floor((x + 1) * 1000) for x in v] for i, v in vecs.items()}
+    seeds = sorted(pts, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    cent = {c: list(pts[s]) for c, s in enumerate(seeds)}
+    for _ in range(rounds):
+        assign = {}
+        for i, p in pts.items():
+            best = min(
+                ((sum((a - b) ** 2 for a, b in zip(p, cent[c])), c) for c in cent)
+            )
+            assign[i] = best
+        newc = {}
+        for c in cent:
+            members = [pts[i] for i, (_, cc) in assign.items() if cc == c]
+            if members:
+                newc[c] = [sum(col) // len(members) for col in zip(*members)]
+            else:
+                newc[c] = cent[c]
+        cent = newc
+    exp = {i: (c, d) for i, (d, c) in assign.items()}
+    assert got == exp
