@@ -484,3 +484,69 @@ def ssjoin_prefix(
         )
     )
     return out.select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    shingle_n: int = 3,
+    n_hashes: int = N_MINHASHES,
+    min_bands: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without re-deduping the
+    corpus — the production arrival-time shape (at 10^12 docs you never
+    re-pair the history; the corpus side is a persisted fingerprint + band
+    index this function would read as a table).
+
+    Per batch document:
+      exact_dup    — normalized-text fingerprint already present in corpus
+      n_candidates — corpus docs agreeing on >= min_bands MinHash bands
+      keep         — not an exact dup and no near-dup candidate
+
+    Joins are batch-driven: the corpus fingerprint set is probed with a
+    LEFT SEMI-shaped join (small batch side), band matches are
+    (band, sig)-equi — never batch x corpus.
+    """
+    corp_fp = normalized_fingerprint(corpus, id_col, text_col).select("fp").distinct()
+    batch_fp = normalized_fingerprint(batch, id_col, text_col)
+    exact = (
+        batch_fp.join(corp_fp.withColumnRenamed("fp", "_cfp"),
+                      F.col("fp") == F.col("_cfp"), "left")
+        .select(id_col, F.col("_cfp").isNotNull().alias("exact_dup"))
+    )
+
+    def _bands(df: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col)
+        out = None
+        for i in range(n_hashes):
+            b = sig.select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.lit(i).alias("band"),
+                F.col(f"h{i}").alias("sig"),
+            )
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    cand = (
+        _bands(batch, "b")
+        .join(_bands(corpus, "c"), ["band", "sig"])
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .withColumnRenamed("b_id", id_col)
+    )
+    return (
+        exact.join(cand, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            (~F.col("exact_dup") & (F.coalesce("n_candidates", F.lit(0)) == 0)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -1562,3 +1562,182 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_h).alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Agent-transcript operational analytics (role/tool/ts dimensions of the
+# input_hint schema, synthesized deterministically like q_role_concepts)
+# --------------------------------------------------------------------------
+
+SQL_TX_FULL = """
+txf AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1
+              AS INTEGER) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'search'
+              WHEN 1 THEN 'code' WHEN 2 THEN 'browse' ELSE NULL END AS tool,
+         CAST(doc_id * 37 + (doc_id * doc_id) % 101 AS BIGINT) AS ts_sec
+  FROM documents
+)
+"""
+
+
+@register(
+    "q_turn_latency",
+    f"""
+WITH {SQL_TX_FULL.strip()},
+gaps AS (
+  SELECT conv_id,
+         ts_sec - lag(ts_sec) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM txf
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_sec,
+       CAST(max(gap) AS BIGINT) AS max_gap_sec,
+       round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_sec
+FROM gaps WHERE gap IS NOT NULL GROUP BY conv_id
+""",
+)
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn latency per conversation over the input_hint's ts column
+    (deterministically synthesized event times, same doc_id%97 transcript
+    convention as q_triples): the agent-responsiveness metric an operator
+    dashboards. One window sort per conversation; avg = exact-integer
+    sum/count divided once in DOUBLE and rounded."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        (F.col("doc_id") * 37 + (F.col("doc_id") * F.col("doc_id")) % 101)
+        .cast("bigint")
+        .alias("ts_sec"),
+    )
+    wl = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = tx.select(
+        "conv_id", (F.col("ts_sec") - F.lag("ts_sec").over(wl)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_gap_sec"),
+        F.max("gap").alias("max_gap_sec"),
+        F.round(F.sum("gap").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_gap_sec"
+        ),
+    )
+
+
+@register(
+    "q_tool_runs",
+    f"""
+WITH {SQL_TX_FULL.strip()},
+marked AS (
+  SELECT conv_id, turn_idx, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+           AS island
+  FROM txf WHERE tool IS NOT NULL
+),
+runs AS (
+  SELECT conv_id, tool, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM marked GROUP BY 1, 2, 3
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_retry_runs
+FROM runs GROUP BY conv_id
+""",
+)
+def q_tool_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive same-tool call runs per conversation (gaps-and-islands:
+    the difference of two row_numbers is constant within a run) — the
+    agent-loop / tool-retry detector. A run of length >= 2 means the agent
+    called the same tool back-to-back (retry or loop). Two window sorts
+    that share the same partition key, one aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tool = F.element_at(
+        F.array(F.lit("search"), F.lit("code"), F.lit("browse"), F.lit(None), F.lit(None)),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    tx = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        tool.alias("tool"),
+    ).filter(F.col("tool").isNotNull())
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    marked = tx.select(
+        "conv_id",
+        "tool",
+        (F.row_number().over(w_all) - F.row_number().over(w_tool)).alias("island"),
+    )
+    runs = marked.groupBy("conv_id", "tool", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum(F.when(F.col("run_len") >= 2, 1).otherwise(0)).alias("n_retry_runs"),
+    )
+
+
+from cliner_spark.entry_queries import SQL_SHINGLES_2  # noqa: E402
+
+
+@register(
+    "q_incremental_dedup",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_2.strip()},
+bat AS (SELECT doc_id FROM docs WHERE doc_id % 4 = 0),
+corp AS (SELECT doc_id FROM docs WHERE doc_id % 4 <> 0),
+fp AS (SELECT doc_id, md5(lower(array_to_string(toks, ' '))) AS fp FROM docs),
+corp_fp AS (SELECT DISTINCT f.fp FROM fp f JOIN corp USING (doc_id)),
+sig AS (
+  SELECT doc_id,
+         min(md5('0#' || shingle)) AS h0, min(md5('1#' || shingle)) AS h1,
+         min(md5('2#' || shingle)) AS h2, min(md5('3#' || shingle)) AS h3
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, h1 FROM sig
+  UNION ALL SELECT doc_id, 2, h2 FROM sig
+  UNION ALL SELECT doc_id, 3, h3 FROM sig
+),
+pairs AS (
+  SELECT b.doc_id AS b_id, c.doc_id AS c_id
+  FROM bands b
+  JOIN bands c ON b.band = c.band AND b.sig = c.sig
+  JOIN bat ON b.doc_id = bat.doc_id
+  JOIN corp ON c.doc_id = corp.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+cand AS (SELECT b_id AS doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+         FROM pairs GROUP BY 1)
+SELECT f.doc_id,
+       (cf.fp IS NOT NULL) AS exact_dup,
+       coalesce(c.n_candidates, 0) AS n_candidates,
+       (cf.fp IS NULL AND coalesce(c.n_candidates, 0) = 0) AS keep
+FROM fp f
+JOIN bat USING (doc_id)
+LEFT JOIN corp_fp cf ON f.fp = cf.fp
+LEFT JOIN cand c USING (doc_id)
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-time dedup of a NEW batch (doc_id%4==0) against the EXISTING
+    corpus (dedup.incremental_dedup): exact-fingerprint hit, MinHash-band
+    near-dup candidate count, and the keep decision — without ever
+    re-pairing the corpus with itself (the only shape that works at 10^12
+    docs, where the corpus side is a persisted fingerprint/band index)."""
+    from cliner_spark.dedup import incremental_dedup
+
+    docs = load_docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return incremental_dedup(corpus, batch, shingle_n=2)
