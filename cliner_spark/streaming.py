@@ -458,3 +458,105 @@ def run_stream_once_with_drop_metrics(
             dropped += int(op.get("numRowsDroppedByWatermark") or 0)
             state_rows = max(state_rows, int(op.get("numRowsTotal") or 0))
     return {"dropped_by_watermark": dropped, "state_rows": state_rows}
+
+
+def incremental_first_seen(linked: DataFrame) -> DataFrame:
+    """Exactly-once incremental KG-node discovery via Spark 4's
+    transformWithStateInPandas (the successor API to applyInPandasWithState:
+    typed per-key state variables instead of one opaque tuple).
+
+    Per conversation, a MapState keyed by cui records every concept already
+    emitted; each micro-batch emits only the (conv_id, cui, first_turn) rows
+    for concepts never seen before in that conversation. Re-delivered input
+    after a checkpoint restart cannot re-emit a node (the MapState survives
+    in the state store), so downstream MERGE-style KG sinks see each node
+    exactly once.
+
+    State size is O(distinct concepts per active conversation) — bounded by
+    gazetteer size, not turn count — so at 10^12 turns the state store holds
+    |active convs| x |cuis seen| small rows; a ttlDurationMs on the map
+    evicts finished conversations in production.
+
+    Requires the RocksDB state store provider (see run_first_seen_once).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "conv_id string, cui string, first_turn int"
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState(
+                "seen", "cui string", "first_turn int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (conv_id,) = key
+            new: dict[str, int] = {}
+            for pdf in rows:
+                for cui, turn in zip(pdf["cui"], pdf["turn_idx"]):
+                    t = int(turn)
+                    if cui in new:
+                        if t < new[cui]:
+                            new[cui] = t
+                    elif not self._seen.containsKey((cui,)):
+                        new[cui] = t
+            for cui, t in new.items():
+                self._seen.updateValue((cui,), (t,))
+            if new:
+                ks = sorted(new)
+                yield pd.DataFrame(
+                    {
+                        "conv_id": [conv_id] * len(ks),
+                        "cui": ks,
+                        "first_turn": [new[k] for k in ks],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        linked.select("conv_id", "turn_idx", "cui")
+        .groupBy("conv_id")
+        .transformWithStateInPandas(FirstSeen(), out_schema, "append", "none")
+    )
+
+
+def run_first_seen_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gazetteer: DataFrame,
+) -> None:
+    """Drain available input through incremental_first_seen. The RocksDB
+    state store provider is required by transformWithStateInPandas; set it
+    for this query and restore the previous provider after (per-query conf,
+    read at query start)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_transcript_stream(spark, input_path)
+        linked = streaming_mentions(stream, gazetteer)
+        q = (
+            incremental_first_seen(linked)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", output_path)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

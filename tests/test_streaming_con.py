@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cliner_spark import fixtures, streaming
@@ -418,3 +419,46 @@ def test_watermark_drops_late_data_and_reports_metric(spark, tmp_path):
     # and the late rows never reach the sink: no window at noon
     wins = {r["window_start"] for r in spark.read.parquet(out_dir).collect()}
     assert all(w >= base + dt.timedelta(hours=1) for w in wins)
+
+
+def test_transform_with_state_first_seen_exactly_once(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): incremental
+    first-seen discovery emits each (conv_id, cui) exactly once across a
+    checkpointed restart, and first_turn matches the batch ground truth —
+    including for concepts whose first appearance was in drain #1."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf for its state "
+        "server protocol; absent in this container (tools/probe_tws.py)",
+    )
+    rows = fixtures.gen_transcripts(n_convs=5, avg_turns=6, seed=43)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    first = df.filter(F.col("turn_idx") < 3)
+    second = df.filter(F.col("turn_idx") >= 3)
+    first.coalesce(1).write.parquet(in_dir)
+
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_first_seen_once(spark, in_dir, out_dir, ck, gaz)
+    # redeliver-safe: append turns >= 3 (some repeat cuis already emitted)
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_first_seen_once(spark, in_dir, out_dir, ck, gaz)
+
+    out = spark.read.parquet(out_dir)
+    # exactly once: no (conv_id, cui) appears twice across the two drains
+    assert out.count() == out.select("conv_id", "cui").distinct().count()
+
+    truth = {
+        (r["conv_id"], r["cui"]): r["first_turn"]
+        for r in _linked(spark, rows)
+        .groupBy("conv_id", "cui")
+        .agg(F.min("turn_idx").alias("first_turn"))
+        .collect()
+    }
+    got = {(r["conv_id"], r["cui"]): r["first_turn"] for r in out.collect()}
+    assert len(truth) > 5
+    assert got == truth
