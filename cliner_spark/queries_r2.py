@@ -1741,3 +1741,145 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     return incremental_dedup(corpus, batch, shingle_n=2)
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface (Spark 4 table functions) — cliner_spark.tablefuncs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_udtf_sentences",
+    r"""
+WITH pieces AS (
+  SELECT doc_id, pi, regexp_replace(pc, '^\s+|\s+$', '', 'g') AS pc
+  FROM (
+    SELECT doc_id, generate_subscripts(pcs, 1) AS pi, UNNEST(pcs) AS pc
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS pcs
+          FROM documents)
+  )
+  WHERE regexp_replace(pc, '^\s+|\s+$', '', 'g') <> ''
+),
+toks AS (SELECT doc_id, pi, regexp_split_to_array(pc, '\s+') AS tk FROM pieces),
+chunks AS (
+  SELECT doc_id, pi,
+         UNNEST(generate_series(0, CAST(ceil(len(tk)/12.0) AS INT) - 1)) AS ci,
+         tk
+  FROM toks
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pi, ci) - 1 AS INT)
+         AS sent_idx,
+       array_to_string(tk[ci*12+1 : ci*12+12], ' ') AS sentence
+FROM chunks
+""",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation as a LATERAL Python UDTF (tablefuncs.SentenceSplit):
+    punctuation split + MAX_SENT_TOKENS re-chunking, one doc row fanning out
+    to one row per bounded sentence. The oracle reproduces the exact
+    split/trim/chunk algebra in SQL (regexp_split + list slicing), so the
+    UDTF surface itself is hash-verified. Scale: per-row Python fan-out is
+    bounded (O(tokens/12) rows per doc) and stays off the token-grain hot
+    path; Arrow-batched row transfer (useArrow=True)."""
+    from cliner_spark.tablefuncs import split_sentences
+
+    return split_sentences(load_docs(spark, sf_dir))
+
+
+@register(
+    "q_udtf_sessions",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def q_udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization as a TABLE-argument Python UDTF with
+    PARTITION BY user_id ORDER BY ts (tablefuncs.SessionizeEvents): a single
+    O(n) streaming pass per user holding O(1) state — the third formulation
+    of the same algebra next to q_sessionize (window functions) and the
+    event-time session window (streaming), each hash-checked against the
+    same oracle shape. Session-id ties on equal ts are boundary-safe (equal
+    ts ⇒ gap 0 ⇒ same session regardless of intra-tie order)."""
+    from cliner_spark.tablefuncs import sessionize
+
+    out = sessionize(load(spark, sf_dir, "events"))
+    return out.withColumn("n_events", F.col("n_events").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# Grouped-map / cogrouped-map pandas surface — cliner_spark.grouped
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_grouped_outliers",
+    """
+WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+dev AS (SELECT e.user_id, abs(e.value - m.med) AS ad, m.med
+        FROM events e JOIN med m USING (user_id)),
+mad AS (SELECT user_id, median(ad) AS mad FROM dev GROUP BY 1)
+SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       any_value(d.med) AS med, any_value(m.mad) AS mad,
+       CAST(CASE WHEN any_value(m.mad) > 0
+            THEN sum(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id
+""",
+)
+def q_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust (median/MAD) outlier summary via
+    groupBy(user_id).applyInPandas (grouped.robust_user_outliers). numpy's
+    linear-interpolated median is bitwise-identical to DuckDB median on
+    float64 (validated at sf0.01 and sf0.1), so even the 3*1.4826*MAD cut
+    booleans hash-match. One shuffle on user_id; one user's events per
+    pandas group."""
+    from cliner_spark.grouped import robust_user_outliers
+
+    return robust_user_outliers(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_cogroup_asof",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS rv FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, r.rv AS last_right_value,
+       epoch_ms(l.ts) - epoch_ms(r.ts) AS gap_ms
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user backward as-of alignment (clicks vs latest prior purchase)
+    via cogroup(...).applyInPandas + pandas merge_asof (grouped.asof_align)
+    — the pandas formulation of the q_asof_join window algebra, with a
+    native DuckDB ASOF LEFT JOIN as the oracle. Right side pre-aggregated
+    per (user_id, ts) so backward ties are impossible; gaps in whole ms
+    (per-side epoch-ms floor) because the synthetic ts carries microsecond
+    fractions."""
+    from cliner_spark.grouped import asof_align
+
+    ev = load(spark, sf_dir, "events")
+    return asof_align(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
