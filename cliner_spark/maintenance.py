@@ -231,3 +231,128 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional clustering: Morton (Z-order) interleave
+# ---------------------------------------------------------------------------
+
+_SPREAD_ROUNDS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def morton_sql(a_expr: str, b_expr: str) -> str:
+    """ANSI-SQL text of the 2-D Morton code of two 16-bit-bucketed keys.
+
+    Standard magic-number bit spreading (each round doubles the gap between
+    occupied bits), identical algebra on any engine with <<, &, | on
+    integers — used verbatim by the DuckDB oracle twin of q_zorder_layout.
+    """
+
+    def spread(e: str) -> str:
+        s = f"({e} & 65535)"
+        for sh, m in _SPREAD_ROUNDS:
+            s = f"(({s} | ({s} << {sh})) & {m})"
+        return s
+
+    return f"({spread(a_expr)} | ({spread(b_expr)} << 1))"
+
+
+def morton_col(a, b):
+    """Column form of morton_sql: pure JVM bitwise expressions (shiftleft /
+    bitwiseAND / bitwiseOR on longs), zero Python in the row path, fully
+    codegen-able — at 100 TB the z-value costs the same as any arithmetic
+    projection."""
+
+    def spread(c):
+        s = c.bitwiseAND(F.lit(65535))
+        for sh, m in _SPREAD_ROUNDS:
+            s = (s.bitwiseOR(F.shiftleft(s, sh))).bitwiseAND(F.lit(m))
+        return s
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+) -> dict:
+    """Z-ORDER rewrite: range-partition + sort the table by the Morton
+    interleave of TWO keys, so per-file min/max stats are tight on BOTH
+    dimensions at once — single-key clustering (cluster_rewrite) makes the
+    second key's per-file range span the whole domain, and every predicate
+    on it reads every file. This is the layout verb behind Iceberg/Delta
+    `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(a, b)')`.
+
+    Returns per-dimension average normalized per-file stat width (0..1,
+    lower = tighter pruning) before and after, from parquet footer stats
+    only (file_column_stats) — the exact information a manifest-based
+    planner uses to skip files.
+    """
+
+    def _avg_width(path: str, col: str) -> float:
+        # footer stats come back stringified (mixed-type tall table);
+        # z-order keys are numeric by contract
+        stats = [
+            (float(r["min_val"]), float(r["max_val"]))
+            for r in file_column_stats(spark, path, [col]).collect()
+            if r["min_val"] is not None
+        ]
+        if not stats:
+            return 0.0
+        lo = min(s for s, _ in stats)
+        hi = max(e for _, e in stats)
+        if hi == lo:
+            return 0.0
+        return round(
+            sum((e - s) / (hi - lo) for s, e in stats) / len(stats), 4
+        )
+
+    before = {c: _avg_width(src, c) for c in (col_a, col_b)}
+    df = spark.read.parquet(src)
+    z = morton_col(
+        F.col(col_a).cast("long"), F.col(col_b).cast("long")
+    ).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    after = {c: _avg_width(dst, c) for c in (col_a, col_b)}
+    n = list_data_files(spark, dst).count()
+    return {"files": n, "width_before": before, "width_after": after}
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """CDC between two table snapshots (the read side of Iceberg's
+    changelog / MERGE INTO): full outer join on `key`, classify each key as
+    added / removed / changed by comparing xxhash64 over `cols` (constant
+    per-row work however wide the payload — at 100 TB you diff hashes, not
+    documents). Unchanged keys are dropped before anything leaves the join,
+    so output is delta-sized, not table-sized.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key).alias("k"), F.xxhash64(*cols).alias("h")
+        )
+
+    o, n = fp(old).alias("o"), fp(new).alias("n")
+    j = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias(key),
+            F.when(F.col("o.k").isNull(), F.lit("added"))
+            .when(F.col("n.k").isNull(), F.lit("removed"))
+            .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -1883,3 +1883,143 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering — cliner_spark.maintenance
+# --------------------------------------------------------------------------
+
+from cliner_spark.maintenance import morton_col, morton_sql  # noqa: E402
+
+_Z_SQL = morton_sql("l_partkey", "l_suppkey")
+
+
+@register(
+    "q_zorder_layout",
+    f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey, {_Z_SQL} AS zval
+  FROM lineitem
+)
+SELECT CAST(zval >> 16 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp
+FROM z GROUP BY 1
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave of (l_partkey, l_suppkey) — the
+    multi-dimensional clustering key behind Iceberg/Delta zorder rewrites
+    (maintenance.zorder_rewrite) — then per coarse z-bucket min/max of BOTH
+    dims, the parquet-footer stats a manifest planner prunes with: tight on
+    both dimensions at once, which no single-key sort achieves. Pure JVM
+    bitwise expressions (identical generated algebra on the DuckDB side),
+    one hash-agg shuffle, integer-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    z = morton_col(
+        F.col("l_partkey").cast("long"), F.col("l_suppkey").cast("long")
+    )
+    return (
+        li.select(
+            F.shiftright(z, 16).cast("bigint").alias("zbucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+        )
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    """
+WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+v2 AS (SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+       FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two synthetic snapshots of the documents table
+    (maintenance.snapshot_diff): added / removed / changed keys from a full
+    outer join, change detection via xxhash64 fingerprints so the compare
+    cost is constant per row no matter how wide the payload (the oracle
+    compares the text directly — same set algebra). Unchanged keys never
+    leave the join: output is delta-sized."""
+    from cliner_spark.maintenance import snapshot_diff
+
+    docs = load_docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.reverse("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(v1, v2, "doc_id", ["text"])
+
+
+@register(
+    "q_incr_agg_merge",
+    """
+WITH base AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,4))) AS sv
+  FROM events WHERE ts < TIMESTAMP '2024-04-01' GROUP BY 1
+),
+delta AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,4))) AS sv
+  FROM events WHERE ts >= TIMESTAMP '2024-04-01' GROUP BY 1
+),
+merged AS (
+  SELECT event_type, n, sv FROM base
+  UNION ALL SELECT event_type, n, sv FROM delta
+)
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(sv) AS DOUBLE) AS sum_value
+FROM merged GROUP BY event_type
+""",
+)
+def q_incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a per-type aggregate: the BASE
+    snapshot's partial aggregates (count, decimal sum — both algebraic,
+    therefore mergeable) are merged with a DELTA batch's partials instead of
+    rescanning the base — the 100 TB pattern where the materialized agg is
+    table-sized metadata and each refresh touches only the new partition.
+    The oracle recomputes the same merge; decimal accumulation keeps the
+    float result order-independent across engines."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-04-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("sv"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )

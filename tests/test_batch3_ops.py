@@ -170,3 +170,78 @@ def test_cluster_rewrite_tightens_file_stats(spark, tmp_path):
     assert total == rep["files"] and read <= 2
     # rewrite is lossless
     assert spark.read.parquet(dst).count() == 4000
+
+
+def test_zorder_rewrite_tightens_both_dims(spark, tmp_path):
+    """Z-order vs single-key clustering: sorting by `a` alone leaves every
+    file spanning the whole `b` domain; the Morton rewrite must tighten BOTH
+    dims' average per-file stat width."""
+    import pyspark.sql.functions as F
+
+    from cliner_spark.maintenance import cluster_rewrite, zorder_rewrite
+
+    src = str(tmp_path / "src")
+    one_d = str(tmp_path / "one_d")
+    zed = str(tmp_path / "zed")
+    # 64x64 grid, round-robin files: every file spans both domains
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    df.repartition(8).write.mode("overwrite").parquet(src)
+
+    cluster_rewrite(spark, src, one_d, "a", n_files=8)
+    rep = zorder_rewrite(spark, src, zed, "a", "b", n_files=8)
+
+    def widths(path, col):
+        from cliner_spark.maintenance import file_column_stats
+
+        stats = [
+            (float(r["min_val"]), float(r["max_val"]))
+            for r in file_column_stats(spark, path, [col]).collect()
+        ]
+        lo = min(s for s, _ in stats)
+        hi = max(e for _, e in stats)
+        return sum((e - s) / (hi - lo) for s, e in stats) / len(stats)
+
+    # single-key layout: second dim unclustered (every file ~spans b)
+    assert widths(one_d, "b") > 0.9
+    # z-order: both dims tight (each file owns a quadrant-ish region)
+    assert rep["width_after"]["a"] < 0.6 and rep["width_after"]["b"] < 0.6
+    assert rep["width_after"]["b"] < widths(one_d, "b") / 2
+    # lossless
+    assert spark.read.parquet(zed).count() == 4096
+
+
+def test_morton_interleave_bit_exact(spark):
+    """morton_col must equal the straight-line Python bit interleave."""
+    import pyspark.sql.functions as F
+
+    from cliner_spark.maintenance import morton_col
+
+    def py_z(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 1000, 65535) for b in (0, 3, 64, 40000)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", morton_col(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == py_z(r.a, r.b), (r.a, r.b)
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from cliner_spark.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.change_type for r in snapshot_diff(old, new, "doc_id", ["text"]).collect()}
+    # 2 is unchanged and must not appear at all (delta-sized output)
+    assert got == {1: "removed", 3: "changed", 4: "added"}
