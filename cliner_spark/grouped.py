@@ -103,7 +103,16 @@ def asof_align(
     (user_id, ts) with max(value) BEFORE the cogroup so the backward
     search is tie-free.
     """
-    r = right.groupBy("user_id", "ts").agg(F.max(value_col).alias("rv"))
+    # NOTE: the right timestamp is renamed BEFORE the cogroup — with both
+    # sides carrying a column literally named "ts", Spark's cogroup
+    # attribute resolution drops the right one from the Arrow batch
+    # (observed on 4.1: right pdf arrives without "ts"); distinct names
+    # side-step it.
+    r = (
+        right.groupBy("user_id", "ts")
+        .agg(F.max(value_col).alias("rv"))
+        .select("user_id", F.col("ts").alias("rts"), "rv")
+    )
 
     def per_user(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
         if lg.empty:
@@ -111,10 +120,24 @@ def asof_align(
                 columns=["event_id", "user_id", "ts", "last_right_value", "gap_ms"]
             )
         lg = lg.sort_values("ts", kind="mergesort")
-        rg = rg.sort_values("ts", kind="mergesort")
+        if rg.empty:
+            # a key absent from the right stream arrives as an empty pdf
+            # (possibly column-less): all-null alignment for this user
+            return pd.DataFrame(
+                {
+                    "event_id": lg["event_id"].astype("int64"),
+                    "user_id": lg["user_id"].astype("int64"),
+                    "ts": lg["ts"],
+                    "last_right_value": pd.Series(
+                        [None] * len(lg), dtype="float64"
+                    ),
+                    "gap_ms": pd.Series([None] * len(lg), dtype="Int64"),
+                }
+            )
+        rg = rg.sort_values("rts", kind="mergesort")
         m = pd.merge_asof(
             lg[["event_id", "user_id", "ts"]],
-            rg[["ts", "rv"]].rename(columns={"ts": "rts"}),
+            rg[["rts", "rv"]],
             left_on="ts",
             right_on="rts",
             direction="backward",

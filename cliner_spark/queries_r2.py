@@ -2023,3 +2023,75 @@ def q_incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sv").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_unpivot_stats",
+    """
+WITH wide AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(n_chars) AS avg_chars, avg(length(text)) AS avg_len
+  FROM documents GROUP BY 1
+)
+SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL SELECT source, 'avg_chars', avg_chars FROM wide
+UNION ALL SELECT source, 'avg_len', avg_len FROM wide
+""",
+)
+def q_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->tall reshape via the DataFrame `unpivot` relational operator
+    (the inverse of q_pivot's contingency matrix; oracle = UNION ALL of
+    projections, the relational definition of UNPIVOT). avg over integer
+    columns is an exact long sum / count on both engines, so the doubles
+    hash-match without rounding. Unpivot is a zero-shuffle projection —
+    rows multiply by n_metrics but nothing moves."""
+    docs = load_docs(spark, sf_dir)
+    wide = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg(F.length("text")).alias("avg_len"),
+    )
+    return wide.unpivot(
+        "source", ["n_docs", "avg_chars", "avg_len"], "metric", "value"
+    )
+
+
+@register(
+    "q_weighted_sample",
+    """
+WITH pr AS (
+ SELECT doc_id, n_chars,
+   -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       / 4503599627370496.0) / n_chars AS priority
+ FROM documents)
+SELECT doc_id, n_chars, round(priority, 6) AS priority
+FROM (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn FROM pr) t
+WHERE rn <= 50
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES priorities): u = md5-uniform in (0,1], priority =
+    -ln(u)/weight with weight = n_chars, keep the k smallest — longer docs
+    proportionally likelier, zero RNG state (pure hash), so distributed
+    retries/resumes select the identical sample. The global top-k is a
+    TakeOrdered (partial per-partition top-k, no full sort) at scale; the
+    hash->uniform->ln algebra is engine-identical (the established md5
+    parity idiom), ties broken by doc_id."""
+    docs = load_docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4503599627370496.0)
+    pr = docs.select(
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("priority"),
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+    )
