@@ -117,7 +117,15 @@ def main() -> None:
     total = 0.0
     skipped: list[str] = []
     sweep_t0 = time.time()
-    for name, fn in sorted(entry.queries().items()):
+    # Cheapest-first sweep (by the previous round's recorded per-query
+    # time; unknown/new queries first): if a noisy epoch blows the wall
+    # budget, the skip list contains only the few most expensive queries
+    # instead of the alphabetical tail.
+    prev_times = _prev_round_times()
+    ordered = sorted(
+        entry.queries().items(), key=lambda kv: (prev_times.get(kv[0], 0.0), kv[0])
+    )
+    for name, fn in ordered:
         if time.time() - sweep_t0 > BENCH_BUDGET_SEC:
             skipped.append(name)
             continue
@@ -187,6 +195,25 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _prev_round_times() -> dict[str, float]:
+    """Newest BENCH_r*.json per-query times (empty if none readable)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return {}
+    try:
+        with open(rounds[-1]) as f:
+            return json.load(f).get("parsed", {}).get("queries", {}) or {}
+    except Exception:  # noqa: BLE001
+        return {}
 
 
 def delta_vs_prev(qtimes: dict[str, float]) -> dict:

@@ -374,7 +374,7 @@ def q_triple_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.triples import merge_triples
 
     linked, gaz = _doc_linked_transcript(spark, sf_dir)
-    linked = linked.localCheckpoint(eager=False)  # one scan, two batch filters
+    linked = linked.localCheckpoint(eager=True)  # one scan, two batch filters
     canon = cached_canon_map(spark)
     batch_a = build_triples(linked.filter(F.col("turn_idx") % 2 == 0), canon_map=canon)
     batch_b = build_triples(linked.filter(F.col("turn_idx") % 2 == 1), canon_map=canon)
@@ -1320,11 +1320,11 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each top-k is <=60 rows; localCheckpoint so (a) `exact` isn't evaluated
     # twice (hits join + query spine) and (b) the recall joins don't re-run
     # three full similarity plans per branch of the union
-    exact = _sim.brute_force_topk(emb, flt, k=3).localCheckpoint(eager=False)
+    exact = _sim.brute_force_topk(emb, flt, k=3).localCheckpoint(eager=True)
     seeded = _sim.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4).localCheckpoint(
-        eager=False
+        eager=True
     )
-    lsh = _sim.lsh_topk(emb, flt, k=3, n_planes=8, dims=64).localCheckpoint(eager=False)
+    lsh = _sim.lsh_topk(emb, flt, k=3, n_planes=8, dims=64).localCheckpoint(eager=True)
     appx = seeded.select(
         F.lit("ivf_seeded").alias("method"), "query_id", "neighbor_id"
     ).unionByName(lsh.select(F.lit("lsh").alias("method"), "query_id", "neighbor_id"))
@@ -3154,7 +3154,7 @@ def q_incremental_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.link import incremental_relink, link_mentions
     from cliner_spark.sources import gazetteer_diff
 
-    m = _doc_mentions_spark(spark, sf_dir).localCheckpoint(eager=False)
+    m = _doc_mentions_spark(spark, sf_dir).localCheckpoint(eager=True)
     v1 = doc_gazetteer_df(spark)
     v2 = (
         v1.filter(~F.col("cui").endswith("4"))
@@ -4663,7 +4663,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir)
     # shingle ONCE: signatures, the common-count join, and the sizes agg all
     # reuse the pinned shingle set instead of re-exploding the corpus 3x
-    sh = shingles(docs, 2).localCheckpoint(eager=False)
+    sh = shingles(docs, 2).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(docs, min_bands=2, sh=sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -4995,7 +4995,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-integer ratios, so the doubles match the oracle bit-for-bit;
     marginals and the doc total broadcast into the pair table."""
     linked = _doc_linked(spark, sf_dir).withColumnRenamed("conv_id", "doc_id")
-    dcui = linked.select("doc_id", "cui").distinct().localCheckpoint(eager=False)
+    dcui = linked.select("doc_id", "cui").distinct().localCheckpoint(eager=True)
     b = dcui.withColumnRenamed("cui", "cui_b")
     pairs = (
         dcui.join(b, "doc_id")
@@ -5090,7 +5090,7 @@ def q_temporal_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("turn_idx").alias("first_turn"),
             F.max("turn_idx").alias("last_turn"),
         )
-        .localCheckpoint(eager=False)  # self-join consumes it twice
+        .localCheckpoint(eager=True)  # self-join consumes it twice
     )
     a = spans.select("conv_id", F.col("cui").alias("src"), F.col("last_turn").alias("a_last"))
     b = spans.select("conv_id", F.col("cui").alias("dst"), F.col("first_turn").alias("b_first"))

@@ -108,7 +108,7 @@ def kappa_from_confusion(cm: DataFrame) -> DataFrame:
     Numerator and denominator are exact BIGINTs, so the final double is
     bit-identical in any engine/partitioning. The confusion table is
     types x types (tiny) — every aggregate here is dimension-sized."""
-    cm = cm.localCheckpoint(eager=False)  # three tiny aggregates reuse it
+    cm = cm.localCheckpoint(eager=True)  # three tiny aggregates reuse it
     rowm = cm.groupBy(F.col("gold_type").alias("t")).agg(F.sum("n").alias("r"))
     colm = cm.groupBy(F.col("pred_type").alias("t")).agg(F.sum("n").alias("c"))
     chance = rowm.join(colm, "t").agg(F.sum(F.col("r") * F.col("c")).alias("chance"))

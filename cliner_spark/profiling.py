@@ -67,7 +67,7 @@ def key_skew(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     counts = (
         df.groupBy(F.col(key_col).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     totals = counts.agg(
         F.sum("n").alias("_tot"), F.avg("n").alias("_mean")

@@ -352,7 +352,7 @@ def heavy_hitters(
 
     sketch = toks.mapInPandas(
         mg_partition, schema="tok string, part_total bigint"
-    ).localCheckpoint(eager=False)  # tiny (partitions x capacity); read twice
+    ).localCheckpoint(eager=True)  # tiny (partitions x capacity); read twice
     candidates = sketch.filter(F.col("tok").isNotNull()).select("tok").distinct()
     total = sketch.agg(F.sum("part_total").alias("total"))
     return (
