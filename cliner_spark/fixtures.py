@@ -100,6 +100,48 @@ DOC_GAZETTEER: list[tuple[str, str, str, str, float]] = [
 ]
 
 
+# --------------------------------------------------------------------------
+# ISA ontology over the DOC_GAZETTEER cuis (UMLS/SNOMED-style subsumption
+# hierarchy; reference analog: the MRHIER/ISA relations a UMLS install ships
+# next to the MRCONSO gazetteer the S5 ETL reads). Deterministic (child,
+# parent) edges: leaf cuis CD001..CD012 hang under three interior category
+# nodes which chain to a single root — depth 4, with one deeper chain
+# (CD012 -> GRP_SCAN -> CAT_TEST -> ROOT) so transitive closure has real
+# multi-hop work. Pure data, no RNG.
+# --------------------------------------------------------------------------
+
+DOC_ONTOLOGY: list[tuple[str, str]] = [
+    ("CD001", "GRP_JOIN"),
+    ("CD002", "GRP_JOIN"),
+    ("CD003", "GRP_JOIN"),
+    ("CD004", "GRP_SCAN"),
+    ("CD005", "GRP_SCAN"),
+    ("CD010", "GRP_SCAN"),
+    ("CD011", "GRP_SCAN"),
+    ("CD012", "GRP_SCAN"),
+    ("CD006", "CAT_EXEC"),
+    ("CD007", "CAT_EXEC"),
+    ("CD008", "CAT_EXEC"),
+    ("CD009", "CAT_EXEC"),
+    ("GRP_JOIN", "CAT_REL"),
+    ("GRP_SCAN", "CAT_REL"),
+    ("CAT_REL", "ROOT"),
+    ("CAT_EXEC", "ROOT"),
+]
+
+
+def ontology_df(spark: SparkSession, edges=None) -> DataFrame:
+    edges = edges if edges is not None else DOC_ONTOLOGY
+    return spark.createDataFrame(edges, "child string, parent string")
+
+
+def ontology_values_sql(edges=None) -> str:
+    """Render the ISA edges as a SQL VALUES list (DuckDB oracle twin)."""
+    edges = edges if edges is not None else DOC_ONTOLOGY
+    rows = ", ".join(f"('{c}', '{p}')" for (c, p) in edges)
+    return f"(VALUES {rows}) AS isa(child, parent)"
+
+
 def gazetteer_rows(entries: list[tuple[str, str, str, str, float]]) -> list[dict]:
     return [
         {"term": t, "cui": c, "sem_type": s, "canonical": canon, "score": sc}

@@ -148,7 +148,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=False)  # consumed by both sides of two joins
+        .localCheckpoint(eager=True)  # consumed by both sides of two joins
     )
     wedge = (
         e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
@@ -557,7 +557,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=False)  # degrees + triangle joins share it
+        .localCheckpoint(eager=True)  # degrees + triangle joins share it
     )
     deg = (
         und.select(F.col("lo").alias("node"))
@@ -674,3 +674,51 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core: no fixpoint after {max_rounds} peel rounds")
+
+
+def transitive_closure(isa: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """All (descendant, ancestor, depth) pairs over a directed acyclic ISA
+    edge set (child, parent) — the UMLS/SNOMED subsumption closure that turns
+    a parent-pointer ontology into a joinable "is-a*" table (reference
+    analog: hierarchy expansion over the MRHIER relations shipped next to
+    the MRCONSO gazetteer the S5 ETL reads).
+
+    Algorithm: path DOUBLING — each round joins the closure-so-far with
+    itself, so the covered path length doubles per round (O(log diameter)
+    rounds vs O(diameter) for one-edge-at-a-time frontier expansion);
+    min(depth) recovers the shortest derivation when parallel paths exist.
+    Convergence is VERIFIED with an exceptAll changed-rows probe before
+    returning — never assumed from the round budget (the canonicalize.py
+    pointer-jumping lesson: fixed iteration counts silently under-converge).
+
+    Scale: ontologies are dimension-sized next to the corpus (UMLS ISA is
+    ~2M edges), so every self-join here broadcasts / stays executor-local;
+    the closure is a build-once release artifact consumed by corpus-scale
+    rollup joins, exactly like the canonical-concept map.
+    """
+    cl = (
+        isa.select(
+            F.col("child").alias("descendant"),
+            F.col("parent").alias("ancestor"),
+            F.lit(1).alias("depth"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        a, b = cl.alias("a"), cl.alias("b")
+        hop = a.join(b, F.col("a.ancestor") == F.col("b.descendant")).select(
+            F.col("a.descendant").alias("descendant"),
+            F.col("b.ancestor").alias("ancestor"),
+            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+        )
+        nxt = (
+            cl.unionByName(hop)
+            .groupBy("descendant", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.exceptAll(cl).limit(1).count() == 0:
+            return nxt
+        cl = nxt
+    raise RuntimeError(f"transitive_closure: no fixpoint after {max_rounds} rounds")

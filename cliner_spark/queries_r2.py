@@ -343,7 +343,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
-    rev = rev.localCheckpoint(eager=False)  # consumed twice: detail + max
+    rev = rev.localCheckpoint(eager=True)  # consumed twice: detail + max
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1249,7 +1249,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     elig = costs.join(F.broadcast(eu), costs.l_suppkey == eu.s_suppkey).select(
         "l_partkey", "l_suppkey", "cost", "s_name"
     )
-    elig = elig.localCheckpoint(eager=False)  # consumed by detail + min
+    elig = elig.localCheckpoint(eager=True)  # consumed by detail + min
     mc = elig.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.min("cost").alias("min_cost")
     )
@@ -1305,7 +1305,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
     )
-    qty = qty.localCheckpoint(eager=False)  # detail + per-part rollup
+    qty = qty.localCheckpoint(eager=True)  # detail + per-part rollup
     tot = qty.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("sq").alias("tq"))
     small = (
         load(spark, sf_dir, "part")
@@ -2094,4 +2094,353 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 50)
         .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+    )
+
+
+@register(
+    "q_scd2_pit",
+    f"""
+WITH gazv AS (SELECT * FROM {GAZ_SQL}),
+v2 AS (
+  SELECT term, cui, sem_type, canonical,
+         CASE WHEN sem_type = 'problem' THEN score + 0.05 ELSE score END AS score
+  FROM gazv WHERE cui NOT LIKE '%4'
+  UNION ALL
+  SELECT 'bloom filter', 'CD999', 'test', 'bloom filter', 0.88
+),
+o AS (SELECT term, cui, score AS old_score FROM gazv),
+n AS (SELECT term, cui, score AS new_score FROM v2),
+full_j AS (
+  SELECT coalesce(o.term, n.term) AS term, coalesce(o.cui, n.cui) AS cui,
+         o.old_score, n.new_score
+  FROM o FULL OUTER JOIN n ON o.term = n.term AND o.cui = n.cui
+),
+scd2 AS (
+  SELECT term, cui, round(v.score, 4) AS score, v.valid_from, v.valid_to
+  FROM full_j, unnest(
+    CASE WHEN new_score IS NULL
+           THEN [{{'score': old_score, 'valid_from': 1, 'valid_to': 1}}]
+         WHEN old_score IS NULL
+           THEN [{{'score': new_score, 'valid_from': 2, 'valid_to': NULL}}]
+         WHEN old_score <> new_score
+           THEN [{{'score': old_score, 'valid_from': 1, 'valid_to': 1}},
+                 {{'score': new_score, 'valid_from': 2, 'valid_to': NULL}}]
+         ELSE [{{'score': old_score, 'valid_from': 1, 'valid_to': NULL}}]
+    END) AS t(v)
+),
+terms AS (
+  SELECT DISTINCT term FROM (SELECT term FROM gazv UNION ALL SELECT term FROM v2)
+),
+pit AS (SELECT t.term, v.v AS as_of FROM terms t, (VALUES (1), (2)) v(v)),
+resolved AS (
+  SELECT a.term, a.as_of, i.cui, i.score,
+         row_number() OVER (PARTITION BY a.term, a.as_of
+                            ORDER BY i.score DESC NULLS LAST,
+                                     i.cui ASC NULLS LAST) AS rn
+  FROM pit a LEFT JOIN scd2 i
+    ON i.term = a.term AND i.valid_from <= a.as_of
+   AND (i.valid_to IS NULL OR a.as_of <= i.valid_to)
+)
+SELECT term, CAST(as_of AS INTEGER) AS as_of, cui, score
+FROM resolved WHERE rn = 1
+""",
+)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension resolution over the SCD2 gazetteer history
+    (the read side of q_gazetteer_scd2): for every term and every release
+    version, the best gazetteer row whose validity interval covers that
+    version — how triples built from an old release join the gazetteer AS
+    IT WAS, not as it is. Retired terms resolve to NULL at v2 (left join
+    kept). Everything is dimension-sized: the interval join is a broadcast
+    range join, the top-1 a tiny window."""
+    from cliner_spark.sources import scd2_intervals
+
+    v1 = doc_gazetteer_df(spark)
+    v2 = (
+        v1.filter(~F.col("cui").endswith("4"))
+        .withColumn(
+            "score",
+            F.when(F.col("sem_type") == "problem", F.col("score") + 0.05).otherwise(
+                F.col("score")
+            ),
+        )
+        .unionByName(
+            v1.sparkSession.createDataFrame(
+                [("bloom filter", "CD999", "test", "bloom filter", 0.88)],
+                v1.schema,
+            )
+        )
+    )
+    scd2 = scd2_intervals(v1, v2)
+    terms = (
+        v1.select("term").unionByName(v2.select("term")).distinct()
+    )
+    versions = spark.createDataFrame([(1,), (2,)], "as_of int")
+    asof = terms.crossJoin(F.broadcast(versions))
+    cond = (
+        (scd2["term"] == asof["term"])
+        & (scd2["valid_from"] <= asof["as_of"])
+        & (scd2["valid_to"].isNull() | (asof["as_of"] <= scd2["valid_to"]))
+    )
+    j = asof.join(F.broadcast(scd2), cond, "left").select(
+        asof["term"], asof["as_of"], scd2["cui"], scd2["score"]
+    )
+    w = Window.partitionBy("term", "as_of").orderBy(
+        F.col("score").desc_nulls_last(), F.col("cui").asc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("term", F.col("as_of").cast("int").alias("as_of"), "cui", "score")
+    )
+
+
+@register(
+    "q_variant_props",
+    """
+SELECT event_type,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS vmin,
+       CAST(percentile_cont(0.5) WITHIN GROUP
+            (ORDER BY CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         AS vmedian,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS vmax
+FROM events
+GROUP BY event_type
+""",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VariantType:
+    parse_json(props) -> variant, then typed variant_get path access — the
+    open-schema sibling of q_json_props' string-path get_json_object.
+    Variant stores a parsed binary form, so repeated path probes don't
+    re-parse the JSON text (the 100 TB difference when many fields are
+    read); the exact median is computable because the variant path is
+    extracted as a typed bigint before aggregation. Oracle reproduces the
+    identical algebra over DuckDB's JSON functions."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("vmin"),
+        F.expr(
+            "CAST(percentile(try_variant_get(parse_json(props), '$.k', 'bigint'),"
+            " 0.5) AS DOUBLE)"
+        ).alias("vmedian"),
+        F.max(k).alias("vmax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ontology subsumption (ISA closure + rollup), duplicate-span masking,
+# hashed linear classifier inference
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_BEST_GAZ,
+    SQL_KEPT_MENTIONS,
+    SQL_LINKED,
+    _doc_linked,
+)
+from cliner_spark.fixtures import ontology_df, ontology_values_sql  # noqa: E402
+
+ISA_SQL = ontology_values_sql()
+
+
+@register(
+    "q_isa_closure",
+    f"""
+WITH RECURSIVE isa AS (SELECT * FROM {ISA_SQL}),
+cl(descendant, ancestor, depth) AS (
+  SELECT child, parent, 1 FROM isa
+  UNION
+  SELECT c.descendant, i.parent, c.depth + 1
+  FROM cl c JOIN isa i ON i.child = c.ancestor
+)
+SELECT descendant, ancestor, CAST(min(depth) AS INTEGER) AS depth
+FROM cl GROUP BY descendant, ancestor
+""",
+)
+def q_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the ISA ontology over the gazetteer cuis
+    (graph.transitive_closure): path doubling, O(log diameter) rounds with
+    a VERIFIED fixpoint, vs the oracle's one-edge-per-step recursive CTE —
+    two different algorithms, same (descendant, ancestor, min-depth) set.
+    The closure is the joinable "is-a*" table subsumption queries need
+    (SURVEY §2 S5's UMLS gazetteer ships MRHIER ISA relations alongside
+    MRCONSO); built once per ontology release, corpus never scanned."""
+    from cliner_spark.graph import transitive_closure
+
+    return transitive_closure(ontology_df(spark)).select(
+        "descendant", "ancestor", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@register(
+    "q_subsumption_rollup",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+isa AS (SELECT * FROM {ISA_SQL}),
+cl(descendant, ancestor) AS (
+  SELECT child, parent FROM isa
+  UNION
+  SELECT c.descendant, i.parent FROM cl c JOIN isa i ON i.child = c.ancestor
+),
+m AS (SELECT cui FROM linked),
+up AS (
+  SELECT cl.ancestor AS node FROM m JOIN cl ON m.cui = cl.descendant
+  UNION ALL
+  SELECT cui AS node FROM m
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_mentions
+FROM up GROUP BY node
+""",
+)
+def q_subsumption_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention counts rolled UP the ISA hierarchy: each linked mention
+    counts toward its own cui and every ancestor (descendant-or-self
+    semantics — the SNOMED subsumption aggregate 'how many mentions of any
+    kind of scan?'). The corpus-scale side is one scan producing leaf cuis;
+    the fan-out join is against the broadcast dimension-sized closure, so
+    depth multiplies rows only by mean ontology depth (~4 here, ~10 in
+    UMLS), never by corpus size."""
+    from cliner_spark.graph import transitive_closure
+
+    linked = _doc_linked(spark, sf_dir).select("cui")
+    cl = transitive_closure(ontology_df(spark)).select("descendant", "ancestor")
+    up = linked.join(
+        F.broadcast(cl), linked["cui"] == cl["descendant"]
+    ).select(F.col("ancestor").alias("node"))
+    allrows = linked.select(F.col("cui").alias("node")).unionByName(up)
+    return allrows.groupBy("node").agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
+@register(
+    "q_dup_span_mask",
+    f"""
+WITH {SQL_DOCS_TOKS},
+g AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS s,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS gram
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+sp AS (SELECT doc_id, s, s + 2 AS e FROM g WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM sp
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+       CAST(max(e) AS INTEGER) AS span_end,
+       CAST(max(e) - min(s) + 1 AS INTEGER) AS span_toks
+FROM grp GROUP BY doc_id, island
+""",
+)
+def q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN masking (Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better', exact-substring variant): instead of
+    dropping whole near-dup documents, find every trigram shared across
+    documents and emit the maximal merged token spans to mask per doc —
+    the within-doc surgical cousin of q_ngram_dup_rate. Spans from the
+    trigram windows are merged with gaps-and-islands (running max(end),
+    break when a span starts past prev_end+1 — overlapping AND adjacent
+    regions coalesce). Scale: grams explode zero-shuffle via posexplode of
+    a transform(sequence) (no window sort on the corpus grain); the dup-gram
+    set comes from one groupBy and semi-joins back; only matched windows
+    (a small fraction of the corpus) reach the per-doc island windows."""
+    docs = load_docs(spark, sf_dir)
+    from cliner_spark.tokenization import tokens_col
+
+    t = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> lower(concat_ws(' ', slice(toks, i+1, 3))))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    sp = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", "s", (F.col("s") + 2).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-2)) + 1, 1
+    ).otherwise(0)
+    w_run = Window.partitionBy("doc_id").orderBy("s")
+    grp = sp.withColumn("brk", brk).withColumn("island", F.sum("brk").over(w_run))
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("s").cast("int").alias("span_start"),
+        F.max("e").cast("int").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("int").alias("span_toks"),
+    ).drop("island")
+
+
+@register(
+    "q_hash_classifier",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tok AS (SELECT doc_id, lower(t.tok) AS tok FROM docs, unnest(toks) AS t(tok)),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 64 AS bucket
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum((bucket * 2654435761) % 1001 - 500) AS BIGINT) AS score_fp
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, score_fp,
+       CASE WHEN score_fp > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+""",
+)
+def q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier INFERENCE (Weinberger et al. 2009;
+    the fastText-style quality-filter shape CCNet/RefinedWeb pipelines run
+    over every document): token -> md5 bucket (D=64) -> integer weight ->
+    per-doc summed score -> keep/drop label. The weight table is a model
+    release artifact; here it is synthesized as a deterministic integer
+    function of the bucket id ((bucket*2654435761) % 1001 - 500) so the
+    DuckDB twin reproduces the exact BIGINT algebra — in production, swap
+    in the trained weight map as a broadcast join or a 64-entry CASE
+    expression. Everything is JVM expression work on the token explode:
+    one scan, one groupBy, no Python, reduction-order-independent integer
+    sums."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("tok"))
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("bigint") % 64
+    weight = (bucket * F.lit(2654435761).cast("bigint")) % 1001 - 500
+    scored = tok.select("doc_id", weight.alias("w")).groupBy("doc_id").agg(
+        F.sum("w").cast("bigint").alias("score_fp")
+    )
+    return scored.select(
+        "doc_id",
+        "score_fp",
+        F.when(F.col("score_fp") > 0, "keep").otherwise("drop").alias("label"),
     )

@@ -72,3 +72,44 @@ def test_kcore_matches_python_on_random_graph(spark):
         edges = {(a, b) for a, b in edges if a not in drop and b not in drop}
     exp = {n: d for n, d in deg.items() if d >= 3}
     assert got == exp
+
+
+def _isa(spark, pairs):
+    return spark.createDataFrame([{"child": c, "parent": p} for c, p in pairs])
+
+
+def test_transitive_closure_deep_chain_converges(spark):
+    # 12-deep pure chain n0<-n1<-...<-n12: the adversarial shape for
+    # fixed-round pointer jumping (the canonicalize.py ADVICE bug) — the
+    # closure must still produce ALL 78 (desc, anc) pairs with exact depths
+    # because convergence is verified, not assumed.
+    from cliner_spark.graph import transitive_closure
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    got = {
+        (r["descendant"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(_isa(spark, chain)).collect()
+    }
+    exp = {
+        (f"n{i}", f"n{j}"): j - i for i in range(12) for j in range(i + 1, 13)
+    }
+    assert got == exp
+
+
+def test_transitive_closure_dag_min_depth(spark):
+    # diamond a->b->d, a->c->d plus shortcut a->d: parallel derivations of
+    # (a, d) at depths 1 and 2 — min(depth) must keep 1
+    from cliner_spark.graph import transitive_closure
+
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]
+    got = {
+        (r["descendant"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(_isa(spark, edges)).collect()
+    }
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "c"): 1,
+        ("a", "d"): 1,
+        ("b", "d"): 1,
+        ("c", "d"): 1,
+    }
