@@ -2444,3 +2444,329 @@ def q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fp",
         F.when(F.col("score_fp") > 0, "keep").otherwise("drop").alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# KG integrity audit, RDF N-Triples export, LSH blocking-quality audit,
+# ontology-aware link agreement
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_SHINGLES_2  # noqa: E402
+
+
+@register(
+    "q_kg_integrity",
+    f"""
+{SQL_TR_CTE}
+SELECT 'n_triples' AS chk, CAST(count(*) AS BIGINT) AS n FROM tr
+UNION ALL
+SELECT 'dangling_concept_obj', CAST(count(*) AS BIGINT) FROM tr
+WHERE obj LIKE 'concept:%' AND substr(obj, 9) NOT IN (SELECT cui FROM gazv)
+UNION ALL
+SELECT 'same_as_self_loop', CAST(count(*) AS BIGINT) FROM tr
+WHERE pred = 'SAME_AS' AND subj = obj
+UNION ALL
+SELECT 'same_as_chain', CAST(count(*) AS BIGINT) FROM tr s
+WHERE s.pred = 'SAME_AS'
+  AND EXISTS (SELECT 1 FROM tr t WHERE t.pred = 'SAME_AS' AND t.subj = s.obj)
+UNION ALL
+SELECT 'dup_triples', CAST(count(*) AS BIGINT) FROM (
+  SELECT subj, pred, obj FROM tr GROUP BY subj, pred, obj HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'mentions_missing_assertion', CAST(count(*) AS BIGINT) FROM tr m
+WHERE m.pred = 'MENTIONS'
+  AND NOT EXISTS (SELECT 1 FROM tr a WHERE a.pred = 'ASSERTED_IN'
+                  AND a.subj = m.obj AND a.conv_id = m.conv_id)
+""",
+)
+def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG referential-integrity audit over the materialized triples — the
+    validation suite a KG build job runs before publishing a snapshot:
+    dangling concept objects (cui absent from the gazetteer release),
+    SAME_AS self-loops and non-fixpoint chains (a canonical that itself
+    re-maps — exactly the under-converged-CC corruption the ADVICE round
+    flagged), duplicate triples, and MENTIONS edges with no matching
+    ASSERTED_IN provenance. The expected-zero checks being 0 IS the
+    verification; n_triples anchors the audit to a non-degenerate KG.
+    One triples build localCheckpointed once, six dimension-cheap audits
+    over it."""
+    linked, gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark)).localCheckpoint(
+        eager=True
+    )
+    cuis = gaz.select("cui").distinct()
+    same_as = tr.filter(F.col("pred") == "SAME_AS")
+
+    def one(chk: str, df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(chk).alias("chk"), "n"
+        )
+
+    dangling = (
+        tr.filter(F.col("obj").startswith("concept:"))
+        .withColumn("o_cui", F.expr("substring(obj, 9)"))
+        .join(cuis, F.col("o_cui") == cuis["cui"], "left_anti")
+    )
+    chain = same_as.alias("s").join(
+        same_as.select(F.col("subj").alias("o2")).distinct(),
+        F.col("s.obj") == F.col("o2"),
+        "left_semi",
+    )
+    dup = (
+        tr.groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    men = tr.filter(F.col("pred") == "MENTIONS")
+    asrt = (
+        tr.filter(F.col("pred") == "ASSERTED_IN")
+        .select(F.col("subj").alias("a_subj"), F.col("conv_id").alias("a_conv"))
+        .distinct()
+    )
+    orphan = men.join(
+        asrt,
+        (men["obj"] == asrt["a_subj"]) & (men["conv_id"] == asrt["a_conv"]),
+        "left_anti",
+    )
+    return (
+        one("n_triples", tr)
+        .unionByName(one("dangling_concept_obj", dangling))
+        .unionByName(one("same_as_self_loop", same_as.filter(F.col("subj") == F.col("obj"))))
+        .unionByName(one("same_as_chain", chain))
+        .unionByName(one("dup_triples", dup))
+        .unionByName(one("mentions_missing_assertion", orphan))
+    )
+
+
+@register(
+    "q_ntriples_export",
+    f"""
+{SQL_TR_CTE}
+SELECT conv_id,
+       '<urn:cs:' || replace(subj, '#', '%23') || '> <urn:cs:pred:' || pred ||
+       '> <urn:cs:' || replace(obj, '#', '%23') || '> .' AS ntriple
+FROM tr
+""",
+)
+def q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples serialization of the KG — the interchange sink that
+    lets the materialized graph load into any triple store (Jena, Virtuoso,
+    Neptune bulk loader). IRI-unsafe '#' in mention/turn ids is
+    percent-encoded; everything is JVM string concatenation in the scan
+    projection (zero shuffle beyond the triple build itself). conv_id rides
+    along as the partition column the production writer buckets by."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    enc = lambda c: F.regexp_replace(c, "#", "%23")  # noqa: E731
+    return tr.select(
+        "conv_id",
+        F.concat(
+            F.lit("<urn:cs:"), enc(F.col("subj")),
+            F.lit("> <urn:cs:pred:"), F.col("pred"),
+            F.lit("> <urn:cs:"), enc(F.col("obj")),
+            F.lit("> ."),
+        ).alias("ntriple"),
+    )
+
+
+@register(
+    "q_blocking_quality",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_2},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+  WHERE common * 2 >= sa.sz + sb.sz - common
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0#' || shingle)) AS h0, min(md5('1#' || shingle)) AS h1,
+         min(md5('2#' || shingle)) AS h2, min(md5('3#' || shingle)) AS h3
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, h1 FROM sig
+  UNION ALL SELECT doc_id, 2, h2 FROM sig
+  UNION ALL SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t JOIN cand c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+         (SELECT count(*) FROM documents) AS n_docs
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CAST(n_hit AS DOUBLE) / nullif(n_true, 0), 6) AS pair_completeness,
+       round(1.0 - CAST(n_cand AS DOUBLE) /
+             (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 6) AS reduction_ratio
+FROM m
+""",
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution BLOCKING audit (Christen 2012 metrics): pair
+    completeness (recall of MinHash-LSH candidate pairs against the exact
+    Jaccard>=0.5 truth set on the same 2-shingle grain) and reduction ratio
+    (fraction of the n*(n-1)/2 comparison space the blocking eliminated).
+    The truth side deliberately has NO df-cut — it is the exact ground
+    truth; in production this audit runs on a deterministic hash-sample of
+    the corpus, never the full 100 TB (the docstring contract: audit-scale
+    job, release-gate artifact). Threshold is the exact-integer
+    cross-multiplication 2*common >= union. Candidates come from the same
+    banding as q_minhash_lsh, so this query IS the quality gate for that
+    operator's parameters (4 hashes, bands of 1, min_bands=2)."""
+    from cliner_spark import dedup as _dd
+
+    docs = load_docs(spark, sf_dir)
+    sh = _dd.shingles(docs, 2).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    truth = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .filter(F.col("common") * 2 >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        _dd.lsh_candidate_pairs(docs, min_bands=2, sh=sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    m = n_true.crossJoin(n_cand).crossJoin(n_hit).crossJoin(n_docs)
+    return m.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_true"), F.lit(0)), 6
+        ).alias("pair_completeness"),
+        F.round(
+            1.0
+            - F.col("n_cand").cast("double")
+            / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1) / 2),
+            6,
+        ).alias("reduction_ratio"),
+    )
+
+
+@register(
+    "q_hier_link_agreement",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON},
+isa AS (SELECT * FROM {ISA_SQL}),
+cl(descendant, ancestor) AS (
+  SELECT child, parent FROM isa
+  UNION
+  SELECT c.descendant, i.parent FROM cl c JOIN isa i ON i.child = c.ancestor
+),
+lm AS (
+  SELECT b.cui, c.canon_cui
+  FROM mentions m
+  JOIN best_gaz b ON lower(m.mention_text) = b.term
+  JOIN canon c ON b.cui = c.cui
+),
+rel AS (
+  SELECT cui,
+         CASE WHEN cui = canon_cui THEN 'exact'
+              WHEN EXISTS (SELECT 1 FROM cl
+                           WHERE (descendant = cui AND ancestor = canon_cui)
+                              OR (descendant = canon_cui AND ancestor = cui))
+                THEN 'isa_related'
+              WHEN EXISTS (SELECT 1 FROM isa p1 JOIN isa p2 ON p1.parent = p2.parent
+                           WHERE p1.child = cui AND p2.child = canon_cui)
+                THEN 'sibling'
+              ELSE 'unrelated' END AS relation
+  FROM lm
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT cui) AS BIGINT) AS n_cuis
+FROM rel GROUP BY relation
+""",
+)
+def q_hier_link_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-aware agreement between the raw link (best_gaz cui) and the
+    canonical concept (CC component label): hierarchical evaluation in the
+    Resnik/SNOMED-subsumption tradition — 'exact' (cui IS the canonical),
+    'isa_related' (one subsumes the other in the ISA closure), 'sibling'
+    (same immediate parent — e.g. 'scan'->CD011 canonicalized to CD004,
+    both GRP_SCAN children), 'unrelated' (the CC merge crossed ontology
+    categories — the drift signal a KG release gate watches). All ontology
+    sides are broadcast dimension joins; the corpus contributes one linked
+    scan."""
+    from cliner_spark.graph import transitive_closure
+    from cliner_spark.triples import with_canonical
+
+    lm = with_canonical(
+        _doc_linked(spark, sf_dir).select("cui"), cached_canon_map(spark)
+    )
+    isa = ontology_df(spark)
+    cl = transitive_closure(isa).select("descendant", "ancestor")
+    isa_pairs = (
+        cl.select(F.col("descendant").alias("x"), F.col("ancestor").alias("y"))
+        .unionByName(cl.select(F.col("ancestor").alias("x"), F.col("descendant").alias("y")))
+        .distinct()
+        .withColumn("isa_rel", F.lit(1))
+    )
+    sib = (
+        isa.alias("p1")
+        .join(isa.alias("p2"), F.col("p1.parent") == F.col("p2.parent"))
+        .select(F.col("p1.child").alias("x"), F.col("p2.child").alias("y"))
+        .distinct()
+        .withColumn("sib_rel", F.lit(1))
+    )
+    j = (
+        lm.join(
+            F.broadcast(isa_pairs),
+            (lm["cui"] == isa_pairs["x"]) & (lm["canon_cui"] == isa_pairs["y"]),
+            "left",
+        )
+        .drop("x", "y")
+        .join(
+            F.broadcast(sib),
+            (lm["cui"] == sib["x"]) & (lm["canon_cui"] == sib["y"]),
+            "left",
+        )
+        .drop("x", "y")
+    )
+    rel = j.select(
+        "cui",
+        F.when(F.col("cui") == F.col("canon_cui"), "exact")
+        .when(F.col("isa_rel").isNotNull(), "isa_related")
+        .when(F.col("sib_rel").isNotNull(), "sibling")
+        .otherwise("unrelated")
+        .alias("relation"),
+    )
+    return rel.groupBy("relation").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("cui").alias("n_cuis"),
+    )
