@@ -38,6 +38,13 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_embedding_ivf_topk": [("BroadcastNestedLoopJoin", "16-row centroid table probe")],
     "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
     "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
+    "q_scd2_pit": [("BroadcastNestedLoopJoin", "2-row release-version spine cross")],
+    "q_eval_kappa": [
+        ("BroadcastNestedLoopJoin", "1-row chance/total carries over the types x types confusion")
+    ],
+    "q_blocking_quality": [
+        ("BroadcastNestedLoopJoin", "1-row audit-metric carries (n_true/n_cand/n_hit/n_docs)")
+    ],
     "q_heavy_hitters": [("BroadcastNestedLoopJoin", "1-row total-token-count carry into the threshold filter")],
     "q_assoc_rules": [("BroadcastNestedLoopJoin", "1-row doc-total carry into support/lift")],
     "q_cooccur_pmi": [("BroadcastNestedLoopJoin", "1-row n_keys marginal carry")],
