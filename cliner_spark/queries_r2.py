@@ -2785,3 +2785,227 @@ def q_hier_link_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_mentions"),
         F.count_distinct("cui").alias("n_cuis"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV join-cardinality sketch, reciprocal-rank-fusion hybrid retrieval,
+# transcript ingest gap audit
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import BM25_QUERY  # noqa: E402
+
+_KMV_H = "CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 13)) AS BIGINT)"
+_KMV_EST = "CAST(139611588448485376 AS DOUBLE)"  # (k-1) * 2^52, k=32
+
+
+@register(
+    "q_kmv_join_estimate",
+    f"""
+WITH
+da AS (SELECT DISTINCT o_custkey AS key FROM orders),
+db AS (SELECT DISTINCT c_custkey AS key FROM customer),
+ka AS (SELECT {_KMV_H} AS h FROM da ORDER BY 1 LIMIT 32),
+kb AS (SELECT {_KMV_H} AS h FROM db ORDER BY 1 LIMIT 32),
+kg AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 32),
+ov AS (SELECT count(*) AS overlap FROM kg
+       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+m AS (SELECT
+  (SELECT count(*) FROM da) AS exact_a,
+  (SELECT max(h) FROM ka) AS ua,
+  (SELECT count(*) FROM db) AS exact_b,
+  (SELECT max(h) FROM kb) AS ub,
+  (SELECT count(*) FROM da JOIN db USING (key)) AS exact_inter,
+  (SELECT max(h) FROM kg) AS ug,
+  (SELECT overlap FROM ov) AS overlap)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       round({_KMV_EST} / ua, 2) AS est_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       round({_KMV_EST} / ub, 2) AS est_b,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       round((overlap / 32.0) * ({_KMV_EST} / ug), 2) AS est_inter
+FROM m
+""",
+)
+def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from KMV (k-minimum-values) distinct
+    sketches (Bar-Yossef 2002 / Beyer 2007): sketch orders.o_custkey and
+    customer.c_custkey (k=32 smallest md5 values each), merge to the union
+    sketch, estimate |A|, |B| and |A∩B| = (overlap/k) * D_union — the
+    shuffle-free sizing pass a planner runs before picking a join strategy
+    — and audit every estimate against the exact distinct counts in the
+    same row. Sketches are TakeOrdered top-k (no full sort, mergeable by
+    construction); the only full-width work is the exact audit itself,
+    which a production planner would skip."""
+    from cliner_spark.sketch import KMV_SPACE, kmv_sketch
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    ka = kmv_sketch(o, "o_custkey").localCheckpoint(eager=True)
+    kb = kmv_sketch(c, "c_custkey").localCheckpoint(eager=True)
+    kg = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(32).localCheckpoint(eager=True)
+    )
+    est = F.lit(31.0) * F.lit(KMV_SPACE)
+    da = o.select(F.col("o_custkey").alias("key")).distinct()
+    db = c.select(F.col("c_custkey").alias("key")).distinct()
+    one = lambda df, expr, name: df.agg(expr.alias(name))  # noqa: E731
+    m = (
+        one(da, F.count(F.lit(1)).cast("bigint"), "exact_a")
+        .crossJoin(one(ka, F.max("h"), "ua"))
+        .crossJoin(one(db, F.count(F.lit(1)).cast("bigint"), "exact_b"))
+        .crossJoin(one(kb, F.max("h"), "ub"))
+        .crossJoin(one(da.join(db, "key"), F.count(F.lit(1)).cast("bigint"), "exact_inter"))
+        .crossJoin(one(kg, F.max("h"), "ug"))
+        .crossJoin(
+            one(
+                kg.join(ka, "h", "left_semi").join(kb, "h", "left_semi"),
+                F.count(F.lit(1)),
+                "overlap",
+            )
+        )
+    )
+    return m.select(
+        "exact_a",
+        F.round(est / F.col("ua").cast("double"), 2).alias("est_a"),
+        "exact_b",
+        F.round(est / F.col("ub").cast("double"), 2).alias("est_b"),
+        "exact_inter",
+        F.round(
+            (F.col("overlap") / F.lit(32.0)) * (est / F.col("ug").cast("double")), 2
+        ).alias("est_inter"),
+    )
+
+
+@register(
+    "q_rrf_fusion",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tk AS (
+  SELECT d.doc_id, lower(t.tok) AS term
+  FROM docs d, unnest(d.toks) AS t(tok)
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE term IN ('stream', 'vector', 'window', 'scan') GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+           6) AS DECIMAL(38,6)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score FROM s GROUP BY 1),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS lex_rank
+  FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+cvs AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id <> 7),
+sims AS (
+  SELECT doc_id,
+         round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1]))
+               / sqrt(list_sum(list_transform(qv, x -> x * x))
+                      * list_sum(list_transform(cv, x -> x * x))), 6) AS sim
+  FROM cvs, q
+),
+den AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS dense_rank
+  FROM sims ORDER BY sim DESC, doc_id ASC LIMIT 20
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+         round(coalesce(1.0 / (60 + l.lex_rank), 0) + coalesce(1.0 / (60 + d.dense_rank), 0), 6)
+           AS rrf_score
+  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fr FROM fused
+) WHERE fr <= 10
+""",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    the standard BM25 + dense-vector combiner in modern RAG stacks):
+    lexical list = BM25 top-20 for the fixed 4-term query, dense list =
+    exact cosine top-20 neighbors of query vector 7 (doc_id and vec_id
+    share the id space in the testdata), fused score = sum of 1/(60+rank)
+    over the lists a doc appears in, final top-10. Both lists come from
+    TakeOrdered top-k paths (no global sorts); the fusion join touches 40
+    rows. The same fusion works unchanged over the IVF/LSH ANN lists when
+    exact cosine is too expensive."""
+    from cliner_spark.session import ensure_parallelism
+    from cliner_spark.similarity import brute_force_topk
+    from cliner_spark.textstats import bm25_rank
+
+    lex = bm25_rank(load_docs(spark, sf_dir), list(BM25_QUERY), k=20).select(
+        "doc_id", F.col("rk").alias("lex_rank")
+    )
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    den = brute_force_topk(emb, F.col("vec_id") == 7, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("dense_rank")
+    )
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fr", F.row_number().over(w))
+        .filter(F.col("fr") <= 10)
+        .drop("fr")
+    )
+
+
+@register(
+    "q_turn_gap_audit",
+    """
+WITH tx AS (
+  SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1 AS INTEGER)
+           AS turn_idx
+  FROM documents
+),
+ingest AS (SELECT * FROM tx WHERE doc_id % 7 <> 3)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(turn_idx) AS INTEGER) AS max_turn,
+       CAST(max(turn_idx) + 1 - count(*) AS BIGINT) AS n_missing
+FROM ingest GROUP BY conv_id
+HAVING max(turn_idx) + 1 - count(*) > 0
+""",
+)
+def q_turn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest completeness audit over the input_hint (conv_id, turn_idx)
+    contract: conversations whose turn sequence has HOLES (max_turn+1 !=
+    n_turns — the dropped-message signature a 10^12-turn ingest watches
+    before any per-turn invariant can hold). The simulated loss drops
+    every doc_id % 7 == 3 turn from the canonical transcript mapping; the
+    audit is one groupBy with integer algebra — no window, no join, and at
+    scale it rides the same conv-hash partitioning as the triple sink."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    tx = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+    )
+    ingest = tx.filter(F.col("doc_id") % 7 != 3)
+    return (
+        ingest.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").cast("int").alias("max_turn"),
+            (F.max("turn_idx") + 1 - F.count(F.lit(1))).alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+    )

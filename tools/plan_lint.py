@@ -39,6 +39,15 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
     "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
     "q_scd2_pit": [("BroadcastNestedLoopJoin", "2-row release-version spine cross")],
+    "q_kmv_join_estimate": [
+        ("BroadcastNestedLoopJoin", "1-row sketch-stat carries (ua/ub/ug/overlap/exact audits)")
+    ],
+    "q_rrf_fusion": [
+        (
+            "BroadcastNestedLoopJoin",
+            "BM25 1-row n_docs/avgdl carry + broadcast 1-query spine of the exact dense baseline",
+        )
+    ],
     "q_eval_kappa": [
         ("BroadcastNestedLoopJoin", "1-row chance/total carries over the types x types confusion")
     ],
