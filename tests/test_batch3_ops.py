@@ -245,3 +245,65 @@ def test_snapshot_diff_classifies_and_drops_unchanged(spark):
     got = {r.doc_id: r.change_type for r in snapshot_diff(old, new, "doc_id", ["text"]).collect()}
     # 2 is unchanged and must not appear at all (delta-sized output)
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_time_travel_and_expiry(spark, tmp_path):
+    """Manifest-snapshot table mechanics (the in-repo stand-in for the
+    north rule's Iceberg sink): append/overwrite versioning, AS-OF reads
+    that ignore on-disk files the manifest doesn't reference, lineage log,
+    and expiry that reclaims exactly the unreferenced files."""
+    import os
+
+    import pytest
+
+    from cliner_spark.maintenance import (
+        current_version,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_append,
+        snapshot_log,
+        snapshot_overwrite,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    d1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    d2 = spark.range(100, 105).withColumnRenamed("id", "k")
+    d3 = spark.range(200, 203).withColumnRenamed("id", "k")
+
+    assert snapshot_append(d1, tbl) == 1
+    assert snapshot_overwrite(d2, tbl) == 2
+    assert snapshot_append(d3, tbl) == 3
+    assert current_version(tbl) == 3
+
+    # AS-OF reads: v1 pre-overwrite rows are still reachable; CURRENT is
+    # the overwrite base + the later append, NOT the v1 rows (even though
+    # v1's files are still physically in data/)
+    assert {r["k"] for r in read_snapshot(spark, tbl, 1).collect()} == set(range(10))
+    assert {r["k"] for r in read_snapshot(spark, tbl, 2).collect()} == set(range(100, 105))
+    assert {r["k"] for r in read_snapshot(spark, tbl).collect()} == set(
+        range(100, 105)
+    ) | set(range(200, 203))
+
+    log = {r["version"]: (r["op"], r["parent"]) for r in snapshot_log(spark, tbl).collect()}
+    assert log == {1: ("append", 0), 2: ("overwrite", 1), 3: ("append", 2)}
+
+    # expiry: keep v2,v3 -> v1's exclusive files deleted, v1 read raises,
+    # CURRENT and v2 still read exactly as before
+    deleted = expire_snapshots(tbl, keep_last=2)
+    assert deleted and all(f.startswith("data/batch-00001") for f in deleted)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tbl, 1)
+    assert {r["k"] for r in read_snapshot(spark, tbl, 2).collect()} == set(range(100, 105))
+    assert current_version(tbl) == 3
+    # no dangling parquet outside retained manifests
+    on_disk = set()
+    for root, _dirs, files in os.walk(os.path.join(tbl, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, f), tbl))
+    referenced = set()
+    for v in (2, 3):
+        from cliner_spark.maintenance import _read_manifest
+
+        referenced.update(_read_manifest(tbl, v)["files"])
+    assert on_disk == referenced
