@@ -3009,3 +3009,104 @@ def q_turn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_missing") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# LLM-training batch prep: greedy sequence packing + deterministic epoch
+# shuffle
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_seq_packing",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS},
+d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+         CAST(len(toks) AS INTEGER) AS n_toks,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM docs
+),
+rec(bucket, rn, doc_id, n_toks, fill, pack) AS (
+  SELECT bucket, rn, doc_id, n_toks, n_toks, 0 FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_toks,
+         CASE WHEN rec.fill + d.n_toks > 256 THEN d.n_toks
+              ELSE rec.fill + d.n_toks END,
+         CASE WHEN rec.fill + d.n_toks > 256 THEN rec.pack + 1 ELSE rec.pack END
+  FROM rec JOIN d ON d.bucket = rec.bucket AND d.rn = rec.rn + 1
+)
+SELECT doc_id, bucket, CAST(pack AS INTEGER) AS pack_id, n_toks
+FROM rec
+""",
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY sequence packing (sample packing for LLM pretraining, e.g.
+    Raffel 2020 / GPT-style batch prep): documents fill a 256-token context
+    window in deterministic doc_id order; a doc that would overflow starts
+    the next pack. The scan is inherently sequential, so parallelism comes
+    from SALTING: docs are hashed into 8 independent buckets and each
+    bucket packs in isolation inside one applyInPandas group (at 100 TB,
+    buckets = thousands, each worker packs its bucket with zero
+    coordination — the standard trade: within-bucket exact greedy,
+    cross-bucket independence). The oracle is the identical fold as a
+    per-bucket recursive CTE."""
+    import pandas as pd
+
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+        F.size(tokens_col(F.col("text"))).cast("int").alias("n_toks"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs = []
+        fill, pk = 0, -1
+        for n in pdf["n_toks"]:
+            if pk < 0 or fill + n > 256:
+                pk += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            packs.append(pk)
+        pdf["pack_id"] = pd.Series(packs, dtype="int32")
+        return pdf[["doc_id", "bucket", "pack_id", "n_toks"]]
+
+    return d.groupBy("bucket").applyInPandas(
+        pack, schema="doc_id bigint, bucket int, pack_id int, n_toks int"
+    )
+
+
+@register(
+    "q_epoch_shuffle",
+    """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS epoch0_pos,
+       CAST(row_number() OVER (
+         ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS epoch1_pos
+FROM documents
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: position = rank of
+    md5(epoch|doc_id) — a pure function of (epoch, key), so the order is
+    reproducible across reruns/engines, needs no RNG state, and any worker
+    can compute any shard's slice independently (the property distributed
+    data loaders need; random.shuffle's global state is exactly what does
+    NOT scale). Two epochs materialized side by side to show decorrelation.
+    The global row_number here is demonstration-sized; the production
+    loader sorts within hash shards (locally sorted, globally sharded) and
+    never materializes a total order."""
+    docs = load_docs(spark, sf_dir)
+    w0 = Window.orderBy(F.md5(F.concat(F.lit("0|"), F.col("doc_id").cast("string"))), F.col("doc_id"))
+    w1 = Window.orderBy(F.md5(F.concat(F.lit("1|"), F.col("doc_id").cast("string"))), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.row_number().over(w0).cast("bigint").alias("epoch0_pos"),
+        F.row_number().over(w1).cast("bigint").alias("epoch1_pos"),
+    )
