@@ -287,3 +287,27 @@ def audit_triples(triples: DataFrame, valid_cuis: DataFrame) -> dict[str, int]:
         "same_as_self_loop": self_loop.count(),
         "dup_triples": dup.count(),
     }
+
+
+def publish_kg(
+    triples: DataFrame,
+    table_path: str,
+    valid_cuis: DataFrame,
+    mode: str = "overwrite",
+) -> int:
+    """Gated, versioned KG release: run the integrity audit over the EXACT
+    frame being published; on any violation raise WITHOUT committing (the
+    snapshot table's CURRENT pointer never moves, so consumers keep reading
+    the last good release); otherwise commit as a new manifest snapshot and
+    return its version. Releases are then time-travelable
+    (maintenance.read_snapshot) and diffable (maintenance.snapshot_diff
+    between two versions = the KG changelog consumers subscribe to).
+    Prod swaps the manifest table for Iceberg; the gate-then-commit
+    ordering is the contract."""
+    from cliner_spark.maintenance import snapshot_append, snapshot_overwrite
+
+    bad = {k: v for k, v in audit_triples(triples, valid_cuis).items() if v}
+    if bad:
+        raise RuntimeError(f"publish_kg: integrity gate rejected release: {bad}")
+    commit = snapshot_overwrite if mode == "overwrite" else snapshot_append
+    return commit(triples, table_path)

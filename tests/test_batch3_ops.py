@@ -307,3 +307,57 @@ def test_snapshot_time_travel_and_expiry(spark, tmp_path):
 
         referenced.update(_read_manifest(tbl, v)["files"])
     assert on_disk == referenced
+
+
+def test_publish_kg_gated_versioned_releases(spark, tmp_path):
+    """End-to-end KG release workflow: publish v1, publish v2 with more
+    conversations, diff the releases, then prove a poisoned release is
+    rejected WITHOUT moving CURRENT (consumers still read v2)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cliner_spark import fixtures
+    from cliner_spark.maintenance import current_version, read_snapshot, snapshot_diff
+    from cliner_spark.pipeline import run_pipeline
+    from cliner_spark.triples import publish_kg
+
+    tbl = str(tmp_path / "kg")
+    rows = fixtures.gen_transcripts(n_convs=6, avg_turns=5, seed=7)
+    df = fixtures.transcripts_df(spark, rows)
+    gaz = fixtures.gazetteer_df(spark)
+    cuis = gaz.select("cui")
+
+    tri1 = run_pipeline(spark, df.filter(F.col("conv_id") < "conv00003"), gazetteer=gaz)["triples"]
+    tri2 = run_pipeline(spark, df, gazetteer=gaz)["triples"]
+    assert publish_kg(tri1, tbl, cuis) == 1
+    assert publish_kg(tri2, tbl, cuis) == 2
+
+    v1 = read_snapshot(spark, tbl, 1)
+    v2 = read_snapshot(spark, tbl)
+    k1 = {(r["subj"], r["pred"], r["obj"]) for r in v1.collect()}
+    k2 = {(r["subj"], r["pred"], r["obj"]) for r in v2.collect()}
+    assert k1 < k2  # release 2 strictly extends release 1
+
+    def keyed(df):
+        return df.withColumn(
+            "kg_key", F.concat_ws("|", "subj", "pred", "obj")
+        )
+
+    diff = snapshot_diff(keyed(v1), keyed(v2), key="kg_key", cols=["conv_id"])
+    added = {
+        tuple(r["kg_key"].split("|"))
+        for r in diff.filter(F.col("change_type") == "added").collect()
+    }
+    assert added == k2 - k1
+    assert not {r["change_type"] for r in diff.collect()} - {"added", "changed"}
+
+    # poisoned release: dangling concept -> gate raises, CURRENT stays 2
+    poison = tri2.unionByName(
+        spark.createDataFrame(
+            [("conv:9", "MENTIONS", "concept:ZZZZ", "9", 0)], tri2.schema
+        )
+    )
+    with pytest.raises(RuntimeError, match="integrity gate rejected"):
+        publish_kg(poison, tbl, cuis)
+    assert current_version(tbl) == 2
+    assert {(r["subj"], r["pred"], r["obj"]) for r in read_snapshot(spark, tbl).collect()} == k2
