@@ -3110,3 +3110,54 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w0).cast("bigint").alias("epoch0_pos"),
         F.row_number().over(w1).cast("bigint").alias("epoch1_pos"),
     )
+
+
+@register(
+    "q_edge_confidence",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_CANON},
+lm AS (
+  SELECT m.doc_id, c.canon_cui, b.link_score
+  FROM mentions m
+  JOIN best_gaz b ON lower(m.mention_text) = b.term
+  JOIN canon c ON b.cui = c.cui
+)
+SELECT doc_id, canon_cui, CAST(count(*) AS BIGINT) AS n_mentions,
+       max(link_score) AS max_score,
+       round(1.0 - list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE), list_sort(list(link_score::DOUBLE))),
+         (acc, x) -> acc * (1 - x)), 6) AS noisy_or
+FROM lm GROUP BY doc_id, canon_cui
+""",
+)
+def q_edge_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-OR confidence for each (conversation, concept) MENTIONS edge:
+    independent-evidence combination 1 - prod(1 - score_i) over the edge's
+    mention link scores — the weight a downstream KG ranker consumes
+    instead of a bare count. Float products are NOT
+    reduction-order-independent, so the fold runs over the SORTED score
+    array (sort_array + F.aggregate, one deterministic executor-local pass
+    per group, zero extra shuffles) — the same order-pinned-fold trick the
+    repetition features use — making the double bit-identical across
+    engines and partitionings."""
+    from cliner_spark.triples import with_canonical
+
+    lm = with_canonical(
+        _doc_linked(spark, sf_dir).select(
+            F.col("conv_id").alias("doc_id"), "cui", "link_score"
+        ),
+        cached_canon_map(spark),
+    )
+    return lm.groupBy("doc_id", "canon_cui").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.max("link_score").alias("max_score"),
+        F.round(
+            1.0
+            - F.aggregate(
+                F.sort_array(F.collect_list(F.col("link_score").cast("double"))),
+                F.lit(1.0),
+                lambda acc, x: acc * (1 - x),
+            ),
+            6,
+        ).alias("noisy_or"),
+    )

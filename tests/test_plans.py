@@ -252,3 +252,55 @@ def test_bucketed_join_has_no_exchange_and_matches_plain_join(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_turns")
         spark.sql("DROP TABLE IF EXISTS bkt_mentions")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew evidence: a hot-key fact joined to a dim under AQE with
+    skew-join enabled must execute as SortMergeJoin(skew=true) reading an
+    'AQEShuffleRead skewed' — i.e. Spark SPLIT the hot partition at runtime
+    instead of letting one task straggle. This is the engine-level safety
+    net UNDER the pipeline's explicit salting (triples.salted_partition_col
+    handles hot conversations at write time; AQE catches residual skew at
+    join time). Session confs are saved and restored (try/finally) — the
+    checkpoint.py lesson: never leak conf mutations to other tests."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 3/4 of the fact lands on key 0 (the "hot conversation"); padding
+        # pushes the hot partition past the skew threshold
+        fact = spark.range(0, 400000).select(
+            F.when(F.col("id") % 4 != 3, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 120), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k")
+        assert j.count() == 400000
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
