@@ -3161,3 +3161,300 @@ def q_edge_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("noisy_or"),
     )
+
+
+# --------------------------------------------------------------------------
+# KG profiling / audit round 2c: relation cardinality, contradictions,
+# concept similarity, HITS centrality, corpus drift
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_relation_cardinality",
+    f"""
+{SQL_TR_CTE}
+, dtr AS (SELECT DISTINCT subj, pred, obj FROM tr),
+outd AS (SELECT pred, subj, CAST(count(*) AS BIGINT) AS c FROM dtr GROUP BY 1, 2),
+ind  AS (SELECT pred, obj,  CAST(count(*) AS BIGINT) AS c FROM dtr GROUP BY 1, 2),
+base AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+  FROM dtr GROUP BY pred
+)
+SELECT b.pred, b.n_edges, b.n_subj, b.n_obj,
+       o.max_out, i.max_in,
+       CASE WHEN o.max_out = 1 AND i.max_in = 1 THEN '1:1'
+            WHEN o.max_out = 1 THEN 'N:1'
+            WHEN i.max_in = 1 THEN '1:N'
+            ELSE 'N:M' END AS card_class
+FROM base b
+JOIN (SELECT pred, CAST(max(c) AS BIGINT) AS max_out FROM outd GROUP BY pred) o
+  ON b.pred = o.pred
+JOIN (SELECT pred, CAST(max(c) AS BIGINT) AS max_in FROM ind GROUP BY pred) i
+  ON b.pred = i.pred
+""",
+)
+def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate relation-cardinality profile over the materialized KG:
+    edge/endpoint counts + max fan-out/fan-in over DISTINCT (s,p,o) and the
+    derived functional class (1:1 / 1:N / N:1 / N:M) — the schema-inference
+    audit an ER/ontology layer runs before declaring a predicate functional
+    (e.g. SAME_AS must come out N:1 onto component minima). One distinct
+    pass is localCheckpointed and feeds three partial-aggregated rollups;
+    the per-pred join sides are predicate-grain (tiny) so both final joins
+    broadcast. Scale note: the distinct is the only corpus-sized shuffle and
+    rides the triples table's conv-hash partitioning."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    dtr = tr.select("subj", "pred", "obj").distinct().localCheckpoint(eager=True)
+    base = dtr.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+    max_out = (
+        dtr.groupBy("pred", "subj").count()
+        .groupBy("pred").agg(F.max("count").alias("max_out"))
+    )
+    max_in = (
+        dtr.groupBy("pred", "obj").count()
+        .groupBy("pred").agg(F.max("count").alias("max_in"))
+    )
+    return (
+        base.join(F.broadcast(max_out), "pred")
+        .join(F.broadcast(max_in), "pred")
+        .select(
+            "pred", "n_edges", "n_subj", "n_obj", "max_out", "max_in",
+            F.when((F.col("max_out") == 1) & (F.col("max_in") == 1), "1:1")
+            .when(F.col("max_out") == 1, "N:1")
+            .when(F.col("max_in") == 1, "1:N")
+            .otherwise("N:M")
+            .alias("card_class"),
+        )
+    )
+
+
+@register(
+    "q_contradiction_audit",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ},
+asserted AS (
+  SELECT m.doc_id, m.mention_text,
+         CASE
+           WHEN len(list_filter(d.toks[greatest(1, m.tok_start - 3) : m.tok_start],
+                                x -> lower(x) IN ('slow'))) > 0
+             OR len(list_filter(d.toks[m.tok_end + 2 : least(len(d.toks), m.tok_end + 5)],
+                                x -> lower(x) IN ('small'))) > 0
+           THEN 'negated'
+           WHEN len(list_filter(d.toks[greatest(1, m.tok_start - 3) : m.tok_start],
+                                x -> lower(x) IN ('fast'))) > 0
+             OR len(list_filter(d.toks[m.tok_end + 2 : least(len(d.toks), m.tok_end + 5)],
+                                x -> lower(x) IN ('fast'))) > 0
+           THEN 'uncertain'
+           ELSE 'affirmed'
+         END AS assertion
+  FROM mentions m JOIN docs d USING (doc_id)
+)
+SELECT CAST(a.doc_id AS VARCHAR) AS conv_id, b.cui,
+       CAST(sum(CASE WHEN a.assertion = 'affirmed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_affirmed,
+       CAST(sum(CASE WHEN a.assertion = 'negated' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negated
+FROM asserted a JOIN best_gaz b ON lower(a.mention_text) = b.term
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.assertion = 'affirmed' THEN 1 ELSE 0 END) > 0
+   AND sum(CASE WHEN a.assertion = 'negated' THEN 1 ELSE 0 END) > 0
+""",
+)
+def q_contradiction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-conversation contradiction audit: concepts BOTH affirmed and
+    NegEx-negated within one conversation (SURVEY §2 A-family QA; the KG
+    consumer's 'conflicting evidence' report that decides whether a MENTIONS
+    edge is trustworthy before release). Reuses the windowed-trigger
+    assertion classifier (assertion.classify_assertions, pure JVM window
+    expressions) + broadcast gazetteer link; one partial-aggregated groupBy
+    on (conv, cui) with a HAVING-style post-filter — no extra shuffle beyond
+    the aggregation itself."""
+    from cliner_spark.assertion import classify_assertions
+    from cliner_spark.entry_queries import (
+        _A_POST,
+        _A_PRE,
+        _A_UNC,
+        _doc_mentions_spark,
+        tokenize,
+    )
+    from cliner_spark.link import link_mentions
+
+    m = _doc_mentions_spark(spark, sf_dir)
+    toks = tokenize(load_docs(spark, sf_dir)).select("doc_id", "tokens")
+    asserted = classify_assertions(
+        m, toks, pre_neg=_A_PRE, post_neg=_A_POST, uncertain=_A_UNC,
+        window=4, keys=("doc_id",),
+    )
+    linked = link_mentions(
+        asserted.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "tok_start", "tok_end", "mention_text", "assertion",
+        ),
+        doc_gazetteer_df(spark),
+    )
+    agg = linked.groupBy("conv_id", "cui").agg(
+        F.sum((F.col("assertion") == "affirmed").cast("long")).alias("n_affirmed"),
+        F.sum((F.col("assertion") == "negated").cast("long")).alias("n_negated"),
+    )
+    return agg.filter((F.col("n_affirmed") > 0) & (F.col("n_negated") > 0))
+
+
+@register(
+    "q_concept_jaccard",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+marg AS (SELECT cui, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_node
+         FROM dcui GROUP BY cui)
+SELECT c.src, c.dst, c.n_pair, ms.n_node AS n_src, md.n_node AS n_dst,
+       CAST(ms.n_node + md.n_node - c.n_pair AS BIGINT) AS n_union,
+       round(CAST(c.n_pair AS DOUBLE)
+             / (ms.n_node + md.n_node - c.n_pair), 6) AS jaccard,
+       c.n_pair * 2 >= ms.n_node + md.n_node - c.n_pair AS strong
+FROM coedges c
+JOIN marg ms ON c.src = ms.cui
+JOIN marg md ON c.dst = md.cui
+""",
+)
+def q_concept_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-concept Jaccard similarity over conversation co-occurrence
+    sets: |convs(a) AND convs(b)| / |convs(a) OR convs(b)| — the KG
+    'related concept' edge weight (ontology-free relatedness). The union
+    size is derived exactly from integer marginals (inclusion-exclusion, no
+    second self-join); the `strong` >=0.5 flag is an exact integer
+    cross-multiplication (never a float on the predicate path) and the
+    float ratio is a single IEEE division rounded in-query on both engines.
+    Marginals are concept-grain (tiny) -> both joins broadcast; the only
+    corpus-sized work is the distinct + the co-pair aggregation the PMI
+    query already pays."""
+    dcui = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"), "cui")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = dcui.alias("a"), dcui.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.cui") < F.col("b.cui")))
+        .groupBy(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    marg = dcui.groupBy("cui").agg(F.count(F.lit(1)).alias("n_node"))
+    ms = marg.select(F.col("cui").alias("src"), F.col("n_node").alias("n_src"))
+    md = marg.select(F.col("cui").alias("dst"), F.col("n_node").alias("n_dst"))
+    uni = F.col("n_src") + F.col("n_dst") - F.col("n_pair")
+    return (
+        pairs.join(F.broadcast(ms), "src")
+        .join(F.broadcast(md), "dst")
+        .select(
+            "src", "dst", "n_pair", "n_src", "n_dst",
+            uni.cast("long").alias("n_union"),
+            F.round(F.col("n_pair").cast("double") / uni, 6).alias("jaccard"),
+            (F.col("n_pair") * 2 >= uni).alias("strong"),
+        )
+    )
+
+
+@register(
+    "q_hits_authority",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+dcui AS (SELECT DISTINCT l.doc_id, l.cui FROM linked l),
+a1 AS (SELECT cui, CAST(count(*) AS BIGINT) AS auth1 FROM dcui GROUP BY cui),
+h1 AS (SELECT d.doc_id, CAST(sum(a1.auth1) AS BIGINT) AS hub1
+       FROM dcui d JOIN a1 USING (cui) GROUP BY d.doc_id),
+a2 AS (SELECT d.cui, CAST(sum(h1.hub1) AS BIGINT) AS auth2
+       FROM dcui d JOIN h1 USING (doc_id) GROUP BY d.cui)
+SELECT a1.cui, a1.auth1, a2.auth2
+FROM a1 JOIN a2 ON a1.cui = a2.cui
+""",
+)
+def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authority scores (2 unnormalized power-iteration rounds) over
+    the bipartite conversation-MENTIONS-concept graph: auth1 = in-degree,
+    hub1(conv) = sum of its concepts' auth1, auth2(concept) = sum of its
+    conversations' hub1. Unnormalized iterates stay exact BIGINTs
+    (reduction-order-independent -> hash-identical across engines and
+    partitionings; the per-round L2 normalization of textbook HITS only
+    rescales, never reorders, the ranking). The concept-grain auth table is
+    tiny -> broadcast onto the edge list; the single corpus-sized shuffle
+    per round is the conv-grain hub aggregation, which rides the same
+    conv-hash partitioning the triples sink uses."""
+    dcui = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"), "cui")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a1 = dcui.groupBy("cui").agg(F.count(F.lit(1)).alias("auth1"))
+    h1 = (
+        dcui.join(F.broadcast(a1), "cui")
+        .groupBy("doc_id")
+        .agg(F.sum("auth1").alias("hub1"))
+    )
+    a2 = (
+        dcui.join(h1, "doc_id")
+        .groupBy("cui")
+        .agg(F.sum("hub1").alias("auth2"))
+    )
+    return a1.join(F.broadcast(a2), "cui").select("cui", "auth1", "auth2")
+
+
+@register(
+    "q_concept_drift",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+lab AS (SELECT l.cui,
+               substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 1) < '8' AS in_a
+        FROM linked l),
+per AS (SELECT cui,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM lab GROUP BY cui),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b
+        FROM per)
+SELECT p.cui, p.n_a, p.n_b,
+       CAST(abs(p.n_a * t.t_b - p.n_b * t.t_a) AS BIGINT) AS tvd_num,
+       round(CAST(abs(p.n_a * t.t_b - p.n_b * t.t_a) AS DOUBLE)
+             / (t.t_a * t.t_b), 8) AS freq_shift
+FROM per p CROSS JOIN tot t
+""",
+)
+def q_concept_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-concept distribution drift between two deterministic corpus
+    halves (md5 hex-bucket split — the repo's reproducible-sampling idiom):
+    |p_A(c) - p_B(c)|, each concept's contribution to the total-variation
+    distance between the halves' mention distributions. TVD needs no logs,
+    so the whole audit stays EXACT: the numerator |n_a*t_b - n_b*t_a| is
+    BIGINT cross-multiplication, only the final reported ratio is one
+    rounded IEEE division. This is the train/eval-mixture shift gate a
+    data pipeline runs before accepting a new corpus slice. One
+    partial-aggregated groupBy; totals are a 1-row broadcast cross join
+    (never a global single-partition window)."""
+    lab = _doc_linked(spark, sf_dir).select(
+        "cui",
+        (F.substring(F.md5(F.col("conv_id").cast("string")), 1, 1) < "8")
+        .alias("in_a"),
+    )
+    per = lab.groupBy("cui").agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("n_b"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    num = F.abs(F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cui", "n_a", "n_b",
+        num.cast("long").alias("tvd_num"),
+        F.round(num.cast("double") / (F.col("t_a") * F.col("t_b")), 8)
+        .alias("freq_shift"),
+    )
