@@ -3458,3 +3458,329 @@ def q_concept_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") / (F.col("t_a") * F.col("t_b")), 8)
         .alias("freq_shift"),
     )
+
+
+# --------------------------------------------------------------------------
+# SFT training-prep over transcripts (loss masking, context truncation,
+# deterministic chat render) + KG graph round 3 (closeness, quotient graph)
+# --------------------------------------------------------------------------
+
+# transcript view with role + per-turn whitespace token counts, derived from
+# documents exactly as q_triples/q_tool_flow derive conv/turn/role
+SQL_TXR = """
+txr AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) - 1
+              AS INTEGER) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text, CAST(len(toks) AS BIGINT) AS n_toks
+  FROM docs
+)
+"""
+
+
+def _txr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SQL_TXR (tokens_col = the repo's whitespace tokenizer)."""
+    from cliner_spark.entry_queries import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    return docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.col("text"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+
+
+@register(
+    "q_loss_mask",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+off AS (
+  SELECT conv_id, turn_idx, role, n_toks,
+         CAST(coalesce(sum(n_toks) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM txr
+),
+msk AS (
+  SELECT *, turn_idx - row_number()
+         OVER (PARTITION BY conv_id ORDER BY turn_idx) AS isl
+  FROM off WHERE role <> 'assistant'
+)
+SELECT conv_id,
+       CAST(min(tok_start) AS BIGINT) AS span_start_tok,
+       CAST(max(tok_start + n_toks) AS BIGINT) AS span_end_tok,
+       CAST(count(*) AS BIGINT) AS n_turns_merged,
+       CAST(sum(n_toks) AS BIGINT) AS n_masked_toks
+FROM msk GROUP BY conv_id, isl
+""",
+)
+def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans: token ranges of non-assistant turns (user/tool),
+    with ADJACENT masked turns merged into one span via gaps-and-islands
+    (turn_idx - row_number over masked turns) — the per-example attention/
+    loss mask a supervised-finetune packer materializes next to the packed
+    ids. Token offsets come from a per-conversation running sum (one
+    hash-partitioned window, no global sort); the whole plan is two windows
+    + one partial-aggregated groupBy on the conversation key the transcript
+    table is already partitioned by."""
+    w_off = Window.partitionBy("conv_id").orderBy("turn_idx")
+    off = _txr(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "n_toks",
+        F.coalesce(
+            F.sum("n_toks").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("tok_start"),
+    )
+    msk = off.filter(F.col("role") != "assistant").withColumn(
+        "isl", F.col("turn_idx") - F.row_number().over(w_off)
+    )
+    return msk.groupBy("conv_id", "isl").agg(
+        F.min("tok_start").alias("span_start_tok"),
+        F.max(F.col("tok_start") + F.col("n_toks")).alias("span_end_tok"),
+        F.count(F.lit(1)).alias("n_turns_merged"),
+        F.sum("n_toks").alias("n_masked_toks"),
+    ).drop("isl")
+
+
+@register(
+    "q_context_truncate",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+rev AS (
+  SELECT conv_id, turn_idx, n_toks,
+         CAST(sum(n_toks) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sfx_toks
+  FROM txr
+),
+tot AS (SELECT conv_id, CAST(sum(n_toks) AS BIGINT) AS total_toks FROM txr
+        GROUP BY conv_id)
+SELECT r.conv_id,
+       CAST(min(r.turn_idx) AS INTEGER) AS first_kept_turn,
+       CAST(count(*) AS BIGINT) AS n_kept_turns,
+       CAST(sum(r.n_toks) AS BIGINT) AS kept_toks,
+       CAST(max(t.total_toks) - sum(r.n_toks) AS BIGINT) AS dropped_toks
+FROM rev r JOIN tot t ON r.conv_id = t.conv_id
+WHERE r.sfx_toks <= 256
+GROUP BY r.conv_id
+""",
+)
+def q_context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation at turn boundaries: keep the maximal SUFFIX
+    of turns whose total token count fits a 256-token budget (the
+    chat-history clipping every serving/training stack performs — never
+    splitting inside a turn). One descending per-conversation running sum,
+    a <=budget filter, one groupBy; the conv-grain totals join is a
+    same-key equi-join that AQE broadcasts. Conversations whose final turn
+    alone exceeds the budget drop out (empty context) — identical semantics
+    on both engines."""
+    txr = _txr(spark, sf_dir).localCheckpoint(eager=True)
+    w_rev = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = txr.select(
+        "conv_id", "turn_idx", "n_toks",
+        F.sum("n_toks").over(w_rev).cast("long").alias("sfx_toks"),
+    )
+    tot = txr.groupBy("conv_id").agg(F.sum("n_toks").alias("total_toks"))
+    return (
+        rev.filter(F.col("sfx_toks") <= 256)
+        .join(tot, "conv_id")
+        .groupBy("conv_id")
+        .agg(
+            F.min("turn_idx").cast("int").alias("first_kept_turn"),
+            F.count(F.lit(1)).alias("n_kept_turns"),
+            F.sum("n_toks").alias("kept_toks"),
+            (F.max("total_toks") - F.sum("n_toks")).alias("dropped_toks"),
+        )
+    )
+
+
+@register(
+    "q_chat_render",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg('<|' || role || '|>' || text, chr(10)
+                              ORDER BY turn_idx)) AS BIGINT) AS n_chars,
+       md5(string_agg('<|' || role || '|>' || text, chr(10)
+                      ORDER BY turn_idx)) AS render_md5
+FROM txr GROUP BY conv_id
+""",
+)
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic chat-template render: each conversation assembled as
+    '<|role|>text' lines joined by newline IN TURN ORDER, reported as
+    (length, md5) so the check proves the rendered training text is
+    BYTE-IDENTICAL across engines and partitionings — the property a
+    tokenize-then-train pipeline silently depends on. Order is pinned by
+    sorting the collected (turn_idx, line) structs inside the row
+    (array_sort on the struct's leading int field), never by assuming
+    collect order; one partial-aggregated groupBy, zero extra shuffles."""
+    line = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"), F.col("text"))
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), line.alias("s")))),
+            lambda x: x["s"],
+        ),
+        "\n",
+    )
+    return _txr(spark, sf_dir).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.length(rendered).cast("long").alias("n_chars"),
+        F.md5(rendered).alias("render_md5"),
+    )
+
+
+@register(
+    "q_closeness",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+{SQL_DOC_CUI.strip().rstrip()},
+e2 AS (SELECT src AS s, dst AS t FROM coedges UNION SELECT dst, src FROM coedges),
+paths(root, node, d) AS (
+  SELECT s, t, 1 FROM e2
+  UNION
+  SELECT p.root, e.t, p.d + 1 FROM paths p JOIN e2 e ON p.node = e.s
+  WHERE p.d < 8 AND p.root <> e.t
+),
+mind AS (SELECT root, node, CAST(min(d) AS BIGINT) AS d FROM paths
+         GROUP BY root, node)
+SELECT root AS cui, CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness
+FROM mind GROUP BY root
+""",
+)
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the concept co-occurrence graph:
+    ALL-sources BFS run as ONE multi-source frontier loop (state keyed by
+    (root, node), superstep = frontier x edges join minus visited — the
+    Pregel shape of graph.bfs_distances generalized to every root at once).
+    n_reach/sum_dist stay exact BIGINTs; only the final reported ratio is
+    one rounded IEEE division. Scale note: this runs on the CONCEPT graph
+    (gazetteer-dimension-sized, thousands-to-millions of nodes — never the
+    corpus-sized conv graph), so frontiers broadcast; the 8-hop guard
+    matches the oracle's recursion bound and the loop still exits early on
+    an empty frontier."""
+    from cliner_spark.graph import group_concept_pairs, symmetrize
+
+    sym = symmetrize(
+        group_concept_pairs(_doc_linked(spark, sf_dir)).select("src", "dst")
+    ).localCheckpoint(eager=True)
+    visited = sym.select(
+        F.col("src").alias("root"), F.col("dst").alias("node"), F.lit(1).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(2, 9):
+        nxt = (
+            frontier.join(
+                F.broadcast(sym.select(F.col("src").alias("node"),
+                                       F.col("dst").alias("nxt"))),
+                "node",
+            )
+            .filter(F.col("root") != F.col("nxt"))
+            .select("root", F.col("nxt").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("d", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy(F.col("root").alias("cui")).agg(
+        F.count(F.lit(1)).alias("n_reach"),
+        F.sum("d").alias("sum_dist"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("d"), 6
+        ).alias("closeness"),
+    )
+
+
+@register(
+    "q_quotient_graph",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+{SQL_CANON.strip().rstrip()},
+dcui AS (SELECT DISTINCT l.doc_id, l.cui FROM linked l),
+coedges AS (
+  SELECT a.cui AS src, b.cui AS dst, CAST(count(*) AS BIGINT) AS n_pair
+  FROM dcui a JOIN dcui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+),
+mapped AS (
+  SELECT least(coalesce(cs.canon_cui, e.src), coalesce(cd.canon_cui, e.dst)) AS qsrc,
+         greatest(coalesce(cs.canon_cui, e.src), coalesce(cd.canon_cui, e.dst)) AS qdst,
+         e.n_pair
+  FROM coedges e
+  LEFT JOIN canon cs ON e.src = cs.cui
+  LEFT JOIN canon cd ON e.dst = cd.cui
+)
+SELECT qsrc, qdst, CAST(count(*) AS BIGINT) AS n_underlying,
+       CAST(sum(n_pair) AS BIGINT) AS weight
+FROM mapped WHERE qsrc <> qdst GROUP BY qsrc, qdst
+""",
+)
+def q_quotient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG summarization: the QUOTIENT of the concept co-occurrence graph
+    under SAME_AS canonicalization — every cui endpoint mapped to its
+    connected-component canonical id (cached canon_map artifact, broadcast),
+    intra-component edges collapsed away, surviving edges re-ordered
+    (least/greatest) and their weights summed. This is the deduplicated
+    'entity graph' a KG serves AFTER entity resolution, vs the raw
+    surface-form graph before it. Endpoint mapping is two broadcast
+    left joins against the dimension-sized canon artifact; the only
+    corpus-sized work is the co-pair aggregation itself."""
+    cm = cached_canon_map(spark)
+    dcui = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"), "cui")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = dcui.alias("a"), dcui.alias("b")
+    e = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.cui") < F.col("b.cui")))
+        .groupBy(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    cs = cm.select(F.col("cui").alias("src"), F.col("canon_cui").alias("c_src"))
+    cd = cm.select(F.col("cui").alias("dst"), F.col("canon_cui").alias("c_dst"))
+    mapped = (
+        e.join(F.broadcast(cs), "src", "left")
+        .join(F.broadcast(cd), "dst", "left")
+        .select(
+            F.least(
+                F.coalesce(F.col("c_src"), F.col("src")),
+                F.coalesce(F.col("c_dst"), F.col("dst")),
+            ).alias("qsrc"),
+            F.greatest(
+                F.coalesce(F.col("c_src"), F.col("src")),
+                F.coalesce(F.col("c_dst"), F.col("dst")),
+            ).alias("qdst"),
+            "n_pair",
+        )
+    )
+    return (
+        mapped.filter(F.col("qsrc") != F.col("qdst"))
+        .groupBy("qsrc", "qdst")
+        .agg(
+            F.count(F.lit(1)).alias("n_underlying"),
+            F.sum("n_pair").alias("weight"),
+        )
+    )
