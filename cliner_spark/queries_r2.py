@@ -3532,23 +3532,9 @@ def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned window, no global sort); the whole plan is two windows
     + one partial-aggregated groupBy on the conversation key the transcript
     table is already partitioned by."""
-    w_off = Window.partitionBy("conv_id").orderBy("turn_idx")
-    off = _txr(spark, sf_dir).select(
-        "conv_id", "turn_idx", "role", "n_toks",
-        F.coalesce(
-            F.sum("n_toks").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).cast("long").alias("tok_start"),
-    )
-    msk = off.filter(F.col("role") != "assistant").withColumn(
-        "isl", F.col("turn_idx") - F.row_number().over(w_off)
-    )
-    return msk.groupBy("conv_id", "isl").agg(
-        F.min("tok_start").alias("span_start_tok"),
-        F.max(F.col("tok_start") + F.col("n_toks")).alias("span_end_tok"),
-        F.count(F.lit(1)).alias("n_turns_merged"),
-        F.sum("n_toks").alias("n_masked_toks"),
-    ).drop("isl")
+    from cliner_spark.sftprep import loss_mask_spans
+
+    return loss_mask_spans(_txr(spark, sf_dir))
 
 
 @register(
@@ -3584,28 +3570,9 @@ def q_context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-key equi-join that AQE broadcasts. Conversations whose final turn
     alone exceeds the budget drop out (empty context) — identical semantics
     on both engines."""
-    txr = _txr(spark, sf_dir).localCheckpoint(eager=True)
-    w_rev = (
-        Window.partitionBy("conv_id")
-        .orderBy(F.col("turn_idx").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    rev = txr.select(
-        "conv_id", "turn_idx", "n_toks",
-        F.sum("n_toks").over(w_rev).cast("long").alias("sfx_toks"),
-    )
-    tot = txr.groupBy("conv_id").agg(F.sum("n_toks").alias("total_toks"))
-    return (
-        rev.filter(F.col("sfx_toks") <= 256)
-        .join(tot, "conv_id")
-        .groupBy("conv_id")
-        .agg(
-            F.min("turn_idx").cast("int").alias("first_kept_turn"),
-            F.count(F.lit(1)).alias("n_kept_turns"),
-            F.sum("n_toks").alias("kept_toks"),
-            (F.max("total_toks") - F.sum("n_toks")).alias("dropped_toks"),
-        )
-    )
+    from cliner_spark.sftprep import truncate_to_budget
+
+    return truncate_to_budget(_txr(spark, sf_dir), budget=256)
 
 
 @register(
@@ -3629,19 +3596,9 @@ def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting the collected (turn_idx, line) structs inside the row
     (array_sort on the struct's leading int field), never by assuming
     collect order; one partial-aggregated groupBy, zero extra shuffles."""
-    line = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"), F.col("text"))
-    rendered = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), line.alias("s")))),
-            lambda x: x["s"],
-        ),
-        "\n",
-    )
-    return _txr(spark, sf_dir).groupBy("conv_id").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        F.length(rendered).cast("long").alias("n_chars"),
-        F.md5(rendered).alias("render_md5"),
-    )
+    from cliner_spark.sftprep import render_chat
+
+    return render_chat(_txr(spark, sf_dir))
 
 
 @register(
