@@ -3741,3 +3741,180 @@ def q_quotient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pair").alias("weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Agent-transcript analytics round 2d: protocol audit, tool reliability,
+# conversation-level embedding pooling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_role_alternation_audit",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+seq AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM txr
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_role_runs,
+       CAST(sum(CASE WHEN prev_role = 'user' AND role = 'tool' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_tool_after_user,
+       max(CASE WHEN turn_idx = 0 THEN role END) AS first_role,
+       (max(CASE WHEN turn_idx = 0 THEN role END) <> 'user'
+        OR sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) > 0) AS violates
+FROM seq GROUP BY conv_id
+""",
+)
+def q_role_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript protocol audit per conversation: consecutive same-role
+    turns, tool turns invoked directly off a user turn (an agent loop must
+    route through the assistant), and whether the conversation opens with
+    'user' — the ingest-QA gate a training pipeline applies before a
+    transcript becomes SFT data (input_hint's role dimension). One
+    hash-partitioned lag window + one partial-aggregated groupBy on the
+    conversation key; no extra shuffles."""
+    tx = _txr(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = tx.select(
+        "conv_id", "turn_idx", "role", F.lag("role").over(w).alias("prev_role")
+    )
+    same = (F.col("role") == F.col("prev_role")).cast("long")
+    tau = ((F.col("prev_role") == "user") & (F.col("role") == "tool")).cast("long")
+    first = F.max(F.when(F.col("turn_idx") == 0, F.col("role")))
+    return seq.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(same).alias("n_same_role_runs"),
+        F.sum(tau).alias("n_tool_after_user"),
+        first.alias("first_role"),
+        ((first != "user") | (F.sum(same) > 0)).alias("violates"),
+    )
+
+
+@register(
+    "q_tool_wilson",
+    f"""
+WITH {SQL_TX_FULL.strip()},
+seq AS (
+  SELECT tool,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM txf
+),
+agg AS (
+  SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(sum(CASE WHEN next_role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_success
+  FROM seq WHERE tool IS NOT NULL GROUP BY tool
+)
+SELECT tool, n_calls, n_success,
+       round(CAST(n_success AS DOUBLE) / n_calls, 6) AS p_hat,
+       round((CAST(n_success AS DOUBLE) / n_calls
+                + 1.9208 / n_calls
+                - 1.96 * sqrt((CAST(n_success AS DOUBLE) / n_calls)
+                              * (1 - CAST(n_success AS DOUBLE) / n_calls) / n_calls
+                              + 0.9604 / (CAST(n_calls AS DOUBLE) * n_calls)))
+             / (1 + 3.8416 / n_calls), 6) AS wilson_lb
+FROM agg
+""",
+)
+def q_tool_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool reliability with a Wilson-score LOWER bound at 95%: success
+    proxy = the tool turn hands control back to the assistant (next turn's
+    role) rather than re-entering the tool. The lower bound is the ranking
+    statistic a tool-selection policy consumes instead of the raw rate
+    (penalizes small n). All counts are exact BIGINTs; the Wilson formula
+    is evaluated with the IDENTICAL IEEE operation tree on both engines
+    (z=1.96 constants folded: z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604) and
+    rounded in-query. One lead window + one tiny (tool-grain) aggregate."""
+    from cliner_spark.entry_queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    w97 = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    txf = docs.select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        (F.row_number().over(w97) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.element_at(
+            F.array(F.lit("search"), F.lit("code"), F.lit("browse"),
+                    F.lit(None).cast("string"), F.lit(None).cast("string")),
+            (F.col("doc_id") % 5).cast("int") + 1,
+        ).alias("tool"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = txf.select("tool", F.lead("role").over(w).alias("next_role"))
+    agg = (
+        seq.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum((F.col("next_role") == "assistant").cast("long")).alias("n_success"),
+        )
+    )
+    n = F.col("n_calls")
+    p = F.col("n_success").cast("double") / n
+    wilson = (
+        p + 1.9208 / n
+        - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n.cast("double") * n))
+    ) / (1 + 3.8416 / n)
+    return agg.select(
+        "tool", "n_calls", "n_success",
+        F.round(p, 6).alias("p_hat"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+
+
+@register(
+    "q_conv_embedding_pool",
+    """
+WITH e AS (
+  SELECT CAST(vec_id % 97 AS VARCHAR) AS conv_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+),
+expl AS (
+  SELECT conv_id, CAST(t.i AS INTEGER) AS dim,
+         CAST(round(xd[t.i + 1] * 1000000) AS BIGINT) AS v_fp
+  FROM e, unnest(range(len(xd))) AS t(i)
+)
+SELECT conv_id, dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(v_fp) AS BIGINT) AS sum_fp
+FROM expl GROUP BY conv_id, dim
+""",
+)
+def q_conv_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level embedding mean-pool: every turn vector mapped to
+    its conversation (vec_id % 97, the corpus' conv derivation), pooled
+    per dimension in 1e-6 FIXED-POINT BIGINT arithmetic — exact,
+    reduction-order-independent, hash-identical across engines and
+    partitionings (float sums are not; this is the same fixed-point trick
+    the PageRank/EWMA family uses). The pooled vector is what a
+    conversation-grain ANN/dedup index consumes; (sum_fp, n_vecs) IS the
+    mean (kept as the exact integer pair — a rounded float mean would
+    tie-break differently per engine on exact halves). Plan: posexplode (zero
+    shuffle, fan-out 64) + ONE partial-aggregated groupBy on
+    (conv, dim) — at 100 TB this rides AQE with map-side combine; no
+    collect, no window."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 97).cast("string").alias("conv_id"),
+        F.col("embedding"),
+    )
+    expl = emb.select(
+        "conv_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "conv_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("v_fp"),
+    )
+    return expl.groupBy("conv_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("v_fp").alias("sum_fp"),
+    )
