@@ -3918,3 +3918,253 @@ def q_conv_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("v_fp").alias("sum_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2e: ingest contract audit, concept burstiness (hot-key detector),
+# related-concept top-k, vocabulary coverage curve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_contract_audit",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+per_conv AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_turns,
+         CAST(max(turn_idx) AS BIGINT) AS max_turn,
+         CAST(sum(CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN role NOT IN ('user','assistant','tool')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_role,
+         CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text
+  FROM txr GROUP BY conv_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_rows,
+       CAST(sum(n_turns - n_distinct_turns) AS BIGINT) AS n_dup_turn_keys,
+       CAST(sum(CASE WHEN max_turn + 1 <> n_distinct_turns THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_noncontiguous_convs,
+       CAST(sum(n_neg) AS BIGINT) AS n_negative_turn_idx,
+       CAST(sum(n_bad_role) AS BIGINT) AS n_bad_role,
+       CAST(sum(n_empty_text) AS BIGINT) AS n_empty_text,
+       (sum(n_turns - n_distinct_turns) = 0
+        AND sum(CASE WHEN max_turn + 1 <> n_distinct_turns THEN 1 ELSE 0 END) = 0
+        AND sum(n_neg) = 0 AND sum(n_bad_role) = 0
+        AND sum(n_empty_text) = 0) AS contract_ok
+FROM per_conv
+""",
+)
+def q_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-table DATA-CONTRACT audit in one pass: duplicate
+    (conv_id, turn_idx) keys, non-contiguous turn sequences, negative
+    indices, out-of-domain roles, empty text — the schema-beyond-types
+    checks an ingest gate runs before a batch is admitted (complements
+    q_turn_gap_audit's hole detection and the streaming integrity gate's
+    triple-level checks). Two partial-aggregated groupBys (conv grain,
+    then a single global row); no windows, no joins."""
+    pc = _txr(spark, sf_dir).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("turn_idx").alias("n_distinct_turns"),
+        F.max("turn_idx").cast("long").alias("max_turn"),
+        F.sum((F.col("turn_idx") < 0).cast("long")).alias("n_neg"),
+        F.sum(
+            (~F.col("role").isin("user", "assistant", "tool")).cast("long")
+        ).alias("n_bad_role"),
+        F.sum(
+            (F.col("text").isNull() | (F.trim("text") == "")).cast("long")
+        ).alias("n_empty_text"),
+    )
+    dup = F.sum(F.col("n_turns") - F.col("n_distinct_turns"))
+    nc = F.sum((F.col("max_turn") + 1 != F.col("n_distinct_turns")).cast("long"))
+    neg, badr, emp = F.sum("n_neg"), F.sum("n_bad_role"), F.sum("n_empty_text")
+    return pc.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_turns").alias("n_rows"),
+        dup.alias("n_dup_turn_keys"),
+        nc.alias("n_noncontiguous_convs"),
+        neg.alias("n_negative_turn_idx"),
+        badr.alias("n_bad_role"),
+        emp.alias("n_empty_text"),
+        ((dup == 0) & (nc == 0) & (neg == 0) & (badr == 0) & (emp == 0))
+        .alias("contract_ok"),
+    )
+
+
+@register(
+    "q_concept_burstiness",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+per AS (
+  SELECT l.cui, l.doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM linked l GROUP BY l.cui, l.doc_id
+),
+st AS (
+  SELECT cui, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+  FROM per GROUP BY cui
+)
+SELECT cui, n_convs, s AS n_mentions, ss AS sum_sq,
+       round(CAST(n_convs * ss - s * s AS DOUBLE) / (n_convs * s), 6) AS fano,
+       n_convs * ss - s * s > n_convs * s AS overdispersed
+FROM st
+""",
+)
+def q_concept_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-concept burstiness (Fano factor = variance/mean of per-
+    conversation mention counts): the HOT-KEY detector that feeds the
+    pipeline's skew-salting decision — an overdispersed concept (fano > 1)
+    concentrates in few conversations and will skew any groupBy/join keyed
+    on it, exactly the case triples.salted_partition_col exists for. The
+    moments (n, sum, sum-of-squares) are exact BIGINTs so the
+    overdispersion PREDICATE is an integer cross-multiplication
+    (n*ss - s^2 > n*s, never a float compare); only the reported ratio is
+    one rounded IEEE division. Two partial-aggregated groupBys."""
+    per = (
+        _doc_linked(spark, sf_dir)
+        .groupBy("cui", "conv_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = per.groupBy("cui").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    num = F.col("n_convs") * F.col("ss") - F.col("s") * F.col("s")
+    return st.select(
+        "cui", "n_convs",
+        F.col("s").alias("n_mentions"),
+        F.col("ss").alias("sum_sq"),
+        F.round(num.cast("double") / (F.col("n_convs") * F.col("s")), 6)
+        .alias("fano"),
+        (num > F.col("n_convs") * F.col("s")).alias("overdispersed"),
+    )
+
+
+@register(
+    "q_related_topk",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI},
+marg AS (SELECT cui, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_node
+         FROM dcui GROUP BY cui),
+sym AS (
+  SELECT src AS a, dst AS b, n_pair FROM coedges
+  UNION ALL
+  SELECT dst, src, n_pair FROM coedges
+),
+scored AS (
+  SELECT s.a, s.b, s.n_pair,
+         CAST(ma.n_node + mb.n_node - s.n_pair AS BIGINT) AS n_union,
+         CAST(s.n_pair AS DOUBLE)
+           / (ma.n_node + mb.n_node - s.n_pair) AS j
+  FROM sym s JOIN marg ma ON s.a = ma.cui JOIN marg mb ON s.b = mb.cui
+),
+rk AS (
+  SELECT a, b, n_pair, n_union, round(j, 6) AS jaccard,
+         row_number() OVER (PARTITION BY a ORDER BY j DESC, b ASC) AS rnk
+  FROM scored
+)
+SELECT a AS cui, b AS related_cui, n_pair, n_union, jaccard,
+       CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3
+""",
+)
+def q_related_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Related concepts' recommendation: top-3 neighbors per concept by
+    co-occurrence Jaccard — the KG-serving feature behind a 'see also'
+    panel. The rank key is the UNROUNDED single-division double (identical
+    IEEE op on both engines) with a deterministic cui tie-break, so the
+    row_number cut is engine-stable; the displayed score is rounded
+    in-query. Ranking runs per-concept (window partitioned by the
+    dimension-sized concept key — never a global sort); marginals
+    broadcast."""
+    dcui = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"), "cui")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = dcui.alias("a"), dcui.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.cui") < F.col("b.cui")))
+        .groupBy(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n_pair")
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"), "n_pair")
+    marg = dcui.groupBy("cui").agg(F.count(F.lit(1)).alias("n_node"))
+    ma = marg.select(F.col("cui").alias("a"), F.col("n_node").alias("na"))
+    mb = marg.select(F.col("cui").alias("b"), F.col("n_node").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("n_pair")
+    scored = (
+        sym.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+        .select(
+            "a", "b", "n_pair",
+            uni.cast("long").alias("n_union"),
+            (F.col("n_pair").cast("double") / uni).alias("j"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("j").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("a").alias("cui"), F.col("b").alias("related_cui"),
+            "n_pair", "n_union",
+            F.round("j", 6).alias("jaccard"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    f"""
+WITH {SQL_DOCS_TOKS},
+tok AS (SELECT lower(t.tok) AS tok FROM docs, unnest(toks) AS t(tok)),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY tok),
+rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM freq)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(f) AS BIGINT) AS total_occurrences,
+       CAST(sum(CASE WHEN r <= 100 THEN f ELSE 0 END) AS BIGINT) AS cov_100,
+       CAST(sum(CASE WHEN r <= 1000 THEN f ELSE 0 END) AS BIGINT) AS cov_1000,
+       CAST(sum(CASE WHEN r <= 10000 THEN f ELSE 0 END) AS BIGINT) AS cov_10000,
+       round(CAST(sum(CASE WHEN r <= 100 THEN f ELSE 0 END) AS DOUBLE)
+             / sum(f), 6) AS ratio_100,
+       round(CAST(sum(CASE WHEN r <= 1000 THEN f ELSE 0 END) AS DOUBLE)
+             / sum(f), 6) AS ratio_1000
+FROM rk
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token OCCURRENCES the
+    top-100/1k/10k vocabulary covers — the statistic that sizes a
+    tokenizer's vocab (and predicts OOV rate) before a BPE train run.
+    Deterministic ranking (freq desc, token asc). Scale note: the global
+    row_number over the VOCAB (dimension-sized, not corpus-sized) is the
+    one single-partition window here — at UMLS/real-vocab scale you'd
+    replace it with the two-pass threshold trick q_heavy_hitters uses; the
+    corpus-sized work (tokenize + freq groupBy) is all partial-aggregated."""
+    from cliner_spark.entry_queries import tokens_col
+
+    toks = load_docs(spark, sf_dir).select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select(F.lower("tok").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    rk = freq.select("tok", "f", F.row_number().over(w).alias("r"))
+    c100 = F.sum(F.when(F.col("r") <= 100, F.col("f")).otherwise(0))
+    c1k = F.sum(F.when(F.col("r") <= 1000, F.col("f")).otherwise(0))
+    c10k = F.sum(F.when(F.col("r") <= 10000, F.col("f")).otherwise(0))
+    return rk.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("f").alias("total_occurrences"),
+        c100.alias("cov_100"),
+        c1k.alias("cov_1000"),
+        c10k.alias("cov_10000"),
+        F.round(c100.cast("double") / F.sum("f"), 6).alias("ratio_100"),
+        F.round(c1k.cast("double") / F.sum("f"), 6).alias("ratio_1000"),
+    )
