@@ -118,12 +118,17 @@ def main() -> None:
     skipped: list[str] = []
     sweep_t0 = time.time()
     # Cheapest-first sweep (by the previous round's recorded per-query
-    # time; unknown/new queries first): if a noisy epoch blows the wall
-    # budget, the skip list contains only the few most expensive queries
-    # instead of the alphabetical tail.
+    # time): if a noisy epoch blows the wall budget, the skip list contains
+    # only the few most expensive queries instead of the alphabetical tail.
+    # Unknown/new queries slot at the MEDIAN known time, not 0.0 — a new
+    # query running first would absorb the cold shared-scan path into its
+    # recorded time (observed: 67 s recorded vs 3 s warmed solo).
     prev_times = _prev_round_times()
+    known = sorted(prev_times.values())
+    default_t = known[len(known) // 2] if known else 0.0
     ordered = sorted(
-        entry.queries().items(), key=lambda kv: (prev_times.get(kv[0], 0.0), kv[0])
+        entry.queries().items(),
+        key=lambda kv: (prev_times.get(kv[0], default_t), kv[0]),
     )
     for name, fn in ordered:
         if time.time() - sweep_t0 > BENCH_BUDGET_SEC:
