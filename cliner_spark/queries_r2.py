@@ -4168,3 +4168,157 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c100.cast("double") / F.sum("f"), 6).alias("ratio_100"),
         F.round(c1k.cast("double") / F.sum("f"), 6).alias("ratio_1000"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2f: extractive summarization + dictionary topic tagging
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_extractive_summary",
+    r"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dtok AS (
+  SELECT DISTINCT doc_id,
+         lower(t.tok) AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents) d, unnest(toks) AS t(tok)
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM dtok GROUP BY tok),
+pieces AS (
+  SELECT doc_id, pi, regexp_replace(pc, '^\s+|\s+$', '', 'g') AS sentence
+  FROM (SELECT doc_id, generate_subscripts(pcs, 1) AS pi, UNNEST(pcs) AS pc
+        FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS pcs
+              FROM documents))
+  WHERE regexp_replace(pc, '^\s+|\s+$', '', 'g') <> ''
+),
+stok AS (
+  SELECT p.doc_id, p.pi, p.sentence, lower(t.tok) AS tok
+  FROM pieces p,
+       unnest(list_filter(string_split_regex(p.sentence, '\s+'),
+                          x -> x <> '')) AS t(tok)
+),
+scored AS (
+  SELECT s.doc_id, s.pi, s.sentence,
+         CAST(sum(nd.n - df.dfc) AS BIGINT) AS rarity_score,
+         CAST(count(*) AS BIGINT) AS n_scored_toks
+  FROM stok s JOIN df ON s.tok = df.tok CROSS JOIN nd
+  GROUP BY s.doc_id, s.pi, s.sentence
+)
+SELECT doc_id, sentence, rarity_score, n_scored_toks
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY rarity_score DESC, pi ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
+)
+def q_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive one-sentence summary per document: sentences split on
+    terminal punctuation, each scored by its RARITY MASS — sum over tokens
+    of (n_docs - doc_frequency), the exact-integer analog of idf weighting
+    (monotone in idf, no logs, so the ranking stays BIGINT-exact and
+    engine-identical; position breaks ties). This is the summary/snippet
+    picker a retrieval layer shows next to a hit. The df table is
+    vocab-dimension-sized -> broadcast onto sentence tokens; the 1-row
+    corpus-size carry is a broadcast scalar attach (whitelisted NLJ, same
+    as q_tfidf_top_terms); ranking is a per-doc window, never global."""
+    from cliner_spark.entry_queries import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    dtok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("tok")).distinct()
+    df = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    pieces = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("pi", "pc"),
+        )
+        .select("doc_id", "pi", F.trim(F.col("pc")).alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    stok = pieces.select(
+        "doc_id", "pi", "sentence",
+        F.explode(
+            F.filter(F.split(F.col("sentence"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    ).select("doc_id", "pi", "sentence", F.lower("tok").alias("tok"))
+    scored = (
+        stok.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id", "pi", "sentence")
+        .agg(
+            F.sum(F.col("n") - F.col("dfc")).alias("rarity_score"),
+            F.count(F.lit(1)).alias("n_scored_toks"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rarity_score").desc(), F.col("pi").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "sentence", "rarity_score", "n_scored_toks")
+    )
+
+
+TOPIC_DICT = [
+    ("joins", "join"), ("joins", "hash"), ("joins", "sort"),
+    ("scanning", "scan"), ("scanning", "filter"), ("scanning", "column"),
+    ("performance", "slow"), ("performance", "fast"),
+    ("performance", "big"), ("performance", "small"),
+    ("batching", "batch"), ("batching", "row"), ("batching", "group"),
+]
+_TOPIC_VALUES = ", ".join(f"('{t}', '{w}')" for t, w in TOPIC_DICT)
+
+
+@register(
+    "q_topic_tags",
+    f"""
+WITH {SQL_DOCS_TOKS},
+topics(topic, term) AS (VALUES {_TOPIC_VALUES}),
+tok AS (SELECT doc_id, lower(t.tok) AS tok FROM docs, unnest(toks) AS t(tok)),
+hits AS (
+  SELECT k.doc_id, tp.topic, CAST(count(*) AS BIGINT) AS n_matches
+  FROM tok k JOIN topics tp ON k.tok = tp.term
+  GROUP BY k.doc_id, tp.topic
+)
+SELECT doc_id, topic, n_matches,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_matches DESC, topic ASC) AS BIGINT)
+         AS topic_rank
+FROM hits WHERE n_matches >= 3
+""",
+)
+def q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-label dictionary topic tagging: a broadcast (topic, term)
+    lexicon joined onto the token stream, topics with >=3 matching
+    occurrences assigned per document and ranked deterministically
+    (count desc, topic asc) — the curation-time domain labeler that feeds
+    mixture weighting (q_mix_weights) when no trained classifier is
+    available. The lexicon is tiny -> broadcast hash join on the token
+    stream; one partial-aggregated groupBy; ranking windows over the
+    per-doc key."""
+    from cliner_spark.entry_queries import tokens_col
+
+    lex = spark.createDataFrame(TOPIC_DICT, "topic string, term string")
+    tok = load_docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("tok"))
+    hits = (
+        tok.join(F.broadcast(lex), tok.tok == lex.term)
+        .groupBy("doc_id", "topic")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_matches").desc(), F.col("topic").asc()
+    )
+    return (
+        hits.filter(F.col("n_matches") >= 3)
+        .withColumn("topic_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "topic", "n_matches", "topic_rank")
+    )
