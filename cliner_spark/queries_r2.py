@@ -4322,3 +4322,98 @@ def q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("topic_rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "topic", "n_matches", "topic_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2g: KG serving views — edge provenance bundles, entity cards
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_edge_provenance",
+    f"""
+{SQL_TR_CTE}
+SELECT conv_id, subj AS concept,
+       CAST(count(*) AS BIGINT) AS n_evidence,
+       CAST(min(turn_idx) AS INTEGER) AS first_turn,
+       CAST(max(turn_idx) AS INTEGER) AS last_turn,
+       string_agg(CAST(turn_idx AS VARCHAR), ',' ORDER BY turn_idx)
+         AS evidence_turns
+FROM tr WHERE pred = 'ASSERTED_IN'
+GROUP BY conv_id, subj
+""",
+)
+def q_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVENANCE bundle per (conversation, concept) KG edge: every
+    supporting turn, ordered, plus first/last evidence position — the
+    payload a KG serving layer attaches so a consumer can jump to the
+    exact turns that asserted an edge (and an auditor can re-verify it).
+    The turn list is assembled ORDER-PINNED (in-row array_sort of
+    (turn_idx) structs before joining — never relying on collect order),
+    so the string is byte-identical across engines/partitionings. One
+    predicate-filtered slice of the materialized triples + one
+    partial-aggregated groupBy riding the table's conv-hash partitioning."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    ev = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("turn_idx")))),
+            lambda x: x["turn_idx"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        tr.filter(F.col("pred") == "ASSERTED_IN")
+        .groupBy("conv_id", F.col("subj").alias("concept"))
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.min("turn_idx").cast("int").alias("first_turn"),
+            F.max("turn_idx").cast("int").alias("last_turn"),
+            ev.alias("evidence_turns"),
+        )
+    )
+
+
+@register(
+    "q_entity_card",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+{SQL_CANON.strip().rstrip()},
+lm AS (
+  SELECT coalesce(c.canon_cui, l.cui) AS canon_cui, l.doc_id,
+         lower(l.mention_text) AS form
+  FROM linked l LEFT JOIN canon c ON l.cui = c.cui
+)
+SELECT canon_cui,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT form) AS BIGINT) AS n_forms,
+       string_agg(DISTINCT form, '|' ORDER BY form) AS surface_forms
+FROM lm GROUP BY canon_cui
+""",
+)
+def q_entity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY CARD per canonical concept: conversation reach, mention
+    volume, and the full sorted surface-form inventory merged under the
+    SAME_AS component — the one-row-per-entity serving view a KG browser
+    renders (and the human-readable check that canonicalization actually
+    merged the variants it should). Endpoint mapping is one broadcast left
+    join against the canon artifact; the distinct-form list is built from
+    collect_set + in-row sort (deterministic, never collect-ordered); one
+    partial-aggregated groupBy on the dimension-sized canonical key."""
+    from cliner_spark.triples import with_canonical
+
+    lm = with_canonical(
+        _doc_linked(spark, sf_dir).select(
+            F.col("conv_id").alias("doc_id"), "cui",
+            F.lower("mention_text").alias("form"),
+        ),
+        cached_canon_map(spark),
+    )
+    forms = F.array_join(F.array_sort(F.collect_set("form")), "|")
+    return lm.groupBy("canon_cui").agg(
+        F.countDistinct("doc_id").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("form").alias("n_forms"),
+        forms.alias("surface_forms"),
+    )
