@@ -167,3 +167,48 @@ def frame_dedup(
             F.col("_rep.frame_idx").alias("rep_frame_idx"),
         )
     )
+
+
+def extract_features_arrow(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """mapInArrow twin of extract_features: the same byte-histogram
+    featurization operating on pyarrow RecordBatches directly — no
+    pandas materialization of the binary column, which at real payload
+    sizes (images/audio are MBs per row) avoids one full copy per batch
+    and pandas' object-dtype overhead. Output is row-identical to
+    extract_features (the parity test pins this), so callers can choose
+    the surface per payload size: pandas for convenience, Arrow for
+    large-binary hot paths."""
+    import pyarrow as pa
+
+    def run(batches):
+        import hashlib
+
+        for batch in batches:
+            media_ids = batch.column("media_id")
+            payloads = batch.column("payload")
+            feats, hists, shas, sizes = [], [], [], []
+            for p in payloads:
+                b = p.as_py() if p.is_valid else b""
+                b = b if b is not None else b""
+                sizes.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest())
+                hist = [0] * feature_dim
+                for byte in b:
+                    hist[byte % feature_dim] += 1
+                total = sum(hist) or 1
+                hists.append(hist)
+                feats.append([round(v / total, 6) for v in hist])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    media_ids,
+                    pa.array(sizes, type=pa.int64()),
+                    pa.array(shas, type=pa.string()),
+                    pa.array(feats, type=pa.list_(pa.float64())),
+                    pa.array(hists, type=pa.list_(pa.int64())),
+                ],
+                names=["media_id", "n_bytes", "sha256", "feature", "hist"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        run, schema=_FEATURE_SCHEMA
+    )

@@ -260,3 +260,30 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         scale = (r["hi"] - r["lo"]) / 255.0
         assert r["max_abs_err"] <= scale / 2 + 1e-12
     assert out[99]["max_abs_err"] == 0.0  # constant vector reconstructs exactly
+
+
+def test_map_in_arrow_features_match_pandas_path(spark):
+    """extract_features_arrow (RecordBatch-level mapInArrow) must be
+    row-identical to extract_features (mapInPandas) on the same payloads —
+    incl. a NULL payload and a >1-batch input — so the two surfaces are
+    interchangeable per payload size."""
+    texts = [f"payload number {i} {'x' * (i % 7)}" for i in range(50)]
+    media = multimodal.attach_payload(_docs(spark, texts)).repartition(5)
+    null_row = (
+        media.limit(1)
+        .withColumn("media_id", F.lit(999).cast("long"))
+        .withColumn("payload", F.lit(None).cast("binary"))
+    )
+    media = media.unionByName(null_row)
+
+    def key(rows):
+        return {
+            r["media_id"]: (
+                r["n_bytes"], r["sha256"], list(r["feature"]), list(r["hist"])
+            )
+            for r in rows
+        }
+
+    a = key(multimodal.extract_features_arrow(media, feature_dim=4).collect())
+    p = key(multimodal.extract_features(media, feature_dim=4).collect())
+    assert a == p and len(a) == 51 and a[999][0] == 0

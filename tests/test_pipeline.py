@@ -219,3 +219,25 @@ def test_merge_triples_equals_single_shot_build(spark):
     assert not (a_keys & new_keys)
     merged_keys = {(s, p, o) for (s, p, o, *_prov) in merged}
     assert a_keys | new_keys == merged_keys
+
+
+def test_triples_invariant_to_input_partitioning(spark):
+    """The flagship KG output must be EXACTLY the same row set whether the
+    transcript input arrives as 1 partition or scattered across 16 — the
+    determinism property that makes the P/R contract meaningful on a real
+    cluster, where partition layout is an accident of the previous stage.
+    (Catches order-dependent aggregation/fold bugs and nondeterministic
+    tie-breaks that a single-layout test can't see.)"""
+    rows = fixtures.gen_transcripts(n_convs=30, avg_turns=10, seed=99)
+    df = fixtures.transcripts_df(spark, rows)
+
+    def triple_set(frame):
+        out = run_pipeline(spark, frame)["triples"]
+        return {
+            (r["conv_id"], r["subj"], r["pred"], r["obj"], r["turn_idx"])
+            for r in out.collect()
+        }
+
+    one = triple_set(df.coalesce(1))
+    many = triple_set(df.repartition(16, "turn_idx"))  # conv split ACROSS partitions
+    assert one == many and len(one) > 100
