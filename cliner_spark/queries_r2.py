@@ -4417,3 +4417,108 @@ def q_entity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("form").alias("n_forms"),
         forms.alias("surface_forms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2h: gazetteer lifecycle — candidate surface-form mining, ambiguity
+# inventory
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_gazetteer_candidates",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+nbr AS (
+  SELECT l.cui, lower(d.toks[l.tok_start]) AS neighbor, 'L' AS side
+  FROM linked l JOIN docs d USING (doc_id) WHERE l.tok_start >= 1
+  UNION ALL
+  SELECT l.cui, lower(d.toks[l.tok_end + 2]) AS neighbor, 'R' AS side
+  FROM linked l JOIN docs d USING (doc_id)
+  WHERE l.tok_end + 2 <= len(d.toks)
+),
+cnt AS (
+  SELECT cui, neighbor, side, CAST(count(*) AS BIGINT) AS n_ctx
+  FROM nbr WHERE neighbor IS NOT NULL AND neighbor <> ''
+  GROUP BY cui, neighbor, side
+)
+SELECT cui, neighbor, side, n_ctx,
+       CAST(row_number() OVER (PARTITION BY cui
+                               ORDER BY n_ctx DESC, neighbor ASC, side ASC)
+            AS BIGINT) AS rnk
+FROM cnt
+QUALIFY rnk <= 5
+""",
+)
+def q_gazetteer_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer EXPANSION mining: the tokens that most often flank a
+    linked mention of each concept, ranked per cui — the candidate list a
+    curator reviews to add new surface forms / trigger words to the next
+    gazetteer release (the KG improving its own dimension, the UMLS-ETL
+    loop closed). One equi-join mention->turn tokens with JVM array
+    indexing (no window over the corpus), one partial-aggregated groupBy,
+    and a per-concept ranking window on the dimension-sized cui key."""
+    from cliner_spark.entry_queries import _doc_mentions_spark, tokens_col
+    from cliner_spark.link import link_mentions
+
+    docs = load_docs(spark, sf_dir)
+    d = docs.select("doc_id", tokens_col("text").alias("toks"))
+    linked = link_mentions(
+        _doc_mentions_spark(spark, sf_dir)
+        .withColumnRenamed("doc_id", "conv_id")
+        .withColumn("turn_idx", F.lit(0)),
+        doc_gazetteer_df(spark),
+    ).select(F.col("conv_id").alias("doc_id"), "cui", "tok_start", "tok_end")
+    j = linked.join(d, "doc_id")
+    left = j.filter(F.col("tok_start") >= 1).select(
+        "cui",
+        F.lower(F.element_at("toks", F.col("tok_start"))).alias("neighbor"),
+        F.lit("L").alias("side"),
+    )
+    right = j.filter(F.col("tok_end") + 2 <= F.size("toks")).select(
+        "cui",
+        F.lower(F.element_at("toks", F.col("tok_end") + 2)).alias("neighbor"),
+        F.lit("R").alias("side"),
+    )
+    cnt = (
+        left.unionByName(right)
+        .filter(F.col("neighbor").isNotNull() & (F.col("neighbor") != ""))
+        .groupBy("cui", "neighbor", "side")
+        .agg(F.count(F.lit(1)).alias("n_ctx"))
+    )
+    w = Window.partitionBy("cui").orderBy(
+        F.col("n_ctx").desc(), F.col("neighbor").asc(), F.col("side").asc()
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "q_ambiguous_terms",
+    f"""
+WITH gazv AS (SELECT * FROM {GAZ_SQL})
+SELECT term, CAST(count(DISTINCT cui) AS BIGINT) AS n_cuis,
+       string_agg(DISTINCT cui, ',' ORDER BY cui) AS cuis,
+       CAST(max(score) AS DOUBLE) AS max_score
+FROM gazv GROUP BY term
+HAVING count(DISTINCT cui) > 1
+""",
+)
+def q_ambiguous_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer AMBIGUITY inventory: surface forms claimed by more than
+    one concept — the ER worklist that decides which terms need
+    context-sensitive disambiguation (q_context_disambiguation) instead of
+    the best-score default. Dimension-sized aggregation; the cui list is
+    sorted in-row (deterministic, never collect-ordered)."""
+    gaz = doc_gazetteer_df(spark)
+    return (
+        gaz.groupBy("term")
+        .agg(
+            F.countDistinct("cui").alias("n_cuis"),
+            F.array_join(F.array_sort(F.collect_set("cui")), ",").alias("cuis"),
+            F.max("score").cast("double").alias("max_score"),
+        )
+        .filter(F.col("n_cuis") > 1)
+    )
