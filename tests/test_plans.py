@@ -304,3 +304,76 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """Catalyst DPP evidence: a conv-partitioned fact joined to a FILTERED
+    dimension must inject a dynamicpruning subquery into the fact's
+    FileScan — i.e. at 100 TB the scan reads only the partitions the dim
+    filter selects, discovered at runtime from the broadcast build side
+    (this is how 'load one gazetteer release / one conv cohort' queries
+    avoid full-table scans on the partitioned triples/transcript tables).
+    Asserted on the EXECUTED plan plus the row count proving the semantic
+    result is unchanged."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        fact = spark.range(0, 100000).select(
+            (F.col("id") % 50).alias("pk"), F.col("id").alias("v")
+        )
+        fact.write.mode("overwrite").partitionBy("pk").parquet(str(tmp_path / "fact"))
+        spark.range(0, 50).select(
+            F.col("id").alias("pk"), (F.col("id") % 5).alias("cat")
+        ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        dm = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("cat") == 2)
+        j = f.join(dm, "pk")
+        assert j.count() == 20000  # 10 of 50 partitions survive
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_runtime_bloom_filter_injected_on_probe_side(spark, tmp_path):
+    """Runtime-filter evidence: with runtime bloom filters on and broadcast
+    off (the big-shuffle-join regime of a 100 TB fact x selective dim), the
+    optimizer must build a bloom_filter_agg from the filtered dim and probe
+    it on the fact side BEFORE the shuffle — rows that cannot join never
+    leave the scan stage. Conf save/restore per the checkpoint.py lesson."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        spark.range(0, 200000).select(
+            (F.col("id") % 50000).alias("k"), F.col("id").alias("v")
+        ).write.mode("overwrite").parquet(str(tmp_path / "fact"))
+        spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("c")
+        ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        dm = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("c") == 3)
+        j = f.join(dm, "k")
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
