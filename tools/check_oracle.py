@@ -46,14 +46,21 @@ def value_hash(rows: list[tuple]) -> str:
 
 
 def main() -> int:
+    # --sf-dir <path> overrides the driver's default sf0.01 (e.g. sf0.1 for
+    # a scale-robustness spot-check of rounding/tie-break behavior)
+    args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        sf_dir = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from cliner_spark.session import get_spark
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    wanted = sys.argv[1:] or list(qs)
+    wanted = args or list(qs)
 
     con = duckdb.connect()
     for t in TABLES:
