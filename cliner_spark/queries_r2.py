@@ -4522,3 +4522,108 @@ def q_ambiguous_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_cuis") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2i: curriculum phase assignment, corrupt-JSON ingest audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_curriculum_phases",
+    f"""
+WITH {SQL_DOCS_TOKS},
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docs),
+b AS (SELECT quantile_cont(n_toks, 0.33) AS b1, quantile_cont(n_toks, 0.66) AS b2
+      FROM lens)
+SELECT l.doc_id, l.n_toks,
+       CAST(CASE WHEN l.n_toks <= b.b1 THEN 1
+                 WHEN l.n_toks <= b.b2 THEN 2
+                 ELSE 3 END AS INTEGER) AS phase
+FROM lens l CROSS JOIN b
+""",
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: documents bucketed
+    short->medium->long by EXACT length tertiles — the easy-first ordering
+    a curriculum trainer feeds batches in. Implemented the 100 TB way from
+    the start: tertile BOUNDS come from one tiny exact-percentile aggregate
+    broadcast back over the corpus (never a global ntile sort of the fact
+    table — equal-size ntile also splits ties across phases
+    nondeterministically; boundary-inclusive CASE keeps equal-length docs
+    in the same phase). Interpolating percentile (Spark `percentile` ==
+    DuckDB quantile_cont) over integer lengths is engine-exact."""
+    from cliner_spark.entry_queries import tokens_col
+
+    lens = load_docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks")
+    )
+    b = lens.agg(
+        F.expr("percentile(n_toks, 0.33)").alias("b1"),
+        F.expr("percentile(n_toks, 0.66)").alias("b2"),
+    )
+    return lens.crossJoin(F.broadcast(b)).select(
+        "doc_id", "n_toks",
+        F.when(F.col("n_toks") <= F.col("b1"), 1)
+        .when(F.col("n_toks") <= F.col("b2"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("phase"),
+    )
+
+
+@register(
+    "q_json_corrupt_audit",
+    """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN substr(props, 1, len(props) - 1) ELSE props END AS props
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM ev
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM parsed GROUP BY event_type
+""",
+)
+def q_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record ingest audit for a semi-structured column: rows whose
+    JSON fails to parse are COUNTED (never silently dropped or nulled into
+    the stats) alongside the valid-row aggregate — the permissive-mode
+    bookkeeping every JSON ingest needs before trusting a field. Corruption
+    is synthesized deterministically (event_id % 7 loses its closing brace
+    — truncation, because BOTH parsers must agree it is malformed; a
+    TRAILING-garbage corruption exposed that Spark's get_json_object
+    accepts 'valid object + junk' while DuckDB's json_valid rejects it)
+    since the fixture JSON is all-valid. One projection +
+    one partial-aggregated groupBy."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("k").isNotNull().cast("long")).alias("n_valid"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -59,6 +59,7 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_cooccur_pmi": [("BroadcastNestedLoopJoin", "1-row n_keys marginal carry")],
     "q_concept_drift": [("BroadcastNestedLoopJoin", "1-row t_a/t_b totals carry")],
     "q_extractive_summary": [("BroadcastNestedLoopJoin", "1-row corpus-size carry")],
+    "q_curriculum_phases": [("BroadcastNestedLoopJoin", "1-row tertile-bounds carry")],
     "q_key_skew": [("BroadcastNestedLoopJoin", "1-row total-rows carry")],
     "q_embedding_topk": [
         ("BroadcastNestedLoopJoin",
