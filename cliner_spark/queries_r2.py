@@ -4627,3 +4627,148 @@ def q_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2j: dialog acts, role token share, n-gram novelty
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dialog_acts",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+acts AS (
+  SELECT conv_id, role,
+         CASE WHEN text LIKE '%?%' THEN 'question'
+              WHEN text LIKE '%!%' THEN 'exclaim'
+              ELSE 'statement' END AS act
+  FROM txr
+)
+SELECT conv_id, role, act, CAST(count(*) AS BIGINT) AS n_turns
+FROM acts GROUP BY conv_id, role, act
+""",
+)
+def q_dialog_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic dialog-act histogram per (conversation, role): question /
+    exclaim / statement by terminal-punctuation cue — the cheap
+    conversational-shape signal a transcript-quality model consumes (e.g.
+    'assistant that never answers questions' detection). Pure JVM CASE
+    projection + one partial-aggregated groupBy on the conversation key."""
+    act = (
+        F.when(F.col("text").contains("?"), "question")
+        .when(F.col("text").contains("!"), "exclaim")
+        .otherwise("statement")
+    )
+    return (
+        _txr(spark, sf_dir)
+        .select("conv_id", "role", act.alias("act"))
+        .groupBy("conv_id", "role", "act")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+@register(
+    "q_role_token_share",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+per AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END) AS BIGINT)
+           AS assistant_toks,
+         CAST(sum(n_toks) AS BIGINT) AS total_toks
+  FROM txr GROUP BY conv_id
+)
+SELECT conv_id, assistant_toks, total_toks,
+       round(CAST(assistant_toks AS DOUBLE) / total_toks, 6) AS assistant_share,
+       assistant_toks * 2 > total_toks AS assistant_dominant
+FROM per WHERE total_toks > 0
+""",
+)
+def q_role_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant verbosity share per conversation: fraction of all tokens
+    spoken by the assistant — the SFT-data QA stat that flags transcripts
+    where the model-to-be-learned-from barely speaks (low share) or
+    monologues (high share). The dominance PREDICATE is an exact integer
+    cross-multiplication; only the reported share is one rounded IEEE
+    division. One conditional-sum groupBy."""
+    per = _txr(spark, sf_dir).groupBy("conv_id").agg(
+        F.sum(
+            F.when(F.col("role") == "assistant", F.col("n_toks")).otherwise(0)
+        ).alias("assistant_toks"),
+        F.sum("n_toks").alias("total_toks"),
+    )
+    return per.filter(F.col("total_toks") > 0).select(
+        "conv_id", "assistant_toks", "total_toks",
+        F.round(
+            F.col("assistant_toks").cast("double") / F.col("total_toks"), 6
+        ).alias("assistant_share"),
+        (F.col("assistant_toks") * 2 > F.col("total_toks"))
+        .alias("assistant_dominant"),
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+WITH {SQL_DOCS_TOKS},
+sh AS (
+  SELECT DISTINCT doc_id,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+),
+firsts AS (SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before it
+    (doc_id = arrival order): the fraction of a doc's distinct 3-shingles
+    whose FIRST corpus occurrence is this doc — the marginal-contribution
+    curve a dedup/curation budget uses to decide when a source is
+    exhausted (novelty trending to 0 = stop ingesting). first-occurrence
+    table is one groupBy over the distinct shingle set (same unit the
+    Jaccard/boilerplate family already builds); the join back is
+    shingle-keyed and partial-aggregated. No window over the corpus, no
+    ordering dependence — min(doc_id) is the arrival rule."""
+    from cliner_spark.entry_queries import tokens_col
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                # guard: Spark's sequence(0, -1) DESCENDS (it is not empty),
+                # so short docs need an explicit empty array
+                F.when(
+                    F.size("toks") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 3),
+                        lambda i: F.lower(
+                            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "shingle")
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )
