@@ -4772,3 +4772,100 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2k: MinHash estimate-vs-exact error audit (completes the
+# sketch-with-verified-error family: HLL / CMS / KMV / approx-percentile)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_minhash_error_audit",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_2},
+sig AS (
+  SELECT doc_id,
+         min(md5('0#' || shingle)) AS h0, min(md5('1#' || shingle)) AS h1,
+         min(md5('2#' || shingle)) AS h2, min(md5('3#' || shingle)) AS h3
+  FROM sh2 GROUP BY doc_id
+),
+comp AS (
+  SELECT doc_id, 0 AS i, h0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, h1 FROM sig
+  UNION ALL SELECT doc_id, 2, h2 FROM sig
+  UNION ALL SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_match
+  FROM comp a JOIN comp b ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh2 GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh2 a ON a.doc_id = c.doc_a
+  JOIN sh2 b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_match, co.n_common,
+       CAST(sa.sz + sb.sz - co.n_common AS BIGINT) AS n_union,
+       round(c.n_match / 4.0, 6) AS est_sim,
+       round(CAST(co.n_common AS DOUBLE) / (sa.sz + sb.sz - co.n_common), 6)
+         AS exact_sim,
+       abs(c.n_match * (sa.sz + sb.sz - co.n_common) - 4 * co.n_common)
+         <= 2 * (sa.sz + sb.sz - co.n_common) AS within_half
+FROM cand c
+JOIN common co ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+""",
+)
+def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATE vs the EXACT Jaccard it estimates, per
+    LSH candidate pair — the error audit that closes the sketch family
+    (HLL / Count-Min / KMV / approx-percentile all carry one): est =
+    matching components / 4, exact = |A∩B|/|A∪B| on the same 2-shingle
+    sets, plus a `within_half` acceptance flag evaluated as an exact
+    BIGINT cross-multiplication (|m·u − 4c| ≤ 2u ⟺ |est − exact| ≤ 0.5 —
+    never a float predicate). The exact side is computed ONLY for the
+    candidate pairs (the verify-candidates-not-corpus pattern
+    q_lsh_verified uses): intersections come from two shingle joins
+    against the pair list, so at 100 TB cost scales with candidates, not
+    pairs²."""
+    from cliner_spark import dedup as _dd
+
+    docs = load_docs(spark, sf_dir)
+    cand = _dd.lsh_candidate_pairs(docs, min_bands=2).withColumnRenamed(
+        "n_bands", "n_match"
+    )
+    sh2 = _dd.shingles(docs, n=2).localCheckpoint(eager=True)
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        F.broadcast(cand.select("doc_a", "doc_b"))
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        cand.join(common, ["doc_a", "doc_b"])
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_match", "n_common",
+            uni.cast("long").alias("n_union"),
+            F.round(F.col("n_match") / F.lit(4.0), 6).alias("est_sim"),
+            F.round(F.col("n_common").cast("double") / uni, 6).alias("exact_sim"),
+            (
+                F.abs(F.col("n_match") * uni - 4 * F.col("n_common"))
+                <= 2 * uni
+            ).alias("within_half"),
+        )
+    )
