@@ -22,10 +22,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark_fn for name, spec in EQ.REGISTRY.items()}
+    # Ordered: this round's new queries, then prior-round high-risk, then
+    # round-1 flagships, then the rest — the driver verifies the first 50
+    # in dict order (see entry_queries.DRIVER_PRIORITY).
+    return {name: spec.spark_fn for name, spec in EQ.ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.sql for name, spec in EQ.REGISTRY.items() if spec.sql is not None
+        name: spec.sql
+        for name, spec in EQ.ordered_registry().items()
+        if spec.sql is not None
     }

@@ -2,11 +2,17 @@
 
 Runs every registered query from __spark_entry__ at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+COMPACT JSON line (the driver keeps only a bounded output tail, so the
+summary must stay small — round 2's 216-key line was truncated and
+recorded as parsed:null):
 
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": 0.1,
-   "turns_per_sec": N, "n_turns": N}
+  {"metric": "total_bench_sec", "value": <total_sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...(headline subset)}, "sf": 0.1,
+   "turns_per_sec": N, "n_turns": N, "n_queries": N, "n_skipped": N,
+   "detail": "BENCH_DETAIL.json"}
+
+The FULL per-query map, skip list, and delta-vs-previous-round live in
+BENCH_DETAIL.json (written in-tree every run).
 
 Also measures flagship KG-pipeline throughput (turns/sec) over a
 seed-deterministic generated transcript table (fixtures.big_transcripts:
@@ -183,69 +189,98 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Full detail -> in-tree file (the driver's tail-capture truncates long
+    # stdout lines; VERDICT r2 item 1). Summary line stays compact: the
+    # headline `queries` subset is the flagship + the 10 most expensive, so
+    # a human reading BENCH_r{N}.json still sees where the time went.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "skipped_over_budget": skipped,
+        "sf": guess_sf(SF_DIR),
+        "turns_per_sec": round(turns_per_sec, 1),
+        "n_turns": BENCH_TURNS,
+        "n_triples": n_triples,
+        "delta_vs_prev": delta_vs_prev(qtimes),
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    top = dict(
+        sorted(qtimes.items(), key=lambda kv: -kv[1])[:10],
+        flagship_pipeline=qtimes["flagship_pipeline"],
+    )
     print(
         json.dumps(
             {
                 "metric": "total_bench_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": qtimes,
-                "skipped_over_budget": skipped,
+                "queries": top,
                 "sf": guess_sf(SF_DIR),
                 "turns_per_sec": round(turns_per_sec, 1),
                 "n_turns": BENCH_TURNS,
                 "n_triples": n_triples,
-                "delta_vs_prev": delta_vs_prev(qtimes),
+                "n_queries": len(qtimes),
+                "n_skipped": len(skipped),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
     spark.stop()
 
 
-def _prev_round_times() -> dict[str, float]:
-    """Newest BENCH_r*.json per-query times (empty if none readable)."""
+def _prev_times_source() -> tuple[str | None, dict[str, float]]:
+    """Newest recorded per-query times: prefer the committed
+    BENCH_DETAIL.json (full map, written by this script each run), fall
+    back to the newest driver BENCH_r*.json parsed payload (which since
+    round 3 only carries a headline subset)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    detail = os.path.join(here, "BENCH_DETAIL.json")
+    if os.path.exists(detail):
+        try:
+            with open(detail) as f:
+                q = json.load(f).get("queries", {}) or {}
+            if q:
+                return "BENCH_DETAIL.json", q
+        except Exception:  # noqa: BLE001
+            pass
     rounds = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     if not rounds:
-        return {}
+        return None, {}
     try:
         with open(rounds[-1]) as f:
-            return json.load(f).get("parsed", {}).get("queries", {}) or {}
+            parsed = json.load(f).get("parsed") or {}
+        return os.path.basename(rounds[-1]), parsed.get("queries", {}) or {}
     except Exception:  # noqa: BLE001
-        return {}
+        return None, {}
+
+
+def _prev_round_times() -> dict[str, float]:
+    return _prev_times_source()[1]
 
 
 def delta_vs_prev(qtimes: dict[str, float]) -> dict:
-    """Per-query second deltas vs the newest recorded BENCH_r*.json so
-    regressions are visible in the round diff without manual comparison.
-    Positive = slower than previous round. Mind the sandbox's 2x
-    noisy-neighbor epochs before reading a uniform shift as a regression."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
-    if not rounds:
-        return {"prev_round": None}
-    try:
-        with open(rounds[-1]) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
-    except Exception:  # noqa: BLE001
+    """Per-query second deltas vs the newest recorded run so regressions
+    are visible in the round diff without manual comparison. Positive =
+    slower than previous round. Mind the sandbox's 2x noisy-neighbor
+    epochs before reading a uniform shift as a regression."""
+    src, prev = _prev_times_source()
+    if not prev:
         return {"prev_round": None}
     deltas = {
         q: round(t - prev[q], 3) for q, t in qtimes.items() if q in prev
     }
     return {
-        "prev_round": os.path.basename(rounds[-1]),
+        "prev_round": src,
         "new_queries": sorted(set(qtimes) - set(prev)),
         "sec_delta": deltas,
     }

@@ -25,6 +25,7 @@ Shuffle audit (scale rationale, 10^12 turns):
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,12 +186,20 @@ def cmd_evaluate(args) -> None:
         spark.stop()
 
 
+# Above this many transcript turns, `cliner train` auto-selects the
+# distributed parameter-mixing trainer: collecting the corpus to the driver
+# is a fixture-scale convenience only (r2 verdict item 5). Overridable for
+# tests via CLINER_TRAIN_COLLECT_MAX.
+TRAIN_COLLECT_MAX = int(os.environ.get("CLINER_TRAIN_COLLECT_MAX", "50000"))
+
+
 def cmd_train(args) -> None:
     """Reference `cliner train` analog (SURVEY.md M1): transcripts + gold
-    mentions -> model dir. --distributed trains per-partition averaged
-    perceptrons with parameter mixing (transcripts never collected to the
-    driver — the path that survives real data volumes); the default
-    driver-local loop remains for fixture-scale runs."""
+    mentions -> model dir. The distributed trainer (per-partition averaged
+    perceptrons with parameter mixing — transcripts never collected to the
+    driver, the path that survives real data volumes) is used when
+    --distributed is passed OR the input exceeds TRAIN_COLLECT_MAX turns;
+    the driver-local loop remains for fixture-scale runs."""
     from collections import defaultdict
 
     from cliner_spark.tagger import (
@@ -200,7 +209,17 @@ def cmd_train(args) -> None:
     )
 
     spark, created = _get_cli_spark("cliner_spark.train", args.master)
-    if args.distributed:
+    distributed = args.distributed
+    if not distributed:
+        # one cheap count decides the strategy; never collect-then-discover
+        n_turns = spark.read.parquet(args.input).count()
+        if n_turns > TRAIN_COLLECT_MAX:
+            print(
+                f"# {n_turns} turns > {TRAIN_COLLECT_MAX}: auto-selecting "
+                "the distributed parameter-mixing trainer"
+            )
+            distributed = True
+    if distributed:
         model = train_perceptron_distributed(
             spark.read.parquet(args.input),
             spark.read.parquet(args.gold),

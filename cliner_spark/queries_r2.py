@@ -3423,8 +3423,9 @@ tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b
         FROM per)
 SELECT p.cui, p.n_a, p.n_b,
        CAST(abs(p.n_a * t.t_b - p.n_b * t.t_a) AS BIGINT) AS tvd_num,
-       round(CAST(abs(p.n_a * t.t_b - p.n_b * t.t_a) AS DOUBLE)
-             / (t.t_a * t.t_b), 8) AS freq_shift
+       CASE WHEN t.t_a * t.t_b > 0
+            THEN round(CAST(abs(p.n_a * t.t_b - p.n_b * t.t_a) AS DOUBLE)
+                       / (t.t_a * t.t_b), 8) END AS freq_shift
 FROM per p CROSS JOIN tot t
 """,
 )
@@ -3452,11 +3453,16 @@ def q_concept_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
     )
     num = F.abs(F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a"))
+    # zero guard (ADVICE r2): on an empty half Spark's Divide yields NULL
+    # but DuckDB's IEEE default yields inf — make the degenerate case an
+    # explicit NULL on both engines instead of an engine-dependent value.
     return per.crossJoin(F.broadcast(tot)).select(
         "cui", "n_a", "n_b",
         num.cast("long").alias("tvd_num"),
-        F.round(num.cast("double") / (F.col("t_a") * F.col("t_b")), 8)
-        .alias("freq_shift"),
+        F.when(
+            F.col("t_a") * F.col("t_b") > 0,
+            F.round(num.cast("double") / (F.col("t_a") * F.col("t_b")), 8),
+        ).alias("freq_shift"),
     )
 
 
@@ -4534,8 +4540,12 @@ def q_ambiguous_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {SQL_DOCS_TOKS},
 lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docs),
-b AS (SELECT quantile_cont(n_toks, 0.33) AS b1, quantile_cont(n_toks, 0.66) AS b2
-      FROM lens)
+freq AS (SELECT n_toks, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY n_toks),
+cum AS (SELECT n_toks, sum(c) OVER (ORDER BY n_toks) AS cum FROM freq),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+b AS (SELECT min(CASE WHEN c.cum >= (t.n + 2) // 3 THEN c.n_toks END) AS b1,
+             min(CASE WHEN c.cum >= (2 * t.n + 2) // 3 THEN c.n_toks END) AS b2
+      FROM cum c CROSS JOIN tot t)
 SELECT l.doc_id, l.n_toks,
        CAST(CASE WHEN l.n_toks <= b.b1 THEN 1
                  WHEN l.n_toks <= b.b2 THEN 2
@@ -4547,20 +4557,36 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning phase assignment: documents bucketed
     short->medium->long by EXACT length tertiles — the easy-first ordering
     a curriculum trainer feeds batches in. Implemented the 100 TB way from
-    the start: tertile BOUNDS come from one tiny exact-percentile aggregate
-    broadcast back over the corpus (never a global ntile sort of the fact
-    table — equal-size ntile also splits ties across phases
-    nondeterministically; boundary-inclusive CASE keeps equal-length docs
-    in the same phase). Interpolating percentile (Spark `percentile` ==
-    DuckDB quantile_cont) over integer lengths is engine-exact."""
+    the start: tertile BOUNDS come from one tiny aggregate broadcast back
+    over the corpus (never a global ntile sort of the fact table —
+    equal-size ntile also splits ties across phases nondeterministically;
+    boundary-inclusive CASE keeps equal-length docs in the same phase).
+
+    Per ADVICE r2 the bounds are INTEGER-EXACT rank thresholds, not
+    interpolated percentiles: b_k = the smallest length whose exact
+    cumulative count reaches ceil(k*N/3) (pure integer arithmetic on both
+    engines — `div`/`//` — so the phase predicate never touches a float
+    and a 1-ulp engine difference can't flip a boundary doc). The global
+    cumulative window runs over the DISTINCT-length frequency table
+    (dimension-sized), not the corpus."""
     from cliner_spark.entry_queries import tokens_col
 
     lens = load_docs(spark, sf_dir).select(
         "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks")
     )
-    b = lens.agg(
-        F.expr("percentile(n_toks, 0.33)").alias("b1"),
-        F.expr("percentile(n_toks, 0.66)").alias("b2"),
+    freq = lens.groupBy("n_toks").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("n_toks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.select("n_toks", F.sum("c").over(wc).alias("cum"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    b = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("n_toks"))
+        ).alias("b1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("n_toks"))
+        ).alias("b2"),
     )
     return lens.crossJoin(F.broadcast(b)).select(
         "doc_id", "n_toks",
@@ -4582,14 +4608,16 @@ WITH ev AS (
   FROM events
 ),
 parsed AS (
-  SELECT event_type,
+  SELECT event_type, json_valid(props) AS ok,
          CASE WHEN json_valid(props)
-              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM ev
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN ok AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_k,
        CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(min(k) AS BIGINT) AS min_k,
@@ -4606,8 +4634,14 @@ def q_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — truncation, because BOTH parsers must agree it is malformed; a
     TRAILING-garbage corruption exposed that Spark's get_json_object
     accepts 'valid object + junk' while DuckDB's json_valid rejects it)
-    since the fixture JSON is all-valid. One projection +
-    one partial-aggregated groupBy."""
+    since the fixture JSON is all-valid.
+
+    Per ADVICE r2: unparseable JSON (n_corrupt — explicit validity
+    predicate: Spark get_json_object($) IS NULL vs DuckDB json_valid) is
+    counted SEPARATELY from valid JSON whose $.k is absent or non-numeric
+    (n_missing_k — Spark's cast nulls non-numerics, the oracle uses
+    TRY_CAST for the same semantics). One projection + one
+    partial-aggregated groupBy."""
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.when(
@@ -4615,13 +4649,18 @@ def q_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(props, 1, length(props) - 1)"),
         ).otherwise(F.col("props")).alias("props"),
     )
+    ok = F.get_json_object("props", "$").isNotNull()
     parsed = ev.select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        ok.alias("ok"),
+        F.when(ok, F.get_json_object("props", "$.k").cast("long")).alias("k"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("k").isNull().cast("long")).alias("n_corrupt"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_corrupt"),
+        F.sum((F.col("ok") & F.col("k").isNull()).cast("long")).alias(
+            "n_missing_k"
+        ),
         F.sum(F.col("k").isNotNull().cast("long")).alias("n_valid"),
         F.sum("k").alias("sum_k"),
         F.min("k").alias("min_k"),

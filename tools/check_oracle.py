@@ -3,13 +3,21 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() twin on DuckDB
 at sf0.01, then compares row count, sorted column names, and an
 order-insensitive value hash (floats rounded, timestamps normalized).
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [query ...] [--sf-dir PATH]
+                                    [--rotate N --round R]
+
+--rotate N --round R picks a deterministic per-round sample of N oracle-
+backed queries (ordered by md5(f"{R}:{name}")) — the scale-robustness sweep
+(r2 verdict item 7): run with --sf-dir /root/testdata/sf0.1 each round so
+rounding/tie-break behavior is continuously validated at 10x the gate SF,
+with a different 30-query slice every round.
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -52,15 +60,41 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [query ...] [--sf-dir PATH]")
+            return 2
         sf_dir = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    if not os.path.isdir(sf_dir):
+        print(f"--sf-dir not a directory: {sf_dir}")
+        return 2
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from cliner_spark.session import get_spark
 
+    rotate = rnd = None
+    for flag in ("--rotate", "--round"):
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 >= len(args):
+                print("usage: check_oracle.py [--rotate N --round R]")
+                return 2
+            val = int(args[i + 1])
+            if flag == "--rotate":
+                rotate = val
+            else:
+                rnd = val
+            args = args[:i] + args[i + 2 :]
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     wanted = args or list(qs)
+    if rotate is not None:
+        pool = sorted(
+            oracles, key=lambda n: hashlib.md5(f"{rnd or 0}:{n}".encode()).hexdigest()
+        )
+        wanted = pool[:rotate]
+        print(f"# rotating sample (round={rnd}, n={rotate}): {' '.join(wanted)}")
 
     con = duckdb.connect()
     for t in TABLES:

@@ -35,7 +35,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_gap_fill": [("BroadcastNestedLoopJoin", "hour-spine x group dim (both tiny)")],
     "q_mix_weights": [("BroadcastNestedLoopJoin", "1-row total carry")],
     "q_embedding_ivf_seeded": [("BroadcastNestedLoopJoin", "16-row centroid table probe")],
-    "q_embedding_ivf_topk": [("BroadcastNestedLoopJoin", "16-row centroid table probe")],
+    "q_embedding_ivf_topk": [
+        ("BroadcastNestedLoopJoin",
+         "16-row centroid probe + the exact-baseline broadcast query spine "
+         "+ 1-row recall numerator/denominator carries (assert formulation)"),
+        ("CartesianProduct", "1-row hits x 1-row denom scalar carry"),
+    ],
     "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
     "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
     "q_scd2_pit": [("BroadcastNestedLoopJoin", "2-row release-version spine cross")],
