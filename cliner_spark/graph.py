@@ -722,3 +722,138 @@ def transitive_closure(isa: DataFrame, max_rounds: int = 10) -> DataFrame:
             return nxt
         cl = nxt
     raise RuntimeError(f"transitive_closure: no fixpoint after {max_rounds} rounds")
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 10
+) -> DataFrame:
+    """SCC labels over a DIRECTED edge set (src, dst): scc_id(v) = the
+    smallest node among {v} ∪ {u : v reaches u AND u reaches v}.
+
+    Algorithm: reachability closure by path DOUBLING (O(log diameter)
+    rounds, fixpoint VERIFIED with an exceptAll probe exactly like
+    transitive_closure — never assumed from the budget), then one self-join
+    of the closure against its transpose picks mutually-reachable pairs and
+    a min-aggregate labels each node. Nodes on no cycle become singleton
+    SCCs labelled by themselves.
+
+    Scale: meant for dimension-sized relation graphs (concept precedence,
+    tool flows — node set is the vocabulary, not the corpus); the closure
+    self-joins stay executor-local at that size. Corpus-scale SCC would
+    swap doubling for forward/backward reach coloring, but no reference
+    operator needs it.
+    """
+    reach = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        a, b = reach.alias("a"), reach.alias("b")
+        hop = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        )
+        nxt = reach.unionByName(hop).distinct().localCheckpoint(eager=True)
+        if nxt.exceptAll(reach).limit(1).count() == 0:
+            reach = nxt
+            break
+        reach = nxt
+    else:
+        raise RuntimeError(f"scc: closure not converged in {max_rounds} rounds")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    f, r = reach.alias("f"), reach.alias("r")
+    mut = f.join(
+        r,
+        (F.col("f.src") == F.col("r.dst")) & (F.col("f.dst") == F.col("r.src")),
+    ).select(F.col("f.src").alias("node"), F.col("f.dst").alias("peer"))
+    return (
+        nodes.join(mut, "node", "left")
+        .groupBy("node")
+        .agg(F.min("peer").alias("_mp"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce(F.col("_mp"), F.col("node"))).alias(
+                "scc_id"
+            ),
+        )
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected edge
+    set: every node starts as its own label; each round it adopts its
+    neighbors' MOST FREQUENT label, ties broken to the smallest — the
+    deterministic LPA variant (random-order async LPA is irreproducible,
+    which makes it unauditable as a pipeline stage). A FIXED round budget,
+    not a fixpoint: LPA on cliques oscillates under synchronous updates, so
+    the bounded unroll IS the algorithm (and what the SQL oracle replays
+    round for round).
+
+    Scale: each round is one shuffle (edges join labels on src, groupBy
+    dst×label) plus a per-node top-1 window — the same per-round cost as
+    one PageRank step; rounds are few and fixed. Labels never leave the
+    JVM."""
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        cnt = (
+            sym.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+        )
+        # every node in `nodes` has degree >= 1 (node set comes from the
+        # edge list), so `best` covers all of them; the left-join+coalesce
+        # is belt-and-braces for callers passing exotic edge sets
+        lbl = (
+            nodes.join(best.withColumnRenamed("lbl", "_new"), "node", "left")
+            .select("node", F.coalesce("_new", "node").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lbl.select("node", F.col("lbl").alias("community"))
+
+
+def eccentricity(edges: DataFrame, max_hops: int = 10) -> DataFrame:
+    """Per-node eccentricity (max shortest-hop distance to any reachable
+    node) + reachable-set size over the undirected edge set; max(ecc) over
+    the output = the graph diameter. Multi-source BFS: the frontier carries
+    (root, node) pairs so ALL sources expand in the same superstep — one
+    shuffle per hop level regardless of node count, against |V| sequential
+    single-source runs.
+
+    Scale: for dimension-sized graphs (concept/tool vocabularies) the
+    frontier is at worst |V|² pairs — fine. For corpus-scale graphs
+    eccentricity itself is the wrong ask (use HyperBall-style sketches);
+    this operator targets the KG relation layer."""
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    visited = nodes.select(
+        F.col("node").alias("root"), "node", F.lit(0).alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.select("root", F.col("node").alias("src"))
+            .join(sym, "src")
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"eccentricity: frontier alive after {max_hops} hops")
+    return visited.groupBy(F.col("root").alias("node")).agg(
+        F.max("hops").cast("int").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+    )

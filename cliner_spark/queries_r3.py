@@ -109,3 +109,503 @@ def q_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_right_value",
         (ms("ts") - ms("lrts")).cast("bigint").alias("gap_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3b: new KG graph operators — SCC, label-propagation communities,
+# eccentricity/diameter (cliner_spark.graph additions)
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_BEST_GAZ,
+    SQL_DOC_CUI,
+    SQL_DOCS_TOKS,
+    SQL_KEPT_MENTIONS,
+    SQL_LINKED,
+    SQL_TX_LMT,
+)
+from cliner_spark.queries_r2 import SQL_DOCPAIR_GRAPH, _docpair_edges  # noqa: E402
+
+
+@_register_r3(
+    "q_kg_scc",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_TX_LMT.strip()},
+spans AS (
+  SELECT conv_id, cui, min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+  FROM lmt GROUP BY 1, 2
+),
+e AS (
+  SELECT DISTINCT a.cui AS src, b.cui AS dst
+  FROM spans a JOIN spans b
+    ON a.conv_id = b.conv_id AND a.cui <> b.cui AND a.last_turn < b.first_turn
+),
+reach(s, t) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+mut AS (
+  SELECT r1.s AS node, r1.t AS peer
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s
+)
+SELECT n.node, least(n.node, coalesce(min(m.peer), n.node)) AS scc_id
+FROM n LEFT JOIN mut m USING (node) GROUP BY n.node
+""",
+)
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED concept-precedence
+    graph (edges = q_temporal_relations' PRECEDES pairs): concepts that
+    temporally precede each other in different conversations collapse into
+    one SCC — the cycle structure a temporal-KG consumer must know before
+    treating PRECEDES as a partial order (a DAG-ification pass contracts
+    exactly these components). Spark: path-doubling reachability closure
+    with verified fixpoint + one transpose join (graph.
+    strongly_connected_components); oracle: one-edge-per-step recursive CTE
+    — different algorithm, identical labels."""
+    from cliner_spark.graph import strongly_connected_components
+
+    edges = (
+        REGISTRY["q_temporal_relations"]
+        .spark_fn(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+    )
+    return strongly_connected_components(edges)
+
+
+@_register_r3(
+    "q_lpa_communities",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_DOCPAIR_GRAPH.strip()},
+e AS (SELECT lo AS src, hi AS dst FROM ge UNION ALL SELECT hi, lo FROM ge),
+n AS (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node AS lbl FROM n),
+c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+l1 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+l2 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+l3 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT node AS doc_id, lbl AS community FROM l3
+""",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the doc-similarity graph
+    (graph.label_propagation, 3 synchronous rounds, most-frequent-neighbor
+    label with min tie-break): the community structure BETWEEN the
+    connected components — CC (q_dup_clusters) says "transitively related",
+    LPA says "densely related", which is what a curation pass samples from
+    when a whole CC is too coarse to drop. Deterministic by construction
+    (synchronous + min tie-break); the oracle unrolls the exact same three
+    rounds. Nodes are the graph's node set (docs with >= 1 similar doc)."""
+    from cliner_spark.graph import label_propagation
+
+    return label_propagation(_docpair_edges(spark, sf_dir), rounds=3).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+@_register_r3(
+    "q_kg_eccentricity",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI.strip()},
+e AS (SELECT src, dst FROM coedges UNION ALL SELECT dst, src FROM coedges),
+n AS (SELECT DISTINCT src AS node FROM e),
+walk(root, node, hops) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT w.root, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 10
+),
+d AS (SELECT root, node, min(hops) AS h FROM walk GROUP BY 1, 2)
+SELECT root AS node, CAST(max(h) AS INTEGER) AS ecc,
+       CAST(count(*) AS BIGINT) AS n_reachable
+FROM d GROUP BY root
+""",
+)
+def q_kg_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-concept eccentricity + reachable-set size over the concept
+    co-occurrence graph (graph.eccentricity); max(ecc) = graph diameter —
+    the KG compactness report (how many hops a graph-walk feature needs to
+    cover the vocabulary). Spark expands ALL sources in one multi-source
+    BFS (frontier = (root, node) pairs, one shuffle per hop level); the
+    oracle replays it as a hop-bounded recursive CTE with min-dist
+    aggregation."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.graph import eccentricity
+
+    d = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.cui") < F.col("b.cui")),
+        )
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+    )
+    return eccentricity(pairs)
+
+
+# --------------------------------------------------------------------------
+# Round 3c: LLM-training-data operators — CCNet perplexity buckets,
+# tokenizer fertility, DPO preference pairs, T5 span corruption,
+# cross-split near-dup leakage
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_LM_COUNTS,
+    SQL_SHINGLES_3,
+    tokens_col,
+)
+from cliner_spark.queries_r2 import SQL_TXR, _txr  # noqa: E402
+
+
+@_register_r3(
+    "q_perplexity_buckets",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_LM_COUNTS},
+sc AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(-CAST(floor(ln(CAST(bg.c_bigram + 1 AS DOUBLE)
+                                 / (u.c_w1 + vv.vocab)) * 1000000) AS BIGINT))
+              AS BIGINT) AS nll_fp
+  FROM pairs p JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+  JOIN uni u ON p.w1 = u.w1 CROSS JOIN vv
+  GROUP BY p.doc_id
+),
+av AS (SELECT doc_id, n_bigrams, (nll_fp // n_bigrams) // 1000 AS avg_nll_milli
+       FROM sc),
+freq AS (SELECT avg_nll_milli AS v, CAST(count(*) AS BIGINT) AS c FROM av GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM freq),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+b AS (SELECT min(CASE WHEN c.cum >= (t.n + 2) // 3 THEN c.v END) AS b1,
+             min(CASE WHEN c.cum >= (2 * t.n + 2) // 3 THEN c.v END) AS b2
+      FROM cum c CROSS JOIN tot t)
+SELECT a.doc_id, a.n_bigrams, a.avg_nll_milli,
+       CASE WHEN a.avg_nll_milli <= b.b1 THEN 'head'
+            WHEN a.avg_nll_milli <= b.b2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM av a CROSS JOIN b
+""",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: each document's corpus-bigram-LM
+    negative log-likelihood (fixed-point, BIGINT-exact — nll_fp is exactly
+    -q_lm_doc_score.score_fp since -Σfloor(x) = Σ(-floor(x))), averaged per
+    bigram and coarsened to MILLI-nats, then head/middle/tail by
+    integer-exact rank thresholds (the q_curriculum_phases technique:
+    smallest value whose exact cumulative count reaches ceil(kN/3)). The
+    milli-nat grid is the scale move: the threshold window runs over the
+    DISTINCT coarsened values, whose cardinality is bounded by the VALUE
+    DOMAIN (a few thousand grid points), not the corpus — so the plan is
+    corpus-scan + tiny bounds aggregate at any SF. Head/middle/tail is what
+    a CCNet-style pipeline keeps/samples/drops. All integer comparisons on
+    positives (Spark `div` == DuckDB `//` there); no float ever reaches a
+    bucket predicate."""
+    from cliner_spark.lm import doc_lm_score
+
+    sc = doc_lm_score(load_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("((-score_fp) div n_bigrams) div 1000").alias("avg_nll_milli"),
+    )
+    freq = sc.groupBy("avg_nll_milli").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("avg_nll_milli").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.select(F.col("avg_nll_milli").alias("v"), F.sum("c").over(wc).alias("cum"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    b = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("v"))).alias("b1"),
+        F.min(F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("v"))).alias("b2"),
+    )
+    return sc.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll_milli",
+        F.when(F.col("avg_nll_milli") <= F.col("b1"), "head")
+        .when(F.col("avg_nll_milli") <= F.col("b2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+@_register_r3(
+    "q_tokenizer_fertility",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(toks, t -> (len(t) + 3) // 4)), 0)
+            AS BIGINT) AS n_pieces,
+       CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT)
+         AS n_chars,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(coalesce(list_sum(list_transform(toks,
+                       t -> (len(t) + 3) // 4)), 0) AS DOUBLE) / len(toks), 6)
+       END AS fertility
+FROM docs
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility / token-budget estimation: subword-piece counts
+    per document under a deterministic BPE-ish proxy (each word contributes
+    ceil(len/4) pieces — the classic ~4-chars-per-token budgeting rule),
+    fertility = pieces per whitespace word. This is the pre-tokenization
+    cost model a training-data pipeline uses to size context budgets and
+    price a corpus in tokens BEFORE running the real (external) tokenizer.
+    Pure JVM array algebra (transform + aggregate inside whole-stage
+    codegen), zero shuffles; integer piece counts are engine-exact, the
+    single reported ratio is one rounded division."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    n_pieces = F.expr(
+        "aggregate(transform(toks, t -> (length(t) + 3) div 4), 0L, (a, x) -> a + x)"
+    )
+    n_chars = F.expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + CAST(x AS BIGINT))")
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        n_pieces.cast("bigint").alias("n_pieces"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.when(
+            F.size("toks") > 0,
+            F.round(n_pieces.cast("double") / F.size("toks"), 6),
+        ).alias("fertility"),
+    )
+
+
+@_register_r3(
+    "q_dpo_pairs",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+a AS (SELECT conv_id, turn_idx, text, n_toks FROM txr WHERE role = 'assistant'),
+r AS (
+  SELECT conv_id, turn_idx, text, n_toks,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n_toks DESC, turn_idx ASC) AS rn_best,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n_toks ASC, turn_idx DESC) AS rn_worst
+  FROM a
+)
+SELECT b.conv_id,
+       CAST(b.turn_idx AS INTEGER) AS chosen_turn_idx,
+       CAST(w.turn_idx AS INTEGER) AS rejected_turn_idx,
+       b.n_toks AS chosen_len, w.n_toks AS rejected_len,
+       b.text AS chosen_text, w.text AS rejected_text
+FROM (SELECT * FROM r WHERE rn_best = 1) b
+JOIN (SELECT * FROM r WHERE rn_worst = 1) w USING (conv_id)
+WHERE b.turn_idx <> w.turn_idx
+""",
+)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF data prep: per
+    conversation, the longest assistant turn is 'chosen' and the shortest
+    'rejected' (length as the deterministic stand-in for a reward score —
+    swap in any per-turn score column and the plan is unchanged).
+    Tie-breaks are chosen-earliest / rejected-latest so two equal-length
+    turns still yield a valid pair; single-assistant-turn conversations are
+    excluded (chosen == rejected is not a preference). One shuffle on
+    conv_id; two rank windows over the same sort."""
+    t = _txr(spark, sf_dir).filter(F.col("role") == "assistant")
+    wb = Window.partitionBy("conv_id").orderBy(F.desc("n_toks"), F.asc("turn_idx"))
+    ww = Window.partitionBy("conv_id").orderBy(F.asc("n_toks"), F.desc("turn_idx"))
+    r = t.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        "n_toks",
+        F.row_number().over(wb).alias("rn_best"),
+        F.row_number().over(ww).alias("rn_worst"),
+    )
+    b = r.filter(F.col("rn_best") == 1).select(
+        "conv_id",
+        F.col("turn_idx").alias("chosen_turn_idx"),
+        F.col("n_toks").alias("chosen_len"),
+        F.col("text").alias("chosen_text"),
+    )
+    w = r.filter(F.col("rn_worst") == 1).select(
+        "conv_id",
+        F.col("turn_idx").alias("rejected_turn_idx"),
+        F.col("n_toks").alias("rejected_len"),
+        F.col("text").alias("rejected_text"),
+    )
+    return (
+        b.join(w, "conv_id")
+        .filter(F.col("chosen_turn_idx") != F.col("rejected_turn_idx"))
+        .select(
+            "conv_id",
+            F.col("chosen_turn_idx").cast("int").alias("chosen_turn_idx"),
+            F.col("rejected_turn_idx").cast("int").alias("rejected_turn_idx"),
+            "chosen_len",
+            "rejected_len",
+            "chosen_text",
+            "rejected_text",
+        )
+    )
+
+
+# T5-style span corruption: tokens are masked in fixed blocks of 3; block b
+# of doc d is masked iff the first hex digit of md5('d:b') is 0 or 1 (rate
+# 1/8). Each masked block renders as ONE '<X>' sentinel in the corrupted
+# text; the block's tokens concatenate into the target. Deterministic, pure
+# string/array algebra — identical on both engines.
+_MASKED = (
+    "substring(md5(concat(cast(doc_id as string), ':', "
+    "cast(i div 3 as string))), 1, 1) in ('0', '1')"
+)
+_MASKED_SQL = "substr(md5(doc_id || ':' || (i // 3)), 1, 1) IN ('0', '1')"
+
+
+@_register_r3(
+    "q_span_corruption",
+    f"""
+WITH {SQL_DOCS_TOKS}
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(range(len(toks)),
+            i -> CASE WHEN {_MASKED_SQL} THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS n_masked,
+       CAST(coalesce(list_sum(list_transform(range(len(toks)),
+            i -> CASE WHEN i % 3 = 0 AND {_MASKED_SQL} THEN 1 ELSE 0 END)), 0)
+            AS BIGINT) AS n_spans,
+       coalesce(array_to_string(list_filter(list_transform(range(len(toks)),
+            i -> CASE WHEN NOT ({_MASKED_SQL}) THEN toks[i + 1]
+                      WHEN i % 3 = 0 THEN '<X>' END),
+            x -> x IS NOT NULL), ' '), '') AS corrupted,
+       coalesce(array_to_string(list_filter(list_transform(range(len(toks)),
+            i -> CASE WHEN {_MASKED_SQL} THEN toks[i + 1] END),
+            x -> x IS NOT NULL), ' '), '') AS target
+FROM docs
+""",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption rendering as a relational projection:
+    deterministic hash-selected token blocks (rate 1/8, span length 3)
+    drop out of the input and reappear as the denoising target, one
+    sentinel per span. The whole op is transform/filter/array_join on the
+    token array inside whole-stage codegen — no Python, no shuffle, no
+    explode (token-grain rows never materialize) — so it runs at corpus
+    scan speed at any SF, which is the property a pretraining-data renderer
+    must have. md5 block selection makes the mask a pure function of
+    (doc_id, block): reproducible across engines, epochs, and retries."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    n_masked = F.expr(
+        f"aggregate(transform(toks, (t, i) -> CASE WHEN {_MASKED} THEN 1 ELSE 0 END),"
+        " 0L, (a, x) -> a + x)"
+    )
+    n_spans = F.expr(
+        f"aggregate(transform(toks, (t, i) -> CASE WHEN i % 3 = 0 AND {_MASKED}"
+        " THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+    )
+    corrupted = F.expr(
+        f"array_join(filter(transform(toks, (t, i) -> CASE WHEN NOT ({_MASKED})"
+        f" THEN t WHEN i % 3 = 0 THEN '<X>' END), x -> x IS NOT NULL), ' ')"
+    )
+    target = F.expr(
+        f"array_join(filter(transform(toks, (t, i) -> CASE WHEN {_MASKED} THEN t END),"
+        " x -> x IS NOT NULL), ' ')"
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        n_spans.cast("bigint").alias("n_spans"),
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+    )
+
+
+@_register_r3(
+    "q_split_leakage",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_SHINGLES_3},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT doc_a, doc_b,
+         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+),
+sp AS (SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                   THEN 'train' ELSE 'eval' END AS split
+       FROM docs)
+SELECT CASE WHEN pa.split = 'eval' THEN n.doc_a ELSE n.doc_b END AS eval_doc,
+       CASE WHEN pa.split = 'eval' THEN n.doc_b ELSE n.doc_a END AS train_doc,
+       round(n.jaccard, 6) AS jaccard
+FROM nd n
+JOIN sp pa ON n.doc_a = pa.doc_id
+JOIN sp pb ON n.doc_b = pb.doc_id
+WHERE pa.split <> pb.split
+""",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage audit: exact-n-gram
+    decontamination (q_decontaminate) misses paraphrase-level overlap, so
+    this pass takes the inverted-index near-dup pairs (3-shingle Jaccard >=
+    0.5, df-cut — never all-pairs) and keeps those straddling the
+    deterministic md5 train/eval split: each row is an eval document whose
+    near-twin sits in train — the leakage a benchmark score silently
+    inherits. The near-dup index is the same artifact the dedup pass
+    already builds, so at 100 TB this audit is one extra broadcast-joined
+    filter over it, not a new quadratic scan."""
+    from cliner_spark import dedup as _dd
+
+    pairs = _dd.jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50).filter(
+        F.col("jaccard") >= 0.5
+    )
+    split = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d", "train"
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "eval", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc"),
+            F.when(F.col("split_a") == "eval", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
