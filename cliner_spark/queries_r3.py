@@ -609,3 +609,225 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3d: KG schema induction, RAG context packing, FIM rendering,
+# watermark-lateness profiling, skew salt planning
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    _doc_linked_transcript,
+    cached_canon_map,
+)
+from cliner_spark.queries_r2 import SQL_TR_CTE  # noqa: E402
+from cliner_spark.triples import build_triples, hot_conversations  # noqa: E402
+
+
+@_register_r3(
+    "q_kg_schema_induction",
+    f"""
+{SQL_TR_CTE}
+SELECT pred,
+       split_part(subj, ':', 1) AS subj_type,
+       split_part(obj, ':', 1) AS obj_type,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+FROM tr GROUP BY 1, 2, 3
+""",
+)
+def q_kg_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema induction: the (predicate, subject-type, object-type)
+    signature table with edge/entity cardinalities, read straight off the
+    materialized triples — the discovered ontology header (MENTIONS:
+    conv->concept, ASSERTED_IN: concept->turn, ...) a KG consumer validates
+    ingest against, and the FIRST audit that catches a malformed emitter
+    (a new (pred, type, type) row appearing = schema drift). Entity types
+    are the URI prefix, so the whole query is one split + partial-agg
+    groupBy over the KG, no joins."""
+    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
+    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    typ = lambda c: F.split(F.col(c), ":", 2).getItem(0)  # noqa: E731
+    return tr.select(
+        "pred", typ("subj").alias("subj_type"), typ("obj").alias("obj_type"),
+        "subj", "obj",
+    ).groupBy("pred", "subj_type", "obj_type").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+@_register_r3(
+    "q_context_pack",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()}
+SELECT conv_id, turn_idx, role,
+       CAST(count(text) OVER w AS BIGINT) AS n_ctx,
+       coalesce(string_agg(text, ' <SEP> ') OVER w, '') AS ctx_text
+FROM txr
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+""",
+)
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context packing for conversational SFT/RAG rows: every turn
+    is paired with its previous <=3 turns' text, '<SEP>'-joined in turn
+    order — the (context, turn) training-example shape a dialogue trainer
+    consumes, built with ONE window frame (collect_list over ROWS 3
+    PRECEDING TO 1 PRECEDING, order pinned by turn_idx) instead of K
+    self-joins: one conv_id shuffle total, and the frame never leaves the
+    JVM. Turn 0 gets an empty context (coalesced '' on both engines)."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-3, -1)
+    )
+    return _txr(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.count("text").over(w).cast("bigint").alias("n_ctx"),
+        F.coalesce(
+            F.array_join(F.collect_list("text").over(w), " <SEP> "), F.lit("")
+        ).alias("ctx_text"),
+    )
+
+
+@_register_r3(
+    "q_fim_transform",
+    f"""
+WITH {SQL_DOCS_TOKS},
+cut AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         len(toks) // 3 AS p1, (2 * len(toks)) // 3 AS p2
+  FROM docs
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(p1 AS BIGINT) AS n_prefix,
+       CAST(p2 - p1 AS BIGINT) AS n_middle,
+       '<PRE> ' || coalesce(array_to_string(toks[1:p1], ' '), '')
+       || ' <SUF> ' || coalesce(array_to_string(toks[p2 + 1:n], ' '), '')
+       || ' <MID> ' || coalesce(array_to_string(toks[p1 + 1:p2], ' '), '')
+         AS psm_text
+FROM cut
+""",
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) rendering in PSM (prefix-suffix-middle)
+    order — the code-LLM pretraining transform (Bavarian et al.): the
+    document splits at deterministic tertile token cuts, the middle moves
+    to the end behind sentinels, so the model learns infilling from plain
+    next-token prediction. Pure array-slice + concat projection (no
+    explode, no Python, no shuffle); deterministic cuts keep the transform
+    reproducible across epochs and engines — the property a 100 TB
+    re-render must have."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    cut = docs.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.expr("size(toks) div 3").alias("p1"),
+        F.expr("(2 * size(toks)) div 3").alias("p2"),
+    )
+    part = lambda frm, to: F.coalesce(  # noqa: E731
+        F.array_join(F.expr(f"slice(toks, {frm}, greatest(0, {to}))"), " "),
+        F.lit(""),
+    )
+    return cut.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("p1").cast("bigint").alias("n_prefix"),
+        (F.col("p2") - F.col("p1")).cast("bigint").alias("n_middle"),
+        F.concat(
+            F.lit("<PRE> "), part("1", "p1"),
+            F.lit(" <SUF> "), part("p2 + 1", "n - p2"),
+            F.lit(" <MID> "), part("p1 + 1", "p2 - p1"),
+        ).alias("psm_text"),
+    )
+
+
+@_register_r3(
+    "q_watermark_profile",
+    """
+WITH seen AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN ts < prior_max
+                 THEN epoch_ms(prior_max) - epoch_ms(ts) END), 0) AS BIGINT)
+         AS max_disorder_ms
+FROM seen GROUP BY user_id
+""",
+)
+def q_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile per key — the measurement that SIZES a
+    streaming watermark: replaying the batch in arrival order (event_id),
+    how many events arrive with ts behind the running per-user max, and by
+    how much at worst. `withWatermark(delay)` drops exactly the events
+    whose disorder exceeds delay, so max_disorder_ms IS the minimum safe
+    delay per key (streaming.py's session/interval-join operators consume
+    such a bound). One window + one groupBy on the same user_id shuffle;
+    ms gaps via integer epoch-ms floor on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ms = lambda c: F.expr(f"unix_micros(cast({c} as timestamp)) div 1000")  # noqa: E731
+    seen = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("prior_max"),
+    )
+    late = F.col("ts") < F.col("prior_max")
+    return seen.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.coalesce(
+            F.max(F.when(late, ms("prior_max") - ms("ts"))), F.lit(0)
+        ).cast("bigint").alias("max_disorder_ms"),
+    )
+
+
+@_register_r3(
+    "q_salt_plan",
+    """
+WITH tx AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id FROM documents
+),
+sizes AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+          FROM tx GROUP BY conv_id)
+SELECT conv_id, n_turns,
+       CAST((n_turns + 3) // 4 AS BIGINT) AS salt_factor
+FROM sizes WHERE n_turns > 4
+""",
+)
+def q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting plan: the heavy-hitter pre-pass (triples.
+    hot_conversations — one map-side-combined count, dimension-sized
+    output) extended with the recommended salt factor ceil(n_turns/4) per
+    hot conversation — the broadcastable plan the salted triple sink
+    (triples.salted_partition_col) consumes so one hot conv can never
+    serialize a task at 10^12-turn scale. Driver-verifiable twin of the
+    util the flagship pipeline already uses."""
+    tx = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id")
+    )
+    hot = hot_conversations(tx, threshold=4)
+    return hot.select(
+        "conv_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.expr("(n_turns + 3) div 4").cast("bigint").alias("salt_factor"),
+    )
