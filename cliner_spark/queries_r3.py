@@ -831,3 +831,140 @@ def q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_turns").cast("bigint").alias("n_turns"),
         F.expr("(n_turns + 3) div 4").cast("bigint").alias("salt_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3e: end-to-end curation manifest (the full dedup->decontam->
+# repetition->length cascade as ONE oracle-checked plan) + ontology
+# acyclicity ingest gate
+# --------------------------------------------------------------------------
+
+from cliner_spark.fixtures import ontology_df, ontology_values_sql  # noqa: E402
+from cliner_spark.sampling import TRAIN_BOUND, VAL_BOUND  # noqa: E402
+
+# compose the oracle from the ALREADY-HASH-CHECKED component SQLs (DuckDB
+# allows a CTE body to carry its own WITH chain), so the cascade's oracle is
+# definitionally consistent with each stage's standalone oracle
+_CURATE_SQL = f"""
+WITH cl AS ({{dup}}),
+rp AS ({{rep}}),
+ct AS ({{dec}}),
+b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+             quantile_cont(n_tokens, 0.95) AS hi FROM rp)
+SELECT r.doc_id, cl.cluster_id, r.n_tokens,
+       cl.cluster_id = r.doc_id AS keep_dedup,
+       ct.doc_id IS NULL AS keep_decontam,
+       r.dup2_frac <= 0.5 AS keep_repetition,
+       (r.n_tokens >= b.lo AND r.n_tokens <= b.hi) AS keep_length,
+       (cl.cluster_id = r.doc_id AND ct.doc_id IS NULL
+        AND r.dup2_frac <= 0.5
+        AND r.n_tokens >= b.lo AND r.n_tokens <= b.hi) AS keep,
+       CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '{TRAIN_BOUND}'
+              THEN 'train'
+            WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '{VAL_BOUND}'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM rp r
+JOIN cl ON r.doc_id = cl.doc_id
+LEFT JOIN ct ON r.doc_id = ct.doc_id
+CROSS JOIN b
+"""
+
+
+def _curation_sql() -> str:
+    return _CURATE_SQL.format(
+        dup=REGISTRY["q_dup_clusters"].sql,
+        rep=REGISTRY["q_repetition"].sql,
+        dec=REGISTRY["q_decontaminate"].sql,
+    )
+
+
+@_register_r3("q_curation_manifest", _curation_sql())
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation manifest (curate.curate): near-dup cluster
+    representative + eval-decontamination + repetition + length-band keep
+    flags, the combined verdict, and the hash split — per document, in ONE
+    composed plan. This is the pass a training corpus actually ships
+    through; the flags make every drop auditable. The oracle NESTS the four
+    component queries' own hash-checked SQLs as CTEs, so cascade
+    correctness is verified against the same definitions as each stage.
+    Scale: the only corpus-wide shuffles are the component ones (shingle
+    index, one bounds aggregate); flag joins are id-grain."""
+    from cliner_spark.curate import curate
+
+    docs = load_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    out = curate(docs, benchmark=bench)
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "keep_dedup",
+        "keep_decontam",
+        "keep_repetition",
+        "keep_length",
+        "keep",
+        "split",
+    )
+
+
+_ISA_SQL_R3 = ontology_values_sql()
+
+
+@_register_r3(
+    "q_isa_cycle_audit",
+    f"""
+WITH RECURSIVE isa AS (SELECT * FROM {_ISA_SQL_R3}),
+cl(descendant, ancestor) AS (
+  SELECT child, parent FROM isa
+  UNION
+  SELECT c.descendant, i.parent FROM cl c JOIN isa i ON i.child = c.ancestor
+),
+n AS (SELECT DISTINCT node FROM (
+        SELECT child AS node FROM isa UNION ALL SELECT parent FROM isa))
+SELECT CAST((SELECT count(*) FROM n) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM isa) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT descendant) FROM cl
+             WHERE descendant = ancestor) AS BIGINT) AS n_cycle_nodes,
+       (SELECT count(*) FROM cl WHERE descendant = ancestor) = 0 AS acyclic
+""",
+)
+def q_isa_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology acyclicity ingest gate: an ISA hierarchy with a cycle makes
+    every subsumption rollup double-count, so a release is REJECTED before
+    the closure artifact builds if any node reaches itself. Spark computes
+    the same reachability closure the ISA operators use (path doubling,
+    depth dropped) and counts self-reaching nodes; the oracle replays it
+    one edge per step. Emits one audit row (n_nodes, n_edges,
+    n_cycle_nodes, acyclic) — data-derived on both engines, red the moment
+    a cyclic ontology ships."""
+    from cliner_spark.graph import strongly_connected_components
+
+    isa = ontology_df(spark)
+    edges = isa.select(F.col("child").alias("src"), F.col("parent").alias("dst"))
+    # a node is on a cycle iff its SCC has >1 member (or a self-loop, which
+    # the fixture grammar disallows); reuse the SCC operator as the checker
+    scc = strongly_connected_components(edges)
+    cyc = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > 1)
+        .agg(F.coalesce(F.sum("sz"), F.lit(0)).alias("n_cycle_nodes"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = edges.distinct().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(cyc)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_cycle_nodes").cast("bigint").alias("n_cycle_nodes"),
+            (F.col("n_cycle_nodes") == 0).alias("acyclic"),
+        )
+    )

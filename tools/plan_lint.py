@@ -43,6 +43,14 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     ],
     "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
     "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
+    "q_curation_manifest": [
+        ("BroadcastNestedLoopJoin", "1-row length-bounds carry (curate.length_bounds)")
+    ],
+    "q_isa_cycle_audit": [
+        ("BroadcastNestedLoopJoin",
+         "1-row audit-count carries (n_nodes x n_edges x n_cycle_nodes)"),
+        ("CartesianProduct", "1-row x 1-row audit-count carry"),
+    ],
     "q_scd2_pit": [("BroadcastNestedLoopJoin", "2-row release-version spine cross")],
     "q_kmv_join_estimate": [
         ("BroadcastNestedLoopJoin", "1-row sketch-stat carries (ua/ub/ug/overlap/exact audits)")
