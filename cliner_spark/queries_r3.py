@@ -968,3 +968,94 @@ def q_isa_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_cycle_nodes") == 0).alias("acyclic"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3f: ANN index-health profile + embedding per-dimension stats
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_EMB, SQL_SEEDED_TOPK  # noqa: E402
+
+# seeds/ssims/scells CTEs only (the quantizer), without the probe/rerank tail
+_SQL_SEEDED_CELLS = SQL_SEEDED_TOPK[: SQL_SEEDED_TOPK.index("sprobes")].rstrip().rstrip(",")
+
+
+@_register_r3(
+    "q_ivf_cell_profile",
+    f"""
+WITH {SQL_EMB}, {_SQL_SEEDED_CELLS},
+per AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM scells GROUP BY cell),
+tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n FROM per)
+SELECT p.cell, p.n_vectors,
+       round(CAST(p.n_vectors AS DOUBLE) / t.n, 6) AS share
+FROM per p CROSS JOIN tot t
+""",
+)
+def q_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-health profile: per-cell vector counts and corpus share
+    for the seeded IVF quantizer (similarity.seeded_cells — the exact
+    assignment ivf_seeded_topk searches). A skewed cell list is the
+    vector-search analog of a hot partition: probe latency is driven by the
+    LARGEST probed cell, so this profile is the gate that decides when the
+    index needs re-seeding (or more lists) — run it per index release, not
+    per query. One map-side-combined count over the assignment; the share
+    ratio is a 1-row broadcast carry."""
+    from cliner_spark import similarity as _s
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    _cent, assigned = _s.seeded_cells(emb, n_lists=16)
+    per = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = per.agg(F.sum("n_vectors").alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.round(F.col("n_vectors").cast("double") / F.col("n"), 6).alias("share"),
+    )
+
+
+@_register_r3(
+    "q_embedding_dim_stats",
+    f"""
+WITH {SQL_EMB},
+flat AS (
+  SELECT CAST(t.i AS INTEGER) AS dim,
+         CAST(floor(e.v[t.i + 1] * 1000000) AS BIGINT) AS v_fp
+  FROM e, unnest(range(64)) AS t(i)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_fp) AS BIGINT) AS sum_fp,
+       CAST(min(v_fp) AS BIGINT) AS min_fp,
+       CAST(max(v_fp) AS BIGINT) AS max_fp,
+       round(CAST(sum(v_fp) AS DOUBLE) / 1000000 / count(*), 6) AS mean
+FROM flat GROUP BY dim
+""",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution stats (the mean-centering /
+    whitening pre-pass every cosine-ANN pipeline should run — an off-center
+    dimension dominates dot products and collapses LSH buckets): exact
+    BIGINT fixed-point sums/min/max per dimension, one rounded mean.
+    posexplode is the 64x row expansion, but it feeds straight into a
+    partial-aggregated groupBy on 64 keys — the shuffle carries 64 rows per
+    partition, not the corpus. Fixed-point floor(v*1e6) keeps every
+    aggregate engine-exact (float32 -> double promotion is exact on both
+    sides)."""
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") * 1000000).cast("bigint").alias("v_fp"),
+    )
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_fp").alias("sum_fp"),
+        F.min("v_fp").alias("min_fp"),
+        F.max("v_fp").alias("max_fp"),
+        F.round(F.sum("v_fp").cast("double") / 1000000 / F.count(F.lit(1)), 6).alias(
+            "mean"
+        ),
+    )

@@ -273,6 +273,22 @@ def ivf_seeded_topk(
     at 10^12 rows that removes a 16x row blow-up and a full shuffle on the
     unique vector id.
     """
+    cent_df, assigned = seeded_cells(emb, n_lists, id_col, vec_col)
+    return ivf_topk_from_index(
+        cent_df, assigned, query_filter, k, n_probe, id_col, vec_col
+    )
+
+
+def seeded_cells(
+    emb: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The seeded quantizer extracted from ivf_seeded_topk: (centroids,
+    assignments) with the md5-sampled seeds and the narrow inline-argmax
+    cell assignment (see ivf_seeded_topk docstring for the scale
+    rationale). Shared by the search path and the index-health profile."""
     spark = emb.sparkSession
     seed_rows = (
         emb.select(F.col(id_col), F.col(vec_col))
@@ -283,7 +299,7 @@ def ivf_seeded_topk(
     )
     centroids = [(int(c), [float(v) for v in r[vec_col]]) for c, r in enumerate(seed_rows)]
     cent_df = spark.createDataFrame(
-        [(c, v) for c, v in centroids], f"cell int, centroid array<double>"
+        [(c, v) for c, v in centroids], "cell int, centroid array<double>"
     )
 
     # cell = argmax of rounded cosine to the seeds (tie -> lower cell)
@@ -299,9 +315,7 @@ def ivf_seeded_topk(
     assigned = emb.select(
         F.col(id_col), F.col(vec_col), (-best["negcell"]).cast("int").alias("cell")
     )
-    return ivf_topk_from_index(
-        cent_df, assigned, query_filter, k, n_probe, id_col, vec_col
-    )
+    return cent_df, assigned
 
 
 def lsh_topk(

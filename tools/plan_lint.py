@@ -73,6 +73,9 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_concept_drift": [("BroadcastNestedLoopJoin", "1-row t_a/t_b totals carry")],
     "q_extractive_summary": [("BroadcastNestedLoopJoin", "1-row corpus-size carry")],
     "q_curriculum_phases": [("BroadcastNestedLoopJoin", "1-row tertile-bounds carry")],
+    "q_ivf_cell_profile": [
+        ("BroadcastNestedLoopJoin", "1-row corpus-total carry into the share ratio")
+    ],
     "q_perplexity_buckets": [
         ("BroadcastNestedLoopJoin",
          "1-row vocab carry (LM) + 1-row total/tertile-bounds carries")
