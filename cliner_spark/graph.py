@@ -857,3 +857,55 @@ def eccentricity(edges: DataFrame, max_hops: int = 10) -> DataFrame:
         F.max("hops").cast("int").alias("ecc"),
         F.count(F.lit(1)).cast("long").alias("n_reachable"),
     )
+
+
+def bfs_paths(edges: DataFrame, seed: str, max_hops: int = 10) -> DataFrame:
+    """Shortest-hop path EXPLANATIONS from a seed over the undirected edge
+    set: per reachable node, the hop distance plus one canonical witness
+    path (the lexicographically smallest '>'-joined node string among all
+    shortest paths — deterministic, engine-comparable). BFS guarantees the
+    first visit is at min distance; the min-string pick inside the visit
+    hop makes the witness unique.
+
+    This is the "why is B related to A" query a KG serving layer answers;
+    path strings stay bounded by the graph diameter. Same frontier/visited
+    BSP shape (and scale story) as bfs_distances."""
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(seed, 0, seed)], "node string, hops int, path string"
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(
+                F.broadcast(
+                    frontier.select(F.col("node").alias("src"), "path")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.lit(">"), F.col("dst")).alias("path"),
+            )
+            .join(visited.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("path").alias("path"))
+            .withColumn("hops", F.lit(hop))
+            .select("node", "hops", "path")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return visited
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    if (
+        sym.join(F.broadcast(frontier.select(F.col("node").alias("src"))), "src")
+        .select(F.col("dst").alias("node"))
+        .join(visited.select("node"), "node", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise RuntimeError(f"bfs_paths: frontier not empty after {max_hops} hops")
+    return visited

@@ -1059,3 +1059,198 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3g: zone-map pruning audit, golden-record survivorship, KG path
+# explanations
+# --------------------------------------------------------------------------
+
+from cliner_spark.maintenance import morton_col, morton_sql  # noqa: E402
+
+_Z3 = morton_sql("l_partkey", "l_suppkey")
+# fixed audit predicate, valid at every SF (partkey/suppkey start at 1)
+_PRED_SQL = "l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 1 AND 5"
+
+
+@_register_r3(
+    "q_zonemap_prune_audit",
+    f"""
+WITH z AS (SELECT l_partkey, l_suppkey, {_Z3} AS zval FROM lineitem),
+b AS (
+  SELECT zval >> 16 AS zbucket, count(*) AS n_rows,
+         min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+         sum(CASE WHEN {_PRED_SQL} THEN 1 ELSE 0 END) AS n_match
+  FROM z GROUP BY 1
+),
+s AS (
+  SELECT b.*, CASE WHEN min_p <= 50 AND max_p >= 10
+                    AND min_s <= 5 AND max_s >= 1 THEN 1 ELSE 0 END AS scanned
+  FROM b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(scanned) AS BIGINT) AS n_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN scanned = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       CASE WHEN sum(n_match) > 0
+            THEN round(CAST(sum(CASE WHEN scanned = 1 THEN n_rows ELSE 0 END)
+                            AS DOUBLE) / sum(n_match), 6) END AS read_amp
+FROM s
+""",
+)
+def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning EFFECTIVENESS audit for the Z-order layout
+    (q_zorder_layout's buckets): for a two-dimensional predicate, how many
+    z-buckets a min/max-stats planner would actually scan, how many rows
+    that touches, and the read amplification vs the true match count — the
+    number that decides whether a table REWRITE (zorder) pays for itself
+    before anyone runs it at 100 TB. Every quantity is integer-exact; the
+    single ratio is one rounded division (NULL when the predicate matches
+    nothing)."""
+    li = load(spark, sf_dir, "lineitem")
+    z = morton_col(F.col("l_partkey").cast("long"), F.col("l_suppkey").cast("long"))
+    pred = (
+        F.col("l_partkey").between(10, 50) & F.col("l_suppkey").between(1, 5)
+    )
+    b = (
+        li.select(
+            F.shiftright(z, 16).alias("zbucket"), "l_partkey", "l_suppkey",
+            pred.cast("long").alias("m"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_p"),
+            F.max("l_partkey").alias("max_p"),
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+            F.sum("m").alias("n_match"),
+        )
+    )
+    scanned = (
+        (F.col("min_p") <= 50) & (F.col("max_p") >= 10)
+        & (F.col("min_s") <= 5) & (F.col("max_s") >= 1)
+    ).cast("long")
+    return b.select(b["*"], scanned.alias("scanned")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("scanned").alias("n_scanned"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(F.col("scanned") == 1, F.col("n_rows")).otherwise(0)).alias(
+            "rows_scanned"
+        ),
+        F.sum("n_match").alias("rows_matched"),
+    ).select(
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.col("n_scanned").cast("bigint").alias("n_scanned"),
+        F.col("rows_total").cast("bigint").alias("rows_total"),
+        F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
+        F.col("rows_matched").cast("bigint").alias("rows_matched"),
+        F.when(
+            F.col("rows_matched") > 0,
+            F.round(F.col("rows_scanned").cast("double") / F.col("rows_matched"), 6),
+        ).alias("read_amp"),
+    )
+
+
+@_register_r3(
+    "q_golden_record",
+    f"""
+WITH cl AS ({{dup}}),
+m AS (SELECT cl.cluster_id, d.doc_id, d.source, d.n_chars
+      FROM cl JOIN documents d USING (doc_id))
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+FROM m GROUP BY cluster_id HAVING count(*) > 1
+""".format(dup="{dup}"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) view of the near-dup clusters: per
+    multi-member cluster, the surviving representative (cluster_id = min
+    doc id, the same rule the dedup keep-decision uses) plus the MERGED
+    metadata — member count, best (max) length, the sorted union of
+    sources — i.e. what an MDM merge writes back so provenance survives
+    the drop. One id-grain join + one aggregation over the cluster
+    assignment the dedup pass already built."""
+    from cliner_spark import dedup as _dd
+
+    docs = load(spark, sf_dir, "documents")
+    cl = _dd.dup_clusters(load_docs(spark, sf_dir), min_jaccard=0.5)
+    m = cl.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").cast("bigint").alias("max_n_chars"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "max_n_chars",
+            "sources",
+        )
+    )
+
+
+# patch the {dup} placeholder with the component oracle (kept out of the
+# f-string above so the nested SQL's braces survive)
+REGISTRY["q_golden_record"] = REGISTRY["q_golden_record"].__class__(
+    "q_golden_record",
+    REGISTRY["q_golden_record"].spark_fn,
+    REGISTRY["q_golden_record"].sql.format(dup=REGISTRY["q_dup_clusters"].sql),
+)
+
+
+@_register_r3(
+    "q_kg_path_explain",
+    f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI.strip()},
+e AS (SELECT src, dst FROM coedges UNION ALL SELECT dst, src FROM coedges),
+walk(node, hops, path) AS (
+  SELECT 'CD001', 0, 'CD001'
+  UNION
+  SELECT e.dst, w.hops + 1, w.path || '>' || e.dst
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 4
+    AND position('>' || e.dst || '>' IN '>' || w.path || '>') = 0
+),
+d AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+SELECT d.node, CAST(d.hops AS INTEGER) AS hops, min(w.path) AS path
+FROM d JOIN walk w ON w.node = d.node AND w.hops = d.hops
+GROUP BY d.node, d.hops
+""",
+)
+def q_kg_path_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path EXPLANATIONS from concept CD001 over the co-occurrence
+    graph (graph.bfs_paths): per reachable concept, the hop distance plus
+    one canonical witness path — the "why is B related to A" answer a KG
+    serving layer returns next to a recommendation. The witness is the
+    lexicographically smallest shortest path; with uniform-width concept
+    ids the per-hop min Spark carries equals the global min the oracle
+    takes over its (simple-path, hop-bounded) enumeration — BFS witnesses
+    stay canonical without enumerating paths at scale."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.graph import bfs_paths
+
+    d = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.cui") < F.col("b.cui")),
+        )
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+    )
+    return bfs_paths(pairs, "CD001", max_hops=4).select(
+        "node", F.col("hops").cast("int").alias("hops"), "path"
+    )

@@ -176,3 +176,55 @@ def test_eccentricity_random_replica(spark):
         for r in eccentricity(_edges(spark, pairs)).collect()
     }
     assert got == _ecc_oracle(pairs)
+
+
+# --- bfs path explanations ----------------------------------------------------
+
+
+def test_bfs_paths_picks_canonical_witness(spark):
+    # two equal-length shortest paths a-b-d and a-c-d: witness must be the
+    # lexicographically smaller one (a>b>d); e unreachable at its own comp
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    from cliner_spark.graph import bfs_paths
+
+    got = {r["node"]: (r["hops"], r["path"]) for r in bfs_paths(e, "a").collect()}
+    assert got == {
+        "a": (0, "a"),
+        "b": (1, "a>b"),
+        "c": (1, "a>c"),
+        "d": (2, "a>b>d"),
+    }
+
+
+def test_bfs_paths_random_replica(spark):
+    # uniform-width node names (the canonical-witness contract); compare
+    # against exhaustive simple-path enumeration
+    rng = random.Random(41)
+    nodes = [f"n{i:02d}" for i in range(8)]
+    pairs = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(12)})
+    from cliner_spark.graph import bfs_paths
+
+    got = {
+        r["node"]: (r["hops"], r["path"])
+        for r in bfs_paths(_edges(spark, pairs), nodes[0], max_hops=8).collect()
+    }
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute force: all simple paths from seed, shortest per node, min string
+    best = {nodes[0]: (0, nodes[0])}
+    stack = [(nodes[0], [nodes[0]])]
+    while stack:
+        u, path = stack.pop()
+        for v in adj.get(u, ()):
+            if v in path:
+                continue
+            p2 = path + [v]
+            key = (len(p2) - 1, ">".join(p2))
+            if v not in best or key < best[v]:
+                best[v] = key
+            if len(p2) <= 8:
+                stack.append((v, p2))
+    assert got == best
