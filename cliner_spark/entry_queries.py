@@ -5140,12 +5140,11 @@ def q_temporal_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Round-2 additions (remaining TPC-H shapes + corpus document operators)
 # register themselves via this module's @register; imported last so every
-# helper above is defined.
+# helper above is defined. queries_r2's OWN tail imports queries_r3 (round-3
+# registrations) — chaining the tail imports keeps every import order
+# (entry_queries first, queries_r2 first, or queries_r3 first) cycle-safe:
+# each module only reaches into fully-defined attributes of its upstream.
 from cliner_spark import queries_r2  # noqa: E402,F401
-
-# Round-3 additions; exposes R3_NAMES (its registrations, newest-first) so
-# the driver-priority window below always leads with the current round.
-from cliner_spark import queries_r3  # noqa: E402
 
 # --------------------------------------------------------------------------
 # Driver correctness-window ordering (round-2 verdict item 2).
@@ -5161,7 +5160,9 @@ from cliner_spark import queries_r3  # noqa: E402
 # --------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    *queries_r3.R3_NAMES,
+    # (this round's new registrations — queries_r3.R3_NAMES — are prepended
+    # at call time in ordered_registry(), lazily, so import order between
+    # the query modules stays acyclic)
     # queries whose code changed this round -> must re-verify in-window
     "q_embedding_ivf_topk",  # new recall-assert formulation (was no_oracle)
     "q_json_corrupt_audit",  # ADVICE: explicit validity predicate
@@ -5217,9 +5218,13 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
-    """REGISTRY re-keyed so DRIVER_PRIORITY names come first (their listed
-    order), then everything else in registration order."""
-    out = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}
+    """REGISTRY re-keyed so the newest round's registrations come first
+    (queries_r3.R3_NAMES, resolved lazily), then DRIVER_PRIORITY (their
+    listed order), then everything else in registration order."""
+    from cliner_spark import queries_r3
+
+    priority = [*queries_r3.R3_NAMES, *DRIVER_PRIORITY]
+    out = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     for n, s in REGISTRY.items():
         out.setdefault(n, s)
     return out

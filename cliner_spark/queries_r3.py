@@ -646,8 +646,9 @@ def q_kg_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a new (pred, type, type) row appearing = schema drift). Entity types
     are the URI prefix, so the whole query is one split + partial-agg
     groupBy over the KG, no joins."""
-    linked, _gaz = _doc_linked_transcript(spark, sf_dir)
-    tr = build_triples(linked, canon_map=cached_canon_map(spark))
+    from cliner_spark.queries_r2 import cached_triples
+
+    tr = cached_triples(spark, sf_dir)
     typ = lambda c: F.split(F.col(c), ":", 2).getItem(0)  # noqa: E731
     return tr.select(
         "pred", typ("subj").alias("subj_type"), typ("obj").alias("obj_type"),

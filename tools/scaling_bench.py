@@ -191,7 +191,18 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # REWRITE ONLY THE SCALING HEADER, preserve every later "## " section
+    # (query-sweep cost accounting, probes). A whole-file "w" rewrite here
+    # destroyed the sweep section twice (r2 verdict item 3) — never again.
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i != -1:
+            tail = old[i:]
+    with open(bench_path, "w") as f:
         f.write(
             "# Scaling bench (north rule: efficiency >= 0.8 between N and 4N)\n\n"
             "Two parallelism levels (N and 4N cores) on identical input (no "
@@ -231,6 +242,8 @@ def main() -> None:
             " cost; measured 19s vs 89s per rep at local[8]).\n\n"
             f"Reproduce: `python tools/scaling_bench.py`\n"
         )
+        if tail:
+            f.write(tail)
 
 
 if __name__ == "__main__":
