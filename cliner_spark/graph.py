@@ -349,6 +349,7 @@ def pagerank_fixed_point(
     iters: int = 3,
     scale: int = FP_SCALE,
     damping_pct: int = 85,
+    personalize: str | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over the undirected edge set.
 
@@ -380,8 +381,22 @@ def pagerank_fixed_point(
     )
     n = nodes.count()  # O(1) scalar; graph is gazetteer-bounded
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
-    base = ((100 - damping_pct) * scale // 100) // n
-    r = nodes.withColumn("rank_fp", F.lit(scale // n).cast("bigint"))
+    if personalize is None:
+        # uniform restart mass
+        base_col = F.lit(((100 - damping_pct) * scale // 100) // n)
+        r0_col = F.lit(scale // n)
+    else:
+        # personalized PageRank: ALL restart mass returns to the seed, so
+        # rank_fp becomes relatedness-to-seed (the KG "related entities"
+        # ranking) instead of global centrality; same BIGINT algebra.
+        seed_mass = (100 - damping_pct) * scale // 100
+        base_col = F.when(F.col("node") == personalize, F.lit(seed_mass)).otherwise(
+            F.lit(0)
+        )
+        r0_col = F.when(F.col("node") == personalize, F.lit(scale)).otherwise(
+            F.lit(0)
+        )
+    r = nodes.withColumn("rank_fp", r0_col.cast("bigint"))
     for _ in range(iters):
         contrib = (
             sym.join(r.withColumnRenamed("node", "src"), "src")
@@ -394,7 +409,7 @@ def pagerank_fixed_point(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("bigint").alias("rank_fp"),
             )

@@ -616,12 +616,8 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # watermark-lateness profiling, skew salt planning
 # --------------------------------------------------------------------------
 
-from cliner_spark.entry_queries import (  # noqa: E402
-    _doc_linked_transcript,
-    cached_canon_map,
-)
 from cliner_spark.queries_r2 import SQL_TR_CTE  # noqa: E402
-from cliner_spark.triples import build_triples, hot_conversations  # noqa: E402
+from cliner_spark.triples import hot_conversations  # noqa: E402
 
 
 @_register_r3(
@@ -1254,4 +1250,58 @@ def q_kg_path_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bfs_paths(pairs, "CD001", max_hops=4).select(
         "node", F.col("hops").cast("int").alias("hops"), "path"
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 3h: personalized PageRank (related-entities ranking)
+# --------------------------------------------------------------------------
+
+
+def _ppr_sql(iters: int, seed: str) -> str:
+    """Unrolled personalized-PageRank CTE chain mirroring
+    graph.pagerank_fixed_point(personalize=seed) exactly (BIGINT only)."""
+    scale, seed_mass = 1_000_000_000_000, (15 * 1_000_000_000_000) // 100
+    ctes = [
+        "nodes AS (SELECT DISTINCT s AS node FROM e2)",
+        "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY s)",
+        f"r0 AS (SELECT node, CAST(CASE WHEN node = '{seed}' THEN {scale} "
+        "ELSE 0 END AS BIGINT) AS rank_fp FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e2.t AS node, CAST(sum(r{i-1}.rank_fp // d.deg) AS BIGINT) AS s"
+            f" FROM e2 JOIN r{i-1} ON e2.s = r{i-1}.node JOIN deg d ON e2.s = d.s GROUP BY e2.t)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST(CASE WHEN nodes.node = '{seed}' THEN {seed_mass} ELSE 0 END"
+            f" + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS rank_fp"
+            f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iters}"
+
+
+@_register_r3(
+    "q_ppr",
+    f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI.strip()},
+e2 AS (SELECT src AS s, dst AS t FROM coedges UNION SELECT dst, src FROM coedges),
+{_ppr_sql(3, "CD001")}
+""",
+)
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from concept CD001 over the co-occurrence
+    graph (graph.pagerank_fixed_point(personalize=...)): all restart mass
+    returns to the seed, so rank_fp ranks every concept by RELATEDNESS TO
+    THE SEED — the standard KG related-entities/recommendation score,
+    complementing global PageRank (q_pagerank) and the path explanations
+    (q_kg_path_explain). Same BIGINT fixed-point algebra, so the iterative
+    result is hash-checked against a 3-round unrolled SQL twin."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.graph import group_concept_pairs, pagerank_fixed_point
+
+    edges = group_concept_pairs(_doc_linked(spark, sf_dir))
+    return pagerank_fixed_point(edges, iters=3, personalize="CD001").select(
+        "node", "rank_fp"
     )
