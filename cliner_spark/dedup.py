@@ -133,13 +133,32 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     sh: DataFrame | None = None,
+    bucket_cut: int | None = None,
 ) -> DataFrame:
-    """Pairs agreeing on >= min_bands of the n (1-row) bands."""
+    """Pairs agreeing on >= min_bands of the n (1-row) bands.
+
+    bucket_cut: optionally drop band buckets holding more than this many
+    docs before the self-join. A duplication-heavy corpus turns band
+    buckets into hot keys (a bucket of B docs emits B^2/2 candidate pairs —
+    measured 193 s vs 8 s for the df-cut Jaccard index on a 50k-doc corpus
+    where every doc had 10 exact copies), and docs sharing a mega-bucket
+    are near-certain duplicates that the CHEAP exact-dedup pass
+    (exact_dup_groups) already collapses — so at scale run exact dedup
+    first and cap the buckets, exactly the standard cascade ordering.
+    None (default) keeps the exhaustive semantics the oracle replays."""
     sig = minhash_signatures(df, n_hashes, shingle_n, id_col, text_col, sh=sh)
     bands = None
     for i in range(n_hashes):
         b = sig.select(F.col(id_col), F.lit(i).alias("band"), F.col(f"h{i}").alias("sig"))
         bands = b if bands is None else bands.unionByName(b)
+    if bucket_cut is not None:
+        keep = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= bucket_cut)
+            .select("band", "sig")
+        )
+        bands = bands.join(keep, ["band", "sig"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

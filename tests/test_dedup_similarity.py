@@ -287,3 +287,22 @@ def test_map_in_arrow_features_match_pandas_path(spark):
     a = key(multimodal.extract_features_arrow(media, feature_dim=4).collect())
     p = key(multimodal.extract_features(media, feature_dim=4).collect())
     assert a == p and len(a) == 51 and a[999][0] == 0
+
+
+def test_lsh_bucket_cut_drops_mega_buckets_only(spark):
+    """bucket_cut caps duplication-driven hot band buckets: with a corpus of
+    verbatim clones the uncapped join emits all clone pairs, a small cap
+    drops exactly those mega-bucket pairs, and genuinely distinct docs'
+    candidates survive."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)]
+    rows += [(100, "one two three four five six"), (101, "one two three four five seven")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.lsh_candidate_pairs(df, min_bands=2)
+    capped = dedup.lsh_candidate_pairs(df, min_bands=2, bucket_cut=5)
+    full_pairs = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # uncapped finds the 20-clone clique (190 pairs) plus the near-dup pair
+    assert (100, 101) in full_pairs and len(full_pairs) >= 190
+    # capped keeps the real near-dup candidate, drops the clone clique
+    assert (100, 101) in capped_pairs
+    assert all(a >= 100 for a, _ in capped_pairs), capped_pairs
