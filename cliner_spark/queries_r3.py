@@ -1305,3 +1305,519 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, iters=3, personalize="CD001").select(
         "node", "rank_fp"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3i: transcript-native analytics (groundedness, agent loops) +
+# LLM-data ops (Kneser-Ney LM, packing frontier, MMR rerank, hard negatives)
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_DOCS_TOKS  # noqa: E402
+
+
+def _fp_vec(col):
+    """1e-6 fixed-point BIGINT vector: round(x * 1e6) per component.
+
+    float32 -> double promotion is exact and double*1e6 + round is the same
+    IEEE operation on both engines (precedent: q_conv_embedding_pool),
+    so every downstream integer dot product is engine-exact."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round(x * 1000000).cast("long"),
+    )
+
+
+def _dot_fp(a, b):
+    """Exact BIGINT dot product of two fixed-point vectors (zip_with +
+    aggregate — one JVM expression, no Python, no explode)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQL_GROUND = f"""
+WITH {SQL_DOCS_TOKS},
+sh AS (
+  SELECT DISTINCT d.doc_id,
+         lower(array_to_string(d.toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 3 <= len(d.toks)
+),
+a AS (SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id, shingle
+      FROM sh WHERE doc_id % 3 = 1),
+tfirst AS (SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id, shingle,
+                  CAST(min(doc_id) AS BIGINT) AS first_tool_doc
+           FROM sh WHERE doc_id % 3 = 2 GROUP BY 1, 2),
+adocs AS (SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS conv_id
+          FROM documents WHERE doc_id % 3 = 1),
+per AS (
+  SELECT a.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(sum(CASE WHEN t.first_tool_doc < a.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_grounded
+  FROM a LEFT JOIN tfirst t ON a.conv_id = t.conv_id AND a.shingle = t.shingle
+  GROUP BY 1
+)
+SELECT d.doc_id, d.conv_id,
+       coalesce(p.n_tri, 0) AS n_tri,
+       coalesce(p.n_grounded, 0) AS n_grounded
+FROM adocs d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@_register_r3("q_grounding_audit", _SQL_GROUND)
+def q_grounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution/groundedness audit for assistant turns: the share of an
+    assistant turn's distinct token trigrams that already appeared in an
+    EARLIER tool-output turn of the SAME conversation — the RAG-era
+    'is the answer supported by the retrieved evidence' signal, and the
+    in-conversation complement of q_decontaminate (which checks containment
+    against an external benchmark). Roles/turn order use the corpus'
+    standard derivation (conv = doc_id % 97, order = doc_id, role =
+    doc_id % 3 with 1=assistant 2=tool). Exact integers only: n_tri and
+    n_grounded per assistant turn (the consumer thresholds the ratio).
+
+    Scale plan: tool side collapses to (conv, shingle) -> min(turn) — a
+    map-side-combined aggregate; the audit join is an equi-join on
+    (conv, shingle), partition-local when the corpus is conv-hash
+    partitioned (triples.write_triples layout); no window, no all-pairs.
+    Assistant turns with <3 tokens are kept as (0, 0) rows via the final
+    left join, so coverage accounting never silently drops short turns."""
+    from cliner_spark.dedup import shingles
+
+    docs = load_docs(spark, sf_dir)
+    sh = shingles(docs, 3).withColumn(
+        "conv_id", (F.col("doc_id") % 97).cast("string")
+    )
+    a = sh.filter(F.col("doc_id") % 3 == 1)
+    tfirst = (
+        sh.filter(F.col("doc_id") % 3 == 2)
+        .groupBy("conv_id", "shingle")
+        .agg(F.min("doc_id").alias("first_tool_doc"))
+    )
+    per = (
+        a.join(tfirst, ["conv_id", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(
+                F.when(F.col("first_tool_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_grounded"),
+        )
+    )
+    adocs = docs.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", (F.col("doc_id") % 97).cast("string").alias("conv_id")
+    )
+    return adocs.join(per, "doc_id", "left").select(
+        "doc_id",
+        "conv_id",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.coalesce(F.col("n_grounded"), F.lit(0)).cast("long").alias("n_grounded"),
+    )
+
+
+_SQL_LOOPS = """
+WITH tx AS (
+  SELECT CAST(doc_id % 97 AS VARCHAR) AS conv_id, doc_id,
+         'band' || CAST(n_chars // 400 AS VARCHAR) AS tool
+  FROM documents
+),
+seq AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY conv_id, tool ORDER BY doc_id) AS rnt
+  FROM tx
+)
+SELECT conv_id, tool,
+       CAST(min(rn) - 1 AS INTEGER) AS start_turn,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM seq GROUP BY conv_id, tool, rn - rnt
+HAVING count(*) >= 2
+"""
+
+
+@_register_r3("q_agent_loop_detect", _SQL_LOOPS)
+def q_agent_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection: maximal runs of >= 2 CONSECUTIVE turns
+    calling the same tool within a conversation (the 'agent retrying the
+    same call forever' smell every transcript pipeline filters before
+    training). Classic gaps-and-islands: two row_numbers per (conv) and
+    (conv, tool) — their difference is constant exactly within a
+    consecutive run — then one groupBy island. Both windows partition by
+    conversation, so at 10^12 turns this is two partition-local sorts on
+    the conv-hash layout and one map-side-combined aggregate; no self-join,
+    no iteration. Turn order = doc_id, conv = doc_id % 97 (the corpus'
+    standard transcript derivation). The tool stand-in is the turn's
+    LENGTH BAND (n_chars div 400), not documents.source: the synthetic
+    source column is exactly periodic in doc_id (src{doc_id % 20}), which
+    makes consecutive repeats impossible by construction under any modular
+    conv split — a data-derived band gives genuine runs (the fixture
+    contract this query documents; production uses the real tool column)."""
+    tx = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        "doc_id",
+        F.concat(F.lit("band"), F.expr("n_chars div 400").cast("string")).alias(
+            "tool"
+        ),
+    )
+    w_all = Window.partitionBy("conv_id").orderBy("doc_id")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("doc_id")
+    seq = tx.select(
+        "conv_id",
+        "tool",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_tool).alias("rnt"),
+    )
+    return (
+        seq.groupBy("conv_id", "tool", (F.col("rn") - F.col("rnt")).alias("_isl"))
+        .agg(
+            (F.min("rn") - 1).cast("int").alias("start_turn"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .select("conv_id", "tool", "start_turn", "run_len")
+    )
+
+
+_SQL_KN = f"""
+WITH {SQL_DOCS_TOKS},
+pairs AS (
+  SELECT lower(d.toks[t.i + 1]) AS w1, lower(d.toks[t.i + 2]) AS w2
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 2 <= len(d.toks)
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+lt AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS r1
+       FROM bg GROUP BY 1),
+ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS f2 FROM bg GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS r FROM bg)
+SELECT bg.w1, bg.w2, bg.c, lt.c1, lt.r1, ct.f2, t.r,
+       CAST((4 * bg.c - 3) * t.r + 3 * lt.r1 * ct.f2 AS BIGINT) AS kn_num,
+       CAST(4 * lt.c1 * t.r AS BIGINT) AS kn_den
+FROM bg JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tot t
+"""
+
+
+@_register_r3("q_kn_bigram", _SQL_KN)
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney (absolute-discount D=0.75) smoothed bigram LM as EXACT
+    RATIONAL arithmetic — the standard LM-quality-filter upgrade over the
+    add-1 table (q_lm_bigrams):
+
+        p_kn(w2|w1) = (c - D)/c1 + (D * R1/c1) * (F2/R)
+
+    with c = c(w1 w2), c1 = left-position count of w1, R1 = distinct
+    followers of w1 (discount mass fan-out), F2 = distinct predecessors of
+    w2 (the continuation count that makes KN back-off count CONTEXTS, not
+    tokens), R = total distinct bigram types. With D = 3/4 the probability
+    is exactly kn_num/kn_den over BIGINTs (common denominator 4*c1*R), so
+    the whole table is hash-exact across engines — no float smoothing grid.
+    (Production scores in log-space doubles; this integer form is the
+    verification grid, same contract as q_lm_doc_score's fixed point.)
+
+    Plan: three map-side-combined aggregates over ONE bigram table plus two
+    broadcast-sized joins on w1/w2 and a 1-row broadcast carry for R; at
+    corpus scale the bigram groupBy is the only real shuffle."""
+    docs = load_docs(spark, sf_dir)
+    toks = tokens_col("text")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.lower(F.element_at(toks, i + 1)).alias("w1"),
+                F.lower(F.element_at(toks, i + 2)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    lt = bg.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("r1")
+    )
+    ct = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("f2"))
+    tot = bg.agg(F.count(F.lit(1)).alias("r"))
+    return (
+        bg.join(lt, "w1")
+        .join(ct, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            "r1",
+            "f2",
+            "r",
+            ((4 * F.col("c") - 3) * F.col("r") + 3 * F.col("r1") * F.col("f2"))
+            .cast("long")
+            .alias("kn_num"),
+            (4 * F.col("c1") * F.col("r")).cast("long").alias("kn_den"),
+        )
+    )
+
+
+_SQL_PACK_EFF = f"""
+WITH {SQL_DOCS_TOKS},
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS l FROM docs),
+b AS (SELECT CAST(unnest([64, 128, 256, 512, 1024]) AS BIGINT) AS budget),
+agg AS (
+  SELECT b.budget,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN l > b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         CAST(sum(greatest(l - b.budget, 0)) AS BIGINT) AS tokens_lost,
+         CAST(sum(least(l, b.budget)) AS BIGINT) AS kept_tokens
+  FROM lens CROSS JOIN b GROUP BY 1
+)
+SELECT budget, n_docs, n_truncated, tokens_lost, kept_tokens,
+       CAST(budget * n_docs - kept_tokens AS BIGINT) AS pad_waste_unpacked,
+       CAST((kept_tokens + budget - 1) // budget AS BIGINT) AS packed_seqs_lb,
+       CAST(((kept_tokens + budget - 1) // budget) * budget - kept_tokens
+            AS BIGINT) AS pad_waste_packed_lb
+FROM agg
+"""
+
+
+@_register_r3("q_pack_efficiency", _SQL_PACK_EFF)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget frontier for sequence packing — the sizing study run
+    BEFORE q_seq_packing commits to a budget: for each candidate context
+    length, exact counts of truncated docs, tokens lost to truncation,
+    padding waste with one-doc-per-sequence, and the bin-packing LOWER
+    BOUND on sequence count (ceil(kept/budget)) with its residual pad
+    waste. Greedy packing (q_seq_packing) lands between the two waste
+    columns, so this bounds the achievable efficiency per budget without
+    running the packer. All BIGINT (ceil via (x+b-1) div b — no floats).
+    Plan: one length scan x 5 broadcast budget rows -> 5-group aggregate;
+    at 10^12 turns this is a single map-side-combined pass."""
+    docs = load_docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("l")
+    )
+    budgets = spark.createDataFrame(
+        [(64,), (128,), (256,), (512,), (1024,)], "budget long"
+    )
+    agg = (
+        lens.crossJoin(F.broadcast(budgets))
+        .groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("l") > F.col("budget"), 1).otherwise(0)).alias(
+                "n_truncated"
+            ),
+            F.sum(F.greatest(F.col("l") - F.col("budget"), F.lit(0))).alias(
+                "tokens_lost"
+            ),
+            F.sum(F.least(F.col("l"), F.col("budget"))).alias("kept_tokens"),
+        )
+    )
+    seqs_lb = F.expr("(kept_tokens + budget - 1) div budget")
+    return agg.select(
+        "budget",
+        "n_docs",
+        "n_truncated",
+        "tokens_lost",
+        "kept_tokens",
+        (F.col("budget") * F.col("n_docs") - F.col("kept_tokens"))
+        .cast("long")
+        .alias("pad_waste_unpacked"),
+        seqs_lb.cast("long").alias("packed_seqs_lb"),
+        (seqs_lb * F.col("budget") - F.col("kept_tokens"))
+        .cast("long")
+        .alias("pad_waste_packed_lb"),
+    )
+
+
+_SQL_FPV = (
+    "fpv AS (SELECT vec_id, list_transform(v, x -> "
+    "CAST(round(x * 1000000) AS BIGINT)) AS vf FROM e)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Exact BIGINT dot product of two fixed-point DuckDB lists."""
+    return (
+        f"list_sum(list_transform(range(64), i -> {a}[i + 1] * {b}[i + 1]))"
+    )
+
+
+_SQL_MMR = f"""
+WITH {SQL_EMB}, {_SQL_FPV},
+q AS (SELECT vf AS qf FROM fpv WHERE vec_id = 0),
+rel AS (
+  SELECT f.vec_id, CAST({_sql_dot('f.vf', 'q.qf')} AS BIGINT) AS rel_fp
+  FROM fpv f CROSS JOIN q WHERE f.vec_id <> 0
+),
+cand AS (SELECT vec_id, rel_fp FROM rel ORDER BY rel_fp DESC, vec_id LIMIT 10),
+sims AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST({_sql_dot('fa.vf', 'fb.vf')} AS BIGINT) AS s
+  FROM cand a JOIN fpv fa ON fa.vec_id = a.vec_id
+       CROSS JOIN cand b JOIN fpv fb ON fb.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, rel_fp, 1 AS rank, 2 * rel_fp AS score_fp
+       FROM cand ORDER BY rel_fp DESC, vec_id LIMIT 1),
+m2 AS (SELECT s.i AS vec_id, max(s.s) AS maxsim FROM sims s
+       JOIN s1 ON s.j = s1.vec_id GROUP BY 1),
+s2 AS (SELECT c.vec_id, c.rel_fp, 2 AS rank,
+              2 * c.rel_fp - m.maxsim AS score_fp
+       FROM cand c JOIN m2 m ON c.vec_id = m.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+       ORDER BY 2 * c.rel_fp - m.maxsim DESC, c.vec_id LIMIT 1),
+sel12 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+m3 AS (SELECT s.i AS vec_id, max(s.s) AS maxsim FROM sims s
+       JOIN sel12 ON s.j = sel12.vec_id GROUP BY 1),
+s3 AS (SELECT c.vec_id, c.rel_fp, 3 AS rank,
+              2 * c.rel_fp - m.maxsim AS score_fp
+       FROM cand c JOIN m3 m ON c.vec_id = m.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel12)
+       ORDER BY 2 * c.rel_fp - m.maxsim DESC, c.vec_id LIMIT 1)
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel_fp, score_fp
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+"""
+
+
+@_register_r3("q_mmr_rerank", _SQL_MMR)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking: from the top-10
+    relevance candidates for the seed query (vec_id 0's embedding), pick 3
+    results greedily by score = (1-λ)·rel − λ·max_{j∈selected} sim(i,j)
+    with λ = 1/3, i.e. the integer objective 2·rel_fp − maxsim_fp — the
+    standard search-result / few-shot-example diversifier on top of any ANN
+    retriever. EVERYTHING is exact BIGINT: 1e-6 fixed-point vectors, integer
+    dot products for both relevance and pairwise similarity, integer
+    greedy scores, ties broken by vec_id — so the 3 unrolled greedy rounds
+    hash-match an unrolled SQL twin without a float anywhere.
+
+    Scale plan: candidate generation is the ANN layer's job (q_embedding_*);
+    MMR operates on the O(k²) similarity matrix of ONE candidate set —
+    10×10 here — so the rerank joins are broadcast-trivial per query and
+    the unrolled-rounds shape is exactly how a serving tier executes greedy
+    MMR (k is a constant, never data-sized)."""
+    emb = load(spark, sf_dir, "embeddings")
+    fpv = emb.select("vec_id", _fp_vec(F.col("embedding")).alias("vf"))
+    q = fpv.filter(F.col("vec_id") == 0).select(F.col("vf").alias("qf"))
+    rel = (
+        fpv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "vf", _dot_fp(F.col("vf"), F.col("qf")).alias("rel_fp"))
+    )
+    cand = rel.orderBy(F.desc("rel_fp"), F.asc("vec_id")).limit(10)
+    cand = cand.localCheckpoint(eager=True)  # tiny; reused by 3 greedy rounds
+    a = cand.select(
+        F.col("vec_id").alias("i"), F.col("vf").alias("va")
+    )
+    b = cand.select(F.col("vec_id").alias("j"), F.col("vf").alias("vb"))
+    sims = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select("i", "j", _dot_fp(F.col("va"), F.col("vb")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    cand_slim = cand.select("vec_id", "rel_fp")
+    s1 = (
+        cand_slim.orderBy(F.desc("rel_fp"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "rel_fp",
+            (2 * F.col("rel_fp")).alias("score_fp"),
+        )
+    )
+    picks = [s1]
+    for r in (2, 3):
+        sel_ids = picks[0].select("vec_id")
+        for p in picks[1:]:
+            sel_ids = sel_ids.unionByName(p.select("vec_id"))
+        maxsim = (
+            sims.join(sel_ids.withColumnRenamed("vec_id", "j"), "j")
+            .groupBy("i")
+            .agg(F.max("s").alias("maxsim"))
+        )
+        scored = (
+            cand_slim.join(sel_ids, "vec_id", "left_anti")
+            .join(maxsim.withColumnRenamed("i", "vec_id"), "vec_id")
+            .select(
+                "vec_id",
+                "rel_fp",
+                (2 * F.col("rel_fp") - F.col("maxsim")).alias("score_fp"),
+            )
+        )
+        picks.append(
+            scored.orderBy(F.desc("score_fp"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(r).alias("rank"), "vec_id", "rel_fp", "score_fp")
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("rank", "vec_id", "rel_fp", "score_fp")
+
+
+_SQL_HARDNEG = f"""
+WITH {SQL_EMB}, {_SQL_SEEDED_CELLS}, {_SQL_FPV},
+cells AS (
+  SELECT s.vec_id, s.cell, l.label, f.vf
+  FROM scells s JOIN embeddings l USING (vec_id) JOIN fpv f USING (vec_id)
+),
+p AS (
+  SELECT a.vec_id, b.vec_id AS neg_id,
+         CAST({_sql_dot('a.vf', 'b.vf')} AS BIGINT) AS sim_fp
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.label <> b.label
+)
+SELECT vec_id, neg_id, sim_fp, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim_fp DESC, neg_id ASC) AS INTEGER) AS rank
+  FROM p
+) WHERE rank <= 2
+"""
+
+
+@_register_r3("q_hard_negatives", _SQL_HARDNEG)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the 2
+    most-similar vectors with a DIFFERENT label inside the anchor's IVF
+    cell — the batch-mining step that turns an embedding corpus into
+    contrastive training pairs (high-similarity wrong-label examples are
+    the gradient-rich negatives). Candidates come from the seeded IVF
+    quantizer (similarity.seeded_cells — the SAME hash-checked assignment
+    the ANN search probes), so mining inherits the index's partition
+    pruning: pairs are generated per cell, never all-pairs; similarity is
+    the exact 1e-6 fixed-point BIGINT dot product, ties by neg_id.
+
+    Scale plan: cell-partitioned self-join (cell count is the parallelism
+    knob, 16 here / thousands in production) + per-anchor top-2 window
+    partitioned by vec_id — both shuffle on keys the index already
+    clusters by. A skewed cell shows up in q_ivf_cell_profile BEFORE it
+    hurts this join (that profile is the gate)."""
+    from cliner_spark import similarity as _s
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    _cent, assigned = _s.seeded_cells(emb, n_lists=16)
+    cells = (
+        assigned.select("vec_id", "cell")
+        .join(emb.select("vec_id", "label", "embedding"), "vec_id")
+        .select("vec_id", "cell", "label", _fp_vec(F.col("embedding")).alias("vf"))
+    )
+    a = cells.select(
+        F.col("vec_id"), F.col("cell"), F.col("label"), F.col("vf").alias("va")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("cell"),
+        F.col("label").alias("neg_label"),
+        F.col("vf").alias("vb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("label") != F.col("neg_label")).select(
+        "vec_id", "neg_id", _dot_fp(F.col("va"), F.col("vb")).alias("sim_fp")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_fp"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .select("vec_id", "neg_id", "sim_fp", "rank")
+    )

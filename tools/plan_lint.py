@@ -30,6 +30,10 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_tfidf_top_terms": [("BroadcastNestedLoopJoin", "1-row corpus-size carry")],
     "q_bm25_search": [("BroadcastNestedLoopJoin", "1-row n_docs/avgdl carry")],
     "q_lm_bigrams": [("BroadcastNestedLoopJoin", "1-row vocab-size carry")],
+    "q_kn_bigram": [("BroadcastNestedLoopJoin", "1-row total-bigram-types carry")],
+    "q_pack_efficiency": [
+        ("BroadcastNestedLoopJoin", "5-row broadcast budget spine x length scan")
+    ],
     "q_lm_doc_score": [("BroadcastNestedLoopJoin", "1-row vocab-size carry")],
     "q_dsir_weights": [("BroadcastNestedLoopJoin", "1-row vocab carries (x2)")],
     "q_gap_fill": [("BroadcastNestedLoopJoin", "hour-spine x group dim (both tiny)")],
