@@ -1821,3 +1821,517 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .select("vec_id", "neg_id", "sim_fp", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3j: PRF query expansion, ANN ranking quality (nDCG), classifier
+# calibration bins, lead-lag series cross-moments, exact KS drift test
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    BM25_QUERY,
+    SQL_EXACT_TOPK,
+    SQL_SEEDED_TOPK,
+)
+
+_QT = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_SQL_PRF = f"""
+WITH {SQL_DOCS_TOKS},
+tk AS (SELECT d.doc_id, lower(t.tok) AS term FROM docs d, unnest(d.toks) AS t(tok)),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf0 AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tk
+        WHERE term IN ({_QT}) GROUP BY 1, 2),
+df0 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY 1),
+s0 AS (
+  SELECT tf0.doc_id,
+         CAST(round(
+           ln(1.0 + (st.n_docs - df0.df + 0.5) / (df0.df + 0.5))
+           * tf0.tf * (1.2 + 1) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+           6) AS DECIMAL(38,6)) AS s
+  FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc0 AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score FROM s0 GROUP BY 1),
+top5 AS (SELECT doc_id FROM sc0 ORDER BY score DESC, doc_id ASC LIMIT 5),
+cand AS (SELECT tk.term, CAST(count(*) AS BIGINT) AS tf5
+         FROM tk JOIN top5 USING (doc_id)
+         WHERE term NOT IN ({_QT}) GROUP BY 1),
+dful AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd FROM tk
+         WHERE term IN (SELECT term FROM cand) GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+exp3 AS (SELECT c.term FROM cand c JOIN dful USING (term) CROSS JOIN nn
+         ORDER BY round(c.tf5 * ln(CAST(nn.n + 1 AS DOUBLE) / (dful.dfd + 1)), 6)
+           DESC, c.term ASC LIMIT 3),
+qterms AS (SELECT unnest([{_QT}]) AS term UNION ALL SELECT term FROM exp3),
+tf AS (SELECT tk.doc_id, tk.term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tk JOIN qterms USING (term) GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+           6) AS DECIMAL(38,6)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score FROM s GROUP BY 1)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _bm25_score_joined(toks, dl, stats, qterms):
+    """BM25 scoring where the query-term set is a DataFrame (broadcast
+    join instead of a literal isin) — per-term scores rounded to 6 dp and
+    summed as DECIMAL so totals are exact and partition-order independent
+    (same contract as textstats.bm25_rank)."""
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    term_score = F.round(idf * F.col("tf") * (1.2 + 1) / denom, 6)
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", term_score.cast("decimal(38,6)"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("double").alias("score"))
+    )
+
+
+@_register_r3("q_rocchio_prf", _SQL_PRF)
+def q_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio): run BM25 for
+    the fixed 4-term query, take the top-5 documents as pseudo-relevant,
+    mine the 3 highest idf-weighted non-query terms from them
+    (round-6 tf5 * ln((N+1)/(df+1)), term-asc tie), and RE-SCORE the corpus
+    with the expanded 7-term query — the classic two-pass retrieval
+    upgrade a training-data search stack runs when recall matters more
+    than latency. The final top-10 is hash-checked end to end because
+    every float is rounded to 6 dp before any ordering or DECIMAL sum.
+
+    Scale plan: pass 1 and pass 2 are both standard BM25 shapes (query
+    filter pushed into the scan, tiny df/avgdl broadcast carries); the
+    feedback set is 5 doc ids (broadcast semi-join) and the expanded term
+    set is 7 rows (broadcast) — the expensive thing is two corpus scans,
+    which is the algorithm, not the plan."""
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    ).select("doc_id", F.lower("term").alias("term"))
+    dl = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qt = [t.lower() for t in BM25_QUERY]
+    q0 = spark.createDataFrame([(t,) for t in qt], "term string")
+    base = _bm25_score_joined(toks, dl, stats, q0)
+    top5 = (
+        base.orderBy(F.desc("score"), F.asc("doc_id")).limit(5).select("doc_id")
+    )
+    cand = (
+        toks.join(F.broadcast(top5), "doc_id")
+        .filter(~F.col("term").isin(*qt))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf5"))
+    )
+    dful = (
+        toks.join(F.broadcast(cand.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("dfd"))
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    exp3 = (
+        cand.join(dful, "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "escore",
+            F.round(
+                F.col("tf5")
+                * F.log((F.col("n") + 1).cast("double") / (F.col("dfd") + 1)),
+                6,
+            ),
+        )
+        .orderBy(F.desc("escore"), F.asc("term"))
+        .limit(3)
+        .select("term")
+    )
+    qterms = q0.unionByName(exp3).localCheckpoint(eager=True)
+    sc = _bm25_score_joined(toks, dl, stats, qterms)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "score", "rk")
+    )
+
+
+_SQL_NDCG = f"""
+WITH {SQL_EMB}, {SQL_EXACT_TOPK.strip()}, {SQL_SEEDED_TOPK.strip()},
+j AS (
+  SELECT s.query_id, s.rn AS pos,
+         CASE WHEN x.rn IS NULL THEN 0 ELSE 4 - x.rn END AS rel
+  FROM seeded s LEFT JOIN exact x
+    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+),
+dcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(round((pow(2, rel) - 1) / (ln(CAST(pos + 1 AS DOUBLE)) / ln(2.0)), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS dcg
+  FROM j GROUP BY 1
+),
+idcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(round((pow(2, 4 - rn) - 1) / (ln(CAST(rn + 1 AS DOUBLE)) / ln(2.0)), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS idcg
+  FROM exact GROUP BY 1
+)
+SELECT d.query_id, d.dcg, i.idcg, round(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
+
+@_register_r3("q_ann_ndcg", _SQL_NDCG)
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@3 of the seeded-IVF ANN ranking against the exact top-3 — the
+    graded-relevance companion to recall@k (q_embedding_ann_recall):
+    relevance of a returned neighbor is 4 - exact_rank (3/2/1, 0 if not in
+    the true top-3), gain 2^rel - 1, discount log2(pos + 1). Each
+    position's contribution is rounded to 6 dp and summed as DECIMAL, so
+    dcg/idcg/ndcg hash-match across engines. A rank-aware metric catches
+    what recall cannot: an ANN that finds all 3 true neighbors in reversed
+    order scores recall 1.0 but ndcg < 1.
+
+    Scale plan: both rankings are per-query top-3 frames (the query set is
+    the broadcast side); the metric join is (query_id, neighbor_id)
+    equi-join on k-sized inputs — metric cost is O(queries * k), nothing
+    corpus-shaped."""
+    from cliner_spark import similarity as _s
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    flt = F.col("vec_id") < 20
+    exact = _s.brute_force_topk(emb, flt, k=3).localCheckpoint(eager=True)
+    seeded = _s.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4)
+    log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))  # noqa: E731
+    j = seeded.alias("s").join(
+        exact.select(
+            F.col("query_id").alias("xq"),
+            F.col("neighbor_id").alias("xn"),
+            F.col("rn").alias("xrn"),
+        ),
+        (F.col("s.query_id") == F.col("xq")) & (F.col("s.neighbor_id") == F.col("xn")),
+        "left",
+    ).select(
+        F.col("s.query_id").alias("query_id"),
+        F.col("s.rn").alias("pos"),
+        F.when(F.col("xrn").isNull(), 0).otherwise(4 - F.col("xrn")).alias("rel"),
+    )
+    contrib = F.round(
+        (F.pow(F.lit(2.0), F.col("rel")) - 1) / log2(F.col("pos") + 1), 6
+    ).cast("decimal(38,6)")
+    dcg = j.groupBy("query_id").agg(
+        F.sum(contrib).cast("double").alias("dcg")
+    )
+    icontrib = F.round(
+        (F.pow(F.lit(2.0), 4 - F.col("rn")) - 1) / log2(F.col("rn") + 1), 6
+    ).cast("decimal(38,6)")
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(icontrib).cast("double").alias("idcg")
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+_SQL_CALIB = f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docs
+       WHERE len(toks) > 0),
+du AS (SELECT d.doc_id, CAST(count(DISTINCT lower(t.tok)) AS BIGINT) AS n_uniq
+       FROM docs d, unnest(d.toks) AS t(tok) GROUP BY 1),
+pred AS (SELECT dl.doc_id, (1000 * du.n_uniq) // dl.n_toks AS pred_milli
+         FROM dl JOIN du USING (doc_id)),
+lab AS (SELECT DISTINCT doc_id FROM linked),
+b AS (SELECT least(p.pred_milli // 100, 9) AS bin, p.pred_milli,
+             CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS pos
+      FROM pred p LEFT JOIN lab l USING (doc_id))
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(pred_milli) AS BIGINT) AS sum_pred_milli,
+       CAST(abs(sum(pred_milli) - 1000 * sum(pos)) AS BIGINT) AS gap_num,
+       round(CAST(sum(pred_milli) AS DOUBLE) / (1000 * count(*)), 6) AS mean_pred,
+       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS frac_pos,
+       round(CAST(abs(sum(pred_milli) - 1000 * sum(pos)) AS DOUBLE)
+             / (1000 * count(*)), 6) AS gap
+FROM b GROUP BY 1
+"""
+
+
+@_register_r3("q_calibration_bins", _SQL_CALIB)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins for a deterministic quality
+    classifier: predicted score = lexical-diversity ratio in exact milli
+    units ((1000 * distinct_tokens) div n_tokens — integer division, no
+    float anywhere in the score), gold label = the document carries at
+    least one gazetteer-linked mention. Ten decile bins (milli div 100,
+    top edge clamped into bin 9); per bin the count, positives, the EXACT
+    calibration-gap numerator |sum_pred_milli - 1000*n_pos| as BIGINT
+    (mean_pred - frac_pos over a common denominator 1000*n), and the three
+    rounded ratios. This is the audit a pipeline runs before trusting a
+    quality filter's scores as probabilities — the per-bin gap IS the ECE
+    integrand. Everything the hash touches is integer algebra; the three
+    DOUBLE columns are single rounded divisions of those integers.
+
+    Scale plan: two partial-aggregated groupBys over the corpus (length +
+    distinct-token count), a broadcast-sized label set joined on doc_id,
+    and a 10-row final aggregate - no windows, no all-pairs."""
+    from cliner_spark.entry_queries import _doc_linked
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("tok"))
+    dl = docs.filter(F.size(tokens_col("text")) > 0).select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_toks")
+    )
+    du = toks.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_uniq")
+    )
+    pred = dl.join(du, "doc_id").select(
+        "doc_id", F.expr("(1000 * n_uniq) div n_toks").alias("pred_milli")
+    )
+    lab = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"))
+        .distinct()
+        .withColumn("pos", F.lit(1))
+    )
+    b = pred.join(F.broadcast(lab), "doc_id", "left").select(
+        F.least(F.expr("pred_milli div 100"), F.lit(9)).cast("int").alias("bin"),
+        "pred_milli",
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    n, npos, spm = F.count(F.lit(1)), F.sum("pos"), F.sum("pred_milli")
+    gap_num = F.abs(spm - 1000 * npos)
+    return b.groupBy("bin").agg(
+        n.cast("long").alias("n"),
+        npos.cast("long").alias("n_pos"),
+        spm.cast("long").alias("sum_pred_milli"),
+        gap_num.cast("long").alias("gap_num"),
+        F.round(spm.cast("double") / (1000 * n), 6).alias("mean_pred"),
+        F.round(npos.cast("double") / n, 6).alias("frac_pos"),
+        F.round(gap_num.cast("double") / (1000 * n), 6).alias("gap"),
+    )
+
+
+_SQL_LEADLAG = """
+WITH ev AS (SELECT epoch_ms(ts) // 3600000 AS h, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM ev
+      WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT h, CAST(count(*) AS BIGINT) AS p FROM ev
+      WHERE event_type = 'purchase' GROUP BY 1),
+s AS (SELECT g.h, coalesce(c.c, 0) AS c, coalesce(p.p, 0) AS p
+      FROM grid g LEFT JOIN c USING (h) LEFT JOIN p USING (h)),
+lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+m AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.p) AS BIGINT) AS sy,
+             CAST(sum(a.c * b.p) AS BIGINT) AS sxy,
+             CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+             CAST(sum(b.p * b.p) AS BIGINT) AS syy
+      FROM lags l CROSS JOIN s a JOIN s b ON b.h = a.h + l.lag
+      GROUP BY 1)
+SELECT CAST(lag AS INTEGER) AS lag, n, sx, sy, sxy, sxx, syy,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * (n * syy - sy * sy)), 6) END AS xcorr
+FROM m
+"""
+
+
+@_register_r3("q_leadlag_xcorr", _SQL_LEADLAG)
+def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click series and the
+    hourly purchase series at lags 0..3 — does click volume this hour
+    predict purchase volume L hours later? Both series are zero-filled
+    over the dense hour grid (a missing hour is a 0 observation, not an
+    absent row — dropping it would bias every moment), and all five
+    cross-moments (n, sx, sy, sxy, sxx, syy) are EXACT BIGINT sums of
+    integer counts, as is the covariance numerator n*sxy - sx*sy; only the
+    final Pearson ratio touches floats, one rounded division by one sqrt,
+    guarded against zero-variance series. This is the campaign-attribution
+    / leading-indicator scan an events pipeline runs across metric pairs.
+
+    Scale plan: the corpus-sized work is the two partial-aggregated
+    hourly count groupBys; the grid is |hours| rows (tiny even at 100 TB —
+    a decade is ~90k hours), the lag fan-out is a 4-row broadcast, and the
+    shifted self-join keys on the hour grid, so everything after the first
+    aggregation is dimension-sized."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+            "event_type",
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("h").agg(F.count(F.lit(1)).alias("p"))
+    )
+    s = (
+        grid.join(c, "h", "left")
+        .join(p, "h", "left")
+        .select(
+            "h",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("p", F.lit(0)).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    a = s.crossJoin(F.broadcast(lags))
+    b = s.select(
+        F.col("h").alias("bh"), F.col("p").alias("bp")
+    )
+    m = (
+        a.join(b, F.col("bh") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sx"),
+            F.sum("bp").cast("long").alias("sy"),
+            F.sum(F.col("c") * F.col("bp")).cast("long").alias("sxy"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+            F.sum(F.col("bp") * F.col("bp")).cast("long").alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "lag", "n", "sx", "sy", "sxy", "sxx", "syy",
+        num.cast("long").alias("cov_num"),
+        F.when(
+            denx * deny > 0,
+            F.round(
+                num / F.sqrt(denx.cast("double") * deny), 6
+            ),
+        ).alias("xcorr"),
+    )
+
+
+_SQL_KS = """
+WITH lab AS (SELECT n_chars AS x,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_a
+             FROM documents),
+tot AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM lab),
+per AS (SELECT x,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
+        FROM lab GROUP BY 1),
+cum AS (SELECT x, sum(a_cnt) OVER (ORDER BY x) AS ca,
+               sum(b_cnt) OVER (ORDER BY x) AS cb
+        FROM per)
+SELECT c.x AS x_at_max,
+       CAST(abs(c.ca * t.n_b - c.cb * t.n_a) AS BIGINT) AS ks_num,
+       t.n_a, t.n_b,
+       round(CAST(abs(c.ca * t.n_b - c.cb * t.n_a) AS DOUBLE)
+             / (t.n_a * t.n_b), 6) AS ks
+FROM cum c CROSS JOIN tot t
+ORDER BY ks_num DESC, x_at_max ASC LIMIT 1
+"""
+
+
+@_register_r3("q_ks_drift", _SQL_KS)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic between the
+    document-length distributions of the two md5 corpus halves (the repo's
+    reproducible split idiom, same as q_concept_drift): D = max_x
+    |F_A(x) - F_B(x)|. Put both ECDFs over the common denominator n_a*n_b
+    and the supremum becomes pure BIGINT algebra — max |c_a(x)*n_b -
+    c_b(x)*n_a| over the distinct pooled values — so the reported argmax
+    location and numerator are hash-exact; only the final ratio is one
+    rounded division. KS is the standard distribution-level drift gate
+    (vs q_concept_drift's per-item TVD) a pipeline runs when a new crawl
+    slice arrives: it catches shape shifts (length inflation, truncation)
+    that frequency TVD on ids cannot see. Ties between x values are
+    resolved to the smallest x so the witness row is deterministic.
+
+    Scale plan: one partial-aggregated groupBy collapses the corpus to
+    |distinct lengths| rows (a few thousand even at 100 TB — lengths are
+    bounded), and only that dimension-sized frame enters the ordered
+    cumulative window; totals ride a 1-row broadcast cross join."""
+    lab = load_docs(spark, sf_dir).select(
+        F.col("n_chars").alias("x"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8")
+        .alias("in_a"),
+    )
+    per = lab.groupBy("x").agg(
+        F.sum(F.col("in_a").cast("long")).alias("a_cnt"),
+        F.sum((~F.col("in_a")).cast("long")).alias("b_cnt"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b")
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "x",
+        F.sum("a_cnt").over(w).alias("ca"),
+        F.sum("b_cnt").over(w).alias("cb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("x").alias("x_at_max"),
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        .cast("long")
+        .alias("ks_num"),
+        "n_a",
+        "n_b",
+    )
+    return (
+        d.orderBy(F.desc("ks_num"), F.asc("x_at_max"))
+        .limit(1)
+        .select(
+            "x_at_max",
+            "ks_num",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("ks_num").cast("double") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("ks"),
+        )
+    )

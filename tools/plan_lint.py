@@ -102,6 +102,25 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     "q_tpch_q11": [("BroadcastNestedLoopJoin", "1-row grand-total carry into the HAVING predicate")],
     "q_tpch_q15": [("BroadcastNestedLoopJoin", "1-row max-revenue carry (top-supplier tie filter)")],
     "q_tpch_q22": [("BroadcastNestedLoopJoin", "1-row sum/count balance-stats carry")],
+    "q_rocchio_prf": [
+        ("BroadcastNestedLoopJoin",
+         "1-row n_docs/avgdl carry x2 passes + 1-row N carry into the "
+         "expansion-term idf (same shape as q_bm25_search)")
+    ],
+    "q_ann_ndcg": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast <=20-row query spine x corpus inside the exact "
+         "brute-force baseline (same shape as q_embedding_topk)")
+    ],
+    "q_leadlag_xcorr": [
+        ("BroadcastNestedLoopJoin",
+         "4-row lag spine x hour grid (both dimension-sized; corpus "
+         "already collapsed to hourly counts)")
+    ],
+    "q_ks_drift": [
+        ("BroadcastNestedLoopJoin",
+         "1-row n_a/n_b totals carry onto the distinct-length frame")
+    ],
 }
 
 
