@@ -2335,3 +2335,396 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3k: transcript structure + KG enrichment — role-transition matrix,
+# topic-shift segmentation, per-conversation entity salience, KG-to-text
+# verbalization pairs, corrupted-triple negative sampling
+# --------------------------------------------------------------------------
+
+_SQL_ROLETRANS = f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip().rstrip(',')},
+pairs AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_role,
+         role AS to_role
+  FROM txr
+),
+cnt AS (SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE from_role IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_role, CAST(sum(n) AS BIGINT) AS row_total FROM cnt GROUP BY 1)
+SELECT c.from_role, c.to_role, c.n, t.row_total,
+       round(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+FROM cnt c JOIN tot t USING (from_role)
+"""
+
+
+@_register_r3("q_role_transition_matrix", _SQL_ROLETRANS)
+def q_role_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition Markov matrix over the transcript turn sequence:
+    counts and conditional probabilities of user/assistant/tool following
+    each role (the structural fingerprint of an agent protocol — e.g. a
+    healthy tool-use loop is assistant->tool->assistant; user->tool mass is
+    a protocol violation, cf. q_role_alternation_audit which flags the
+    individual offending rows). Counts and row totals are exact BIGINTs;
+    the conditional probability is one rounded division per cell.
+
+    Scale plan: one lag window per conversation partition (the shuffle key
+    the whole repo uses), then a 9-cell aggregate joined to a 3-row
+    marginal — everything after the window is constant-sized."""
+    t = _txr(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        F.lag("role").over(w).alias("from_role"), F.col("role").alias("to_role")
+    ).filter(F.col("from_role").isNotNull())
+    cnt = pairs.groupBy("from_role", "to_role").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("from_role").agg(F.sum("n").cast("long").alias("row_total"))
+    return cnt.join(F.broadcast(tot), "from_role").select(
+        "from_role",
+        "to_role",
+        "n",
+        "row_total",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+_SQL_SEGMENT = f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip().rstrip(',')},
+tk AS (SELECT DISTINCT t.conv_id, t.turn_idx, lower(u.tok) AS tok
+       FROM txr t,
+            unnest(list_filter(string_split_regex(trim(coalesce(t.text, '')),
+                                                  '\\s+'), x -> x <> '')) AS u(tok)),
+sz AS (SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS u
+       FROM tk GROUP BY 1, 2),
+inter AS (SELECT a.conv_id, b.turn_idx,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM tk a JOIN tk b
+            ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+               AND a.tok = b.tok
+          GROUP BY 1, 2),
+adj AS (
+  SELECT a.conv_id, b.turn_idx,
+         coalesce(sa.u, 0) AS ua, coalesce(sb.u, 0) AS ub,
+         coalesce(i.inter, 0) AS inter
+  FROM txr a
+  JOIN txr b ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+  LEFT JOIN sz sa ON sa.conv_id = a.conv_id AND sa.turn_idx = a.turn_idx
+  LEFT JOIN sz sb ON sb.conv_id = b.conv_id AND sb.turn_idx = b.turn_idx
+  LEFT JOIN inter i ON i.conv_id = b.conv_id AND i.turn_idx = b.turn_idx
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, ua, ub, inter,
+       CAST(ua + ub - inter AS BIGINT) AS uni,
+       CASE WHEN ua + ub - inter = 0 THEN FALSE
+            ELSE 4 * inter < ua + ub - inter END AS is_boundary
+FROM adj
+"""
+
+
+@_register_r3("q_turn_segmentation", _SQL_SEGMENT)
+def q_turn_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-shift segmentation of each conversation: for every adjacent
+    turn pair, the distinct-token Jaccard overlap in EXACT integer form
+    (intersection, union via inclusion-exclusion) and a boundary flag where
+    similarity < 1/4 — cross-multiplied as 4*inter < union so the threshold
+    never touches a float (TextTiling's lexical-cohesion dip, reduced to
+    its integer core). Segment boundaries drive chunking for RAG indexing
+    and context-pack splits (q_context_pack packs within topical segments
+    at scale). Empty-vs-empty adjacent turns count as cohesive (union 0 ->
+    not a boundary), a rule applied identically on both engines.
+
+    Scale plan: token rows shuffle once on conv_id; the intersection is an
+    equi-join on (conv, tok) between consecutive turns of the SAME
+    conversation partition, never cross-conversation; per-turn sizes and
+    the adjacency spine are window-free equi-joins on the same key."""
+    t = _txr(spark, sf_dir).localCheckpoint(eager=True)
+    tk = t.select(
+        "conv_id", "turn_idx", F.explode(tokens_col("text")).alias("tok")
+    ).select("conv_id", "turn_idx", F.lower("tok").alias("tok")).distinct()
+    sz = tk.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("u")
+    )
+    b_tk = tk.select(
+        F.col("conv_id").alias("b_conv"),
+        (F.col("turn_idx") - 1).alias("a_idx"),
+        F.col("tok").alias("b_tok"),
+        F.col("turn_idx").alias("b_idx"),
+    )
+    inter = (
+        tk.join(
+            b_tk,
+            (F.col("conv_id") == F.col("b_conv"))
+            & (F.col("turn_idx") == F.col("a_idx"))
+            & (F.col("tok") == F.col("b_tok")),
+        )
+        .groupBy("conv_id", "b_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .select(F.col("conv_id"), F.col("b_idx").alias("turn_idx"), "inter")
+    )
+    spine = (
+        t.select("conv_id", "turn_idx")
+        .alias("a")
+        .join(
+            t.select("conv_id", "turn_idx").alias("b"),
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("b.turn_idx") == F.col("a.turn_idx") + 1),
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("a_idx"),
+            F.col("b.turn_idx").alias("turn_idx"),
+        )
+    )
+    sa = sz.select("conv_id", F.col("turn_idx").alias("a_idx"), F.col("u").alias("ua"))
+    sb = sz.select("conv_id", "turn_idx", F.col("u").alias("ub"))
+    adj = (
+        spine.join(sa, ["conv_id", "a_idx"], "left")
+        .join(sb, ["conv_id", "turn_idx"], "left")
+        .join(inter, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.coalesce("ua", F.lit(0)).alias("ua"),
+            F.coalesce("ub", F.lit(0)).alias("ub"),
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+        )
+    )
+    uni = F.col("ua") + F.col("ub") - F.col("inter")
+    return adj.select(
+        "conv_id", "turn_idx", "ua", "ub", "inter",
+        uni.cast("long").alias("uni"),
+        F.when(uni == 0, F.lit(False)).otherwise(4 * F.col("inter") < uni)
+        .alias("is_boundary"),
+    )
+
+
+_SQL_SALIENCE = f"""
+{SQL_TR_CTE},
+a AS (SELECT conv_id, subj, CAST(count(*) AS BIGINT) AS n_turns
+      FROM tr WHERE pred = 'ASSERTED_IN' GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+       FROM tr WHERE pred = 'ASSERTED_IN'),
+df AS (SELECT subj, CAST(count(DISTINCT conv_id) AS BIGINT) AS df
+       FROM tr WHERE pred = 'ASSERTED_IN' GROUP BY 1),
+s AS (SELECT a.conv_id, a.subj AS concept, a.n_turns, df.df,
+             round(a.n_turns * ln(CAST(nd.n_convs AS DOUBLE) / df.df), 6)
+               AS salience
+      FROM a JOIN df USING (subj) CROSS JOIN nd)
+SELECT conv_id, concept, n_turns, df, salience,
+       CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY salience DESC, concept ASC) AS rk
+      FROM s)
+WHERE rk <= 3
+"""
+
+
+@_register_r3("q_entity_salience", _SQL_SALIENCE)
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient entities per conversation: tf-idf transplanted to the
+    KG — term frequency = turns in which the concept is asserted (from the
+    materialized ASSERTED_IN triples), document frequency = conversations
+    containing the concept, salience = n_turns * ln(N_convs/df) rounded
+    once. The per-conversation entity index a KG serves to summarization /
+    conversation-search consumers ("what is this conversation about"),
+    complementing the global q_entity_card. Ties rank by concept id so the
+    top-3 is deterministic.
+
+    Scale plan: two partial-aggregated groupBys over the triples table
+    (conv-grain counts, concept df), a broadcast-joined dimension-sized df
+    table, a 1-row N carry, and a per-conversation top-3 window on the
+    conv-partitioned frame — no global windows, no corpus self-joins."""
+    from cliner_spark.queries_r2 import cached_triples
+
+    tr = cached_triples(spark, sf_dir).filter(F.col("pred") == "ASSERTED_IN")
+    a = tr.groupBy("conv_id", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    nd = tr.agg(F.countDistinct("conv_id").alias("n_convs"))
+    df = tr.groupBy("subj").agg(F.countDistinct("conv_id").alias("df"))
+    s = (
+        a.join(F.broadcast(df), "subj")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "conv_id",
+            F.col("subj").alias("concept"),
+            "n_turns",
+            "df",
+            F.round(
+                F.col("n_turns")
+                * F.log(F.col("n_convs").cast("double") / F.col("df")),
+                6,
+            ).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("salience"), F.asc("concept")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_SQL_KG2TEXT = f"""
+{SQL_TR_CTE},
+facts AS (SELECT conv_id, obj || ' (turn ' || CAST(turn_idx AS VARCHAR) || ')'
+                   AS fact
+          FROM tr WHERE pred = 'MENTIONS'),
+r AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_facts,
+             'Conversation ' || conv_id || ' mentions '
+               || CAST(count(*) AS VARCHAR) || ' concepts: '
+               || string_agg(fact, '; ' ORDER BY fact) || '.' AS text
+      FROM facts GROUP BY 1)
+SELECT conv_id, n_facts, text, md5(text) AS text_md5 FROM r
+"""
+
+
+@_register_r3("q_kg2text", _SQL_KG2TEXT)
+def q_kg2text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-to-text verbalization pairs: render each conversation's MENTIONS
+    facts into one deterministic natural-language sentence ('Conversation 7
+    mentions 3 concepts: concept:CD001 (turn 2); ...') — the (graph, text)
+    training-pair generator for KG-grounded LLM fine-tuning (WebNLG-style),
+    built the same way q_chat_render proves byte-identical renders: facts
+    are sorted lexicographically before joining so the string is
+    order-independent, and the md5 column makes byte equality part of the
+    hash check on both engines.
+
+    Scale plan: one groupBy on conv_id (the table's partition key — the
+    sort_array/string_agg runs inside the partition-local aggregate); the
+    render is pure string concat, no Python."""
+    from cliner_spark.queries_r2 import cached_triples
+
+    tr = cached_triples(spark, sf_dir).filter(F.col("pred") == "MENTIONS")
+    facts = tr.select(
+        "conv_id",
+        F.concat(
+            F.col("obj"), F.lit(" (turn "),
+            F.col("turn_idx").cast("string"), F.lit(")"),
+        ).alias("fact"),
+    )
+    r = facts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.concat(
+            F.lit("Conversation "), F.col("conv_id"), F.lit(" mentions "),
+            F.count(F.lit(1)).cast("string"), F.lit(" concepts: "),
+            F.array_join(F.array_sort(F.collect_list("fact")), "; "),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return r.select("conv_id", "n_facts", "text", F.md5("text").alias("text_md5"))
+
+
+_SQL_KG_NEG = f"""
+{SQL_TR_CTE},
+pos AS (SELECT conv_id, obj FROM tr WHERE pred = 'MENTIONS'),
+vocab AS (SELECT obj, CAST(row_number() OVER (ORDER BY obj) - 1 AS BIGINT) AS idx
+          FROM (SELECT DISTINCT obj FROM pos)),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+att AS (SELECT p.conv_id, p.obj AS pos_obj, CAST(k.k AS INTEGER) AS attempt,
+               CAST(('0x' || substr(md5(p.conv_id || '#' || p.obj || '#'
+                                        || CAST(k.k AS VARCHAR)), 1, 13))
+                    AS BIGINT) % nc.n AS h
+        FROM pos p CROSS JOIN nc, unnest([1, 2, 3, 4]) AS k(k)),
+negcand AS (SELECT a.conv_id, a.pos_obj, a.attempt, v.obj AS neg_obj
+         FROM att a JOIN vocab v ON v.idx = a.h),
+negvalid AS (SELECT c.conv_id, c.pos_obj, c.attempt, c.neg_obj
+          FROM negcand c LEFT JOIN pos t
+            ON t.conv_id = c.conv_id AND t.obj = c.neg_obj
+          WHERE c.neg_obj <> c.pos_obj AND t.obj IS NULL)
+SELECT conv_id, pos_obj, neg_obj, attempt
+FROM negvalid
+QUALIFY row_number() OVER (PARTITION BY conv_id, pos_obj ORDER BY attempt) = 1
+"""
+
+
+@_register_r3("q_kg_negative_samples", _SQL_KG_NEG)
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupted-triple negative sampling for KG-embedding training
+    (TransE/DistMult-style): for every positive (conv, MENTIONS, concept),
+    deterministically corrupt the object by hashing (conv, concept,
+    attempt) into a dense entity-vocabulary index — md5 rejection sampling,
+    up to 4 attempts — and keep the FIRST candidate that is neither the
+    positive itself nor any true triple of that conversation (the leakage
+    filter: a 'negative' that is actually true teaches the model lies).
+    Deterministic both engines: the same hash idiom as q_hash_classifier /
+    q_epoch_shuffle, so the sampled negatives are reproducible artifacts,
+    not RNG.
+
+    Scale plan: the vocabulary is dimension-sized (its row_number window
+    runs on a broadcast-scale frame) and joins back by index as a
+    broadcast; attempts are a constant 4x fan-out of the positives; the
+    leakage filter is an equi-join on (conv_id, obj) — the table's
+    partition key — so rejection sampling never leaves the partition."""
+    from cliner_spark.queries_r2 import cached_triples
+
+    pos = (
+        cached_triples(spark, sf_dir)
+        .filter(F.col("pred") == "MENTIONS")
+        .select("conv_id", "obj")
+        .localCheckpoint(eager=True)
+    )
+    vocab = pos.select("obj").distinct()
+    vocab = vocab.select(
+        "obj",
+        (F.row_number().over(Window.orderBy("obj")) - 1)
+        .cast("long")
+        .alias("idx"),
+    )
+    nc = vocab.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    att = (
+        pos.select("conv_id", F.col("obj").alias("pos_obj"))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "conv_id",
+            "pos_obj",
+            F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias(
+                "attempt"
+            ),
+            "n",
+        )
+        .select(
+            "conv_id",
+            "pos_obj",
+            F.col("attempt").cast("int").alias("attempt"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                "conv_id",
+                                "pos_obj",
+                                F.col("attempt").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("h"),
+        )
+    )
+    cand = att.join(
+        F.broadcast(vocab.select(F.col("idx"), F.col("obj").alias("neg_obj"))),
+        att.h == F.col("idx"),
+    )
+    tp = pos.select("conv_id", F.col("obj").alias("neg_obj"), F.lit(1).alias("is_true"))
+    valid = (
+        cand.join(tp, ["conv_id", "neg_obj"], "left")
+        .filter(
+            (F.col("neg_obj") != F.col("pos_obj")) & F.col("is_true").isNull()
+        )
+        .select("conv_id", "pos_obj", "neg_obj", "attempt")
+    )
+    w = Window.partitionBy("conv_id", "pos_obj").orderBy("attempt")
+    return (
+        valid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "pos_obj", "neg_obj", "attempt")
+    )

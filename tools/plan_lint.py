@@ -121,6 +121,13 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row n_a/n_b totals carry onto the distinct-length frame")
     ],
+    "q_entity_salience": [
+        ("BroadcastNestedLoopJoin", "1-row N_convs carry into the idf")
+    ],
+    "q_kg_negative_samples": [
+        ("BroadcastNestedLoopJoin",
+         "1-row vocab-size carry feeding the modulo hash index")
+    ],
 }
 
 
