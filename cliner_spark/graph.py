@@ -924,3 +924,55 @@ def bfs_paths(edges: DataFrame, seed: str, max_hops: int = 10) -> DataFrame:
     ):
         raise RuntimeError(f"bfs_paths: frontier not empty after {max_hops} hops")
     return visited
+
+
+def bfs_path_counts(edges: DataFrame, seed: str, max_hops: int = 10) -> DataFrame:
+    """Single-source shortest-path COUNTING (the sigma DP of Brandes'
+    betweenness algorithm): per reachable node, the hop distance AND the
+    exact number of distinct shortest paths from the seed, as BIGINT.
+    Level-synchronous: when the BFS frontier advances, a new node's sigma
+    is the SUM of the sigmas of its frontier in-neighbors (every shortest
+    path to the neighbor extends to one shortest path here); a node already
+    visited at an earlier level is excluded by the anti-join, so paths are
+    counted only along shortest routes. Deterministic integer arithmetic —
+    no floats anywhere — which is what makes the result hash-checkable
+    against a simple-path-enumerating oracle on fixture-sized graphs.
+
+    Scale shape: identical to bfs_distances (frontier-x-edges join per
+    superstep, node-sized broadcast frontier); the only addition is a sum
+    aggregation on the frontier expansion, which rides the same shuffle.
+    """
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(seed, 0, 1)], "node string, hops int, sigma long"
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(
+                F.broadcast(
+                    frontier.select(F.col("node").alias("src"), "sigma")
+                ),
+                "src",
+            )
+            .join(visited.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumn("hops", F.lit(hop))
+            .select("node", "hops", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            return visited
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    if (
+        sym.join(F.broadcast(frontier.select(F.col("node").alias("src"))), "src")
+        .join(visited.select(F.col("node").alias("dst")), "dst", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise RuntimeError(f"bfs_path_counts: frontier not empty after {max_hops} hops")
+    return visited

@@ -2651,7 +2651,12 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter: a 'negative' that is actually true teaches the model lies).
     Deterministic both engines: the same hash idiom as q_hash_classifier /
     q_epoch_shuffle, so the sampled negatives are reproducible artifacts,
-    not RNG.
+    not RNG. Upgrades q_kg_negatives (round 1): that variant avoids only
+    the positive itself via a next-index fallback; this one rejects ANY
+    true triple of the conversation (the filtered-corruption setting of
+    Bordes et al. 2013 — unfiltered negatives systematically mislabel
+    valid facts) and reads the materialized KG artifact instead of
+    re-deriving mentions.
 
     Scale plan: the vocabulary is dimension-sized (its row_number window
     runs on a broadcast-scale frame) and joins back by index as a
@@ -2727,4 +2732,239 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("conv_id", "pos_obj", "neg_obj", "attempt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 3l: lang-id confusion audit, bipartite parity audit, shortest-path
+# counting (Brandes sigma DP), instruction-pair mining
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import _LANG_SQL_EXPRS  # noqa: E402
+
+_SQL_LANG_CONF = f"""
+WITH h AS (
+  SELECT lang AS declared,
+{_LANG_SQL_EXPRS}
+  FROM documents
+),
+p AS (
+  SELECT declared,
+         CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+              WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+              WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+              ELSE 'fr' END AS predicted
+  FROM h
+),
+cnt AS (SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2),
+tot AS (SELECT declared, CAST(sum(n) AS BIGINT) AS row_total FROM cnt GROUP BY 1)
+SELECT c.declared, c.predicted, c.n, t.row_total,
+       round(CAST(c.n AS DOUBLE) / t.row_total, 6) AS share
+FROM cnt c JOIN tot t USING (declared)
+"""
+
+
+@_register_r3("q_langid_confusion", _SQL_LANG_CONF)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic
+    (textstats.language_id, the q_lang_id detector) against the corpus'
+    DECLARED lang column — the audit that decides whether a cheap detector
+    can replace metadata at ingest, and which declared languages it
+    misroutes (zh has no latin-script stopwords here, so its row shows
+    exactly where such text lands). Counts and row totals exact; the
+    per-cell share is one rounded division.
+
+    Scale plan: the detector is a constant number of JVM contains() probes
+    per row inside the scan, then a <=25-cell aggregate and a 5-row
+    marginal join — nothing above dimension size after the scan."""
+    from cliner_spark import textstats as _ts
+
+    p = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("declared"),
+        _ts.language_id(F.col("text")).alias("predicted"),
+    )
+    cnt = p.groupBy("declared", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("declared").agg(F.sum("n").cast("long").alias("row_total"))
+    return cnt.join(F.broadcast(tot), "declared").select(
+        "declared",
+        "predicted",
+        "n",
+        "row_total",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("share"),
+    )
+
+
+_SQL_ODD_CYCLE = f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI.strip()},
+e AS (SELECT src, dst FROM coedges UNION SELECT dst, src FROM coedges),
+bfs(node, hops) AS (
+  SELECT 'CD001', 0
+  UNION
+  SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.hops < 10
+),
+d AS (SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM bfs GROUP BY node)
+SELECT c.src, c.dst, da.hops AS src_hops, db.hops AS dst_hops,
+       (da.hops + db.hops) % 2 = 0 AS odd_edge
+FROM (SELECT DISTINCT src, dst FROM coedges) c
+JOIN d da ON da.node = c.src
+JOIN d db ON db.node = c.dst
+"""
+
+
+@_register_r3("q_odd_cycle_audit", _SQL_ODD_CYCLE)
+def q_odd_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness / odd-cycle audit of the concept co-occurrence graph:
+    2-color every node in CD001's component by BFS-distance parity, then
+    flag the edges joining two same-parity nodes — each such edge closes an
+    odd cycle, and their absence proves the component bipartite. The check
+    a KG schema layer runs before assuming a relation is two-sided
+    (e.g. drug-vs-condition layers): ANY odd edge means the 'two kinds of
+    node' assumption is broken. Pure integer parity on exact BFS hops.
+
+    Scale plan: one exhaustion BFS (frontier supersteps, node-sized
+    broadcast frontiers) plus a single edges-x-distances equi-join;
+    distances are node-sized and broadcast."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.graph import bfs_distances
+
+    d = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.cui") < F.col("b.cui")),
+        )
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = bfs_distances(pairs, "CD001", max_hops=10).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )
+    da = dist.select(F.col("node").alias("src"), F.col("hops").alias("src_hops"))
+    db = dist.select(F.col("node").alias("dst"), F.col("hops").alias("dst_hops"))
+    return (
+        pairs.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .select(
+            "src", "dst", "src_hops", "dst_hops",
+            ((F.col("src_hops") + F.col("dst_hops")) % 2 == 0).alias("odd_edge"),
+        )
+    )
+
+
+_SQL_PATH_COUNTS = f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED}, {SQL_DOC_CUI.strip()},
+e AS (SELECT src, dst FROM coedges UNION ALL SELECT dst, src FROM coedges),
+walk(node, hops, path) AS (
+  SELECT 'CD001', 0, 'CD001'
+  UNION
+  SELECT e.dst, w.hops + 1, w.path || '>' || e.dst
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 4
+    AND position('>' || e.dst || '>' IN '>' || w.path || '>') = 0
+),
+d AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+SELECT d.node, CAST(d.hops AS INTEGER) AS hops,
+       CAST(count(*) AS BIGINT) AS sigma
+FROM d JOIN walk w ON w.node = d.node AND w.hops = d.hops
+GROUP BY 1, 2
+"""
+
+
+@_register_r3("q_sssp_path_counts", _SQL_PATH_COUNTS)
+def q_sssp_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path COUNTING from concept CD001 (graph.bfs_path_counts):
+    per reachable node, the hop distance and the exact number of distinct
+    shortest paths — the sigma DP that is the forward pass of Brandes'
+    betweenness-centrality algorithm, and on its own the standard
+    'relation strength' signal (many independent shortest routes = robust
+    relatedness, one bottleneck route = fragile). All-integer level-
+    synchronous DP: a new node's sigma is the sum of its frontier
+    in-neighbors' sigmas. The oracle enumerates simple paths (hop-bounded,
+    like q_kg_path_explain) and counts them at min hops — shortest paths
+    are always simple, so the two definitions agree exactly.
+
+    Scale plan: identical superstep shape to q_kg_bfs (frontier-x-edges
+    join, broadcast node-sized frontier); the sigma sum rides the existing
+    per-superstep aggregation — counting is free on top of BFS."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.graph import bfs_path_counts
+
+    d = _doc_linked(spark, sf_dir).select("conv_id", "cui").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.cui") < F.col("b.cui")),
+        )
+        .select(F.col("a.cui").alias("src"), F.col("b.cui").alias("dst"))
+        .distinct()
+    )
+    return bfs_path_counts(pairs, "CD001", max_hops=4).select(
+        "node", F.col("hops").cast("int").alias("hops"), "sigma"
+    )
+
+
+_SQL_INSTR_PAIRS = f"""
+WITH {SQL_DOCS_TOKS}, {SQL_TXR.strip()},
+nxt AS (
+  SELECT conv_id, turn_idx, role, n_toks,
+         lead(role) OVER w AS next_role,
+         lead(turn_idx) OVER w AS next_idx,
+         lead(n_toks) OVER w AS next_toks
+  FROM txr
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(turn_idx AS INTEGER) AS prompt_turn_idx,
+       CAST(next_idx AS INTEGER) AS response_turn_idx,
+       n_toks AS prompt_toks, next_toks AS response_toks,
+       CAST(n_toks + next_toks AS BIGINT) AS pair_toks,
+       n_toks + next_toks <= 256 AS fits_budget
+FROM nxt WHERE role = 'user' AND next_role = 'assistant'
+"""
+
+
+@_register_r3("q_instruction_pairs", _SQL_INSTR_PAIRS)
+def q_instruction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-pair mining — the most basic SFT extraction there is:
+    every (user turn, immediately-following assistant turn) adjacency
+    becomes a (prompt, response) candidate, with exact token accounting
+    and a 256-token context-fit flag (the budget q_seq_packing packs
+    against downstream). Pairs broken by an intervening tool turn are NOT
+    mined (the adjacency must be strict — a tool result between user and
+    assistant changes what conditioned the response; q_context_pack is the
+    operator that widens the context window deliberately).
+
+    Scale plan: one lead() window per conversation partition — the same
+    single shuffle every transcript operator here rides; no joins."""
+    t = _txr(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_toks",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("turn_idx").over(w).alias("next_idx"),
+        F.lead("n_toks").over(w).alias("next_toks"),
+    )
+    return nxt.filter(
+        (F.col("role") == "user") & (F.col("next_role") == "assistant")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("prompt_turn_idx"),
+        F.col("next_idx").cast("int").alias("response_turn_idx"),
+        F.col("n_toks").alias("prompt_toks"),
+        F.col("next_toks").alias("response_toks"),
+        (F.col("n_toks") + F.col("next_toks")).cast("long").alias("pair_toks"),
+        (F.col("n_toks") + F.col("next_toks") <= 256).alias("fits_budget"),
     )

@@ -169,3 +169,129 @@ def test_kg_negative_samples_match_python_replica(spark):
         # the leakage filter held: no sampled negative is a true triple
         assert (r["conv_id"], r["neg_obj"]) not in pos
         assert r["neg_obj"] != r["pos_obj"]
+
+
+# ---- round 3l -------------------------------------------------------------
+
+
+def test_langid_confusion_matches_python_replica(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    hits = {
+        "en": ["the", "and", "of", "is", "was", "with"],
+        "es": ["el", "la", "los", "las", "que", "y"],
+        "de": ["der", "die", "das", "und", "ist", "nicht"],
+        "fr": ["le", "la", "les", "et", "est", "une"],
+    }
+    cnt, tot = {}, {}
+    for d in docs:
+        t = f" {(d['text'] or '').lower()} "
+        score = {
+            lang: sum(1 for w in ws if f" {w} " in t) for lang, ws in hits.items()
+        }
+        best = max(score.values())
+        if best == 0:
+            pred = "und"
+        else:
+            pred = next(
+                lang for lang in ("en", "es", "de", "fr") if score[lang] == best
+            )
+        cnt[(d["lang"], pred)] = cnt.get((d["lang"], pred), 0) + 1
+        tot[d["lang"]] = tot.get(d["lang"], 0) + 1
+    rows = _q(spark, "q_langid_confusion").collect()
+    assert {(r["declared"], r["predicted"]) for r in rows} == set(cnt)
+    for r in rows:
+        assert r["n"] == cnt[(r["declared"], r["predicted"])]
+        assert r["row_total"] == tot[r["declared"]]
+        assert abs(r["share"] - _round6(r["n"] / r["row_total"])) < 1e-9
+
+
+def _concept_graph(spark):
+    """Undirected concept co-occurrence adjacency from the (already
+    hash-checked) linked mentions: edges between concepts sharing a doc."""
+    from cliner_spark.entry_queries import _doc_linked
+
+    dc = {}
+    for r in _doc_linked(spark, SF).select("conv_id", "cui").distinct().collect():
+        dc.setdefault(r["conv_id"], set()).add(r["cui"])
+    adj = {}
+    for cuis in dc.values():
+        for a in cuis:
+            for b in cuis:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    return adj
+
+
+def _bfs(adj, seed):
+    dist = {seed: 0}
+    frontier = [seed]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_odd_cycle_audit_matches_python_replica(spark):
+    adj = _concept_graph(spark)
+    dist = _bfs(adj, "CD001")
+    rows = _q(spark, "q_odd_cycle_audit").collect()
+    want = {
+        (a, b)
+        for a in adj
+        for b in adj[a]
+        if a < b and a in dist and b in dist
+    }
+    assert {(r["src"], r["dst"]) for r in rows} == want
+    any_odd = False
+    for r in rows:
+        assert (r["src_hops"], r["dst_hops"]) == (dist[r["src"]], dist[r["dst"]])
+        assert r["odd_edge"] == ((dist[r["src"]] + dist[r["dst"]]) % 2 == 0)
+        any_odd |= r["odd_edge"]
+    # the co-occurrence graph has triangles -> it must not look bipartite
+    if any(
+        len(adj.get(a, set()) & adj.get(b, set())) > 0
+        for a in adj for b in adj[a] if a < b
+    ):
+        assert any_odd
+
+
+def test_sssp_path_counts_match_python_replica(spark):
+    adj = _concept_graph(spark)
+    dist = _bfs(adj, "CD001")
+    # sigma DP in dist order
+    sigma = {"CD001": 1}
+    for v in sorted((n for n in dist if n != "CD001"), key=lambda n: dist[n]):
+        sigma[v] = sum(
+            sigma[u] for u in adj.get(v, ()) if dist.get(u) == dist[v] - 1
+        )
+    rows = _q(spark, "q_sssp_path_counts").collect()
+    reach4 = {n for n, d in dist.items() if d <= 4}
+    assert {r["node"] for r in rows} == reach4
+    for r in rows:
+        assert (r["hops"], r["sigma"]) == (dist[r["node"]], sigma[r["node"]])
+    # invariant: seed sigma 1; every non-seed sigma >= 1
+    assert all(r["sigma"] >= 1 for r in rows)
+
+
+def test_instruction_pairs_match_python_replica(spark):
+    got = {
+        (r["conv_id"], r["prompt_turn_idx"]): r
+        for r in _q(spark, "q_instruction_pairs").collect()
+    }
+    n_pairs = 0
+    for conv, turns in _turns(spark).items():
+        toks = [len(text.split()) for _, text in turns]
+        for i, ((role, _), (nrole, _)) in enumerate(zip(turns, turns[1:])):
+            if role == "user" and nrole == "assistant":
+                n_pairs += 1
+                r = got[(str(conv), i)]
+                assert r["response_turn_idx"] == i + 1
+                assert (r["prompt_toks"], r["response_toks"]) == (toks[i], toks[i + 1])
+                assert r["pair_toks"] == toks[i] + toks[i + 1]
+                assert r["fits_budget"] == (toks[i] + toks[i + 1] <= 256)
+    assert len(got) == n_pairs
