@@ -5223,7 +5223,10 @@ def ordered_registry() -> dict[str, QuerySpec]:
     listed order), then everything else in registration order."""
     from cliner_spark import queries_r3
 
-    priority = [*queries_r3.R3_NAMES, *DRIVER_PRIORITY]
+    # newest registrations first: if the round's additions ever exceed the
+    # driver's 50-row correctness window, it is the OLDEST already-verified
+    # entries that fall out, never the newest unverified ones
+    priority = [*reversed(queries_r3.R3_NAMES), *DRIVER_PRIORITY]
     out = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     for n, s in REGISTRY.items():
         out.setdefault(n, s)

@@ -2968,3 +2968,384 @@ def q_instruction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_toks") + F.col("next_toks")).cast("long").alias("pair_toks"),
         (F.col("n_toks") + F.col("next_toks") <= 256).alias("fits_budget"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3m (batch 10): privacy audit, typo-robust candidate generation,
+# asymmetric containment detection, pairwise-preference aggregation
+# --------------------------------------------------------------------------
+
+_K_ANON_SQL = """
+SELECT lang, source, CAST(n_chars // 64 AS BIGINT) AS len_band,
+       COUNT(*) AS k,
+       COUNT(DISTINCT doc_id % 5) AS l_div,
+       COUNT(*) < 5 AS at_risk
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
+@_register_r3("q_k_anonymity", _K_ANON_SQL)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the corpus' quasi-identifiers —
+    the privacy gate a training-data release pipeline runs before shipping:
+    every (lang, source, length-band) equivalence class is reported with
+    its size k (how many records are indistinguishable on the QI tuple),
+    the number of distinct sensitive values it carries (l-diversity; the
+    synthetic sensitive attribute is the deterministic cohort doc_id % 5),
+    and an at_risk flag for classes below the k=5 re-identification
+    threshold. Exact integers only.
+
+    Scale plan: one map-side-combined groupBy on low-cardinality keys —
+    the same shape as any rollup; no joins, no windows. At 100 TB the QI
+    projection prunes to three narrow columns at the parquet scan
+    (ReadSchema), and the aggregate output is dimension-sized (|langs| x
+    |sources| x |bands|), so the audit costs one corpus scan."""
+    docs = load_docs(spark, sf_dir)
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") - F.col("n_chars") % 64)
+            .cast("bigint")
+            .alias("len_band_raw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct(F.col("doc_id") % 5).alias("l_div"),
+        )
+        .select(
+            "lang",
+            "source",
+            (F.col("len_band_raw") / 64).cast("bigint").alias("len_band"),
+            "k",
+            "l_div",
+            (F.col("k") < 5).alias("at_risk"),
+        )
+    )
+
+
+_SPELL_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+q0 AS (
+  SELECT doc_id,
+         lower(toks[CAST(doc_id % len(toks) AS INT) + 1]) AS w
+  FROM docs WHERE len(toks) > 0
+),
+q1 AS (
+  SELECT doc_id, w, CAST(doc_id % length(w) AS INT) + 1 AS pos
+  FROM q0 WHERE length(w) >= 3
+),
+qt AS (
+  SELECT substring(w, 1, pos - 1) || substring(w, pos + 1) AS qterm,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM q1 GROUP BY 1
+),
+vocab AS (
+  SELECT DISTINCT lower(t.tok) AS w
+  FROM docs d, unnest(d.toks) AS t(tok)
+  WHERE length(t.tok) >= 3
+),
+qv AS (
+  SELECT DISTINCT qterm, variant FROM (
+    SELECT qterm,
+           unnest(list_prepend(qterm,
+             list_transform(generate_series(1, length(qterm)),
+               i -> substring(qterm, 1, i - 1) || substring(qterm, i + 1)))
+           ) AS variant
+    FROM qt)
+),
+vv AS (
+  SELECT DISTINCT w, variant FROM (
+    SELECT w,
+           unnest(list_prepend(w,
+             list_transform(generate_series(1, length(w)),
+               i -> substring(w, 1, i - 1) || substring(w, i + 1)))
+           ) AS variant
+    FROM vocab)
+),
+cand AS (SELECT DISTINCT q.qterm, v.w FROM qv q JOIN vv v USING (variant))
+SELECT c.qterm, c.w AS match_term,
+       CAST(levenshtein(c.qterm, c.w) AS INT) AS dist, t.n_docs
+FROM cand c JOIN qt t USING (qterm)
+WHERE levenshtein(c.qterm, c.w) <= 1
+"""
+
+
+def _del_variants(col: str) -> "F.Column":
+    """self + all single-character-deletion variants of a string column."""
+    return F.expr(
+        f"array_union(array({col}), transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i - 1), substring({col}, i + 1))))"
+    )
+
+
+@_register_r3("q_spell_candidates", _SPELL_SQL)
+def q_spell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-robust match-candidate generation via FastSS deletion
+    neighborhoods (Bocek et al. 2007) — the exact, index-based alternative
+    to a quadratic edit-distance join, used for query normalization and
+    typo-tolerant gazetteer linking. A deterministic 'query log' of
+    corrupted terms is derived in-plan (token at doc_id % |toks|, one
+    character deleted at doc_id % len — the standard synthetic-derivation
+    idiom this suite uses for roles/conversations). Both the query terms
+    and the corpus vocabulary expand to their depth-1 deletion
+    neighborhoods U1(s) = {s} + single-deletions(s); the FastSS theorem
+    guarantees lev(a,b) <= 1 implies U1(a) and U1(b) intersect, so the
+    equi-join on variants is a COMPLETE candidate generator for distance
+    <= 1, and each candidate is then verified with the built-in
+    levenshtein (both engines implement the identical unit-cost DP).
+
+    Scale plan: the neighborhood explode is linear in term length (L+1
+    variants per term), the join is a hash equi-join on short strings, and
+    the final levenshtein runs only on candidates — never all pairs. The
+    vocab side is dimension-sized and broadcastable; the query side
+    aggregates to distinct terms (map-side combine) before exploding."""
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(trim(coalesce(text,'')), '\\\\s+'), x -> x <> '')").alias("toks")
+    ).filter(F.size("toks") > 0)
+    q0 = toks.select(
+        "doc_id",
+        F.lower(
+            F.element_at("toks", (F.col("doc_id") % F.size("toks")).cast("int") + 1)
+        ).alias("w"),
+    ).filter(F.length("w") >= 3)
+    q1 = q0.withColumn("pos", (F.col("doc_id") % F.length("w")).cast("int") + 1)
+    qt = (
+        q1.select(
+            "doc_id",
+            F.expr(
+                "concat(substring(w, 1, pos - 1), substring(w, pos + 1))"
+            ).alias("qterm"),
+        )
+        .groupBy("qterm")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    vocab = (
+        toks.select(F.explode("toks").alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    qv = qt.select(
+        "qterm", F.explode(_del_variants("qterm")).alias("variant")
+    ).distinct()
+    vv = vocab.select(
+        "w", F.explode(_del_variants("w")).alias("variant")
+    ).distinct()
+    cand = qv.join(F.broadcast(vv), "variant").select("qterm", "w").distinct()
+    return (
+        cand.filter(F.levenshtein("qterm", "w") <= 1)
+        .join(qt, "qterm")
+        .select(
+            "qterm",
+            F.col("w").alias("match_term"),
+            F.levenshtein("qterm", "w").cast("int").alias("dist"),
+            "n_docs",
+        )
+    )
+
+
+_CONTAIN_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         lower(array_to_string(toks[i + 1 : i + 4], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 4
+),
+keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 50),
+shk AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, COUNT(*) AS common
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_in, c.doc_out, c.common,
+       sa.sz AS size_in, sb.sz AS size_out
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_in
+JOIN sizes sb ON sb.doc_id = c.doc_out
+WHERE 4 * c.common >= 3 * sa.sz
+"""
+
+
+@_register_r3("q_containment_pairs", _CONTAIN_SQL)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (quote / excerpt detection):
+    ordered pairs (doc_in, doc_out) where >= 75% of doc_in's distinct
+    4-gram shingles also occur in doc_out — the signal Jaccard near-dup
+    misses by construction (a short quote inside a long document has tiny
+    Jaccard but containment ~1). The 75% threshold is applied as the exact
+    cross-multiplication 4*common >= 3*size_in, so no floats ever enter
+    the predicate. Shares q_jaccard_pairs' df-cut contract: shingles in
+    more than 50 documents are dropped from the index AND from the sizes,
+    so both numerator and denominator live in the same filtered universe.
+
+    Scale plan: identical shape to the inverted-index Jaccard join — the
+    candidate generator is the shingle equi-join (never all pairs), the
+    df-cut bounds the per-shingle fanout, and at 100 TB the exact-dedup-
+    first cascade (BENCH.md duplication-stress study) plus lsh bucket_cut
+    bound the hot keys. Containment is directional, so both orders of a
+    mutual near-dup pair appear — consumers keep the direction they need
+    (small-into-large for quote mining)."""
+    from cliner_spark.dedup import DEFAULT_DF_CUT, shingles
+
+    docs = load_docs(spark, sf_dir)
+    sh = shingles(docs, 4)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= DEFAULT_DF_CUT)
+        .select("shingle")
+    )
+    shk = sh.join(keep, "shingle", "left_semi")
+    sizes = shk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shk.alias("a"), shk.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_in"), F.col("b.doc_id").alias("doc_out")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_in").withColumnRenamed(
+                "sz", "size_in"
+            ),
+            "doc_in",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_out").withColumnRenamed(
+                "sz", "size_out"
+            ),
+            "doc_out",
+        )
+        .filter(4 * F.col("common") >= 3 * F.col("size_in"))
+        .select("doc_in", "doc_out", "common", "size_in", "size_out")
+    )
+
+
+_COPELAND_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS player,
+         len(list_distinct(list_filter(
+             string_split_regex(trim(coalesce(text, '')), '\\s+'),
+             x -> x <> ''))) AS score
+  FROM documents
+),
+m AS (
+  SELECT LEAST(a.player, b.player) AS p, GREATEST(a.player, b.player) AS q,
+         CASE WHEN a.player < b.player THEN a.score ELSE b.score END AS sp,
+         CASE WHEN a.player < b.player THEN b.score ELSE a.score END AS sq
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.player <> b.player
+),
+tally AS (
+  SELECT p, q,
+         SUM(CASE WHEN sp > sq THEN 1 ELSE 0 END) AS wins_p,
+         SUM(CASE WHEN sq > sp THEN 1 ELSE 0 END) AS wins_q
+  FROM m GROUP BY 1, 2
+),
+sides AS (
+  SELECT p AS player,
+         CASE WHEN wins_p > wins_q THEN 1 ELSE 0 END AS beat,
+         CASE WHEN wins_p < wins_q THEN 1 ELSE 0 END AS lost,
+         CASE WHEN wins_p = wins_q THEN 1 ELSE 0 END AS tie
+  FROM tally
+  UNION ALL
+  SELECT q AS player,
+         CASE WHEN wins_q > wins_p THEN 1 ELSE 0 END,
+         CASE WHEN wins_q < wins_p THEN 1 ELSE 0 END,
+         CASE WHEN wins_p = wins_q THEN 1 ELSE 0 END
+  FROM tally
+)
+SELECT player, COUNT(*) AS n_opponents,
+       CAST(SUM(beat) AS BIGINT) AS beats, CAST(SUM(lost) AS BIGINT) AS losses,
+       CAST(SUM(tie) AS BIGINT) AS ties,
+       CAST(SUM(beat) - SUM(lost) AS BIGINT) AS copeland
+FROM sides GROUP BY 1
+"""
+
+
+@_register_r3("q_copeland_rank", _COPELAND_SQL)
+def q_copeland_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland pairwise-preference aggregation — the arena-style
+    leaderboard over model-variant duels that RLHF / eval pipelines
+    aggregate human preferences with (Copeland's method: rank by
+    #opponents you beat on majority-of-matches minus #opponents who beat
+    you; unlike Elo it is order-independent and exactly computable, so it
+    hash-checks). Duels are derived deterministically: consecutive doc_ids
+    are a match between players doc_id % 8, won by the doc with the larger
+    distinct-token count (exact integer comparison; equal counts are a
+    drawn match and majority ties a drawn pair).
+
+    Scale plan: the duel join is a self-join on doc_id+1 — at 100 TB this
+    is a window lead() over the ingest order, shown here as the equi-join
+    twin so the oracle stays pure SQL. Everything downstream aggregates to
+    the player-pair matrix (64 cells) then the player table (8 rows):
+    map-side combine all the way, no skew possible."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("player"),
+        F.size(F.array_distinct(tokens_col("text"))).cast("bigint").alias("score"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    m = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.player") != F.col("b.player"))
+        .select(
+            F.least("a.player", "b.player").alias("p"),
+            F.greatest("a.player", "b.player").alias("q"),
+            F.when(F.col("a.player") < F.col("b.player"), F.col("a.score"))
+            .otherwise(F.col("b.score"))
+            .alias("sp"),
+            F.when(F.col("a.player") < F.col("b.player"), F.col("b.score"))
+            .otherwise(F.col("a.score"))
+            .alias("sq"),
+        )
+    )
+    tally = m.groupBy("p", "q").agg(
+        F.sum(F.when(F.col("sp") > F.col("sq"), 1).otherwise(0)).alias("wins_p"),
+        F.sum(F.when(F.col("sq") > F.col("sp"), 1).otherwise(0)).alias("wins_q"),
+    )
+    sides = tally.select(
+        F.col("p").alias("player"),
+        F.when(F.col("wins_p") > F.col("wins_q"), 1).otherwise(0).alias("beat"),
+        F.when(F.col("wins_p") < F.col("wins_q"), 1).otherwise(0).alias("lost"),
+        F.when(F.col("wins_p") == F.col("wins_q"), 1).otherwise(0).alias("tie"),
+    ).unionByName(
+        tally.select(
+            F.col("q").alias("player"),
+            F.when(F.col("wins_q") > F.col("wins_p"), 1).otherwise(0).alias("beat"),
+            F.when(F.col("wins_q") < F.col("wins_p"), 1).otherwise(0).alias("lost"),
+            F.when(F.col("wins_p") == F.col("wins_q"), 1).otherwise(0).alias("tie"),
+        )
+    )
+    return sides.groupBy("player").agg(
+        F.count(F.lit(1)).alias("n_opponents"),
+        F.sum("beat").alias("beats"),
+        F.sum("lost").alias("losses"),
+        F.sum("tie").alias("ties"),
+        (F.sum("beat") - F.sum("lost")).alias("copeland"),
+    )
