@@ -3349,3 +3349,264 @@ def q_copeland_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tie").alias("ties"),
         (F.sum("beat") - F.sum("lost")).alias("copeland"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3n (batch 11): community quality (modularity), cross-source corpus
+# overlap, graph-level degree assortativity
+# --------------------------------------------------------------------------
+
+# the exact 3-round LPA unroll (same text as q_lpa_communities' oracle)
+_SQL_LPA3 = """
+e AS (SELECT lo AS src, hi AS dst FROM ge UNION ALL SELECT hi, lo FROM ge),
+n AS (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node AS lbl FROM n),
+c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+l1 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+l2 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+l3 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         FROM c3) WHERE rn = 1)
+"""
+
+_MODULARITY_SQL = f"""
+WITH {SQL_DOCS_TOKS}, {SQL_DOCPAIR_GRAPH.strip()},
+{_SQL_LPA3.strip()},
+m AS (SELECT count(*) AS m FROM ge),
+lab AS (SELECT node, lbl AS community FROM l3),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+intra AS (
+  SELECT la.community, count(*) AS intra_edges
+  FROM ge g JOIN lab la ON la.node = g.lo JOIN lab lb ON lb.node = g.hi
+  WHERE la.community = lb.community GROUP BY 1
+),
+comm AS (
+  SELECT la.community, count(*) AS n_nodes,
+         CAST(sum(d.d) AS BIGINT) AS deg_sum
+  FROM lab la JOIN deg d USING (node) GROUP BY 1
+)
+SELECT c.community, c.n_nodes, coalesce(i.intra_edges, 0) AS intra_edges,
+       c.deg_sum,
+       CAST(4 * m.m * coalesce(i.intra_edges, 0) - c.deg_sum * c.deg_sum
+            AS BIGINT) AS q_num,
+       CAST(m.m AS BIGINT) AS m
+FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m
+"""
+
+@_register_r3("q_modularity", _MODULARITY_SQL)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities (q_lpa_communities), in
+    exact rational form — the community-quality gate a curation pass runs
+    before trusting 'densely related' groupings for sampling decisions.
+    Per community c over the doc-similarity graph (m unordered edges,
+    e_c intra-community edges, d_c = sum of member degrees), the classic
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ] is reported as the exact BIGINT
+    numerator q_num_c = 4*m*e_c - d_c^2 with the shared denominator 4*m^2
+    (the consumer computes Q = sum(q_num)/(4*m^2); q_num > 0 means the
+    community is denser than the configuration-model expectation). No
+    floats anywhere, so the hash check is exact.
+
+    Scale plan: LPA is the bounded synchronous fixpoint (3 rounds, one
+    shuffle per round on the edge list); everything after it is two
+    dimension-sized joins (edges x labels for e_c, nodes x degrees for
+    d_c) and a groupBy on community. The 1-row m carry is the whitelisted
+    broadcast-scalar pattern."""
+    from cliner_spark.graph import label_propagation
+
+    edges = _docpair_edges(spark, sf_dir)  # (src < dst) unordered, distinct
+    lab = label_propagation(edges, rounds=3).select(
+        F.col("node"), F.col("community").cast("long").alias("community")
+    )
+    both = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = lab.withColumnRenamed("node", "lo").withColumnRenamed("community", "ca")
+    lb = lab.withColumnRenamed("node", "hi").withColumnRenamed("community", "cb")
+    intra = (
+        edges.select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+        .join(la, "lo")
+        .join(lb, "hi")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("deg_sum"),
+        )
+    )
+    return (
+        comm.join(intra, "community", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "deg_sum",
+            (
+                4 * F.col("m") * F.col("intra_edges")
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            F.col("m").cast("bigint").alias("m"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH docs AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         lower(array_to_string(toks[i + 1 : i + 5], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 4)) AS t(i)
+  WHERE len(toks) >= 5
+),
+sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared, sa.sz AS size_a, sb.sz AS size_b
+FROM shared s
+JOIN sizes sa ON sa.source = s.src_a
+JOIN sizes sb ON sb.source = s.src_b
+"""
+
+
+@_register_r3("q_source_overlap", _SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 5-gram overlap matrix — the mixture-design audit that
+    tells you which corpus sources are textually redundant BEFORE you
+    weight them (two crawls of the same sites waste mixture mass; DSIR /
+    mix-weight decisions assume sources are distinct). For every source
+    pair: the count of distinct 5-gram shingles they share plus each
+    side's distinct-shingle total, so the consumer derives both Jaccard
+    and directional containment exactly from integers.
+
+    Scale plan: the index is distinct (source, shingle) — a map-side-
+    combined dedup that collapses each source's corpus to its shingle
+    vocabulary BEFORE any join; the pair expansion per shingle is bounded
+    by the number of sources (a dimension, ~tens), never by document
+    count, so the join output is |shingle-vocab| x O(|sources|^2) worst
+    case with real-world sharing far sparser. No df-cut is needed because
+    source-level dedup already removed the per-document fanout."""
+    docs = load_docs(spark, sf_dir)
+    from cliner_spark.dedup import shingles
+
+    sh = shingles(docs.select(F.col("source"), "text"), 5, id_col="source")
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("source", "src_a").withColumnRenamed("sz", "size_a"),
+            "src_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "src_b").withColumnRenamed("sz", "size_b"),
+            "src_b",
+        )
+        .select("src_a", "src_b", "shared", "size_a", "size_b")
+    )
+
+
+_ASSORT_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+keep2 AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50),
+shf2 AS (SELECT sh2.* FROM sh2 JOIN keep2 USING (shingle)),
+ge AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi
+  FROM shf2 a JOIN shf2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT lo AS src, hi AS dst FROM ge UNION ALL SELECT hi, lo FROM ge),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+       CAST(sum(da.d + db.d) AS BIGINT) AS s1,
+       CAST(sum(da.d * db.d) AS BIGINT) AS s_prod,
+       CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS s2
+FROM e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+"""
+
+
+@_register_r3("q_graph_assortativity", _ASSORT_SQL)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity sufficient statistics of the doc-similarity
+    graph, exact BIGINT moments over the directed edge list (each
+    undirected edge counted in both orientations, the standard Newman
+    convention): M = n_dir_edges, s1 = sum(j+k), s_prod = sum(j*k),
+    s2 = sum(j^2+k^2) for endpoint degrees (j,k). The Pearson
+    assortativity r = (M*s_prod - (s1/2)^2) / (M*s2/2 - (s1/2)^2) is a
+    pure function of these four integers, so the consumer derives it
+    exactly — positive r means hubs link hubs (dup-cluster cliques),
+    negative means star-like quote graphs. Degree-degree correlation is
+    the standard check before trusting degree-targeted sampling.
+
+    Scale plan: degrees are one map-side-combined groupBy; the two
+    degree joins are broadcastable (degree table is node-dimension);
+    the final global aggregate is a single partial-merge reduce. One
+    4-column 1-row result — nothing here grows with corpus size except
+    the one edge scan."""
+    edges = _docpair_edges(spark, sf_dir)
+    e = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.withColumnRenamed("node", "src").withColumnRenamed("d", "da")
+    db = deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "db")
+    return (
+        e.join(da, "src")
+        .join(db, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
+            F.sum(F.col("da") + F.col("db")).cast("bigint").alias("s1"),
+            F.sum(F.col("da") * F.col("db")).cast("bigint").alias("s_prod"),
+            F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )

@@ -165,3 +165,123 @@ def test_copeland_rank_matches_python_replica(spark):
         # Copeland bounds: |score| <= opponents faced; components sum up
         assert abs(r["copeland"]) <= r["n_opponents"]
         assert r["beats"] + r["losses"] + r["ties"] == r["n_opponents"]
+
+
+# ---------------------------------------------------------------------------
+# batch 11: modularity, source overlap, assortativity
+# ---------------------------------------------------------------------------
+
+
+def _docpair_graph(spark):
+    """Python replica of the doc-similarity graph (>=2 shared 3-shingles,
+    df-cut 50): returns (edges set of (lo, hi), degrees dict)."""
+    sh = {}
+    for d in _docs(spark):
+        toks = [t.lower() for t in _toks(d["text"])]
+        sh[d["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    df = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    shf = {i: {g for g in s if df[g] <= 50} for i, s in sh.items()}
+    ids = sorted(shf)
+    edges = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if len(shf[a] & shf[b]) >= 2:
+                edges.add((a, b))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return edges, deg
+
+
+def _lpa3(edges):
+    """3 synchronous LPA rounds, most-frequent-neighbor label, min tie-break."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for v in nbrs:
+                cnt[lbl[v]] = cnt.get(lbl[v], 0) + 1
+            best = min(cnt, key=lambda l: (-cnt[l], l))
+            new[n] = best
+        lbl = new
+    return lbl
+
+
+def test_modularity_matches_python_replica(spark):
+    edges, deg = _docpair_graph(spark)
+    lbl = _lpa3(edges)
+    m = len(edges)
+    comms = {}
+    for n, c in lbl.items():
+        s = comms.setdefault(c, {"n": 0, "dsum": 0, "intra": 0})
+        s["n"] += 1
+        s["dsum"] += deg[n]
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            comms[lbl[a]]["intra"] += 1
+    rows = {r["community"]: r for r in _q(spark, "q_modularity").collect()}
+    assert set(rows) == set(comms)
+    q_total = 0
+    for c, s in comms.items():
+        r = rows[c]
+        assert (r["n_nodes"], r["intra_edges"], r["deg_sum"]) == (
+            s["n"], s["intra"], s["dsum"],
+        )
+        assert r["q_num"] == 4 * m * s["intra"] - s["dsum"] ** 2
+        assert r["m"] == m
+        q_total += r["q_num"]
+    # modularity is a proper fraction: -1/2 <= Q <= 1
+    assert -2 * m * m <= q_total <= 4 * m * m
+    # 3-round LPA on a similarity graph should beat the null model overall
+    assert q_total > 0
+
+
+def test_source_overlap_matches_python_replica(spark):
+    by_src = {}
+    for d in _docs(spark):
+        toks = [t.lower() for t in _toks(d["text"])]
+        s = by_src.setdefault(d["source"], set())
+        s.update(
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        )
+    srcs = sorted(by_src)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(by_src[a] & by_src[b])
+            if inter:
+                want[(a, b)] = (inter, len(by_src[a]), len(by_src[b]))
+    rows = _q(spark, "q_source_overlap").collect()
+    got = {
+        (r["src_a"], r["src_b"]): (r["shared"], r["size_a"], r["size_b"])
+        for r in rows
+    }
+    assert got == want
+    assert want, "fixture sources must overlap somewhere"
+
+
+def test_graph_assortativity_matches_python_replica(spark):
+    edges, deg = _docpair_graph(spark)
+    dir_edges = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    M = len(dir_edges)
+    s1 = sum(deg[a] + deg[b] for a, b in dir_edges)
+    s_prod = sum(deg[a] * deg[b] for a, b in dir_edges)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in dir_edges)
+    [r] = _q(spark, "q_graph_assortativity").collect()
+    assert (r["n_dir_edges"], r["s1"], r["s_prod"], r["s2"]) == (M, s1, s_prod, s2)
+    # derived Pearson r must be a valid correlation
+    num = M * s_prod - (s1 / 2) ** 2
+    den = M * s2 / 2 - (s1 / 2) ** 2
+    if den:
+        assert -1.0 - 1e-9 <= num / den <= 1.0 + 1e-9

@@ -128,6 +128,10 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row vocab-size carry feeding the modulo hash index")
     ],
+    "q_modularity": [
+        ("BroadcastNestedLoopJoin",
+         "1-row edge-total m carry into the exact q_num numerator")
+    ],
 }
 
 
