@@ -3610,3 +3610,137 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3o (batch 12): seeded product quantization — the memory half of the
+# IVF-PQ design every production ANN system (FAISS-style) deploys at scale.
+# Vectors are stored as 4 small codes instead of 64 floats (16x memory cut
+# before even bit-packing); search scores candidates from per-query lookup
+# tables over the CODES without ever re-reading raw vectors. The codebook is
+# md5-seeded corpus subvectors (same engine-reproducible trick as
+# q_embedding_ivf_seeded) so codes, reconstruction error, and ADC search all
+# hash-check against DuckDB; production swaps the seeded codebook for a
+# sample-fit k-means one exactly as similarity.build_ivf_index does.
+# --------------------------------------------------------------------------
+
+# shared PQ pipeline: codebook (8 codewords x 4 subspaces of 16 dims),
+# per-vector argmin codes with rounded-6 distances (ties -> lower code),
+# fixed-order recon_err sum. Mirrors similarity.pq_codebook/pq_codes exactly.
+_PQ_SQL_BASE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT m.m, e.vec_id, e.v[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+  FROM e, (SELECT unnest(range(4)) AS m) m
+),
+cb AS (
+  SELECT m, sv,
+         CAST(row_number() OVER (PARTITION BY m
+              ORDER BY md5(m::VARCHAR || '#' || vec_id::VARCHAR), vec_id)
+              AS INTEGER) - 1 AS code
+  FROM sub
+  QUALIFY code < 8
+),
+dist AS (
+  SELECT s.vec_id, s.m, c.code,
+         round(list_sum(list_transform(range(16),
+               i -> (s.sv[i + 1] - c.sv[i + 1]) * (s.sv[i + 1] - c.sv[i + 1]))),
+               6) AS d
+  FROM sub s JOIN cb c USING (m)
+),
+best AS (
+  SELECT vec_id, m, code, d FROM (
+    SELECT vec_id, m, code, d,
+           row_number() OVER (PARTITION BY vec_id, m
+                ORDER BY d ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id,
+         CAST(max(CASE WHEN m = 0 THEN code END) AS INTEGER) AS code_0,
+         CAST(max(CASE WHEN m = 1 THEN code END) AS INTEGER) AS code_1,
+         CAST(max(CASE WHEN m = 2 THEN code END) AS INTEGER) AS code_2,
+         CAST(max(CASE WHEN m = 3 THEN code END) AS INTEGER) AS code_3,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS recon_err
+  FROM best GROUP BY vec_id
+)
+"""
+
+
+@_register_r3(
+    "q_pq_codes",
+    f"""
+WITH {_PQ_SQL_BASE.strip()}
+SELECT vec_id, code_0, code_1, code_2, code_3, recon_err FROM codes
+""",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode the whole corpus: per vector, 4 subspace codes (argmin
+    rounded-6 squared L2 to the 8 seeded codewords, ties -> lower code)
+    plus the fixed-order reconstruction-error sum. Spark side is ONE
+    narrow whole-stage-codegen projection per row — the codebook is
+    inlined as constants (a production scorer broadcasts it the same
+    way), so encoding 10^12 vectors is a single embarrassing-parallel
+    scan with no join, no shuffle, no Python. recon_err is the quality
+    dial: it is exactly the quantization distortion that decides how
+    many PQ bits the corpus needs before recall drops."""
+    from cliner_spark import similarity as _sim
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    cb = _sim.pq_codebook(emb)
+    return _sim.pq_codes(emb, cb)
+
+
+@_register_r3(
+    "q_pq_adc_topk",
+    f"""
+WITH {_PQ_SQL_BASE.strip()},
+qlut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         round(list_sum(list_transform(range(16),
+               i -> (q.v[c.m * 16 + i + 1] - c.sv[i + 1])
+                  * (q.v[c.m * 16 + i + 1] - c.sv[i + 1]))), 6) AS d
+  FROM e q, cb c
+  WHERE q.vec_id < 10
+),
+adist AS (
+  SELECT l.query_id, b.vec_id AS neighbor_id,
+         round(((max(CASE WHEN l.m = 0 THEN l.d END)
+               + max(CASE WHEN l.m = 1 THEN l.d END))
+               + max(CASE WHEN l.m = 2 THEN l.d END))
+               + max(CASE WHEN l.m = 3 THEN l.d END), 6) AS adist
+  FROM best b JOIN qlut l ON l.m = b.m AND l.code = b.code
+  WHERE l.query_id <> b.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist, rn FROM (
+  SELECT query_id, neighbor_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rn
+  FROM adist
+) WHERE rn <= 3
+""",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search for queries vec_id < 10:
+    candidates are scored by sum_m ||q_m - codeword(code_m)||^2 using only
+    their stored CODES — raw corpus vectors are never read at query time,
+    which is the entire point of PQ at 10^12 rows. The per-(query,
+    subspace) distances form the classic 8-entry lookup table; Spark
+    inlines the LUT as an element_at over 8 constant-codeword distance
+    expressions selected by the candidate's code — same algebra, zero
+    joins beyond the broadcast query spine, stays in codegen. Smallest
+    approximate distance wins, ties to the lower neighbor id. At scale
+    this composes with the IVF index (probe cells first, ADC inside the
+    probed cells) — the candidate set is cell-pruned, not the corpus."""
+    from cliner_spark import similarity as _sim
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    cb = _sim.pq_codebook(emb)
+    return _sim.pq_adc_topk(emb, cb, F.col("vec_id") < 10, k=3)

@@ -1,0 +1,136 @@
+"""Independent-oracle property tests for the round-3o (batch-12) product
+quantization operators: a straight-line Python replica of the seeded
+codebook / code assignment / ADC search on the sf0.001 embeddings, plus the
+structural invariants PQ must satisfy (recon_err is exactly the sum of the
+chosen per-subspace distances; ADC distance of a vector against its own
+codes equals its recon_err; codes cover only the codebook range)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+N_SUB, K, DIMS = 4, 8, 64
+SUB_D = DIMS // N_SUB
+
+
+def _q(spark, name):
+    return entry.queries()[name](spark, SF)
+
+
+def _emb(spark):
+    return {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+
+
+def _round6(x: float) -> float:
+    # Spark F.round is HALF_UP on the decimal repr of the double
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _codebook(emb):
+    cb = []
+    for m in range(N_SUB):
+        order = sorted(
+            emb,
+            key=lambda i: (
+                hashlib.md5(f"{m}#{i}".encode()).hexdigest(),
+                i,
+            ),
+        )[:K]
+        cb.append([emb[i][m * SUB_D : (m + 1) * SUB_D] for i in order])
+    return cb
+
+
+def _sub_dist(sv, cw):
+    acc = 0.0
+    for x, y in zip(sv, cw):
+        acc += (x - y) * (x - y)
+    return _round6(acc)
+
+
+def _codes(emb, cb):
+    out = {}
+    for i, v in emb.items():
+        codes, err = [], 0.0
+        for m in range(N_SUB):
+            sv = v[m * SUB_D : (m + 1) * SUB_D]
+            d, c = min((_sub_dist(sv, cb[m][c]), c) for c in range(K))
+            codes.append(c)
+            err += d
+        out[i] = (codes, _round6(err))
+    return out
+
+
+def test_pq_codes_match_python_replica(spark):
+    emb = _emb(spark)
+    expect = _codes(emb, _codebook(emb))
+    rows = {int(r["vec_id"]): r for r in _q(spark, "q_pq_codes").collect()}
+    assert set(rows) == set(expect)
+    for i, (codes, err) in expect.items():
+        r = rows[i]
+        assert [r[f"code_{m}"] for m in range(N_SUB)] == codes, i
+        assert abs(r["recon_err"] - err) < 1e-9, i
+        assert all(0 <= r[f"code_{m}"] < K for m in range(N_SUB))
+
+
+def test_pq_adc_matches_python_replica(spark):
+    emb = _emb(spark)
+    cb = _codebook(emb)
+    codes = _codes(emb, cb)
+    rows = _q(spark, "q_pq_adc_topk").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    assert set(by_q) == {q for q in emb if q < 10}
+    for q, rs in by_q.items():
+        # python replica: ADC distance via the candidate's stored codes
+        qv = emb[q]
+        cand = []
+        for n, (ncodes, _) in codes.items():
+            if n == q:
+                continue
+            tot = 0.0
+            for m in range(N_SUB):
+                qsub = qv[m * SUB_D : (m + 1) * SUB_D]
+                tot += _sub_dist(qsub, cb[m][ncodes[m]])
+            cand.append((_round6(tot), n))
+        cand.sort()
+        top = cand[:3]
+        got = sorted(
+            ((r["adist"], int(r["neighbor_id"])) for r in rs),
+        )
+        assert [n for _, n in got] == [n for _, n in top], q
+        for (ga, gn), (ea, en) in zip(got, top):
+            assert abs(ga - ea) < 1e-9, (q, gn)
+        # rn is 1..3 by ascending (adist, neighbor_id)
+        rn_order = sorted(rs, key=lambda r: r["rn"])
+        assert [r["rn"] for r in rn_order] == [1, 2, 3]
+        assert [
+            (r["adist"], int(r["neighbor_id"])) for r in rn_order
+        ] == got
+
+
+def test_pq_self_adc_equals_recon_err(spark):
+    """Invariant tying the two operators together: scoring a vector's OWN
+    codes against itself under ADC gives exactly its reconstruction error
+    (both are the same fixed-order sum of rounded per-subspace L2s)."""
+    emb = _emb(spark)
+    cb = _codebook(emb)
+    codes = _codes(emb, cb)
+    code_rows = {
+        int(r["vec_id"]): r for r in _q(spark, "q_pq_codes").collect()
+    }
+    for i in list(sorted(emb))[:25]:
+        v = emb[i]
+        tot = 0.0
+        for m in range(N_SUB):
+            tot += _sub_dist(v[m * SUB_D : (m + 1) * SUB_D], cb[m][codes[i][0][m]])
+        assert abs(_round6(tot) - code_rows[i]["recon_err"]) < 1e-9, i

@@ -132,6 +132,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row edge-total m carry into the exact q_num numerator")
     ],
+    "q_pq_adc_topk": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast <=10-row query spine x PQ-coded corpus: ADC scan BY "
+         "DESIGN — candidates are scored from codes, never raw vectors; "
+         "at scale the candidate set is IVF-cell-pruned first")
+    ],
 }
 
 
