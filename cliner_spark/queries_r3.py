@@ -3744,3 +3744,153 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
     cb = _sim.pq_codebook(emb)
     return _sim.pq_adc_topk(emb, cb, F.col("vec_id") < 10, k=3)
+
+
+# --------------------------------------------------------------------------
+# Round 3p (batch 13): data-loader shuffle QA + static training-mixture
+# planning — the two bookkeeping steps between a curated corpus and a
+# training run. Both are integer-exact (counts and rationals only), so the
+# hash check has no float surface at all.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_shuffle_quality",
+    """
+WITH ord AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents
+),
+adj AS (
+  SELECT source,
+         CASE WHEN lag(source) OVER (ORDER BY pos) = source
+              THEN 1 ELSE 0 END AS same
+  FROM ord
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(same) AS BIGINT) AS obs_adj_same
+  FROM adj GROUP BY source
+)
+SELECT source, n_docs, obs_adj_same,
+       CAST(n_docs * (n_docs - 1) AS BIGINT) AS exp_num,
+       CAST(sum(n_docs) OVER () AS BIGINT) AS exp_den
+FROM g
+""",
+)
+def q_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-correlation audit of the epoch-0 md5 shuffle (the QA gate a
+    data loader runs before trusting q_epoch_shuffle's order): per source,
+    how many ADJACENT positions in the shuffled order carry the same
+    source, vs the exact expectation under a uniform random permutation —
+    E[same-source adjacencies for s] = n_s*(n_s-1)/N, emitted as the exact
+    rational (exp_num, exp_den) so the consumer compares obs*exp_den vs
+    exp_num*1 with pure integers. A residual clump (obs far above the
+    expectation) means the shuffle is leaking ingest order into training
+    batches — the classic cause of per-source loss spikes.
+
+    Scale plan: the global row_number/lag here is gate-SF demonstration
+    shape; the production loader shuffles within hash shards, so the same
+    audit runs per shard (lag over a partitioned window) and the per-source
+    counts merge additively — nothing about the statistic needs a total
+    order. The post-aggregation frame is |sources|-sized, so the empty
+    OVER () total is dimension-cheap."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("0|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ordd = docs.select("doc_id", "source", F.row_number().over(w).alias("pos"))
+    adj = ordd.select(
+        "source",
+        F.when(F.lag("source").over(Window.orderBy("pos")) == F.col("source"), 1)
+        .otherwise(0)
+        .alias("same"),
+    )
+    g = adj.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("same").cast("bigint").alias("obs_adj_same"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "obs_adj_same",
+        (F.col("n_docs") * (F.col("n_docs") - 1)).cast("bigint").alias("exp_num"),
+        F.sum("n_docs").over(Window.partitionBy()).cast("bigint").alias("exp_den"),
+    )
+
+
+@_register_r3(
+    "q_mixture_plan",
+    """
+WITH toks AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(trim(coalesce(text, '')),
+              '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+sup AS (
+  SELECT source, CAST(sum(n_toks) AS BIGINT) AS supply,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM toks GROUP BY source
+)
+SELECT source, n_docs, supply,
+       CAST(sum(supply) OVER () AS BIGINT) AS budget,
+       CAST(count(*) OVER () AS BIGINT) AS n_sources,
+       CAST((sum(supply) OVER () + count(*) OVER () * supply - 1)
+            // (count(*) OVER () * supply) AS BIGINT) AS epochs,
+       (count(*) OVER () * supply < sum(supply) OVER ()) AS oversampled
+FROM sup
+WHERE supply > 0
+""",
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static training-mixture plan under a uniform per-source target (the
+    degenerate-but-exact core of DoReMi-style mixture design): with token
+    budget B = total corpus tokens and S sources, each source owes B/S
+    tokens, so a source supplying `supply` tokens trains for
+    epochs = ceil(B / (S * supply)) passes — all-integer ceil division
+    ((B + S*supply - 1) // (S*supply)), and `oversampled` marks sources
+    that must repeat (S*supply < B). Swapping the uniform target for
+    learned weights only changes the per-source numerator; the plan stays
+    one aggregate + one dimension-sized projection. This is the table a
+    data loader consumes to set per-source repeat factors; pairing it with
+    q_epoch_shuffle gives the full deterministic loader spec.
+
+    Scale plan: one map-side-combined groupBy(source) over the corpus scan
+    is the only full-data pass; the windowed totals run on the
+    |sources|-sized frame. Zero floats anywhere — epochs and flags are
+    exact, so the hash check cannot rot."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    sup = (
+        docs.select("source", F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("supply"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("supply") > 0)
+    )
+    w = Window.partitionBy()
+    base = sup.select(
+        "source",
+        "n_docs",
+        "supply",
+        F.sum("supply").over(w).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_sources"),
+    )
+    return base.select(
+        "source",
+        "n_docs",
+        "supply",
+        "budget",
+        "n_sources",
+        F.expr(
+            "CAST((budget + n_sources * supply - 1) div (n_sources * supply)"
+            " AS BIGINT)"
+        ).alias("epochs"),
+        F.expr("n_sources * supply < budget").alias("oversampled"),
+    )

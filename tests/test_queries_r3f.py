@@ -134,3 +134,66 @@ def test_pq_self_adc_equals_recon_err(spark):
         for m in range(N_SUB):
             tot += _sub_dist(v[m * SUB_D : (m + 1) * SUB_D], cb[m][codes[i][0][m]])
         assert abs(_round6(tot) - code_rows[i]["recon_err"]) < 1e-9, i
+
+
+# ---------------------------------------------------------------------------
+# batch 13: shuffle-quality audit + mixture plan (integer-exact replicas)
+# ---------------------------------------------------------------------------
+
+
+def _docs_rows(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+
+def test_shuffle_quality_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    order = sorted(
+        docs,
+        key=lambda d: (
+            hashlib.md5(f"0|{d['doc_id']}".encode()).hexdigest(),
+            d["doc_id"],
+        ),
+    )
+    n_docs, obs = {}, {}
+    prev = None
+    for d in order:
+        s = d["source"]
+        n_docs[s] = n_docs.get(s, 0) + 1
+        if prev == s:
+            obs[s] = obs.get(s, 0) + 1
+        prev = s
+    rows = {r["source"]: r for r in _q(spark, "q_shuffle_quality").collect()}
+    assert set(rows) == set(n_docs)
+    total = sum(n_docs.values())
+    for s, r in rows.items():
+        assert r["n_docs"] == n_docs[s]
+        assert r["obs_adj_same"] == obs.get(s, 0)
+        assert r["exp_num"] == n_docs[s] * (n_docs[s] - 1)
+        assert r["exp_den"] == total
+    # the same-source adjacency total is bounded by all adjacencies
+    assert sum(obs.values()) <= total - 1
+
+
+def test_mixture_plan_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    supply, nd = {}, {}
+    for d in docs:
+        s = d["source"]
+        toks = [t for t in (d["text"] or "").strip().split() if t]
+        supply[s] = supply.get(s, 0) + len(toks)
+        nd[s] = nd.get(s, 0) + 1
+    supply = {s: v for s, v in supply.items() if v > 0}
+    budget = sum(supply.values())
+    n_src = len(supply)
+    rows = {r["source"]: r for r in _q(spark, "q_mixture_plan").collect()}
+    assert set(rows) == set(supply)
+    for s, r in rows.items():
+        assert r["supply"] == supply[s]
+        assert r["n_docs"] == nd[s]
+        assert r["budget"] == budget and r["n_sources"] == n_src
+        denom = n_src * supply[s]
+        assert r["epochs"] == -(-budget // denom)  # ceil div
+        assert r["oversampled"] == (denom < budget)
+        assert r["epochs"] >= 1
+        # epochs > 1 iff oversampled
+        assert (r["epochs"] > 1) == r["oversampled"]
