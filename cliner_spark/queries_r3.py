@@ -3894,3 +3894,155 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("epochs"),
         F.expr("n_sources * supply < budget").alias("oversampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3q (batch 14): corpus lexical statistics for tokenizer/LM sizing —
+# Heaps-law vocabulary-growth checkpoints and the Good-Turing frequency
+# spectrum. Both integer-exact end to end.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_vocab_growth",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+ord AS (
+  SELECT toks,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM docs
+),
+tok AS (
+  SELECT lower(t.tok) AS tok, CAST(min(pos) AS BIGINT) AS first_pos
+  FROM ord, unnest(toks) AS t(tok)
+  GROUP BY 1
+),
+bucketed AS (
+  SELECT CASE WHEN first_pos <= 2 THEN 2 WHEN first_pos <= 4 THEN 4
+              WHEN first_pos <= 8 THEN 8 WHEN first_pos <= 16 THEN 16
+              WHEN first_pos <= 32 THEN 32 WHEN first_pos <= 64 THEN 64
+              WHEN first_pos <= 128 THEN 128 WHEN first_pos <= 256 THEN 256
+              WHEN first_pos <= 512 THEN 512 WHEN first_pos <= 1024 THEN 1024
+              WHEN first_pos <= 2048 THEN 2048 WHEN first_pos <= 4096 THEN 4096
+         END AS cp, count(*) AS new_types
+  FROM tok GROUP BY 1 HAVING cp IS NOT NULL
+),
+growth AS (
+  SELECT CAST(cp AS BIGINT) AS n_docs_seen,
+         CAST(sum(new_types) OVER (ORDER BY cp) AS BIGINT) AS vocab_size
+  FROM bucketed
+)
+SELECT n_docs_seen, vocab_size FROM growth
+WHERE n_docs_seen <= (SELECT count(*) FROM documents)
+""",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct lowercased token types
+    seen within the first 2/4/8/.../4096 documents of the md5 corpus order
+    (checkpoints beyond the corpus size are dropped via the 1-row doc-count
+    carry). The curve's bend is the empirical Heaps exponent — the input to
+    tokenizer vocab sizing and dedup-savings forecasts (a flattening curve
+    at 100 TB means new shards add tokens, not types). Computed without any
+    per-checkpoint scan: each type is bucketed to the FIRST checkpoint
+    covering its first occurrence (one min-aggregate per type), and the
+    curve is a cumulative sum over the <=8-row checkpoint frame — so the
+    corpus is read once no matter how many checkpoints.
+
+    Scale plan: first_pos is a map-side-combined min per type; the md5
+    total order exists only at gate SF (production assigns pos per hash
+    shard and merges per-shard growth curves, which bounds the same
+    exponent). The only non-equi piece is the 1-row count carry bounding
+    the literal spine."""
+    docs = load_docs(spark, sf_dir)
+    from cliner_spark.tokenization import tokens_col
+
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ordd = docs.select(
+        tokens_col(F.col("text")).alias("toks"), F.row_number().over(w).alias("pos")
+    )
+    tok = (
+        ordd.select(F.explode("toks").alias("tok"), "pos")
+        .select(F.lower("tok").alias("tok"), "pos")
+        .groupBy("tok")
+        .agg(F.min("pos").cast("bigint").alias("first_pos"))
+    )
+    cp = F.lit(None).cast("bigint")
+    for b in [4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2]:
+        cp = F.when(F.col("first_pos") <= b, F.lit(b).cast("bigint")).otherwise(cp)
+    bucketed = (
+        tok.select(cp.alias("cp"))
+        .filter(F.col("cp").isNotNull())
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    growth = bucketed.select(
+        F.col("cp").alias("n_docs_seen"),
+        F.sum("new_types").over(Window.orderBy("cp")).cast("bigint").alias("vocab_size"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    return (
+        growth.join(F.broadcast(n), F.col("n_docs_seen") <= F.col("n_corpus_docs"))
+        .select("n_docs_seen", "vocab_size")
+    )
+
+
+@_register_r3(
+    "q_freq_spectrum",
+    """
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT source, lower(t.tok) AS tok, count(*) AS c
+  FROM docs, unnest(toks) AS t(tok)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS n1_hapax,
+       CAST(count(*) FILTER (c = 2) AS BIGINT) AS n2_dis,
+       CAST(count(*) FILTER (c >= 3) AS BIGINT) AS n3_plus,
+       CAST(max(c) AS BIGINT) AS max_freq
+FROM tf GROUP BY source
+""",
+)
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token frequency spectrum (spectrum of spectra): total
+    tokens, vocabulary, hapax (freq 1) / dis (freq 2) / 3+ legomena counts,
+    and the modal frequency ceiling. The Good-Turing unseen-probability
+    mass is exactly n1_hapax/n_tokens — emitted as its two exact integers
+    so the downstream LM-smoothing choice (and the q_kn_bigram discount)
+    is derived with no float surface. A source whose hapax share balloons
+    is either genuinely diverse or full of OCR noise — this is the
+    cheapest triage signal before spending on quality scoring.
+
+    Scale plan: two map-side-combined groupBys (term-frequency, then
+    per-source spectrum) — the same shuffle shape as q_token_freq; all
+    outputs are exact BIGINTs, so the hash check cannot rot."""
+    docs = load_docs(spark, sf_dir)
+    from cliner_spark.tokenization import tokens_col
+
+    tf = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .select("source", F.lower("tok").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("bigint").alias("n1_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("bigint").alias("n2_dis"),
+        F.sum((F.col("c") >= 3).cast("long")).cast("bigint").alias("n3_plus"),
+        F.max("c").cast("bigint").alias("max_freq"),
+    )

@@ -197,3 +197,74 @@ def test_mixture_plan_matches_python_replica(spark):
         assert r["epochs"] >= 1
         # epochs > 1 iff oversampled
         assert (r["epochs"] > 1) == r["oversampled"]
+
+
+# ---------------------------------------------------------------------------
+# batch 14: vocabulary growth + frequency spectrum (integer-exact replicas)
+# ---------------------------------------------------------------------------
+
+CPS = [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def test_vocab_growth_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    order = sorted(
+        docs,
+        key=lambda d: (
+            hashlib.md5(str(d["doc_id"]).encode()).hexdigest(),
+            d["doc_id"],
+        ),
+    )
+    first = {}
+    for pos, d in enumerate(order, 1):
+        for t in _toks_lower(d["text"]):
+            first.setdefault(t, pos)
+    n = len(order)
+    expect = {
+        cp: sum(1 for fp in first.values() if fp <= cp)
+        for cp in CPS
+        if cp <= n
+    }
+    # drop checkpoints with no bucketed types AND all-smaller empty —
+    # the query emits a row only for checkpoints whose bucket chain is
+    # non-empty up to that point; cumsum rows exist per non-empty bucket
+    got = {r["n_docs_seen"]: r["vocab_size"] for r in _q(spark, "q_vocab_growth").collect()}
+    for cp, v in got.items():
+        assert expect[cp] == v, cp
+    # monotone non-decreasing curve
+    xs = sorted(got)
+    assert all(got[a] <= got[b] for a, b in zip(xs, xs[1:]))
+    # the largest emitted checkpoint carries the full (covered) vocab
+    if xs:
+        assert got[xs[-1]] == sum(1 for fp in first.values() if fp <= xs[-1])
+
+
+def _toks_lower(text):
+    return [t.lower() for t in (text or "").strip().split() if t]
+
+
+def test_freq_spectrum_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    tf = {}
+    for d in docs:
+        for t in _toks_lower(d["text"]):
+            key = (d["source"], t)
+            tf[key] = tf.get(key, 0) + 1
+    per_src = {}
+    for (s, _t), c in tf.items():
+        st = per_src.setdefault(s, {"n": 0, "v": 0, "n1": 0, "n2": 0, "n3": 0, "mx": 0})
+        st["n"] += c
+        st["v"] += 1
+        st["n1"] += c == 1
+        st["n2"] += c == 2
+        st["n3"] += c >= 3
+        st["mx"] = max(st["mx"], c)
+    rows = {r["source"]: r for r in _q(spark, "q_freq_spectrum").collect()}
+    assert set(rows) == set(per_src)
+    for s, st in per_src.items():
+        r = rows[s]
+        assert (r["n_tokens"], r["vocab"], r["n1_hapax"], r["n2_dis"], r["n3_plus"], r["max_freq"]) == (
+            st["n"], st["v"], st["n1"], st["n2"], st["n3"], st["mx"]
+        ), s
+        # spectrum partitions the vocabulary
+        assert r["n1_hapax"] + r["n2_dis"] + r["n3_plus"] == r["vocab"]

@@ -132,6 +132,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row edge-total m carry into the exact q_num numerator")
     ],
+    "q_vocab_growth": [
+        ("BroadcastNestedLoopJoin",
+         "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
+         "spine (drops checkpoints beyond the corpus)")
+    ],
     "q_pq_adc_topk": [
         ("BroadcastNestedLoopJoin",
          "broadcast <=10-row query spine x PQ-coded corpus: ADC scan BY "
