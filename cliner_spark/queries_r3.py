@@ -4046,3 +4046,153 @@ def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c") >= 3).cast("long")).cast("bigint").alias("n3_plus"),
         F.max("c").cast("bigint").alias("max_freq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3r (batch 15): split-hygiene statistics — eval-set OOV rate under
+# the train split's vocabulary (the generalization-gap input that
+# complements q_decontaminate's overlap direction) and the duplicate-
+# discovery curve (dedup-savings forecast over corpus order, the companion
+# of q_vocab_growth). Both exact-integer end to end.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_oov_eval",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tv AS (
+  SELECT DISTINCT lower(t.tok) AS tok
+  FROM docs, unnest(toks) AS t(tok) WHERE split = 'train'
+),
+ev AS (
+  SELECT d.split, d.doc_id, lower(t.tok) AS tok
+  FROM docs d, unnest(toks) AS t(tok) WHERE d.split <> 'train'
+),
+j AS (
+  SELECT ev.split, ev.doc_id, ev.tok, (tv.tok IS NOT NULL) AS seen
+  FROM ev LEFT JOIN tv ON ev.tok = tv.tok
+)
+SELECT split,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (NOT seen) AS BIGINT) AS n_oov_occ,
+       CAST(count(DISTINCT tok) FILTER (NOT seen) AS BIGINT) AS n_oov_types
+FROM j GROUP BY split
+""",
+)
+def q_oov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit of the val/test splits under the TRAIN
+    split's vocabulary (same md5 80/10/10 rule as q_train_split): per eval
+    split, token occurrences and distinct types never seen in train — the
+    exact-integer input to the generalization-gap story (q_decontaminate
+    measures leakage INTO eval; this measures coverage OF eval). A test
+    split whose OOV mass is near zero while val's is high means the split
+    hash is fine but the corpus is topically clustered — resplit by
+    cluster, not by document.
+
+    Scale plan: the train vocabulary is a distinct groupBy (vocab-
+    dimension, not corpus-dimension) and the eval side joins it on the
+    token equi-key — both map-side-combinable shuffles; no window, no
+    carry, all BIGINT."""
+    from cliner_spark.sampling import split_assign
+    from cliner_spark.tokenization import tokens_col
+
+    docs = split_assign(load_docs(spark, sf_dir), "doc_id")
+    toks = docs.select(
+        "split", "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("split", "doc_id", F.lower("tok").alias("tok"))
+    tv = toks.filter(F.col("split") == "train").select("tok").distinct()
+    ev = toks.filter(F.col("split") != "train")
+    j = ev.join(
+        tv.withColumn("seen", F.lit(True)), "tok", "left"
+    ).select("split", "doc_id", "tok", F.coalesce("seen", F.lit(False)).alias("seen"))
+    return j.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum((~F.col("seen")).cast("long")).cast("bigint").alias("n_oov_occ"),
+        F.countDistinct(F.when(~F.col("seen"), F.col("tok")))
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )
+
+
+@_register_r3(
+    "q_dup_discovery",
+    """
+WITH ord AS (
+  SELECT md5(lower(trim(coalesce(text, '')))) AS th,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents
+),
+firsts AS (SELECT th, min(pos) AS first_pos FROM ord GROUP BY th),
+dups AS (
+  SELECT o.pos FROM ord o JOIN firsts f ON o.th = f.th
+  WHERE o.pos > f.first_pos
+),
+bucketed AS (
+  SELECT CASE WHEN pos <= 2 THEN 2 WHEN pos <= 4 THEN 4
+              WHEN pos <= 8 THEN 8 WHEN pos <= 16 THEN 16
+              WHEN pos <= 32 THEN 32 WHEN pos <= 64 THEN 64
+              WHEN pos <= 128 THEN 128 WHEN pos <= 256 THEN 256
+              WHEN pos <= 512 THEN 512 WHEN pos <= 1024 THEN 1024
+              WHEN pos <= 2048 THEN 2048 WHEN pos <= 4096 THEN 4096
+         END AS cp, count(*) AS new_dups
+  FROM dups GROUP BY 1 HAVING cp IS NOT NULL
+)
+SELECT CAST(cp AS BIGINT) AS n_docs_seen,
+       CAST(sum(new_dups) OVER (ORDER BY cp) AS BIGINT) AS n_dup_docs
+FROM bucketed
+WHERE cp <= (SELECT count(*) FROM documents)
+""",
+)
+def q_dup_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-discovery curve: of the first 2/4/.../4096 documents in
+    the md5 corpus order, how many are EXACT duplicates (normalized-text
+    hash) of an earlier document — the dedup-savings forecast that pairs
+    with q_vocab_growth's type curve (types flatten while dups climb =
+    crawling the same sites again). Same one-scan shape: each duplicate is
+    bucketed to the first checkpoint covering its position, the curve is a
+    cumsum over the <=12-row checkpoint frame, and n_docs_seen doubles as
+    the exact denominator (positions are dense), so the dup RATE at each
+    checkpoint is the exact rational n_dup_docs/n_docs_seen.
+
+    Scale plan: min(pos) per text-hash is one map-side-combined groupBy;
+    the self-join back is an equi-join on the hash (production skips it —
+    count(*)-1 per hash group gives the same dups without the rejoin, but
+    the join keeps per-duplicate positions for the curve). The 1-row
+    doc-count carry bounds the literal spine, as in q_vocab_growth."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ordd = docs.select(
+        F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))).alias("th"),
+        F.row_number().over(w).alias("pos"),
+    )
+    firsts = ordd.groupBy("th").agg(F.min("pos").alias("first_pos"))
+    dups = ordd.join(firsts, "th").filter(F.col("pos") > F.col("first_pos"))
+    cp = F.lit(None).cast("bigint")
+    for b in [4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2]:
+        cp = F.when(F.col("pos") <= b, F.lit(b).cast("bigint")).otherwise(cp)
+    bucketed = (
+        dups.select(cp.alias("cp"))
+        .filter(F.col("cp").isNotNull())
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("new_dups"))
+    )
+    curve = bucketed.select(
+        F.col("cp").alias("n_docs_seen"),
+        F.sum("new_dups").over(Window.orderBy("cp")).cast("bigint").alias("n_dup_docs"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    return curve.join(
+        F.broadcast(n), F.col("n_docs_seen") <= F.col("n_corpus_docs")
+    ).select("n_docs_seen", "n_dup_docs")

@@ -268,3 +268,79 @@ def test_freq_spectrum_matches_python_replica(spark):
         ), s
         # spectrum partitions the vocabulary
         assert r["n1_hapax"] + r["n2_dis"] + r["n3_plus"] == r["vocab"]
+
+
+# ---------------------------------------------------------------------------
+# batch 15: OOV eval audit + duplicate-discovery curve
+# ---------------------------------------------------------------------------
+
+
+def _split(doc_id) -> str:
+    b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    return "train" if b < "cc" else ("val" if b < "e6" else "test")
+
+
+def test_oov_eval_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    train_vocab = set()
+    for d in docs:
+        if _split(d["doc_id"]) == "train":
+            train_vocab.update(_toks_lower(d["text"]))
+    expect = {}
+    for d in docs:
+        sp = _split(d["doc_id"])
+        if sp == "train":
+            continue
+        st = expect.setdefault(sp, {"docs": set(), "n": 0, "oov": 0, "oovt": set()})
+        st["docs"].add(d["doc_id"])
+        for t in _toks_lower(d["text"]):
+            st["n"] += 1
+            if t not in train_vocab:
+                st["oov"] += 1
+                st["oovt"].add(t)
+    rows = {r["split"]: r for r in _q(spark, "q_oov_eval").collect()}
+    assert set(rows) == set(expect)
+    for sp, st in expect.items():
+        r = rows[sp]
+        assert r["n_docs"] == len(st["docs"])
+        assert r["n_tokens"] == st["n"]
+        assert r["n_oov_occ"] == st["oov"]
+        assert r["n_oov_types"] == len(st["oovt"])
+        assert r["n_oov_occ"] >= r["n_oov_types"]
+
+
+def test_dup_discovery_matches_python_replica_sf01(spark):
+    """Run at sf0.1 — the only fixture with exact-duplicate texts (8), so
+    the non-trivial branch of the curve is exercised (sf0.001/0.01 return
+    an empty curve, which the oracle also confirms)."""
+    sf = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
+    order = sorted(
+        docs,
+        key=lambda d: (
+            hashlib.md5(str(d["doc_id"]).encode()).hexdigest(),
+            d["doc_id"],
+        ),
+    )
+    seen, dup_pos = set(), []
+    for pos, d in enumerate(order, 1):
+        th = hashlib.md5((d["text"] or "").strip().lower().encode()).hexdigest()
+        if th in seen:
+            dup_pos.append(pos)
+        seen.add(th)
+    n = len(order)
+    expect = {
+        cp: sum(1 for p in dup_pos if p <= cp)
+        for cp in CPS
+        if cp <= n
+    }
+    got = {
+        r["n_docs_seen"]: r["n_dup_docs"]
+        for r in entry.queries()["q_dup_discovery"](spark, sf).collect()
+    }
+    # rows exist only for checkpoints with a non-empty bucket chain
+    for cp, v in got.items():
+        assert expect[cp] == v, cp
+    assert sum(1 for p in dup_pos) == 8  # fixture contract (sf0.1)
+    xs = sorted(got)
+    assert all(got[a] <= got[b] for a, b in zip(xs, xs[1:]))

@@ -137,6 +137,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
          "spine (drops checkpoints beyond the corpus)")
     ],
+    "q_dup_discovery": [
+        ("BroadcastNestedLoopJoin",
+         "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
+         "spine (same shape as q_vocab_growth)")
+    ],
     "q_pq_adc_topk": [
         ("BroadcastNestedLoopJoin",
          "broadcast <=10-row query spine x PQ-coded corpus: ADC scan BY "
