@@ -4196,3 +4196,112 @@ def q_dup_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.join(
         F.broadcast(n), F.col("n_docs_seen") <= F.col("n_corpus_docs")
     ).select("n_docs_seen", "n_dup_docs")
+
+
+# --------------------------------------------------------------------------
+# Round 3s (batch 16): winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+# SIGMOD 2003 — the MOSS scheme). Distinct from MinHash/SimHash: winnowing
+# GUARANTEES that any match of length >= w+k-1 tokens between two documents
+# shares at least one selected fingerprint (positional, not probabilistic),
+# which is why plagiarism/license scanners use it over sketches.
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 3  # token k-gram size
+_WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+@_register_r3(
+    "q_winnow_fingerprints",
+    f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         md5(lower(array_to_string(toks[t.i + 1 : t.i + {_WINNOW_K}], ' '))) AS h,
+         len(toks) - {_WINNOW_K} + 1 AS n_sh
+  FROM docs, unnest(range(len(toks) - {_WINNOW_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_WINNOW_K}
+),
+win AS (
+  SELECT s.doc_id, s.i, s.h, s.i - o.off AS j
+  FROM sh s, unnest(range({_WINNOW_W})) AS o(off)
+  WHERE s.i - o.off >= 0 AND s.i - o.off <= s.n_sh - {_WINNOW_W}
+),
+sel AS (
+  SELECT doc_id, i, h FROM (
+    SELECT doc_id, j, i, h,
+           row_number() OVER (PARTITION BY doc_id, j
+                ORDER BY h ASC, i DESC) AS rn
+    FROM win
+  ) WHERE rn = 1
+)
+SELECT DISTINCT doc_id, i AS pos, h AS fp FROM sel
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every token {_WINNOW_K}-gram
+    (md5, engine-reproducible), slide a window of w={_WINNOW_W} consecutive
+    hashes, and in each window select the minimum hash, ties broken to the
+    RIGHTMOST position (the paper's rule, which makes selection a pure
+    function of the window contents); the fingerprint set is the distinct
+    (pos, hash) selections. Guarantee (tested): every window of w
+    consecutive k-grams contributes >=1 selected fingerprint, so any
+    verbatim overlap of >= w+k-1 tokens between two documents shares a
+    fingerprint — the deterministic complement to the MinHash/SimHash
+    sketches, used when missing a clone is not acceptable (license/
+    plagiarism scans).
+
+    Plan shape: one shingle scan, a w-way literal explode (x{_WINNOW_W}
+    fanout, map-side), and one (doc, window) rank — all partitioned by
+    doc_id, so the operator is embarrassingly parallel over documents; no
+    corpus-wide shuffle at all. Expected density 2/(w+1) keeps the output
+    a small fraction of the shingle count at any scale."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    k, wsz = _WINNOW_K, _WINNOW_W
+    sh = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            (F.size("toks") - k + 1).alias("n_sh"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.lower(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))
+                    ),
+                )
+            ).alias("i", "gram"),
+        )
+        .select("doc_id", "n_sh", F.col("i").cast("bigint").alias("i"), F.md5("gram").alias("h"))
+    )
+    win = (
+        sh.select(
+            "doc_id",
+            "i",
+            "h",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(wsz - 1)),
+                        lambda off: F.col("i") - off,
+                    ),
+                    lambda j: (j >= 0) & (j <= F.col("n_sh") - wsz),
+                )
+            ).alias("j"),
+        )
+    )
+    rw = Window.partitionBy("doc_id", "j").orderBy(F.asc("h"), F.desc("i"))
+    sel = (
+        win.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("i").alias("pos"), F.col("h").alias("fp"))
+        .distinct()
+    )
+    return sel

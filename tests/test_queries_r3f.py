@@ -344,3 +344,59 @@ def test_dup_discovery_matches_python_replica_sf01(spark):
     assert sum(1 for p in dup_pos) == 8  # fixture contract (sf0.1)
     xs = sorted(got)
     assert all(got[a] <= got[b] for a, b in zip(xs, xs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# batch 16: winnowing fingerprints (replica + the coverage guarantee)
+# ---------------------------------------------------------------------------
+
+WK, WW = 3, 4
+
+
+def _winnow(text):
+    toks = _toks_lower(text)
+    if len(toks) < WK:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(toks[i : i + WK]).encode()).hexdigest()
+        for i in range(len(toks) - WK + 1)
+    ]
+    sel = set()
+    for j in range(0, len(hs) - WW + 1):
+        # min hash in window, rightmost on ties
+        best = min(range(j, j + WW), key=lambda i: (hs[i], -i))
+        sel.add((best, hs[best]))
+    return sel
+
+
+def test_winnow_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    expect = {}
+    for d in docs:
+        for pos, fp in _winnow(d["text"]):
+            expect[(d["doc_id"], pos)] = fp
+    got = {}
+    for r in _q(spark, "q_winnow_fingerprints").collect():
+        got[(r["doc_id"], r["pos"])] = r["fp"]
+    assert got == expect
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The paper's guarantee: every window of WW consecutive k-gram
+    positions contains at least one selected fingerprint, hence any
+    verbatim overlap of >= WW+WK-1 tokens shares a fingerprint."""
+    docs = _docs_rows(spark)
+    by_doc = {}
+    for r in _q(spark, "q_winnow_fingerprints").collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["pos"])
+    checked = 0
+    for d in docs[:100]:
+        toks = _toks_lower(d["text"])
+        n_sh = len(toks) - WK + 1
+        if n_sh < WW:
+            continue
+        sel = by_doc.get(d["doc_id"], set())
+        for j in range(0, n_sh - WW + 1):
+            assert any(j <= p < j + WW for p in sel), (d["doc_id"], j)
+            checked += 1
+    assert checked > 0
