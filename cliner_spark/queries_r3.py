@@ -4305,3 +4305,142 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return sel
+
+
+# --------------------------------------------------------------------------
+# Round 3t (batch 17): PPS systematic token-budget sampling (the loader-side
+# companion of q_mixture_plan) and winnowing clone-pair candidates (the MOSS
+# step-2 consumer of q_winnow_fingerprints). Integer-exact / md5-exact.
+# --------------------------------------------------------------------------
+
+_PPS_N = 50  # systematic sample size
+
+
+@_register_r3(
+    "q_pps_sample",
+    f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(coalesce(text, '')),
+              '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+ord AS (
+  SELECT doc_id, n_toks,
+         CAST(sum(n_toks) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM docs WHERE n_toks > 0
+),
+tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS t FROM docs WHERE n_toks > 0)
+SELECT o.doc_id, o.n_toks, o.cum,
+       CAST((o.cum * {_PPS_N}) // t - ((o.cum - o.n_toks) * {_PPS_N}) // t
+            AS BIGINT) AS n_hits
+FROM ord o, tot
+WHERE (o.cum * {_PPS_N}) // t > ((o.cum - o.n_toks) * {_PPS_N}) // t
+""",
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample: lay every
+    document's tokens end to end in the md5 corpus order and take
+    {_PPS_N} equally spaced token positions — a document is selected once
+    per grid point falling inside its token interval, i.e. iff
+    floor(cum*n/T) > floor((cum-size)*n/T), with n_hits the exact
+    multiplicity (documents longer than one stride can be drawn multiple
+    times, the PPS semantics a token-budget sampler needs; q_weighted_sample
+    draws BY KEY, this draws BY TOKEN MASS). Every quantity is a BIGINT —
+    cumulative sums, integer floor-division grid crossings — so the sample
+    is engine-exact and reproducible from the corpus alone.
+
+    Scale plan: one cumsum window in the md5 order (production: per-shard
+    cumsums + a |shards|-sized offset scan, the standard distributed
+    prefix-sum) and a 1-row total carry; selection is a stateless predicate
+    per row, so the operator streams."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = (
+        load_docs(spark, sf_dir)
+        .select("doc_id", F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    w = (
+        Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordd = docs.select(
+        "doc_id", "n_toks", F.sum("n_toks").over(w).cast("bigint").alias("cum")
+    )
+    tot = docs.agg(F.sum("n_toks").cast("bigint").alias("t"))
+    j = ordd.join(F.broadcast(tot))
+    hi = F.expr(f"(cum * {_PPS_N}) div t")
+    lo = F.expr(f"((cum - n_toks) * {_PPS_N}) div t")
+    return (
+        j.filter(hi > lo)
+        .select("doc_id", "n_toks", "cum", (hi - lo).cast("bigint").alias("n_hits"))
+    )
+
+
+@_register_r3(
+    "q_winnow_pairs",
+    f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         md5(lower(array_to_string(toks[t.i + 1 : t.i + {_WINNOW_K}], ' '))) AS h,
+         len(toks) - {_WINNOW_K} + 1 AS n_sh
+  FROM docs, unnest(range(len(toks) - {_WINNOW_K} + 1)) AS t(i)
+  WHERE len(toks) >= {_WINNOW_K}
+),
+win AS (
+  SELECT s.doc_id, s.i, s.h, s.i - o.off AS j
+  FROM sh s, unnest(range({_WINNOW_W})) AS o(off)
+  WHERE s.i - o.off >= 0 AND s.i - o.off <= s.n_sh - {_WINNOW_W}
+),
+sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, j, i, h,
+           row_number() OVER (PARTITION BY doc_id, j
+                ORDER BY h ASC, i DESC) AS rn
+    FROM win
+  ) WHERE rn = 1
+),
+keep AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 50),
+sf AS (SELECT sel.* FROM sel JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sf a JOIN sf b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS step 2: candidate clone pairs = documents sharing >= 2 winnow
+    fingerprints (distinct hashes, positions ignored — the pair count is
+    what rankers consume; alignment happens on candidates only). Inherits
+    the guarantee: any verbatim overlap long enough to span two selected
+    fingerprints surfaces here, with no probabilistic miss. Same df-cut
+    contract as q_jaccard_pairs/q_containment_pairs (a fingerprint shared
+    by > 50 docs is boilerplate, not a clone signal — dropped BEFORE the
+    pair join, which bounds fanout per fingerprint at any corpus size)."""
+    from cliner_spark.tokenization import tokens_col  # noqa: F401  (parity with twin)
+
+    sel = (
+        q_winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", F.col("fp").alias("h"))
+        .distinct()
+    )
+    keep = sel.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 50)
+    sf = sel.join(keep.select("h"), "h")
+    a = sf.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sf.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -400,3 +400,59 @@ def test_winnow_coverage_guarantee(spark):
             assert any(j <= p < j + WW for p in sel), (d["doc_id"], j)
             checked += 1
     assert checked > 0
+
+
+# ---------------------------------------------------------------------------
+# batch 17: PPS systematic sample + winnowing clone pairs
+# ---------------------------------------------------------------------------
+
+PPS_N = 50
+
+
+def test_pps_sample_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    sized = [
+        (d["doc_id"], len(_toks_lower(d["text"])))
+        for d in docs
+        if len(_toks_lower(d["text"])) > 0
+    ]
+    sized.sort(key=lambda x: (hashlib.md5(str(x[0]).encode()).hexdigest(), x[0]))
+    total = sum(n for _, n in sized)
+    expect = {}
+    cum = 0
+    for did, n in sized:
+        lo, cum = cum, cum + n
+        hits = (cum * PPS_N) // total - (lo * PPS_N) // total
+        if hits > 0:
+            expect[did] = (n, cum, hits)
+    rows = {r["doc_id"]: r for r in _q(spark, "q_pps_sample").collect()}
+    assert set(rows) == set(expect)
+    for did, (n, cum_e, hits) in expect.items():
+        r = rows[did]
+        assert (r["n_toks"], r["cum"], r["n_hits"]) == (n, cum_e, hits)
+    # PPS invariant: multiplicities sum exactly to the grid size
+    assert sum(r["n_hits"] for r in rows.values()) == PPS_N
+
+
+def test_winnow_pairs_matches_python_replica(spark):
+    docs = _docs_rows(spark)
+    sel = {}  # fp -> set(doc_id), from the per-doc winnow replica
+    for d in docs:
+        for _pos, fp in _winnow(d["text"]):
+            sel.setdefault(fp, set()).add(d["doc_id"])
+    # df-cut then pair counts
+    pair_n = {}
+    for fp, ds in sel.items():
+        if len(ds) > 50:
+            continue
+        ds = sorted(ds)
+        for ai in range(len(ds)):
+            for bi in range(ai + 1, len(ds)):
+                pair_n[(ds[ai], ds[bi])] = pair_n.get((ds[ai], ds[bi]), 0) + 1
+    expect = {p: n for p, n in pair_n.items() if n >= 2}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in _q(spark, "q_winnow_pairs").collect()
+    }
+    assert got == expect
+    assert all(a < b for a, b in got)

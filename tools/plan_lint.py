@@ -137,6 +137,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
          "spine (drops checkpoints beyond the corpus)")
     ],
+    "q_pps_sample": [
+        ("BroadcastNestedLoopJoin",
+         "1-row total-token carry into the systematic-grid crossing "
+         "predicate (standard PPS denominator)")
+    ],
     "q_dup_discovery": [
         ("BroadcastNestedLoopJoin",
          "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
