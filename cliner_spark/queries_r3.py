@@ -4444,3 +4444,158 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3u (batch 18): privacy-preserving publication + warehouse integrity
+# — consistent entity pseudonymization over the materialized KG (with an
+# exact collision audit) and a cross-table orphan-FK audit (the first gate
+# a warehouse ingest runs). Exact end to end.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_pseudonymize",
+    f"""
+{SQL_TR_CTE},
+ment AS (
+  -- explicit outer DISTINCT: inside a WITH RECURSIVE block DuckDB does
+  -- not set-dedupe a bare UNION chain in a non-recursive CTE, so the
+  -- dedup must be an explicit operator on both engines
+  SELECT DISTINCT entity FROM (
+    SELECT subj AS entity FROM tr WHERE pred = 'SAME_AS'
+    UNION ALL SELECT obj FROM tr WHERE pred = 'SAME_AS'
+    UNION ALL SELECT obj FROM tr WHERE pred = 'MENTIONS'
+  )
+),
+al AS (
+  SELECT entity,
+         'ENT_' || substr(md5(entity), 1, 6) AS alias
+  FROM ment
+)
+SELECT a.alias,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       min(a.entity) AS example_entity,
+       (count(*) > 1) AS collision
+FROM al a GROUP BY a.alias
+""",
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization table for publishing the KG: every
+    concept entity (MENTIONS objects + SAME_AS endpoints) maps to a stable
+    alias ENT_<md5 prefix> — the SAME entity always gets the same alias
+    across shards/reruns (a pure hash, no state), which is what keeps
+    joins/aggregations valid on the published data. The query is the
+    COLLISION AUDIT a release must pass: group by alias, count entities,
+    flag aliases covering more than one entity (6 hex chars = 2^24 space;
+    at real entity cardinality you widen the prefix until this query's
+    collision column is all false — the audit is how you prove the width
+    is sufficient, and the exact integer output makes the check
+    hash-stable).
+
+    Scale plan: entity extraction is a union of projections off the KG
+    artifact (dimension-sized after distinct); the audit is one groupBy
+    over the alias key. No corpus-scale work at all."""
+    from cliner_spark.queries_r2 import cached_triples
+
+    tr = cached_triples(spark, sf_dir)
+    ment = (
+        tr.filter(F.col("pred") == "SAME_AS")
+        .select(F.col("subj").alias("entity"))
+        .union(tr.filter(F.col("pred") == "SAME_AS").select(F.col("obj").alias("entity")))
+        .union(tr.filter(F.col("pred") == "MENTIONS").select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    al = ment.select(
+        "entity",
+        F.concat(F.lit("ENT_"), F.substring(F.md5("entity"), 1, 6)).alias("alias"),
+    )
+    return al.groupBy("alias").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.min("entity").alias("example_entity"),
+        (F.count(F.lit(1)) > 1).alias("collision"),
+    )
+
+
+@_register_r3(
+    "q_fk_integrity",
+    """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+            THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+            THEN o.o_custkey END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+            THEN c.c_nationkey END) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (p.p_partkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL
+            THEN l.l_partkey END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (s.s_suppkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NULL
+            THEN l.l_suppkey END) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""",
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse star schema: for
+    each declared FK edge, total rows, orphan rows (FK value with no parent
+    key), and distinct orphan key values — the first gate an ingest runs
+    before any join-based query is trusted (an orphan rate > 0 silently
+    deflates every inner join downstream). All-integer output; a healthy
+    load shows n_orphans = 0 on every row, so the hash check doubles as a
+    fixture contract.
+
+    Scale plan: each audit is a left join against a DIMENSION (orders/
+    customer/nation/part/supplier keys) — broadcastable or bucket-co-
+    located; counts are map-side-combined. The fact table (lineitem) is
+    scanned once per declared FK; production fuses the two lineitem audits
+    into one scan with two broadcast probes, which Spark's AQE already
+    does here (both dimension sides broadcast)."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    pa = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+
+    def audit(fact, fk_col, dim, pk_col, label):
+        j = fact.select(F.col(fk_col)).join(
+            dim.select(F.col(pk_col)), fact[fk_col] == dim[pk_col], "left"
+        )
+        orphan = F.col(pk_col).isNull()
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(orphan.cast("long")).cast("bigint").alias("n_orphans"),
+            F.countDistinct(F.when(orphan, F.col(fk_col)))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+        ).select("fk", "n_rows", "n_orphans", "n_orphan_keys")
+
+    return (
+        audit(li, "l_orderkey", od, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(audit(od, "o_custkey", cu, "c_custkey", "orders.o_custkey->customer"))
+        .unionAll(audit(cu, "c_nationkey", na, "n_nationkey", "customer.c_nationkey->nation"))
+        .unionAll(audit(li, "l_partkey", pa, "p_partkey", "lineitem.l_partkey->part"))
+        .unionAll(audit(li, "l_suppkey", su, "s_suppkey", "lineitem.l_suppkey->supplier"))
+    )

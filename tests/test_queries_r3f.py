@@ -456,3 +456,58 @@ def test_winnow_pairs_matches_python_replica(spark):
     }
     assert got == expect
     assert all(a < b for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# batch 18: pseudonymization collision audit + FK integrity
+# ---------------------------------------------------------------------------
+
+
+def test_pseudonymize_matches_python_replica(spark):
+    tr = _q(spark, "q_triples").collect()
+    ents = set()
+    for t in tr:
+        if t["pred"] == "SAME_AS":
+            ents.add(t["subj"])
+            ents.add(t["obj"])
+        elif t["pred"] == "MENTIONS":
+            ents.add(t["obj"])
+    by_alias = {}
+    for e in ents:
+        a = "ENT_" + hashlib.md5(e.encode()).hexdigest()[:6]
+        by_alias.setdefault(a, []).append(e)
+    rows = {r["alias"]: r for r in _q(spark, "q_pseudonymize").collect()}
+    assert set(rows) == set(by_alias)
+    for a, es in by_alias.items():
+        r = rows[a]
+        assert r["n_entities"] == len(es)
+        assert r["example_entity"] == min(es)
+        assert r["collision"] == (len(es) > 1)
+    # determinism: same entity always same alias => total entity count conserved
+    assert sum(r["n_entities"] for r in rows.values()) == len(ents)
+
+
+def test_fk_integrity_matches_python_replica(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    ).collect()
+    okeys = {r["o_orderkey"] for r in spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey").collect()}
+    pkeys = {r["p_partkey"] for r in spark.read.parquet(f"{SF}/part.parquet").select("p_partkey").collect()}
+    skeys = {r["s_suppkey"] for r in spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey").collect()}
+    rows = {r["fk"]: r for r in _q(spark, "q_fk_integrity").collect()}
+    assert len(rows) == 5
+    r = rows["lineitem.l_orderkey->orders"]
+    orphans = [x["l_orderkey"] for x in li if x["l_orderkey"] not in okeys]
+    assert (r["n_rows"], r["n_orphans"], r["n_orphan_keys"]) == (
+        len(li), len(orphans), len(set(orphans))
+    )
+    r = rows["lineitem.l_partkey->part"]
+    orphans = [x["l_partkey"] for x in li if x["l_partkey"] not in pkeys]
+    assert (r["n_rows"], r["n_orphans"], r["n_orphan_keys"]) == (
+        len(li), len(orphans), len(set(orphans))
+    )
+    r = rows["lineitem.l_suppkey->supplier"]
+    orphans = [x["l_suppkey"] for x in li if x["l_suppkey"] not in skeys]
+    assert (r["n_rows"], r["n_orphans"], r["n_orphan_keys"]) == (
+        len(li), len(orphans), len(set(orphans))
+    )
