@@ -4599,3 +4599,141 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit(li, "l_partkey", pa, "p_partkey", "lineitem.l_partkey->part"))
         .unionAll(audit(li, "l_suppkey", su, "s_suppkey", "lineitem.l_suppkey->supplier"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3v (batch 19): monitoring + forensic audits — exact-integer CUSUM
+# changepoint localization over the daily event series, and a Benford
+# first-digit audit over order totals. Zero float surface in either.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+spine AS (
+  SELECT CAST(g.gs AS DATE) AS day
+  FROM b, unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g(gs)
+),
+dense AS (
+  SELECT s.day, coalesce(d.x, 0) AS x
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+c AS (
+  SELECT day, x,
+         CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_k,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(x) OVER () AS BIGINT) AS t
+  FROM dense
+),
+cu AS (
+  SELECT day, x, n * s_k - k * t AS cusum_num,
+         row_number() OVER (ORDER BY abs(n * s_k - k * t) DESC, day ASC) AS pr
+  FROM c
+)
+SELECT CAST(day AS VARCHAR) AS day, x,
+       CAST(cusum_num AS BIGINT) AS cusum_num, (pr = 1) AS is_peak
+FROM cu
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer CUSUM changepoint localization over the daily event
+    volume: with S_k the prefix sum and T/n the series total/length, the
+    classic CUSUM deviation S_k - k*(T/n) is scaled by n to the INTEGER
+    n*S_k - k*T (same argmax, no division), and the changepoint is the
+    day maximizing |cusum_num| (ties -> earliest day). Zero-filled dense
+    day grid so silent outage days shift the peak exactly like traffic
+    spikes do — the monitoring primitive that localizes WHEN drift
+    started, complementing q_ks_drift (which only says THAT two windows
+    differ) and q_moving_zscore (pointwise outliers, not level shifts).
+
+    Scale plan: one map-side-combined daily rollup, then every window
+    runs on the |days|-sized frame (dimension, not corpus). Production
+    partitions the same windows by key for per-tenant changepoints."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    b = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = b.select(
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("day")
+    )
+    dense = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    c = dense.select(
+        "day",
+        "x",
+        F.sum("x").over(wcum).cast("bigint").alias("s_k"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("x").over(wall).cast("bigint").alias("t"),
+    )
+    cu = c.select(
+        "day",
+        "x",
+        (F.col("n") * F.col("s_k") - F.col("k") * F.col("t")).alias("cusum_num"),
+    ).withColumn(
+        "pr",
+        F.row_number().over(Window.orderBy(F.abs(F.col("cusum_num")).desc(), F.asc("day"))),
+    )
+    return cu.select(
+        # ISO string on both engines: the harness's pandas bridge widens a
+        # DuckDB DATE to datetime64 (…T00:00:00) while Spark keeps date
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.col("cusum_num").cast("bigint").alias("cusum_num"),
+        (F.col("pr") == 1).alias("is_peak"),
+    )
+
+
+@_register_r3(
+    "q_benford_audit",
+    """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM cents)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+FROM d GROUP BY digit
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    classic forensic screen for fabricated or truncated monetary data
+    (organic multiplicative amounts follow P(d) = log10(1+1/d); a flat or
+    spiked digit histogram flags synthetic injection or a capped field).
+    The digit is extracted with integer/string algebra only (2-dp doubles
+    -> exact BIGINT cents -> leading char), so the histogram is engine-
+    exact; the consumer compares n_orders/n_total per digit against the
+    Benford curve with whatever test it prefers — the sufficient
+    statistics here are exact.
+
+    Scale plan: stateless per-row digit extraction + one 9-key groupBy;
+    the windowed total runs on the 9-row result. Nothing scales past the
+    single fact-table scan."""
+    od = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = od.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return g.select(
+        "digit",
+        "n_orders",
+        F.sum("n_orders").over(Window.partitionBy()).cast("bigint").alias("n_total"),
+    )

@@ -511,3 +511,59 @@ def test_fk_integrity_matches_python_replica(spark):
     assert (r["n_rows"], r["n_orphans"], r["n_orphan_keys"]) == (
         len(li), len(orphans), len(set(orphans))
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 19: CUSUM changepoint + Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_changepoint_matches_python_replica(spark):
+    import datetime as dt
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    days = {}
+    for r in ev:
+        d = r["ts"].date()
+        days[d] = days.get(d, 0) + 1
+    dmin, dmax = min(days), max(days)
+    grid = []
+    d = dmin
+    while d <= dmax:
+        grid.append((d, days.get(d, 0)))
+        d += dt.timedelta(days=1)
+    n = len(grid)
+    t = sum(x for _, x in grid)
+    s = 0
+    expect = []
+    for k, (d, x) in enumerate(grid, 1):
+        s += x
+        expect.append((str(d), x, n * s - k * t))
+    peak = max(range(n), key=lambda i: (abs(expect[i][2]), -i))
+    rows = sorted(
+        _q(spark, "q_cusum_changepoint").collect(), key=lambda r: r["day"]
+    )
+    assert [(r["day"], r["x"], r["cusum_num"]) for r in rows] == expect
+    peaks = [i for i, r in enumerate(rows) if r["is_peak"]]
+    assert peaks == [peak]
+    # telescoping invariant: cusum_num ends at exactly 0 (n*T - n*T)
+    assert rows[-1]["cusum_num"] == 0
+
+
+def test_benford_audit_matches_python_replica(spark):
+    od = spark.read.parquet(f"{SF}/orders.parquet").select("o_totalprice").collect()
+    from collections import Counter
+
+    cnt = Counter()
+    for r in od:
+        p = r["o_totalprice"]
+        if p is None or p <= 0:
+            continue
+        cents = int(round(p * 100))
+        cnt[int(str(cents)[0])] += 1
+    rows = {r["digit"]: r for r in _q(spark, "q_benford_audit").collect()}
+    assert set(rows) == set(cnt)
+    total = sum(cnt.values())
+    for d, r in rows.items():
+        assert r["n_orders"] == cnt[d]
+        assert r["n_total"] == total
