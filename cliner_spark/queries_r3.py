@@ -4737,3 +4737,85 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("n_orders").over(Window.partitionBy()).cast("bigint").alias("n_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3w (batch 20): interval concurrency sweep — peak simultaneous user
+# activity via the classic +1/-1 boundary-point scan. Exact integers.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_concurrency_peak",
+    """
+WITH spans AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t1
+  FROM events GROUP BY user_id
+),
+pts AS (
+  SELECT user_id, t0 AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT user_id, t1, -1 FROM spans
+),
+sweep AS (
+  SELECT user_id, ts, delta,
+         CAST(sum(delta) OVER (
+           ORDER BY ts, delta DESC, user_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+  FROM pts
+),
+rk AS (
+  SELECT user_id, ts, delta, concurrency,
+         row_number() OVER (
+           ORDER BY concurrency DESC, ts ASC, delta DESC, user_id ASC) AS pr
+  FROM sweep
+)
+SELECT user_id, ts, CAST(delta AS INTEGER) AS delta, concurrency,
+       (pr = 1) AS is_peak
+FROM rk
+""",
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep over user activity spans: each user's
+    [first event, last event] interval contributes a +1 boundary at its
+    start and a -1 at its end; sorting ALL boundaries by (ts, starts
+    before ends, user_id) and running-summing the deltas gives the exact
+    number of simultaneously-active users at every boundary instant —
+    the capacity/staffing statistic (peak flagged, earliest-instant tie
+    rule). The total order includes user_id so equal-timestamp boundaries
+    have one deterministic scan order — without it the intermediate
+    concurrency values would be permutation-dependent.
+
+    Scale plan: spans are one map-side-combined groupBy; the sweep is a
+    single window over the 2x|users| boundary frame (dimension-sized).
+    Production partitions the sweep by calendar shard and stitches with
+    per-shard carry-in offsets — the same distributed-prefix-sum shape as
+    q_pps_sample's token grid."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    pts = spans.select(
+        "user_id", F.col("t0").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select("user_id", F.col("t1").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    wsweep = Window.orderBy(
+        F.asc("ts"), F.desc("delta"), F.asc("user_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep = pts.select(
+        "user_id", "ts", "delta",
+        F.sum("delta").over(wsweep).cast("bigint").alias("concurrency"),
+    )
+    rk = sweep.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc("concurrency"), F.asc("ts"), F.desc("delta"), F.asc("user_id")
+            )
+        ),
+    )
+    return rk.select(
+        "user_id", "ts", F.col("delta").cast("int").alias("delta"),
+        "concurrency", (F.col("pr") == 1).alias("is_peak"),
+    )

@@ -567,3 +567,36 @@ def test_benford_audit_matches_python_replica(spark):
     for d, r in rows.items():
         assert r["n_orders"] == cnt[d]
         assert r["n_total"] == total
+
+
+# ---------------------------------------------------------------------------
+# batch 20: concurrency sweep
+# ---------------------------------------------------------------------------
+
+
+def test_concurrency_peak_matches_python_replica(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts").collect()
+    spans = {}
+    for r in ev:
+        u = r["user_id"]
+        t0, t1 = spans.get(u, (r["ts"], r["ts"]))
+        spans[u] = (min(t0, r["ts"]), max(t1, r["ts"]))
+    pts = []
+    for u, (t0, t1) in spans.items():
+        pts.append((t0, 1, u))
+        pts.append((t1, -1, u))
+    pts.sort(key=lambda p: (p[0], -p[1], p[2]))
+    expect, c = [], 0
+    for ts, d, u in pts:
+        c += d
+        expect.append((u, ts, d, c))
+    peak = max(range(len(expect)), key=lambda i: (expect[i][3], -i))
+    rows = sorted(
+        _q(spark, "q_concurrency_peak").collect(),
+        key=lambda r: (r["ts"], -r["delta"], r["user_id"]),
+    )
+    assert [(r["user_id"], r["ts"], r["delta"], r["concurrency"]) for r in rows] == expect
+    assert [i for i, r in enumerate(rows) if r["is_peak"]] == [peak]
+    # sweep invariants: ends at zero, never negative
+    assert rows[-1]["concurrency"] == 0
+    assert all(r["concurrency"] >= 0 for r in rows)
