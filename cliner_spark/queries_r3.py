@@ -4819,3 +4819,87 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("delta").cast("int").alias("delta"),
         "concurrency", (F.col("pr") == 1).alias("is_peak"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3x (batch 21): embedding-space label-quality audit — within-class
+# scatter sufficient statistics in exact fixed-point BIGINT arithmetic.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_class_scatter",
+    """
+WITH fx AS (
+  SELECT e.vec_id, e.label, t.i,
+         CAST(round(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v
+  FROM embeddings e, unnest(range(64)) AS t(i)
+),
+pt AS (
+  SELECT vec_id, label, CAST(sum(v * v) AS BIGINT) AS norm2
+  FROM fx GROUP BY 1, 2
+),
+dimsum AS (
+  SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+  FROM fx GROUP BY 1, 2
+),
+agg AS (
+  SELECT p.label,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(p.norm2) AS BIGINT) AS sum_norm2
+  FROM pt p GROUP BY 1
+),
+cs AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS norm2_of_sum
+  FROM dimsum GROUP BY 1
+)
+SELECT a.label, a.n_points, a.sum_norm2, c.norm2_of_sum,
+       CAST(a.n_points * a.sum_norm2 - c.norm2_of_sum AS BIGINT) AS within_num
+FROM agg a JOIN cs c USING (label)
+""",
+)
+def q_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class scatter of the embedding space per label, as EXACT
+    sufficient statistics: coordinates are fixed-pointed to BIGINT
+    (round(x*10^6) — float32 inputs carry < 7 significant digits, so the
+    quantization is lossless in practice and, crucially, engine-exact),
+    and the identity sum_i ||v_i - mu||^2 = (n*sum_i ||v_i||^2 -
+    ||sum_i v_i||^2)/n turns the scatter into pure integer arithmetic:
+    within_num = n*sum_norm2 - norm2_of_sum = n^2 x the within-class
+    variance mass. Comparing within_num/n_points^2 across labels (and
+    against the same statistic with labels shuffled) is the standard
+    label-quality / cluster-tightness audit before trusting the label
+    column for hard-negative mining (q_hard_negatives) or classifier
+    training — all derivable downstream with exact rationals.
+
+    Scale plan: one posexplode scan (64 rows per vector, map-side
+    partial-agg on both groupBys — integer sums are commutative-exact, so
+    no ordering concerns), label-dimension join at the end. No windows,
+    no carries, no floats."""
+    emb = load(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i", "x"),
+    ).select(
+        "vec_id", "label", "i",
+        F.round(F.col("x").cast("double") * 1000000).cast("bigint").alias("v"),
+    )
+    pt = fx.groupBy("vec_id", "label").agg(
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("norm2")
+    )
+    dimsum = fx.groupBy("label", "i").agg(F.sum("v").cast("bigint").alias("s"))
+    agg = pt.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("norm2").cast("bigint").alias("sum_norm2"),
+    )
+    cs = dimsum.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("norm2_of_sum")
+    )
+    return agg.join(cs, "label").select(
+        "label", "n_points", "sum_norm2", "norm2_of_sum",
+        (F.col("n_points") * F.col("sum_norm2") - F.col("norm2_of_sum"))
+        .cast("bigint")
+        .alias("within_num"),
+    )

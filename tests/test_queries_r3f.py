@@ -600,3 +600,39 @@ def test_concurrency_peak_matches_python_replica(spark):
     # sweep invariants: ends at zero, never negative
     assert rows[-1]["concurrency"] == 0
     assert all(r["concurrency"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# batch 21: class-scatter sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def test_class_scatter_matches_python_replica(spark):
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    per = {}
+    for r in rows:
+        lab = r["label"]
+        # python round is banker's; replicate Spark's HALF_UP on the repr
+        from decimal import ROUND_HALF_UP, Decimal
+
+        v = [
+            int(Decimal(repr(float(x) * 1e6)).quantize(Decimal("1"), ROUND_HALF_UP))
+            for x in r["embedding"]
+        ]
+        st = per.setdefault(lab, {"n": 0, "sn": 0, "s": [0] * 64})
+        st["n"] += 1
+        st["sn"] += sum(c * c for c in v)
+        for d in range(64):
+            st["s"][d] += v[d]
+    got = {r["label"]: r for r in _q(spark, "q_class_scatter").collect()}
+    assert set(got) == set(per)
+    for lab, st in per.items():
+        r = got[lab]
+        n2s = sum(c * c for c in st["s"])
+        assert (r["n_points"], r["sum_norm2"], r["norm2_of_sum"]) == (
+            st["n"], st["sn"], n2s
+        )
+        w = r["n_points"] * r["sum_norm2"] - r["norm2_of_sum"]
+        assert r["within_num"] == w
+        # Cauchy-Schwarz: within-scatter numerator is non-negative
+        assert w >= 0
