@@ -4903,3 +4903,87 @@ def q_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("within_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3y (batch 22): between-class scatter — the Fisher-ratio numerator
+# companion of q_class_scatter, exact at a coarser fixed point chosen so
+# the cross-multiplied integers stay inside BIGINT at gate scale.
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_between_scatter",
+    """
+WITH fx AS (
+  SELECT e.label, t.i,
+         CAST(round(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000)
+              AS BIGINT) AS v
+  FROM embeddings e, unnest(range(64)) AS t(i)
+),
+dimsum AS (
+  SELECT label, i, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS nl
+  FROM fx GROUP BY 1, 2
+),
+gl AS (
+  SELECT i, CAST(sum(s) AS BIGINT) AS g, CAST(sum(nl) AS BIGINT) AS nt
+  FROM dimsum GROUP BY i
+),
+diff AS (
+  SELECT d.label, d.nl AS nl, g.nt AS nt,
+         g.nt * d.s - d.nl * g.g AS dv
+  FROM dimsum d JOIN gl g USING (i)
+)
+SELECT label,
+       CAST(min(nl) AS BIGINT) AS n_points,
+       CAST(min(nt) AS BIGINT) AS n_total,
+       CAST(sum(dv * dv) AS BIGINT) AS between_num
+FROM diff GROUP BY label
+""",
+)
+def q_between_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-class scatter per label, exact: with per-dimension label
+    sums s_l and the global sum S (both BIGINT at a round(1e3 * x)
+    fixed point), between_num = ||N*s_l - n_l*S||^2 = N^2 * n_l^2 *
+    ||mu_l - mu||^2 — the Fisher-ratio numerator whose denominator is
+    q_class_scatter's within_num (consumers combine the two exactly:
+    separability_l = between_num/(N^2 * within-side) in rationals). A
+    label whose between_num is small relative to its within_num is
+    indistinguishable from the global cloud — drop it from contrastive
+    mining. The coarser 1e3 quantization (vs within's 1e6) keeps
+    N*s_l squared-and-summed inside BIGINT at gate SFs; production on
+    10^9+ vectors moves these two columns to DECIMAL(38,0), same plan.
+
+    Scale plan: two map-side-combined integer groupBys (label x dim, then
+    dim) and one dimension-sized join — commutative-exact integer sums
+    throughout, no windows, no carries beyond the 1-row n_total broadcast.
+    (the per-(label, dim) group has exactly n_l rows, so count(*) IS the
+    true point count — no exploded-frame rescaling needed.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "x")
+    ).select(
+        "label", "i",
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("v"),
+    )
+    dimsum = fx.groupBy("label", "i").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("nl"),
+    )
+    glob = dimsum.groupBy("i").agg(
+        F.sum("s").cast("bigint").alias("g"),
+        F.sum("nl").cast("bigint").alias("nt"),
+    )
+    diff = dimsum.join(glob, "i").select(
+        "label", "nl",
+        (F.col("nt") * F.col("s") - F.col("nl") * F.col("g")).alias("dv"),
+    )
+    ntot = glob.agg(F.min("nt").cast("bigint").alias("n_total"))
+    out = diff.groupBy("label").agg(
+        F.min("nl").cast("bigint").alias("n_points"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("between_num"),
+    )
+    return out.join(F.broadcast(ntot)).select(
+        "label", "n_points", "n_total", "between_num"
+    )

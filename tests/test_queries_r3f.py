@@ -636,3 +636,39 @@ def test_class_scatter_matches_python_replica(spark):
         assert r["within_num"] == w
         # Cauchy-Schwarz: within-scatter numerator is non-negative
         assert w >= 0
+
+
+# ---------------------------------------------------------------------------
+# batch 22: between-class scatter
+# ---------------------------------------------------------------------------
+
+
+def test_between_scatter_matches_python_replica(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    per_s = {}
+    per_n = {}
+    for r in rows:
+        lab = r["label"]
+        v = [
+            int(Decimal(repr(float(x) * 1e3)).quantize(Decimal("1"), ROUND_HALF_UP))
+            for x in r["embedding"]
+        ]
+        s = per_s.setdefault(lab, [0] * 64)
+        for d in range(64):
+            s[d] += v[d]
+        per_n[lab] = per_n.get(lab, 0) + 1
+    N = sum(per_n.values())
+    G = [sum(per_s[l][d] for l in per_s) for d in range(64)]
+    got = {r["label"]: r for r in _q(spark, "q_between_scatter").collect()}
+    assert set(got) == set(per_s)
+    total_between = 0
+    for lab, s in per_s.items():
+        nl = per_n[lab]
+        b = sum((N * s[d] - nl * G[d]) ** 2 for d in range(64))
+        r = got[lab]
+        assert (r["n_points"], r["n_total"], r["between_num"]) == (nl, N, b)
+        total_between += b
+    # the statistic is zero iff every class centroid equals the global one
+    assert total_between > 0

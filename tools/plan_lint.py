@@ -137,6 +137,10 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
          "spine (drops checkpoints beyond the corpus)")
     ],
+    "q_between_scatter": [
+        ("BroadcastNestedLoopJoin",
+         "1-row corpus-total carry onto the |labels|-sized scatter frame")
+    ],
     "q_pps_sample": [
         ("BroadcastNestedLoopJoin",
          "1-row total-token carry into the systematic-grid crossing "
