@@ -4987,3 +4987,73 @@ def q_between_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(F.broadcast(ntot)).select(
         "label", "n_points", "n_total", "between_num"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3z (batch 23): multi-probe LSH — the probes-not-tables recall
+# upgrade every at-scale LSH deployment uses (Lv et al., VLDB 2007).
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_EMB, _sql_cos, _sql_lsh_buckets  # noqa: E402
+
+
+@_register_r3(
+    "q_lsh_multiprobe",
+    f"""
+WITH {SQL_EMB},
+{_sql_lsh_buckets(8).strip()},
+qp AS (
+  SELECT e.vec_id AS query_id, w.p,
+         abs(round(list_sum(list_transform(range(64),
+             i -> e.v[i + 1] * w.wv[i + 1])), 6)) AS ap
+  FROM e, w WHERE e.vec_id < 20
+),
+flip AS (
+  SELECT query_id, p FROM (
+    SELECT query_id, p,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY ap ASC, p ASC) AS pr
+    FROM qp
+  ) WHERE pr <= 2
+),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, qv, bucket AS probe FROM qb
+  UNION ALL
+  SELECT q.query_id, q.qv, xor(q.bucket, (CAST(1 AS BIGINT) << f.p))
+  FROM qb q JOIN flip f USING (query_id)
+),
+cand AS (
+  SELECT pr.query_id, pr.qv, c.vec_id AS neighbor_id, c.v AS cv
+  FROM probes pr JOIN b c ON c.bucket = pr.probe
+  WHERE c.vec_id <> pr.query_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+  FROM (SELECT query_id, neighbor_id, {_sql_cos('qv', 'cv')} AS sim FROM cand)
+) WHERE rn <= 3
+""",
+)
+def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3 for queries vec_id < 20: each query probes its
+    own bucket PLUS the two buckets reached by flipping its two lowest-
+    |projection| hyperplane bits (the signs most likely wrong for true
+    neighbors), then exact-reranks the union — recall comparable to 3 hash
+    tables at 1x index storage. Candidate buckets are distinct XOR offsets
+    so the union needs no dedup; every projection is rounded-6, making
+    bucket ids, flip choices, and the rerank engine-reproducible (fully
+    hash-checked, like q_embedding_lsh_topk). Compare the two queries'
+    rows: multiprobe's candidate pool strictly contains single-probe's.
+
+    Scale plan: same equi-join-on-bucket shape as single-probe LSH with a
+    3x probe fanout on the (tiny, broadcast) query side only — the corpus
+    is still hashed once and shuffled once on bucket id."""
+    from cliner_spark import similarity as _sim_mod
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _sim_mod.lsh_multiprobe_topk(
+        emb, F.col("vec_id") < 20, k=3, n_planes=8, n_flip=2
+    )

@@ -606,3 +606,88 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adist", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_planes: int = 8,
+    n_flip: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): besides its own bucket,
+    each query probes the buckets reached by flipping its n_flip
+    LOWEST-CONFIDENCE hyperplane bits — the planes whose rounded projection
+    magnitude is smallest (ties -> lower plane index), i.e. exactly the
+    signs most likely to differ for true near neighbors. Recall rises like
+    adding hash tables, but with ZERO extra index storage — the trade
+    every at-scale LSH deployment makes (more probes, not more tables).
+    All probe buckets are distinct XOR offsets of the base bucket, so the
+    candidate union needs no dedup; rounded-6 projections keep bucket ids
+    and flip choices engine-reproducible (same trick as lsh_buckets)."""
+    b = lsh_buckets(emb, n_planes, dims, id_col, vec_col)
+    qv = emb.filter(query_filter)
+    projs = F.array(
+        *[
+            F.struct(
+                F.abs(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col(vec_col),
+                                F.array(*[F.lit(w) for w in _plane_weights(p, dims)]),
+                                lambda x, w: x.cast("double") * w,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        SIM_DECIMALS,
+                    )
+                ).alias("a"),
+                F.lit(p).alias("p"),
+            )
+            for p in range(n_planes)
+        ]
+    )
+    qq = (
+        qv.join(
+            b.select(F.col(id_col).alias("_bid"), "bucket"),
+            qv[id_col] == F.col("_bid"),
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "bucket",
+            F.slice(F.array_sort(projs), 1, n_flip).alias("flips"),
+        )
+    )
+    probes = qq.select(
+        "query_id",
+        "qv",
+        # shiftleft needs a literal bit count, so the flip offset is
+        # 2^p via exact integer pow (p < n_planes <= 62)
+        F.explode(
+            F.expr(
+                "concat(array(bucket), transform(flips,"
+                " f -> bucket ^ CAST(pow(2, f.p) AS BIGINT)))"
+            )
+        ).alias("probe"),
+    )
+    c = b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("bucket").alias("probe"),
+    )
+    j = (
+        c.join(F.broadcast(probes), "probe")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

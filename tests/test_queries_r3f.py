@@ -672,3 +672,71 @@ def test_between_scatter_matches_python_replica(spark):
         total_between += b
     # the statistic is zero iff every class centroid equals the global one
     assert total_between > 0
+
+
+# ---------------------------------------------------------------------------
+# batch 23: multi-probe LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_w(p):
+    return [
+        1.0 if int(hashlib.md5(f"{p}#{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+        for d in range(64)
+    ]
+
+
+def test_lsh_multiprobe_matches_python_replica(spark):
+    emb = _emb(spark)
+    planes = [_plane_w(p) for p in range(8)]
+
+    def proj(v, p):
+        acc = 0.0
+        for x, w in zip(v, planes[p]):
+            acc += x * w
+        return _round6(acc)
+
+    def bucket(v):
+        return sum((1 << p) for p in range(8) if proj(v, p) > 0)
+
+    buckets = {i: bucket(v) for i, v in emb.items()}
+
+    def cos(a, b):
+        num = 0.0
+        for i in range(64):
+            num += a[i] * b[i]
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return _round6(num / (na * nb) ** 0.5)
+
+    expect = {}
+    for q, v in emb.items():
+        if q >= 20:
+            continue
+        flips = sorted(range(8), key=lambda p: (abs(proj(v, p)), p))[:2]
+        probes = {buckets[q]} | {buckets[q] ^ (1 << p) for p in flips}
+        cand = [n for n, bz in buckets.items() if bz in probes and n != q]
+        scored = sorted(((cos(v, emb[n]), n) for n in cand), key=lambda t: (-t[0], t[1]))
+        expect[q] = [(n, s) for s, n in scored[:3]]
+    rows = {}
+    for r in _q(spark, "q_lsh_multiprobe").collect():
+        rows.setdefault(r["query_id"], []).append(r)
+    assert set(rows) == {q for q in expect if expect[q]}
+    single = {}
+    for r in _q(spark, "q_embedding_lsh_topk").collect():
+        single.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = {}
+    for r in _q(spark, "q_embedding_topk").collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    mp_hits = sp_hits = 0
+    for q, exp in expect.items():
+        if not exp:
+            continue
+        got = sorted(rows[q], key=lambda r: r["rn"])
+        assert [(r["neighbor_id"], r["sim"]) for r in got] == exp, q
+        mp = {r["neighbor_id"] for r in got}
+        mp_hits += len(mp & exact.get(q, set()))
+        sp_hits += len(single.get(q, set()) & exact.get(q, set()))
+    # more probes can only widen the candidate pool: corpus-level recall
+    # of multiprobe is >= single-probe recall
+    assert mp_hits >= sp_hits
