@@ -5057,3 +5057,76 @@ def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim_mod.lsh_multiprobe_topk(
         emb, F.col("vec_id") < 20, k=3, n_planes=8, n_flip=2
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3aa (batch 24): IVF-PQ end-to-end — the FAISS IVFADC stack (coarse
+# cell pruning + code-only asymmetric scoring) as three joins, fully
+# hash-checkable via the seeded quantizer + seeded codebook.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_SEEDED_TOPK  # noqa: E402
+
+
+@_register_r3(
+    "q_ivfpq_topk",
+    f"""
+WITH {_PQ_SQL_BASE.strip()},
+{SQL_SEEDED_TOPK.strip()},
+qq AS (SELECT DISTINCT query_id, qv FROM sprobes),
+qlut AS (
+  SELECT q.query_id, c.m, c.code,
+         round(list_sum(list_transform(range(16),
+               i -> (q.qv[c.m * 16 + i + 1] - c.sv[i + 1])
+                  * (q.qv[c.m * 16 + i + 1] - c.sv[i + 1]))), 6) AS d
+  FROM qq q, cb c
+),
+candp AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id
+  FROM sprobes p JOIN scells s USING (cell)
+  WHERE s.vec_id <> p.query_id
+),
+paird AS (
+  SELECT c.query_id, c.neighbor_id, b.m, l.d
+  FROM candp c
+  JOIN best b ON b.vec_id = c.neighbor_id
+  JOIN qlut l ON l.query_id = c.query_id AND l.m = b.m AND l.code = b.code
+),
+adist AS (
+  SELECT query_id, neighbor_id,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS adist
+  FROM paird GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist, rn FROM (
+  SELECT query_id, neighbor_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rn
+  FROM adist
+) WHERE rn <= 3
+""",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) end-to-end for queries vec_id < 20: the
+    seeded IVF quantizer prunes candidates to each query's 4 best cells
+    (of 16), then PQ asymmetric distance ranks the survivors from their
+    4x3-bit CODES via the per-query lookup table — raw corpus vectors are
+    touched only at index build. This is the composition every production
+    vector store deploys (q_embedding_ivf_seeded = IVF alone with exact
+    rerank; q_pq_adc_topk = ADC alone over the full corpus; this query =
+    both prunings stacked), and because both components are md5-seeded it
+    stays fully hash-checked — the approximate result is engine-exact.
+
+    Scale plan: candidates arrive by equi-join on cell (partition-pruned
+    at 10^12 rows via the cell-partitioned index artifact), the probe
+    spine and codebook broadcast, and scoring is n_sub LUT lookups per
+    candidate inside whole-stage codegen."""
+    from cliner_spark import similarity as _sim_mod
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _sim_mod.ivfpq_seeded_topk(
+        emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4
+    )

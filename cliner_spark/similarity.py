@@ -691,3 +691,63 @@ def lsh_multiprobe_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def ivfpq_seeded_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN stack composed end-to-end: IVF coarse
+    quantizer (seeded, engine-reproducible) prunes the corpus to the
+    query's n_probe best cells, then PQ asymmetric distance scores the
+    surviving candidates from their CODES alone — the FAISS IVFADC design
+    expressed as three joins. Candidate cost per query drops from |corpus|
+    to ~n_probe/n_lists of it, and each scored candidate costs n_sub LUT
+    lookups instead of a dims-wide dot product; the raw vectors are read
+    ONLY at index-build time. Smallest approximate distance wins, ties to
+    the lower neighbor id."""
+    cents, assigned = seeded_cells(emb, n_lists, id_col, vec_col)
+    cb = pq_codebook(emb, n_sub=n_sub, dims=dims, id_col=id_col, vec_col=vec_col)
+    codes = pq_codes(emb, cb, dims, id_col, vec_col)
+    sub_d = dims // n_sub
+    coded = assigned.select(F.col(id_col), "cell").join(codes, id_col)
+
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine_sim(F.col("qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    j = (
+        coded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    total = None
+    for m in range(n_sub):
+        qsub = F.slice(F.col("qv"), m * sub_d + 1, sub_d)
+        lut = F.array(*[_pq_dist(qsub, cb[m][c]) for c in range(len(cb[m]))])
+        d_m = F.element_at(lut, F.col(f"code_{m}") + 1)
+        total = d_m if total is None else total + d_m
+    scored = j.select(
+        "query_id", "neighbor_id", F.round(total, SIM_DECIMALS).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist", "rn")
+    )

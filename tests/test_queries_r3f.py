@@ -740,3 +740,52 @@ def test_lsh_multiprobe_matches_python_replica(spark):
     # more probes can only widen the candidate pool: corpus-level recall
     # of multiprobe is >= single-probe recall
     assert mp_hits >= sp_hits
+
+
+# ---------------------------------------------------------------------------
+# batch 24: IVF-PQ composition
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_matches_python_replica(spark):
+    emb = _emb(spark)
+    cb = _codebook(emb)
+    codes = _codes(emb, cb)
+
+    def cos(a, b):
+        num = 0.0
+        for i in range(64):
+            num += a[i] * b[i]
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return _round6(num / (na * nb) ** 0.5)
+
+    seeds = sorted(
+        emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:16]
+    cents = {c: emb[i] for c, i in enumerate(seeds)}
+    cell = {
+        i: max(range(16), key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in emb.items()
+    }
+    expect = {}
+    for q, v in emb.items():
+        if q >= 20:
+            continue
+        probe = sorted(range(16), key=lambda c: (-cos(v, cents[c]), c))[:4]
+        cand = [n for n, cl in cell.items() if cl in probe and n != q]
+        scored = []
+        for n in cand:
+            tot = 0.0
+            for m in range(N_SUB):
+                tot += _sub_dist(v[m * SUB_D : (m + 1) * SUB_D], cb[m][codes[n][0][m]])
+            scored.append((_round6(tot), n))
+        scored.sort()
+        expect[q] = scored[:3]
+    rows = {}
+    for r in _q(spark, "q_ivfpq_topk").collect():
+        rows.setdefault(r["query_id"], []).append(r)
+    assert set(rows) == {q for q in expect if expect[q]}
+    for q, exp in expect.items():
+        got = sorted(rows[q], key=lambda r: r["rn"])
+        assert [(r["adist"], r["neighbor_id"]) for r in got] == exp, q

@@ -137,6 +137,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
          "spine (drops checkpoints beyond the corpus)")
     ],
+    "q_ivfpq_topk": [
+        ("BroadcastNestedLoopJoin",
+         "<=20-row query spine x 16-row broadcast centroid table (cell "
+         "probe selection; candidate scoring itself is the cell equi-join)")
+    ],
     "q_between_scatter": [
         ("BroadcastNestedLoopJoin",
          "1-row corpus-total carry onto the |labels|-sized scatter frame")
