@@ -5130,3 +5130,183 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim_mod.ivfpq_seeded_topk(
         emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3ab (batch 25): the ANN family leaderboard — recall@3 of every
+# approximate method in the suite against the exact top-3, one exact-integer
+# row per method. The single table a platform team reads to pick its
+# operating point (and the regression gate that catches any index change).
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_ann_leaderboard",
+    f"""
+WITH {_PQ_SQL_BASE.strip()},
+{SQL_SEEDED_TOPK.strip()},
+{_sql_lsh_buckets(8).strip()},
+{SQL_EXACT_TOPK.strip()},
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_sql_cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rn
+    FROM b c JOIN b q ON c.bucket = q.bucket
+    WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+mq_flip AS (
+  SELECT query_id, p FROM (
+    SELECT e.vec_id AS query_id, w.p,
+           row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY abs(round(list_sum(list_transform(range(64),
+                      i -> e.v[i + 1] * w.wv[i + 1])), 6)) ASC, w.p ASC) AS pr
+    FROM e, w WHERE e.vec_id < 20
+  ) WHERE pr <= 2
+),
+mq_qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+mq_probes AS (
+  SELECT query_id, qv, bucket AS probe FROM mq_qb
+  UNION ALL
+  SELECT q.query_id, q.qv, xor(q.bucket, (CAST(1 AS BIGINT) << f.p))
+  FROM mq_qb q JOIN mq_flip f USING (query_id)
+),
+mpk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT pr.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY pr.query_id
+                ORDER BY {_sql_cos('pr.qv', 'c.v')} DESC, c.vec_id ASC) AS rn
+    FROM mq_probes pr JOIN b c ON c.bucket = pr.probe
+    WHERE c.vec_id <> pr.query_id
+  ) WHERE rn <= 3
+),
+qq AS (SELECT DISTINCT query_id, qv FROM sprobes),
+qlut AS (
+  SELECT q.query_id, c.m, c.code,
+         round(list_sum(list_transform(range(16),
+               i -> (q.qv[c.m * 16 + i + 1] - c.sv[i + 1])
+                  * (q.qv[c.m * 16 + i + 1] - c.sv[i + 1]))), 6) AS d
+  FROM qq q, cb c
+),
+pq_paird AS (
+  SELECT l.query_id, b2.vec_id AS neighbor_id, b2.m, l.d
+  FROM best b2 JOIN qlut l ON l.m = b2.m AND l.code = b2.code
+  WHERE l.query_id <> b2.vec_id
+),
+pq_adist AS (
+  SELECT query_id, neighbor_id,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS adist
+  FROM pq_paird GROUP BY 1, 2
+),
+pqk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM pq_adist
+  ) WHERE rn <= 3
+),
+ivf_candp AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id
+  FROM sprobes p JOIN scells s USING (cell)
+  WHERE s.vec_id <> p.query_id
+),
+ivf_paird AS (
+  SELECT c.query_id, c.neighbor_id, b3.m, l.d
+  FROM ivf_candp c
+  JOIN best b3 ON b3.vec_id = c.neighbor_id
+  JOIN qlut l ON l.query_id = c.query_id AND l.m = b3.m AND l.code = b3.code
+),
+ivf_adist AS (
+  SELECT query_id, neighbor_id,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS adist
+  FROM ivf_paird GROUP BY 1, 2
+),
+ivfk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM ivf_adist
+  ) WHERE rn <= 3
+),
+allm AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'lsh_multiprobe', query_id, neighbor_id FROM mpk
+  UNION ALL SELECT 'ivf_seeded', query_id, neighbor_id FROM seeded
+  UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pqk
+  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfk
+),
+hits AS (
+  SELECT a.method, CAST(count(*) AS BIGINT) AS n
+  FROM allm a JOIN exact x
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+)
+SELECT m.method,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'lsh_multiprobe'
+      UNION ALL SELECT 'ivf_seeded' UNION ALL SELECT 'pq_adc'
+      UNION ALL SELECT 'ivfpq') m
+LEFT JOIN hits h USING (method)
+""",
+)
+def q_ann_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 leaderboard of the full ANN family against the exact
+    brute-force top-3 for queries vec_id < 20: single-bucket LSH,
+    multi-probe LSH, seeded IVF (exact rerank inside probed cells),
+    full-corpus PQ-ADC, and composed IVF-PQ — one exact-integer
+    (hits, n_exact) row per method. Expected ordering at any scale:
+    ivf_seeded >= ivfpq (same candidates, exact vs quantized scoring),
+    lsh_multiprobe >= lsh (superset candidates). This is the regression
+    gate for every index change — any codebook, plane, or seeding edit
+    shows up as an integer delta here before it ships.
+
+    Scale plan: each method is its own already-audited plan (see the
+    individual queries); the leaderboard adds one union + one equi-join
+    against the 60-row exact set and a 5-row method spine."""
+    from cliner_spark import similarity as _sm
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    flt = F.col("vec_id") < 20
+    cb_methods = {
+        "lsh": _sm.lsh_topk(emb, flt, k=3, n_planes=8),
+        "lsh_multiprobe": _sm.lsh_multiprobe_topk(emb, flt, k=3, n_planes=8),
+        "ivf_seeded": _sm.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4),
+        "pq_adc": _sm.pq_adc_topk(emb, _sm.pq_codebook(emb), flt, k=3),
+        "ivfpq": _sm.ivfpq_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4),
+    }
+    exact = (
+        _sm.brute_force_topk(emb, flt, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    allm = None
+    for name, df in cb_methods.items():
+        part = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        allm = part if allm is None else allm.unionAll(part)
+    hits = allm.join(exact, ["query_id", "neighbor_id"]).groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spine = emb.sparkSession.createDataFrame(
+        [(m,) for m in cb_methods], "method string"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        spine.join(hits, "method", "left")
+        .select(
+            "method", F.coalesce("n", F.lit(0)).cast("bigint").alias("hits")
+        )
+        .join(F.broadcast(n_exact))
+    )

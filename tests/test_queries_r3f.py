@@ -789,3 +789,38 @@ def test_ivfpq_matches_python_replica(spark):
     for q, exp in expect.items():
         got = sorted(rows[q], key=lambda r: r["rn"])
         assert [(r["adist"], r["neighbor_id"]) for r in got] == exp, q
+
+
+# ---------------------------------------------------------------------------
+# batch 25: ANN leaderboard
+# ---------------------------------------------------------------------------
+
+
+def test_ann_leaderboard_invariants(spark):
+    rows = {r["method"]: r for r in _q(spark, "q_ann_leaderboard").collect()}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf_seeded", "pq_adc", "ivfpq"}
+    n_exact = {r["n_exact"] for r in rows.values()}
+    assert len(n_exact) == 1
+    ne = n_exact.pop()
+    assert ne > 0
+    for m, r in rows.items():
+        assert 0 <= r["hits"] <= ne, m
+    # dominance: multiprobe candidates are a superset of single-probe's
+    assert rows["lsh_multiprobe"]["hits"] >= rows["lsh"]["hits"]
+    # same candidates, exact vs quantized scoring
+    assert rows["ivf_seeded"]["hits"] >= rows["ivfpq"]["hits"]
+    # cross-check each method's hits against its own registered query
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "q_embedding_topk").collect()
+    }
+    mp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "q_lsh_multiprobe").collect()
+    }
+    assert rows["lsh_multiprobe"]["hits"] == len(mp & exact)
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "q_ivfpq_topk").collect()
+    }
+    assert rows["ivfpq"]["hits"] == len(ivfpq & exact)

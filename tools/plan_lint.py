@@ -137,6 +137,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row corpus-doc-count carry bounding the <=12-row checkpoint "
          "spine (drops checkpoints beyond the corpus)")
     ],
+    "q_ann_leaderboard": [
+        ("BroadcastNestedLoopJoin",
+         "union of the already-audited component carries: PQ-ADC broadcast "
+         "query spine, 16-row centroid probe spine, exact brute-force "
+         "query spine, 1-row n_exact carry onto the 5-row method table")
+    ],
     "q_ivfpq_topk": [
         ("BroadcastNestedLoopJoin",
          "<=20-row query spine x 16-row broadcast centroid table (cell "
