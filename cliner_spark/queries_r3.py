@@ -5310,3 +5310,81 @@ def q_ann_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n_exact))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3ac (batch 26): node2vec biased-walk transition table — the
+# preprocessing step of graph-embedding training (Grover & Leskovec 2016),
+# expressed as joins with exact integer weights.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_DOCS_TOKS  # noqa: E402
+from cliner_spark.queries_r2 import SQL_DOCPAIR_GRAPH as _DPG  # noqa: E402
+
+
+@_register_r3(
+    "q_node2vec_weights",
+    f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG.strip()},
+ed AS (
+  SELECT lo AS src, hi AS dst FROM ge
+  UNION ALL SELECT hi, lo FROM ge
+),
+tri AS (
+  SELECT p.src AS prev, p.dst AS cur, n.dst AS nxt
+  FROM ed p JOIN ed n ON n.src = p.dst
+),
+wts AS (
+  SELECT t.prev, t.cur, t.nxt,
+         CAST(CASE WHEN t.nxt = t.prev THEN 2
+                   WHEN pn.src IS NOT NULL THEN 3
+                   ELSE 1 END AS BIGINT) AS w
+  FROM tri t
+  LEFT JOIN ed pn ON pn.src = t.prev AND pn.dst = t.nxt
+)
+SELECT prev, cur, nxt, w,
+       CAST(sum(w) OVER (PARTITION BY prev, cur) AS BIGINT) AS z
+FROM wts
+""",
+)
+def q_node2vec_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order transition table over the doc-similarity
+    graph: for every walk state (prev -> cur) and every neighbor nxt of
+    cur, the unnormalized integer weight w = 2 if nxt returns to prev,
+    3 if nxt is also adjacent to prev (BFS-ish, stays local), 1 otherwise
+    (DFS-ish, explores) — the integer cross-multiplied form of the paper's
+    1/p, 1, 1/q with (p, q) = (3/2, 3); z = the per-(prev, cur)
+    normalizer, so the sampler draws nxt with probability w/z using exact
+    rationals. This table IS node2vec preprocessing: a walker needs one
+    hash lookup per step, and the (alias-table) build consumes exactly
+    these rows. The adjacency test is a LEFT JOIN against the directed
+    edge list (no per-row set lookup).
+
+    Scale plan: the wedge join (ed x ed on the shared endpoint) is the
+    triangle-counting shape — bounded by sum deg^2, which the df-cut on
+    the underlying similarity graph already caps; the normalizer is a
+    window over each (prev, cur) group, co-partitioned with the join
+    output so no extra shuffle."""
+    edges = _docpair_edges(spark, sf_dir)
+    ed = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    p = ed.select(F.col("src").alias("prev"), F.col("dst").alias("cur"))
+    n = ed.select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
+    tri = p.join(n, "cur")
+    pn = ed.select(
+        F.col("src").alias("prev"), F.col("dst").alias("nxt"), F.lit(1).alias("adj")
+    )
+    wts = tri.join(pn, ["prev", "nxt"], "left").select(
+        "prev", "cur", "nxt",
+        F.when(F.col("nxt") == F.col("prev"), 2)
+        .when(F.col("adj").isNotNull(), 3)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("w"),
+    )
+    return wts.select(
+        "prev", "cur", "nxt", "w",
+        F.sum("w").over(Window.partitionBy("prev", "cur")).cast("bigint").alias("z"),
+    )

@@ -824,3 +824,39 @@ def test_ann_leaderboard_invariants(spark):
         for r in _q(spark, "q_ivfpq_topk").collect()
     }
     assert rows["ivfpq"]["hits"] == len(ivfpq & exact)
+
+
+# ---------------------------------------------------------------------------
+# batch 26: node2vec transition weights
+# ---------------------------------------------------------------------------
+
+
+def test_node2vec_weights_match_python_replica(spark):
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    und = {
+        (r["src"], r["dst"])
+        for r in _docpair_edges(spark, SF).collect()
+    }
+    ed = und | {(b, a) for a, b in und}
+    adj = {}
+    for a, b in ed:
+        adj.setdefault(a, set()).add(b)
+    expect = {}
+    for prev, cur in ed:
+        z = 0
+        row = {}
+        for nxt in adj[cur]:
+            w = 2 if nxt == prev else (3 if nxt in adj.get(prev, set()) else 1)
+            row[nxt] = w
+            z += w
+        for nxt, w in row.items():
+            expect[(prev, cur, nxt)] = (w, z)
+    got = {
+        (r["prev"], r["cur"], r["nxt"]): (r["w"], r["z"])
+        for r in _q(spark, "q_node2vec_weights").collect()
+    }
+    assert got == expect
+    # every walk state has a return edge with weight 2
+    for prev, cur in ed:
+        assert got[(prev, cur, prev)][0] == 2
