@@ -5388,3 +5388,164 @@ def q_node2vec_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev", "cur", "nxt", "w",
         F.sum("w").over(Window.partitionBy("prev", "cur")).cast("bigint").alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3ad (batch 27): materialized second-order biased walks — node2vec's
+# actual training corpus, sampled deterministically from the transition
+# table by integer cumulative-weight crossing (md5-seeded, replayable).
+# --------------------------------------------------------------------------
+
+
+@_register_r3(
+    "q_node2vec_walks",
+    f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG.strip()},
+ed AS (
+  SELECT lo AS src, hi AS dst FROM ge
+  UNION ALL SELECT hi, lo FROM ge
+),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM ed
+),
+tri AS (
+  SELECT p.src AS prev, p.dst AS cur, n.dst AS nxt
+  FROM ed p JOIN ed n ON n.src = p.dst
+),
+wts AS (
+  SELECT t.prev, t.cur, t.nxt,
+         CAST(CASE WHEN t.nxt = t.prev THEN 2
+                   WHEN pn.src IS NOT NULL THEN 3
+                   ELSE 1 END AS BIGINT) AS w
+  FROM tri t
+  LEFT JOIN ed pn ON pn.src = t.prev AND pn.dst = t.nxt
+),
+cw AS (
+  SELECT prev, cur, nxt, w,
+         CAST(sum(w) OVER (PARTITION BY prev, cur
+              ORDER BY nxt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(w) OVER (PARTITION BY prev, cur) AS BIGINT) AS z
+  FROM wts
+),
+s0 AS (SELECT DISTINCT src AS walk_start FROM ed),
+s1 AS (
+  SELECT f.walk_start, a.dst AS step_1
+  FROM s0 f JOIN adj a ON a.src = f.walk_start
+  WHERE a.rank = CAST(('0x' || substr(md5(CAST(f.walk_start AS VARCHAR)
+        || '#1'), 1, 4)) AS BIGINT) % a.deg
+),
+s2 AS (
+  SELECT f.walk_start, f.step_1, c.nxt AS step_2
+  FROM s1 f JOIN cw c ON c.prev = f.walk_start AND c.cur = f.step_1
+  WHERE CAST(('0x' || substr(md5(CAST(f.walk_start AS VARCHAR) || '|'
+        || CAST(f.step_1 AS VARCHAR) || '#2'), 1, 4)) AS BIGINT) % c.z
+        BETWEEN c.cum - c.w AND c.cum - 1
+),
+s3 AS (
+  SELECT f.walk_start, f.step_1, f.step_2, c.nxt AS step_3
+  FROM s2 f JOIN cw c ON c.prev = f.step_1 AND c.cur = f.step_2
+  WHERE CAST(('0x' || substr(md5(CAST(f.step_1 AS VARCHAR) || '|'
+        || CAST(f.step_2 AS VARCHAR) || '#3'), 1, 4)) AS BIGINT) % c.z
+        BETWEEN c.cum - c.w AND c.cum - 1
+)
+SELECT walk_start, step_1, step_2, step_3 FROM s3
+""",
+)
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The node2vec training corpus itself: one 3-step walk per node over
+    the doc-similarity graph — step 1 uniform (md5 rank over neighbors,
+    the q_kg_walks idiom), steps 2-3 SECOND-ORDER BIASED: the walker draws
+    r = md5(prev|cur#step) mod z and picks the neighbor whose cumulative
+    integer weight interval [cum-w, cum) contains r — exactly
+    inverse-transform sampling from the q_node2vec_weights table, with
+    zero RNG state, so any shard can regenerate any walk independently
+    (the property a 10^12-edge walk corpus needs; stateful RNGs cannot
+    shard). Every draw is exact integer arithmetic against the rounded
+    table, hence fully hash-checked.
+
+    Scale plan: each step is one equi-join on the walk state (prev, cur)
+    against the cumulative table (co-partitioned with the weights build),
+    and the per-state interval filter selects exactly one row per walk —
+    walk count stays |V| through every step."""
+    edges = _docpair_edges(spark, sf_dir)
+    ed = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wadj = Window.partitionBy("src").orderBy("dst")
+    adj = ed.select(
+        "src", "dst",
+        (F.row_number().over(wadj) - 1).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+    p = ed.select(F.col("src").alias("prev"), F.col("dst").alias("cur"))
+    n = ed.select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
+    pn = ed.select(
+        F.col("src").alias("prev"), F.col("dst").alias("nxt"), F.lit(1).alias("adj")
+    )
+    wts = (
+        p.join(n, "cur")
+        .join(pn, ["prev", "nxt"], "left")
+        .select(
+            "prev", "cur", "nxt",
+            F.when(F.col("nxt") == F.col("prev"), 2)
+            .when(F.col("adj").isNotNull(), 3)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    wcum = Window.partitionBy("prev", "cur").orderBy("nxt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cw = wts.select(
+        "prev", "cur", "nxt", "w",
+        F.sum("w").over(wcum).cast("bigint").alias("cum"),
+        F.sum("w").over(Window.partitionBy("prev", "cur")).cast("bigint").alias("z"),
+    )
+
+    def _hex4(col):
+        return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint")
+
+    s0 = ed.select(F.col("src").alias("walk_start")).distinct()
+    s1 = (
+        s0.join(adj, s0["walk_start"] == adj["src"])
+        .filter(
+            F.col("rank")
+            == _hex4(F.concat(F.col("walk_start").cast("string"), F.lit("#1")))
+            % F.col("deg")
+        )
+        .select("walk_start", F.col("dst").alias("step_1"))
+    )
+    r2 = _hex4(
+        F.concat(
+            F.col("walk_start").cast("string"), F.lit("|"),
+            F.col("step_1").cast("string"), F.lit("#2"),
+        )
+    ) % F.col("z")
+    s2 = (
+        s1.join(
+            cw,
+            (cw["prev"] == s1["walk_start"]) & (cw["cur"] == s1["step_1"]),
+        )
+        .filter((r2 >= F.col("cum") - F.col("w")) & (r2 <= F.col("cum") - 1))
+        .select("walk_start", "step_1", F.col("nxt").alias("step_2"))
+    )
+    r3 = _hex4(
+        F.concat(
+            F.col("step_1").cast("string"), F.lit("|"),
+            F.col("step_2").cast("string"), F.lit("#3"),
+        )
+    ) % F.col("z")
+    s3 = (
+        s2.join(
+            cw,
+            (cw["prev"] == s2["step_1"]) & (cw["cur"] == s2["step_2"]),
+        )
+        .filter((r3 >= F.col("cum") - F.col("w")) & (r3 <= F.col("cum") - 1))
+        .select("walk_start", "step_1", "step_2", F.col("nxt").alias("step_3"))
+    )
+    return s3

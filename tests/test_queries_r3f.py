@@ -860,3 +860,52 @@ def test_node2vec_weights_match_python_replica(spark):
     # every walk state has a return edge with weight 2
     for prev, cur in ed:
         assert got[(prev, cur, prev)][0] == 2
+
+
+# ---------------------------------------------------------------------------
+# batch 27: biased walks
+# ---------------------------------------------------------------------------
+
+
+def test_node2vec_walks_match_python_replica(spark):
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    und = {(r["src"], r["dst"]) for r in _docpair_edges(spark, SF).collect()}
+    ed = und | {(b, a) for a, b in und}
+    adj = {}
+    for a, b in ed:
+        adj.setdefault(a, set()).add(b)
+
+    def hex4(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    def biased_step(prev, cur, step):
+        nbrs = sorted(adj[cur])
+        ws = [
+            2 if n == prev else (3 if n in adj.get(prev, set()) else 1)
+            for n in nbrs
+        ]
+        z = sum(ws)
+        r = hex4(f"{prev}|{cur}#{step}") % z
+        cum = 0
+        for n, w in zip(nbrs, ws):
+            cum += w
+            if r < cum:
+                return n
+        raise AssertionError("unreachable")
+
+    expect = {}
+    for start in sorted(adj):
+        nbrs = sorted(adj[start])
+        s1 = nbrs[hex4(f"{start}#1") % len(nbrs)]
+        s2 = biased_step(start, s1, 2)
+        s3 = biased_step(s1, s2, 3)
+        expect[start] = (s1, s2, s3)
+    got = {
+        r["walk_start"]: (r["step_1"], r["step_2"], r["step_3"])
+        for r in _q(spark, "q_node2vec_walks").collect()
+    }
+    assert got == expect
+    # every step follows a real edge
+    for s0, (s1, s2, s3) in got.items():
+        assert s1 in adj[s0] and s2 in adj[s1] and s3 in adj[s2]
