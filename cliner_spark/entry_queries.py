@@ -1129,13 +1129,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_index_dir(sf_dir: str) -> str:
     """Per-corpus IVF index artifact location (prod: an Iceberg table keyed
-    by corpus version; here: a deterministic tempdir path per sf_dir)."""
-    import hashlib
-    import os
-    import tempfile
+    by corpus snapshot; here: a per-user cache path keyed by the corpus
+    content fingerprint, so in-place corpus regeneration invalidates the
+    index — see artifacts.py)."""
+    from cliner_spark import artifacts
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"cliner_ivf_{key}")
+    return artifacts.artifact_path("ivf", sf_dir, "v1")
 
 
 # --- shared ANN SQL fragments (DuckDB twins of similarity.py) --------------
@@ -5147,17 +5146,69 @@ def q_temporal_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 from cliner_spark import queries_r2  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
-# Driver correctness-window ordering (round-2 verdict item 2).
+# Driver correctness-window ordering (round-2 verdict item 2; round-4
+# rotation per round-3 verdict items 1+3).
 #
 # The driver hash-checks only the FIRST 50 entries of
 # __spark_entry__.queries() in dict order; plain registration order would
-# leave every post-round-1 operator outside that window forever. The window
-# is therefore curated: this round's new queries first, then the operators
-# the previous verdict named highest-risk / builder-harness-only, then the
-# round-1 flagships (already driver-green twice). Everything else keeps
-# registration order after the priority block — nothing is dropped, the
-# builder harness (tools/check_oracle.py) still covers the full registry.
+# leave every post-round-1 operator outside that window forever. The round-4
+# window is therefore curated as:
+#   1. red-history / vacuous-gate queries that must re-certify
+#      (q_embedding_ivf_topk: err rows in r1+r2, never driver-green;
+#       q_dup_discovery: r3 row was 0-rows-vs-0-rows, re-check after the
+#       non-vacuity fix),
+#   2. a 38-slot rotation of the 191 queries that have never appeared in any
+#      driver CORRECTNESS file, ordered by md5("r4:"+name) so the slice is
+#      deterministic but uncorrelated with registration order,
+#   3. this round's new registrations (queries_r4.R4_NAMES, newest first),
+#   4. the historical priority block, then everything else in registration
+#      order. Nothing is dropped — tools/check_oracle.py still covers the
+#      full registry every round.
 # --------------------------------------------------------------------------
+
+# Union of row keys across CORRECTNESS_r01/r02/r03.json (driver artifacts),
+# frozen here so the rotation is reproducible without reading those files at
+# import time. 100 names; the other 191 registered queries have never had a
+# driver row and feed the rotation below.
+DRIVER_CHECKED_R123: frozenset[str] = frozenset([
+    'q_agent_loop_detect', 'q_ann_leaderboard', 'q_ann_ndcg', 'q_asof_join',
+    'q_assertion', 'q_benford_audit', 'q_between_scatter',
+    'q_calibration_bins', 'q_canonical_cc', 'q_canonical_cc_twostar',
+    'q_class_scatter', 'q_con_format', 'q_con_parse', 'q_concept_counts',
+    'q_concurrency_peak', 'q_confusion', 'q_containment_pairs',
+    'q_cooccur_pmi', 'q_copeland_rank', 'q_cube_events', 'q_cust_no_orders',
+    'q_cusum_changepoint', 'q_dedup_exact', 'q_dup_clusters',
+    'q_dup_discovery', 'q_embedding_ann_recall', 'q_embedding_ivf_seeded',
+    'q_embedding_ivf_topk', 'q_embedding_lsh_topk', 'q_embedding_neardup',
+    'q_embedding_topk', 'q_entity_salience', 'q_eval_exact',
+    'q_eval_overlap', 'q_events_hourly', 'q_fingerprint', 'q_fk_integrity',
+    'q_freq_spectrum', 'q_fuzzy_link', 'q_graph_assortativity',
+    'q_grounding_audit', 'q_hard_negatives', 'q_instruction_pairs',
+    'q_iob_roundtrip', 'q_ivfpq_topk', 'q_jaccard_pairs', 'q_k_anonymity',
+    'q_kg2text', 'q_kg_negative_samples', 'q_kn_bigram', 'q_ks_drift',
+    'q_lag_delta', 'q_lang_id', 'q_langid_confusion', 'q_leadlag_xcorr',
+    'q_link_top1', 'q_lsh_multiprobe', 'q_media_features', 'q_media_frames',
+    'q_mention_scan', 'q_mention_scan_udf', 'q_minhash_lsh',
+    'q_mixture_plan', 'q_mmr_rerank', 'q_modularity', 'q_multimodal_meta',
+    'q_node2vec_walks', 'q_node2vec_weights', 'q_odd_cycle_audit',
+    'q_oov_eval', 'q_pack_efficiency', 'q_percentiles', 'q_pps_sample',
+    'q_pq_adc_topk', 'q_pq_codes', 'q_prf', 'q_pseudonymize',
+    'q_revenue_by_nation', 'q_rocchio_prf', 'q_role_transition_matrix',
+    'q_rollup_sales', 'q_sessionize', 'q_shuffle_quality', 'q_simhash',
+    'q_source_overlap', 'q_spell_candidates', 'q_sssp_path_counts',
+    'q_surface_forms', 'q_tagger_mentions', 'q_text_quality',
+    'q_token_freq', 'q_tokenize_stats', 'q_topk_events', 'q_tpch_q1',
+    'q_triple_upsert', 'q_triples', 'q_turn_segmentation', 'q_vocab_growth',
+    'q_winnow_fingerprints', 'q_winnow_pairs',
+])
+
+# Must-recertify head of the round-4 window (see block comment above).
+DRIVER_RECERTIFY: list[str] = [
+    "q_embedding_ivf_topk",
+    "q_dup_discovery",
+]
+
+ROTATION_SLOTS = 38
 
 DRIVER_PRIORITY: list[str] = [
     # (this round's new registrations — queries_r3.R3_NAMES — are prepended
@@ -5218,15 +5269,34 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
-    """REGISTRY re-keyed so the newest round's registrations come first
-    (queries_r3.R3_NAMES, resolved lazily), then DRIVER_PRIORITY (their
-    listed order), then everything else in registration order."""
-    from cliner_spark import queries_r3
+    """REGISTRY re-keyed for the driver's 50-row correctness window (see the
+    block comment above DRIVER_CHECKED_R123): recertify head, then a
+    deterministic md5-rotated slice of never-driver-checked names, then this
+    round's new registrations, then prior rounds' priority + registration
+    order."""
+    import hashlib
 
-    # newest registrations first: if the round's additions ever exceed the
-    # driver's 50-row correctness window, it is the OLDEST already-verified
-    # entries that fall out, never the newest unverified ones
-    priority = [*reversed(queries_r3.R3_NAMES), *DRIVER_PRIORITY]
+    from cliner_spark import queries_r3, queries_r4
+
+    r4_new = list(reversed(queries_r4.R4_NAMES))
+    rotation_pool = sorted(
+        (
+            n
+            for n in REGISTRY
+            if n not in DRIVER_CHECKED_R123
+            and n not in r4_new
+            and n not in DRIVER_RECERTIFY
+        ),
+        key=lambda n: hashlib.md5(("r4:" + n).encode()).hexdigest(),
+    )
+    priority = [
+        *DRIVER_RECERTIFY,
+        *rotation_pool[:ROTATION_SLOTS],
+        *r4_new,
+        *rotation_pool[ROTATION_SLOTS:],
+        *reversed(queries_r3.R3_NAMES),
+        *DRIVER_PRIORITY,
+    ]
     out = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     for n, s in REGISTRY.items():
         out.setdefault(n, s)

@@ -837,23 +837,23 @@ def _docpair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     assortativity, odd-cycle, clustering — read it instead of re-running
     the shingle index). Oracle twins still materialize SQL_DOCPAIR_GRAPH
     inline, so artifact reads stay hash-checked against the from-scratch
-    definition every round."""
-    import hashlib as _hl
-    import os
-    import tempfile
+    definition every round. Cache keyed by corpus content fingerprint in a
+    per-user dir with atomic publish (see artifacts.py)."""
+    from cliner_spark import artifacts
 
-    key = _hl.md5(
-        f"{os.path.abspath(sf_dir)}:{_DOCPAIR_ARTIFACT_VERSION}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cliner_docpair_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _build() -> DataFrame:
         from cliner_spark import dedup as _dd
 
         pairs = _dd.jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50)
-        pairs.filter(F.col("common") >= 2).select(
+        return pairs.filter(F.col("common") >= 2).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        )
+
+    return artifacts.materialize(
+        spark,
+        artifacts.artifact_path("docpair", sf_dir, _DOCPAIR_ARTIFACT_VERSION),
+        _build,
+    )
 
 
 @register(
@@ -1378,21 +1378,19 @@ def cached_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL_TR_CTE materializes the identical triple set inline, so artifact
     reads stay hash-checked against the from-scratch definition. The build
     operators themselves (q_triples, q_triple_upsert) still construct from
-    scratch every run."""
-    import hashlib
-    import os
-    import tempfile
+    scratch every run. Cache keyed by corpus content fingerprint in a
+    per-user dir with atomic publish (see artifacts.py)."""
+    from cliner_spark import artifacts
 
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{_KG_ARTIFACT_VERSION}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"cliner_kg_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _build() -> DataFrame:
         linked, _gaz = _doc_linked_transcript(spark, sf_dir)
-        build_triples(linked, canon_map=cached_canon_map(spark)).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+        return build_triples(linked, canon_map=cached_canon_map(spark))
+
+    return artifacts.materialize(
+        spark,
+        artifacts.artifact_path("kg", sf_dir, _KG_ARTIFACT_VERSION),
+        _build,
+    )
 
 
 @register(

@@ -3951,7 +3951,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB means new shards add tokens, not types). Computed without any
     per-checkpoint scan: each type is bucketed to the FIRST checkpoint
     covering its first occurrence (one min-aggregate per type), and the
-    curve is a cumulative sum over the <=8-row checkpoint frame — so the
+    curve is a cumulative sum over the <=12-row checkpoint frame — so the
     corpus is read once no matter how many checkpoints.
 
     Scale plan: first_pos is a map-side-combined min per type; the md5
@@ -4148,11 +4148,16 @@ bucketed AS (
               WHEN pos <= 2048 THEN 2048 WHEN pos <= 4096 THEN 4096
          END AS cp, count(*) AS new_dups
   FROM dups GROUP BY 1 HAVING cp IS NOT NULL
+),
+grid AS (
+  SELECT cp FROM (VALUES (2),(4),(8),(16),(32),(64),(128),(256),(512),
+                         (1024),(2048),(4096)) g(cp)
+  WHERE cp <= (SELECT count(*) FROM documents)
 )
-SELECT CAST(cp AS BIGINT) AS n_docs_seen,
-       CAST(sum(new_dups) OVER (ORDER BY cp) AS BIGINT) AS n_dup_docs
-FROM bucketed
-WHERE cp <= (SELECT count(*) FROM documents)
+SELECT CAST(grid.cp AS BIGINT) AS n_docs_seen,
+       CAST(sum(coalesce(new_dups, 0)) OVER (ORDER BY grid.cp) AS BIGINT)
+         AS n_dup_docs
+FROM grid LEFT JOIN bucketed ON grid.cp = bucketed.cp
 """,
 )
 def q_dup_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4164,7 +4169,11 @@ def q_dup_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed to the first checkpoint covering its position, the curve is a
     cumsum over the <=12-row checkpoint frame, and n_docs_seen doubles as
     the exact denominator (positions are dense), so the dup RATE at each
-    checkpoint is the exact rational n_dup_docs/n_docs_seen.
+    checkpoint is the exact rational n_dup_docs/n_docs_seen. The output is
+    the FULL zero-filled checkpoint grid (round-3 verdict item 2): a corpus
+    with no exact duplicates still yields one row per in-range checkpoint
+    with n_dup_docs = 0, so the driver's sf0.01 gate row can never be the
+    vacuous empty-vs-empty hash match again.
 
     Scale plan: min(pos) per text-hash is one map-side-combined groupBy;
     the self-join back is an equi-join on the hash (production skips it —
@@ -4188,14 +4197,29 @@ def q_dup_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cp")
         .agg(F.count(F.lit(1)).alias("new_dups"))
     )
-    curve = bucketed.select(
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    grid = (
+        n.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.lit(b).cast("bigint")
+                        for b in [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+                    ]
+                )
+            ).alias("cp"),
+            "n_corpus_docs",
+        )
+        .filter(F.col("cp") <= F.col("n_corpus_docs"))
+        .select("cp")
+    )
+    filled = grid.join(F.broadcast(bucketed), "cp", "left").select(
+        "cp", F.coalesce("new_dups", F.lit(0)).alias("new_dups")
+    )
+    return filled.select(
         F.col("cp").alias("n_docs_seen"),
         F.sum("new_dups").over(Window.orderBy("cp")).cast("bigint").alias("n_dup_docs"),
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
-    return curve.join(
-        F.broadcast(n), F.col("n_docs_seen") <= F.col("n_corpus_docs")
-    ).select("n_docs_seen", "n_dup_docs")
 
 
 # --------------------------------------------------------------------------
@@ -5278,12 +5302,17 @@ def q_ann_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
     flt = F.col("vec_id") < 20
+    # one codebook build shared by pq_adc and ivfpq — each build costs 4
+    # driver-side orderBy/limit jobs over the embeddings (round-3 ADVICE)
+    cb = _sm.pq_codebook(emb)
     cb_methods = {
         "lsh": _sm.lsh_topk(emb, flt, k=3, n_planes=8),
         "lsh_multiprobe": _sm.lsh_multiprobe_topk(emb, flt, k=3, n_planes=8),
         "ivf_seeded": _sm.ivf_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4),
-        "pq_adc": _sm.pq_adc_topk(emb, _sm.pq_codebook(emb), flt, k=3),
-        "ivfpq": _sm.ivfpq_seeded_topk(emb, flt, k=3, n_lists=16, n_probe=4),
+        "pq_adc": _sm.pq_adc_topk(emb, cb, flt, k=3),
+        "ivfpq": _sm.ivfpq_seeded_topk(
+            emb, flt, k=3, n_lists=16, n_probe=4, codebook=cb
+        ),
     }
     exact = (
         _sm.brute_force_topk(emb, flt, k=3)
@@ -5549,3 +5578,8 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("walk_start", "step_1", "step_2", F.col("nxt").alias("step_3"))
     )
     return s3
+
+
+# Round-4 registrations chain off this module's tail (same pattern as
+# queries_r2 -> queries_r3) so every import order stays cycle-safe.
+from cliner_spark import queries_r4  # noqa: E402,F401

@@ -171,10 +171,22 @@ def build_ivf_index(
     cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
 
     if index_dir is not None:
-        cent_df.write.mode("overwrite").parquet(cpath)
+        # build both tables into a unique scratch dir, then atomically
+        # rename into place: a concurrent builder either wins the rename or
+        # discards its scratch copy — no half-written index is ever read
+        # (same publish contract as artifacts.materialize)
+        import shutil
+        import uuid
+
+        scratch = f"{index_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        cent_df.write.mode("overwrite").parquet(os.path.join(scratch, "centroids"))
         assigned.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(apath)
+        ).parquet(os.path.join(scratch, "assignments"))
+        try:
+            os.rename(scratch, index_dir)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)
         return spark.read.parquet(cpath), spark.read.parquet(apath)
     return cent_df, assigned
 
@@ -703,6 +715,7 @@ def ivfpq_seeded_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list | None = None,
 ) -> DataFrame:
     """The full production ANN stack composed end-to-end: IVF coarse
     quantizer (seeded, engine-reproducible) prunes the corpus to the
@@ -712,9 +725,13 @@ def ivfpq_seeded_topk(
     to ~n_probe/n_lists of it, and each scored candidate costs n_sub LUT
     lookups instead of a dims-wide dot product; the raw vectors are read
     ONLY at index-build time. Smallest approximate distance wins, ties to
-    the lower neighbor id."""
+    the lower neighbor id. Pass a prebuilt `codebook` (pq_codebook output)
+    to share one build across callers — each build costs 4 driver-side
+    orderBy/limit jobs (round-3 ADVICE)."""
     cents, assigned = seeded_cells(emb, n_lists, id_col, vec_col)
-    cb = pq_codebook(emb, n_sub=n_sub, dims=dims, id_col=id_col, vec_col=vec_col)
+    cb = codebook if codebook is not None else pq_codebook(
+        emb, n_sub=n_sub, dims=dims, id_col=id_col, vec_col=vec_col
+    )
     codes = pq_codes(emb, cb, dims, id_col, vec_col)
     sub_d = dims // n_sub
     coded = assigned.select(F.col(id_col), "cell").join(codes, id_col)
