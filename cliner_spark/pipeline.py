@@ -195,13 +195,22 @@ TRAIN_COLLECT_MAX = int(os.environ.get("CLINER_TRAIN_COLLECT_MAX", "50000"))
 
 def cmd_train(args) -> None:
     """Reference `cliner train` analog (SURVEY.md M1): transcripts + gold
-    mentions -> model dir. The distributed trainer (per-partition averaged
-    perceptrons with parameter mixing — transcripts never collected to the
-    driver, the path that survives real data volumes) is used when
-    --distributed is passed OR the input exceeds TRAIN_COLLECT_MAX turns;
-    the driver-local loop remains for fixture-scale runs."""
+    mentions -> model dir. Two objectives share every inference component
+    (feature hashing, emissions, Viterbi):
+
+    - perceptron (default): averaged structured perceptron; distributed
+      variant = per-partition perceptrons + iterative parameter mixing
+    - crf: L2-regularized conditional log-likelihood via forward–backward
+      (the reference's actual training objective); distributed variant =
+      exact shard-summed batch gradients + driver Adam step
+
+    The distributed trainer (transcripts never collected to the driver, the
+    path that survives real data volumes) is used when --distributed is
+    passed OR the input exceeds TRAIN_COLLECT_MAX turns; the driver-local
+    loop remains for fixture-scale runs."""
     from collections import defaultdict
 
+    from cliner_spark.crf import train_crf, train_crf_distributed
     from cliner_spark.tagger import (
         save_model,
         train_perceptron,
@@ -209,6 +218,7 @@ def cmd_train(args) -> None:
     )
 
     spark, created = _get_cli_spark("cliner_spark.train", args.master)
+    objective = getattr(args, "objective", "perceptron")
     distributed = args.distributed
     if not distributed:
         # one cheap count decides the strategy; never collect-then-discover
@@ -216,17 +226,22 @@ def cmd_train(args) -> None:
         if n_turns > TRAIN_COLLECT_MAX:
             print(
                 f"# {n_turns} turns > {TRAIN_COLLECT_MAX}: auto-selecting "
-                "the distributed parameter-mixing trainer"
+                "the distributed trainer"
             )
             distributed = True
     if distributed:
-        model = train_perceptron_distributed(
-            spark.read.parquet(args.input),
-            spark.read.parquet(args.gold),
-            epochs=args.epochs,
-        )
+        tx_df = spark.read.parquet(args.input)
+        gold_df = spark.read.parquet(args.gold)
+        if objective == "crf":
+            model = train_crf_distributed(tx_df, gold_df, iters=args.epochs)
+            how = "distributed CRF, exact shard-summed gradients"
+        else:
+            model = train_perceptron_distributed(
+                tx_df, gold_df, epochs=args.epochs
+            )
+            how = "distributed, parameter mixing"
         save_model(model, args.model)
-        print(f"trained (distributed, parameter mixing) -> {args.model}")
+        print(f"trained ({how}) -> {args.model}")
         if created:
             spark.stop()
         return
@@ -247,9 +262,12 @@ def cmd_train(args) -> None:
                 t[i] = f"I-{g['concept_type']}"
         texts.append(row["text"])
         tags.append(t)
-    model = train_perceptron(texts, tags, epochs=args.epochs)
+    if objective == "crf":
+        model = train_crf(texts, tags, iters=args.epochs)
+    else:
+        model = train_perceptron(texts, tags, epochs=args.epochs)
     save_model(model, args.model)
-    print(f"trained on {len(texts)} turns -> {args.model}")
+    print(f"trained ({objective}) on {len(texts)} turns -> {args.model}")
     if created:
         spark.stop()
 
@@ -296,11 +314,20 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--master", default=None)
     e.set_defaults(fn=cmd_evaluate)
 
-    t = sub.add_parser("train", help="perceptron training (local or distributed)")
+    t = sub.add_parser(
+        "train", help="tagger training (perceptron or CRF; local or distributed)"
+    )
     t.add_argument("--input", required=True, help="parquet transcripts")
     t.add_argument("--gold", required=True, help="parquet gold mentions")
     t.add_argument("--model", required=True, help="output model dir")
     t.add_argument("--epochs", type=int, default=16)
+    t.add_argument(
+        "--objective",
+        default="perceptron",
+        choices=["perceptron", "crf"],
+        help="perceptron = averaged structured perceptron; "
+        "crf = L2-regularized conditional log-likelihood (forward-backward)",
+    )
     t.add_argument(
         "--distributed",
         action="store_true",
