@@ -1,12 +1,23 @@
 """Multimodal column plumbing (driver mandate): image/audio/video handled as
-opaque `binary` columns with typed metadata. The container has no codec
-libraries, so the decode step is a clearly-marked deterministic STUB — but
-the Spark-side plumbing (schema, Arrow batch shape, mapInPandas signature,
-partition behavior) is real and tested.
+opaque `binary` columns with typed metadata.
+
+Round 4: the decode step is REAL for two formats that need no external
+codec — 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB, bottom-up BGR
+rows padded to 4 bytes) and 8-bit RGB PNG (stdlib zlib inflate + full
+filter reconstruction, types 0–4, CRC-verified chunks) — implemented from
+the published format specs below. decode_stub remains only for formats
+whose codecs are genuinely absent in this container (JPEG/audio/video).
+
+Format references (public specs, no third-party code):
+- BMP: Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout.
+- PNG: RFC 2083 / W3C PNG spec — chunk structure (IHDR/IDAT/IEND, CRC-32),
+  scanline filters None/Sub/Up/Average/Paeth and the Paeth predictor.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,9 +60,312 @@ _FEATURE_SCHEMA = (
 
 
 def decode_stub(payload: bytes) -> None:
-    """Real decode would use PIL/ffmpeg — not present in this container."""
+    """Formats needing external codecs (JPEG, audio, video) — the libraries
+    are not present in this container. BMP and PNG decode for real via
+    decode_image below."""
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this environment"
+        "media decode for this format requires codec libraries not present "
+        "in this environment (BMP/PNG decode natively — use decode_image)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real image codecs (stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, BGR pixel order, rows zero-padded to 4-byte multiples."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    out = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            out += bytes((b, g, r))
+        out += b"\x00" * pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(out)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, pixel_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(out), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(out)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, top-down RGB bytes). Supports the 24-bit BI_RGB
+    BITMAPINFOHEADER subset (incl. top-down images via negative height)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB supported")
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    rgb = bytearray(width * height * 3)
+    for out_y in range(height):
+        src_y = out_y if top_down else height - 1 - out_y
+        off = pixel_offset + src_y * stride
+        row = data[off : off + row_raw]
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            o = (out_y * width + x) * 3
+            rgb[o : o + 3] = bytes((r, g, b))
+    return width, height, bytes(rgb)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> bytes:
+    """8-bit RGB (color type 2) PNG with one filter type applied to every
+    scanline — filter_type 0..4 lets fixtures exercise the decoder's full
+    reconstruction matrix."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
+    bpp = 3
+    row_raw = width * bpp
+    raw = bytearray()
+    prev = bytes(row_raw)
+    for y in range(height):
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        raw.append(filter_type)
+        for i in range(row_raw):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) & 0xFF
+            elif filter_type == 2:
+                f = (x - b) & 0xFF
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            raw.append(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, top-down RGB bytes). Supports 8-bit RGB color
+    type 2, no interlace; reconstructs all five scanline filters; verifies
+    chunk CRCs."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (bit_depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    row_raw = width * bpp
+    if len(raw) != height * (row_raw + 1):
+        raise ValueError("IDAT length mismatch")
+    rgb = bytearray(width * height * 3)
+    prev = bytes(row_raw)
+    for y in range(height):
+        off = y * (row_raw + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + row_raw])
+        if ft == 1:
+            for i in range(bpp, row_raw):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(row_raw):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(row_raw):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(row_raw):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+        rgb[y * row_raw : (y + 1) * row_raw] = line
+        prev = bytes(line)
+    return width, height, bytes(rgb)
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Dispatch on magic bytes -> (fmt, width, height, top-down RGB).
+    Unknown formats raise via decode_stub (honest about what's decodable
+    in-container)."""
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+        return "bmp", w, h, rgb
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        w, h, rgb = decode_png(payload)
+        return "png", w, h, rgb
+    decode_stub(payload)
+    raise AssertionError("unreachable")
+
+
+def _doc_pixels(doc_id: int, text: str) -> tuple[int, int, bytes]:
+    """Deterministic fixture pixels: dims from doc_id, RGB stream = the
+    md5(text) digest repeated — exactly reproducible in ANSI SQL, which is
+    what lets the decode query be hash-checked against DuckDB."""
+    import hashlib
+
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    n = w * h * 3
+    digest = hashlib.md5((text or "").encode("utf-8")).digest()
+    stream = (digest * ((n + len(digest) - 1) // len(digest)))[:n]
+    return w, h, stream
+
+
+def synth_image_table(docs: DataFrame) -> DataFrame:
+    """documents -> real encoded image payloads: even doc_id -> BMP, odd ->
+    PNG with filter type doc_id%5 (all five PNG filters appear across the
+    corpus). One mapInPandas, zero shuffle; payloads are genuine format
+    bytes any external viewer could open."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, fmts = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h, rgb = _doc_pixels(did, text)
+                if did % 2 == 0:
+                    payloads.append(encode_bmp(w, h, rgb))
+                    fmts.append("image/bmp")
+                else:
+                    payloads.append(encode_png(w, h, rgb, filter_type=did % 5))
+                    fmts.append("image/png")
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "media_type": fmts,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="media_id bigint, payload binary, media_type string"
+    )
+
+
+_DECODE_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, n_px_bytes bigint, "
+    "px_sha256 string, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real distributed decode: BMP/PNG payloads -> per-image exact pixel
+    stats (channel sums + sha256 of the decoded top-down RGB stream's
+    lowercase hex — hex because DuckDB's sha256 is VARCHAR-only, and hex is
+    injective so the check is equally binding). One mapInPandas pass, zero
+    shuffle; any header/padding/filter/CRC bug in the codec shows up as a
+    hash mismatch against the analytic oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "fmt", "width", "height", "n_px_bytes",
+                    "px_sha256", "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h, rgb = decode_image(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(rgb))
+                out["px_sha256"].append(
+                    hashlib.sha256(rgb.hex().encode("ascii")).hexdigest()
+                )
+                out["sum_r"].append(sum(rgb[0::3]))
+                out["sum_g"].append(sum(rgb[1::3]))
+                out["sum_b"].append(sum(rgb[2::3]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "fmt": out["fmt"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_px_bytes": pd.Series(out["n_px_bytes"], dtype="int64"),
+                    "px_sha256": out["px_sha256"],
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=_DECODE_SCHEMA
     )
 
 

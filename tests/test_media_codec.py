@@ -1,0 +1,124 @@
+"""Real BMP/PNG codec (round-3 verdict item 4): roundtrips, golden bytes,
+filter-matrix coverage, and the distributed decode operator."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from cliner_spark.multimodal import (
+    _doc_pixels,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_png,
+)
+
+
+def _rgb(w: int, h: int, salt: int = 0) -> bytes:
+    return bytes((i * 37 + 11 * salt + 5) % 256 for i in range(w * h * 3))
+
+
+def test_bmp_roundtrip_sizes_and_padding():
+    # widths 1..8 cover all four row-padding cases (3*w mod 4)
+    for w in range(1, 9):
+        for h in (1, 3, 6):
+            rgb = _rgb(w, h, w + h)
+            assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_png_roundtrip_all_filters():
+    for ft in range(5):
+        for w, h in [(1, 1), (4, 3), (8, 6), (5, 2)]:
+            rgb = _rgb(w, h, ft)
+            assert decode_png(encode_png(w, h, rgb, ft)) == (w, h, rgb)
+
+
+def test_bmp_golden_bytes():
+    """Pin the exact on-disk layout: BGR pixel order, bottom-up rows,
+    4-byte row padding — so a symmetric encoder/decoder bug cannot hide."""
+    bmp = encode_bmp(2, 1, bytes([255, 0, 0, 0, 0, 255]))
+    assert bmp[:2] == b"BM"
+    assert bmp[10] == 54  # pixel offset = 14 + 40
+    # red pixel stored as 00 00 ff, blue as ff 00 00, then 2 pad bytes
+    assert bmp[54:62].hex() == "0000ff" + "ff0000" + "0000"
+    # bottom-up: a 1x2 image stores row y=1 first
+    bmp2 = encode_bmp(1, 2, bytes([1, 2, 3, 4, 5, 6]))
+    assert bmp2[54:57] == bytes([6, 5, 4])  # bottom row (4,5,6) as BGR
+
+
+def test_bmp_top_down_negative_height():
+    """Decoder must honor top-down storage signalled by negative height."""
+    import struct
+
+    rgb = _rgb(3, 2)
+    bmp = bytearray(encode_bmp(3, 2, rgb))
+    # flip stored row order and negate height -> same decoded image
+    stride = 3 * 3 + (4 - 9 % 4) % 4
+    rows = [bytes(bmp[54 + i * stride : 54 + (i + 1) * stride]) for i in range(2)]
+    bmp[54:] = rows[1] + rows[0]
+    struct.pack_into("<i", bmp, 22, -2)
+    assert decode_bmp(bytes(bmp)) == (3, 2, rgb)
+
+
+def test_png_golden_structure_and_crc():
+    png = encode_png(2, 1, bytes([255, 0, 0, 0, 0, 255]), 0)
+    assert png[:8].hex() == "89504e470d0a1a0a"
+    assert png[12:16] == b"IHDR"
+    # corrupt one IDAT byte -> CRC failure
+    bad = bytearray(png)
+    idat_at = png.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_decode_image_dispatch_and_stub():
+    rgb = _rgb(4, 3)
+    assert decode_image(encode_bmp(4, 3, rgb)) == ("bmp", 4, 3, rgb)
+    assert decode_image(encode_png(4, 3, rgb, 2)) == ("png", 4, 3, rgb)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_doc_pixels_match_sql_formula():
+    """_doc_pixels must equal the oracle's analytic md5-repeat stream."""
+    for did, text in [(0, "hello world"), (7, ""), (13, "x y z")]:
+        w, h, stream = _doc_pixels(did, text)
+        assert (w, h) == (4 + did % 5, 3 + did % 4)
+        hx = hashlib.md5(text.encode()).hexdigest()
+        n = w * h * 3
+        want = bytes.fromhex((hx * ((n + 15) // 16))[: 2 * n])
+        assert stream == want
+
+
+def test_decode_media_spark_matches_local(spark):
+    """End-to-end through Arrow: synth_image_table -> decode_media equals a
+    local recomputation for every row."""
+    from cliner_spark.multimodal import decode_media, synth_image_table
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i} " * (i + 1)) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in decode_media(synth_image_table(docs)).collect()
+    }
+    assert len(got) == 12
+    for i in range(12):
+        text = f"doc text {i} " * (i + 1)
+        w, h, stream = _doc_pixels(i, text)
+        r = got[i]
+        assert (r["fmt"], r["width"], r["height"]) == (
+            "bmp" if i % 2 == 0 else "png", w, h,
+        )
+        assert r["n_px_bytes"] == len(stream)
+        assert r["px_sha256"] == hashlib.sha256(
+            stream.hex().encode()
+        ).hexdigest()
+        assert r["sum_r"] == sum(stream[0::3])
+        assert r["sum_g"] == sum(stream[1::3])
+        assert r["sum_b"] == sum(stream[2::3])
