@@ -1200,6 +1200,89 @@ seeded AS (
 )
 """
 
+# residual IVF-PQ (FAISS IVFADC, round-4): exact integer-micro-unit cell-
+# mean anchors, residual frames, seeded residual codebook, per-(query,
+# probed-cell) LUT, ADC ranking. Requires e/seeds/scells/sprobes (SQL_EMB +
+# SQL_SEEDED_TOPK) upstream. Mirrors similarity.cell_mean_anchors /
+# ivfpq_residual_topk exactly.
+SQL_RESIDUAL_CTES = """
+aex AS (
+  SELECT cell, CAST(t.i AS INT) AS d,
+         CAST(round(v[t.i + 1] * 1e6) AS BIGINT) AS xv
+  FROM scells, unnest(range(64)) AS t(i)
+),
+anch AS (
+  SELECT cell, list(a ORDER BY d) AS anchor FROM (
+    SELECT cell, d, CAST(sum(xv) AS DOUBLE) / count(*) / 1e6 AS a
+    FROM aex GROUP BY cell, d
+  ) GROUP BY cell
+),
+res AS (
+  SELECT sc.vec_id, sc.cell,
+         list_transform(range(64), i -> sc.v[i + 1] - an.anchor[i + 1]) AS rv
+  FROM scells sc JOIN anch an USING (cell)
+),
+rsub AS (
+  SELECT m.m, r.vec_id, r.cell, r.rv[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+  FROM res r, (SELECT unnest(range(4)) AS m) m
+),
+rcb AS (
+  SELECT m, sv,
+         CAST(row_number() OVER (PARTITION BY m
+              ORDER BY md5(m::VARCHAR || '#' || vec_id::VARCHAR), vec_id)
+              AS INTEGER) - 1 AS code
+  FROM rsub
+  QUALIFY code < 8
+),
+rdist AS (
+  SELECT s.vec_id, s.m, c.code,
+         round(list_sum(list_transform(range(16),
+               i -> (s.sv[i + 1] - c.sv[i + 1]) * (s.sv[i + 1] - c.sv[i + 1]))),
+               6) AS d
+  FROM rsub s JOIN rcb c USING (m)
+),
+rbestd AS (
+  SELECT vec_id, m, code, d FROM (
+    SELECT vec_id, m, code, d,
+           row_number() OVER (PARTITION BY vec_id, m
+                ORDER BY d ASC, code ASC) AS rn
+    FROM rdist
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(64), i -> p.qv[i + 1] - an.anchor[i + 1]) AS qrv
+  FROM sprobes p JOIN anch an USING (cell)
+),
+rqlut AS (
+  SELECT q.query_id, q.cell, c.m, c.code,
+         round(list_sum(list_transform(range(16),
+               i -> (q.qrv[c.m * 16 + i + 1] - c.sv[i + 1])
+                  * (q.qrv[c.m * 16 + i + 1] - c.sv[i + 1]))), 6) AS d
+  FROM qres q, rcb c
+),
+rcand AS (
+  SELECT p.query_id, p.cell, s.vec_id AS neighbor_id
+  FROM sprobes p JOIN scells s USING (cell)
+  WHERE s.vec_id <> p.query_id
+),
+rpaird AS (
+  SELECT c.query_id, c.neighbor_id, b.m, l.d
+  FROM rcand c
+  JOIN rbestd b ON b.vec_id = c.neighbor_id
+  JOIN rqlut l ON l.query_id = c.query_id AND l.cell = c.cell
+              AND l.m = b.m AND l.code = b.code
+),
+radist AS (
+  SELECT query_id, neighbor_id,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS adist
+  FROM rpaird GROUP BY 1, 2
+)
+"""
+
 # sign-random-projection LSH: weights from md5('{plane}#{dim}') first hex
 # digit (same grammar as similarity._projection_sign), projection rounded to
 # 6 dp before the sign test on both engines

@@ -5164,6 +5164,8 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+from cliner_spark.entry_queries import SQL_RESIDUAL_CTES  # noqa: E402
+
 @_register_r3(
     "q_ann_leaderboard",
     f"""
@@ -5171,6 +5173,15 @@ WITH {_PQ_SQL_BASE.strip()},
 {SQL_SEEDED_TOPK.strip()},
 {_sql_lsh_buckets(8).strip()},
 {SQL_EXACT_TOPK.strip()},
+{SQL_RESIDUAL_CTES.strip()},
+rk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM radist
+  ) WHERE rn <= 3
+),
 lsh AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -5267,6 +5278,7 @@ allm AS (
   UNION ALL SELECT 'ivf_seeded', query_id, neighbor_id FROM seeded
   UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pqk
   UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfk
+  UNION ALL SELECT 'ivfpq_residual', query_id, neighbor_id FROM rk
 ),
 hits AS (
   SELECT a.method, CAST(count(*) AS BIGINT) AS n
@@ -5279,7 +5291,7 @@ SELECT m.method,
        (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact
 FROM (SELECT 'lsh' AS method UNION ALL SELECT 'lsh_multiprobe'
       UNION ALL SELECT 'ivf_seeded' UNION ALL SELECT 'pq_adc'
-      UNION ALL SELECT 'ivfpq') m
+      UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_residual') m
 LEFT JOIN hits h USING (method)
 """,
 )
@@ -5312,6 +5324,9 @@ def q_ann_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_adc": _sm.pq_adc_topk(emb, cb, flt, k=3),
         "ivfpq": _sm.ivfpq_seeded_topk(
             emb, flt, k=3, n_lists=16, n_probe=4, codebook=cb
+        ),
+        "ivfpq_residual": _sm.ivfpq_residual_topk(
+            emb, flt, k=3, n_lists=16, n_probe=4
         ),
     }
     exact = (

@@ -106,3 +106,158 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cliner_spark.multimodal import decode_media, synth_image_table
 
     return decode_media(synth_image_table(load_docs(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Round 4b: residual IVF-PQ (round-3 verdict item 6) — PQ over residuals
+# (x − cell centroid), the true FAISS IVFADC encoding. Oracle replays the
+# full stack: seeded cells -> residual frames -> seeded residual codebook ->
+# codes -> per-(query, probed-cell) LUT -> ADC ranking.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_EMB,
+    SQL_RESIDUAL_CTES,
+    SQL_SEEDED_TOPK,
+)
+
+_RESIDUAL_SQL_CTES = SQL_RESIDUAL_CTES
+
+
+@_register_r4(
+    "q_ivfpq_residual_topk",
+    f"""
+WITH {SQL_EMB.strip()},
+{SQL_SEEDED_TOPK.strip()},
+{_RESIDUAL_SQL_CTES.strip()}
+SELECT query_id, neighbor_id, adist, rn FROM (
+  SELECT query_id, neighbor_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rn
+  FROM radist
+) WHERE rn <= 3
+""",
+)
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-3 for queries vec_id < 20 — the true FAISS
+    IVFADC encoding (Jégou et al. 2011): codes quantize x − anchor(cell)
+    rather than x (anchor = the exact integer-micro-unit cell MEAN; see
+    similarity.cell_mean_anchors for why the seeded representative vector
+    is the wrong residual origin), and each query is scored in the
+    residual frame of every
+    probed cell via one per-cell LUT. Same candidate pruning and code
+    budget as q_ivfpq_topk, strictly better use of the codewords (they
+    model within-cell detail instead of re-encoding cell position).
+
+    Scale plan: identical cell-equi-join shape as q_ivfpq_topk — residual
+    formation is one broadcast join at index build; the per-(query, cell)
+    residual probe spine is n_probe rows per query, broadcast. Raw vectors
+    never read at query time."""
+    from cliner_spark import similarity as _sim_mod
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    return _sim_mod.ivfpq_residual_topk(
+        emb, F.col("vec_id") < 20, k=3, n_lists=16, n_probe=4
+    )
+
+
+@_register_r4(
+    "q_pq_residual_gain",
+    f"""
+WITH {SQL_EMB.strip()},
+{SQL_SEEDED_TOPK.strip()},
+{SQL_RESIDUAL_CTES.strip()},
+sub AS (
+  SELECT m.m, e.vec_id, e.v[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+  FROM e, (SELECT unnest(range(4)) AS m) m
+),
+cbr AS (
+  SELECT m, sv,
+         CAST(row_number() OVER (PARTITION BY m
+              ORDER BY md5(m::VARCHAR || '#' || vec_id::VARCHAR), vec_id)
+              AS INTEGER) - 1 AS code
+  FROM sub
+  QUALIFY code < 8
+),
+dist AS (
+  SELECT s.vec_id, s.m,
+         round(list_sum(list_transform(range(16),
+               i -> (s.sv[i + 1] - c.sv[i + 1]) * (s.sv[i + 1] - c.sv[i + 1]))),
+               6) AS d,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY round(list_sum(list_transform(range(16),
+                    i -> (s.sv[i + 1] - c.sv[i + 1])
+                       * (s.sv[i + 1] - c.sv[i + 1]))), 6) ASC, c.code ASC)
+              AS rn
+  FROM sub s JOIN cbr c USING (m)
+),
+raw_rec AS (
+  SELECT vec_id,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS recon_err
+  FROM dist WHERE rn = 1 GROUP BY vec_id
+),
+res_rec AS (
+  SELECT vec_id,
+         round(((max(CASE WHEN m = 0 THEN d END)
+               + max(CASE WHEN m = 1 THEN d END))
+               + max(CASE WHEN m = 2 THEN d END))
+               + max(CASE WHEN m = 3 THEN d END), 6) AS recon_err
+  FROM rbestd GROUP BY vec_id
+)
+SELECT 'raw' AS encoding,
+       CAST(sum(CAST(round(recon_err * 1e6) AS BIGINT)) AS BIGINT)
+         AS distortion_micro,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM raw_rec
+UNION ALL
+SELECT 'residual',
+       CAST(sum(CAST(round(recon_err * 1e6) AS BIGINT)) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM res_rec
+""",
+)
+def q_pq_residual_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization-distortion ledger raw-PQ vs residual-PQ: total
+    reconstruction error (exact BIGINT micro-units, order-independent sum)
+    of encoding the corpus with the same 4x3-bit budget, (a) on raw
+    vectors, (b) on residuals to the exact cell-mean anchors. This is the
+    deterministic form of the IVFADC claim — residual encoding spends the
+    code budget on within-cell detail — and the table that justified the
+    round-4 anchor fix: anchoring at the seeded representative VECTOR
+    (a point on the sphere, not a mean) made distortion 35-48% WORSE;
+    mean anchors recover a 5-10% reduction on this corpus (tests assert
+    residual < raw).
+
+    Scale plan: two corpus-scan encodings (each a narrow codegen
+    projection with the codebook inlined) + one map-side-combinable
+    (cell, dim) aggregation for anchors; output is 2 rows."""
+    from cliner_spark import similarity as _sim_mod
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    cb = _sim_mod.pq_codebook(emb)
+    raw = _sim_mod.pq_codes(emb, cb)
+    cents, assigned = _sim_mod.seeded_cells(emb, 16)
+    anchors = _sim_mod.cell_mean_anchors(assigned)
+    res = assigned.join(F.broadcast(anchors), "cell").select(
+        F.col("vec_id"),
+        F.zip_with(
+            F.col("embedding"), F.col("anchor"), lambda x, y: x.cast("double") - y
+        ).alias("_rv"),
+    )
+    rcb = _sim_mod.pq_codebook(res, vec_col="_rv")
+    rcodes = _sim_mod.pq_codes(res, rcb, 64, "vec_id", "_rv")
+
+    def _tot(codes: DataFrame, name: str) -> DataFrame:
+        return codes.agg(
+            F.sum(F.round(F.col("recon_err") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("distortion_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        ).select(F.lit(name).alias("encoding"), "distortion_micro", "n_vectors")
+
+    return _tot(raw, "raw").unionAll(_tot(rcodes, "residual"))

@@ -798,7 +798,10 @@ def test_ivfpq_matches_python_replica(spark):
 
 def test_ann_leaderboard_invariants(spark):
     rows = {r["method"]: r for r in _q(spark, "q_ann_leaderboard").collect()}
-    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf_seeded", "pq_adc", "ivfpq"}
+    assert set(rows) == {
+        "lsh", "lsh_multiprobe", "ivf_seeded", "pq_adc", "ivfpq",
+        "ivfpq_residual",
+    }
     n_exact = {r["n_exact"] for r in rows.values()}
     assert len(n_exact) == 1
     ne = n_exact.pop()
@@ -824,6 +827,30 @@ def test_ann_leaderboard_invariants(spark):
         for r in _q(spark, "q_ivfpq_topk").collect()
     }
     assert rows["ivfpq"]["hits"] == len(ivfpq & exact)
+    # residual encoding (exact cell-mean anchors) beats raw-vector PQ at
+    # the same code budget — measured 5 vs 3 of 60 at sf0.01; the
+    # deterministic form of this claim is q_pq_residual_gain's distortion
+    # table (asserted in test_pq_residual_gain_distortion)
+    resk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "q_ivfpq_residual_topk").collect()
+    }
+    assert rows["ivfpq_residual"]["hits"] == len(resk & exact)
+    assert rows["ivfpq_residual"]["hits"] >= rows["ivfpq"]["hits"]
+
+
+def test_pq_residual_gain_distortion(spark):
+    """Residual encoding must strictly reduce total quantization
+    distortion vs raw-vector PQ at the same 4x3-bit budget (the IVFADC
+    rationale, in exact integers)."""
+    rows = {r["encoding"]: r for r in _q(spark, "q_pq_residual_gain").collect()}
+    assert set(rows) == {"raw", "residual"}
+    assert rows["raw"]["n_vectors"] == rows["residual"]["n_vectors"] > 0
+    assert (
+        0
+        < rows["residual"]["distortion_micro"]
+        < rows["raw"]["distortion_micro"]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -141,12 +141,18 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "union of the already-audited component carries: PQ-ADC broadcast "
          "query spine, 16-row centroid probe spine, exact brute-force "
-         "query spine, 1-row n_exact carry onto the 5-row method table")
+         "query spine, 1-row n_exact carry onto the 6-row method table")
     ],
     "q_ivfpq_topk": [
         ("BroadcastNestedLoopJoin",
          "<=20-row query spine x 16-row broadcast centroid table (cell "
          "probe selection; candidate scoring itself is the cell equi-join)")
+    ],
+    "q_ivfpq_residual_topk": [
+        ("BroadcastNestedLoopJoin",
+         "same <=20-row query spine x 16-row broadcast centroid table as "
+         "q_ivfpq_topk (probe selection); anchors join and candidate "
+         "scoring are cell equi-joins)")
     ],
     "q_between_scatter": [
         ("BroadcastNestedLoopJoin",
