@@ -175,6 +175,8 @@ def run_stream_triples(
     max_files: int = 16,
     integrity_gate: bool = False,
     valid_cuis: DataFrame | None = None,
+    dedup_gate: bool = False,
+    ingested_path: str | None = None,
 ) -> None:
     """Streaming KG materialization: drain transcript micro-batches through
     the FULL batch pipeline (scan -> link [-> assert] -> canonicalize ->
@@ -213,16 +215,65 @@ def run_stream_triples(
     valid_cuis defaults to the linking gazetteer's cui set; passing the
     PUBLISHED release's cui table instead catches the deploy-skew case
     where the linker ran a newer gazetteer than the KG consumers have.
+
+    dedup_gate=True (round-3 verdict item 7) closes the ingest-side dup
+    hole: before a micro-batch enters the pipeline, its turns are checked
+    against the persisted ingested-turns index (ingested_path, default
+    <output_path>_ingested) with dedup.incremental_dedup — exact dups by
+    normalized-text fingerprint, near-dups by >=2 agreeing MinHash bands —
+    and only `keep` turns proceed. A redelivered or lightly-edited batch
+    therefore adds ZERO new docs/triples instead of polluting the KG. The
+    index is appended AFTER the triple publish (same at-least-once ordering
+    as the sink itself; at production scale it is the persisted
+    fingerprint+band Iceberg table the dedup joins would probe directly).
+    Joins are batch-driven — the index is never self-paired.
     """
     from pyspark.errors import AnalysisException
 
     from cliner_spark.canonicalize import canonical_concept_map
+    from cliner_spark.dedup import incremental_dedup
     from cliner_spark.pipeline import run_pipeline
     from cliner_spark.triples import audit_triples, incremental_new_triples
 
     canon = canonical_concept_map(gazetteer).localCheckpoint(eager=True)
+    idx_path = ingested_path or (output_path.rstrip("/") + "_ingested")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new_turns = None
+        if dedup_gate:
+            batch_docs = batch_df.select(
+                F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+                .alias("doc_key"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            )
+            try:
+                ingested = sess.read.parquet(idx_path)
+            except AnalysisException:
+                ingested = None
+            if ingested is not None:
+                keep_keys = (
+                    incremental_dedup(
+                        ingested, batch_docs, id_col="doc_key", text_col="text"
+                    )
+                    .filter(F.col("keep"))
+                    .select("doc_key")
+                    .localCheckpoint(eager=True)
+                )
+                batch_df = batch_df.join(
+                    keep_keys,
+                    F.concat_ws(
+                        "#", F.col("conv_id"), F.col("turn_idx").cast("string")
+                    )
+                    == F.col("doc_key"),
+                    "left_semi",
+                )
+                new_turns = batch_docs.join(keep_keys, "doc_key", "left_semi")
+            else:
+                new_turns = batch_docs
+            new_turns = new_turns.localCheckpoint(eager=True)
+            if new_turns.isEmpty():
+                return  # whole batch was redelivered/near-dup: publish nothing
         out = run_pipeline(
             batch_df.sparkSession,
             batch_df,
@@ -252,6 +303,8 @@ def run_stream_triples(
                     f"integrity gate rejected batch {batch_id}: {bad}"
                 )
         tri.write.mode("append").parquet(output_path)
+        if dedup_gate and new_turns is not None:
+            new_turns.write.mode("append").parquet(idx_path)
 
     q = (
         read_transcript_stream(spark, input_path, max_files=max_files)

@@ -216,6 +216,66 @@ def test_dedup_stream_drops_redelivered_turns(spark, tmp_path):
     assert out.select("conv_id", "turn_idx").distinct().count() == len(rows)
 
 
+def test_streaming_dedup_gate_blocks_redelivered_near_dup_batch(spark, tmp_path):
+    """dedup_gate=True (round-3 verdict item 7): a redelivered batch —
+    identical turns plus a lightly-edited near-duplicate under a NEW
+    conv_id — must add ZERO triples and ZERO index rows; a genuinely new
+    conversation afterwards must still flow through (positive control)."""
+    import copy
+    import datetime as _dt
+
+    rows = fixtures.gen_transcripts(n_convs=4, avg_turns=4, seed=7)
+    rows[0]["text"] = (
+        "patient reports severe chest pain and shortness of breath "
+        "after the morning exercise session at the clinic"
+    )
+    df = fixtures.transcripts_df(spark, rows)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    gaz = fixtures.gazetteer_df(spark)
+    df.coalesce(1).write.parquet(in_dir)
+    streaming.run_stream_triples(spark, in_dir, out_dir, ck, gaz, dedup_gate=True)
+    tri1 = spark.read.parquet(out_dir).count()
+    ing1 = spark.read.parquet(out_dir + "_ingested").count()
+    assert tri1 > 0 and ing1 == len(rows)
+
+    # redelivery: the SAME rows again (exact dups by fingerprint) plus a
+    # near-dup of the long turn — one word appended, new conv_id (so only
+    # MinHash band agreement can catch it, not the key)
+    near = copy.deepcopy(rows[0])
+    near["conv_id"] = "convZZZZZ"
+    near["turn_idx"] = 0
+    near["text"] = rows[0]["text"] + " indeed"
+    fixtures.transcripts_df(spark, rows + [near]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming.run_stream_triples(spark, in_dir, out_dir, ck, gaz, dedup_gate=True)
+    assert spark.read.parquet(out_dir).count() == tri1
+    assert spark.read.parquet(out_dir + "_ingested").count() == ing1
+
+    # positive control: genuinely new content still ingests
+    fresh = [
+        {
+            "conv_id": "convNEW00",
+            "turn_idx": 0,
+            "role": "user",
+            "text": "completely novel discussion of quarterly gardening "
+            "schedules with blood test tomorrow",
+            "tool": None,
+            "ts": rows[0]["ts"] + _dt.timedelta(days=1),
+        }
+    ]
+    fixtures.transcripts_df(spark, fresh).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    streaming.run_stream_triples(spark, in_dir, out_dir, ck, gaz, dedup_gate=True)
+    assert spark.read.parquet(out_dir + "_ingested").count() == ing1 + 1
+    assert spark.read.parquet(out_dir).count() > tri1
+
+
 def test_streaming_merge_dedups_cross_batch_edges(spark, tmp_path):
     """merge=True: conversations SPAN micro-batches (split by turn parity),
     yet the sink holds exactly one row per (subj, pred, obj) and the key
