@@ -261,3 +261,555 @@ def q_pq_residual_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("encoding"), "distortion_micro", "n_vectors")
 
     return _tot(raw, "raw").unionAll(_tot(rcodes, "residual"))
+
+
+# --------------------------------------------------------------------------
+# Round 4c: privacy trio completion — t-closeness (Li, Li, Venkatasubramanian
+# 2007) joins the existing k-anonymity / l-diversity audit: per QI
+# equivalence class, the total-variation distance between the class's
+# sensitive-value distribution and the global one, in exact integers.
+# --------------------------------------------------------------------------
+
+_T_CLOSE_SQL = """
+WITH base AS (
+  SELECT lang, source, CAST(n_chars // 64 AS BIGINT) AS len_band,
+         doc_id % 5 AS s
+  FROM documents
+),
+cell AS (
+  SELECT lang, source, len_band, s, COUNT(*) AS c FROM base GROUP BY 1,2,3,4
+),
+grp AS (
+  SELECT lang, source, len_band, SUM(c) AS n_g FROM cell GROUP BY 1,2,3
+),
+gdist AS (SELECT s, COUNT(*) AS c_v FROM base GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM base),
+spine AS (
+  SELECT g.lang, g.source, g.len_band, g.n_g, v.s, gl.c_v
+  FROM grp g
+  CROSS JOIN (SELECT unnest(range(5)) AS s) v
+  JOIN gdist gl ON gl.s = v.s
+),
+terms AS (
+  SELECT sp.lang, sp.source, sp.len_band, sp.n_g,
+         abs(coalesce(cl.c, 0) * t.n - sp.c_v * sp.n_g) AS term, t.n
+  FROM spine sp
+  LEFT JOIN cell cl ON cl.lang = sp.lang AND cl.source = sp.source
+       AND cl.len_band = sp.len_band AND cl.s = sp.s
+  CROSS JOIN tot t
+)
+SELECT lang, source, len_band, CAST(n_g AS BIGINT) AS k,
+       CAST(sum(term) AS BIGINT) AS tvd_num,
+       CAST(2 * max(n) * n_g AS BIGINT) AS tvd_den,
+       round(CAST(sum(term) AS DOUBLE) / (2.0 * max(n) * n_g), 6)
+         AS t_closeness,
+       round(CAST(sum(term) AS DOUBLE) / (2.0 * max(n) * n_g), 6) > 0.2
+         AS breaches_t02
+FROM terms GROUP BY 1, 2, 3, n_g
+"""
+
+
+@_register_r4("q_t_closeness", _T_CLOSE_SQL)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy trio (q_k_anonymity gives
+    k and l-diversity): for every (lang, source, length-band) QI class,
+    the total-variation distance between its sensitive-cohort distribution
+    (doc_id % 5, the same synthetic sensitive attribute as l-div) and the
+    GLOBAL cohort distribution — l-diversity misses skew (a class can hold
+    all 5 cohorts at 96/1/1/1/1), t-closeness catches it. TVD is kept as
+    the exact integer rational sum_v |c_gv*N - c_v*n_g| / (2*N*n_g)
+    (numerator+denominator columns), with the rounded ratio and a t>0.2
+    breach flag alongside.
+
+    Scale plan: two map-side-combined groupBys over the same narrow QI
+    projection plus a 5-row value spine zero-fill; the 1-row corpus-total
+    carry is the whitelisted scalar-attach shape. Output is
+    equivalence-class-sized."""
+    docs = load_docs(spark, sf_dir)
+    base = docs.select(
+        "lang",
+        "source",
+        (F.col("n_chars") - F.col("n_chars") % 64)
+        .cast("bigint")
+        .alias("lb_raw"),
+        (F.col("doc_id") % 5).alias("s"),
+    ).select(
+        "lang", "source", (F.col("lb_raw") / 64).cast("bigint").alias("len_band"), "s"
+    )
+    cell = base.groupBy("lang", "source", "len_band", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grp = cell.groupBy("lang", "source", "len_band").agg(F.sum("c").alias("n_g"))
+    glob = base.groupBy("s").agg(F.count(F.lit(1)).alias("c_v"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        grp.select(
+            "lang",
+            "source",
+            "len_band",
+            "n_g",
+            F.explode(F.array(*[F.lit(v).cast("bigint") for v in range(5)])).alias(
+                "s"
+            ),
+        )
+        .join(F.broadcast(glob), "s")
+        .join(F.broadcast(tot))
+    )
+    terms = spine.join(cell, ["lang", "source", "len_band", "s"], "left").select(
+        "lang",
+        "source",
+        "len_band",
+        "n_g",
+        "n",
+        F.abs(
+            F.coalesce(F.col("c"), F.lit(0)) * F.col("n")
+            - F.col("c_v") * F.col("n_g")
+        ).alias("term"),
+    )
+    ratio = F.col("tvd_num").cast("double") / (
+        2.0 * F.col("_n") * F.col("k")
+    )
+    return (
+        terms.groupBy("lang", "source", "len_band", "n_g")
+        .agg(F.sum("term").alias("tvd_num_raw"), F.max("n").alias("_n"))
+        .select(
+            "lang",
+            "source",
+            "len_band",
+            F.col("n_g").cast("bigint").alias("k"),
+            F.col("tvd_num_raw").cast("bigint").alias("tvd_num"),
+            (2 * F.col("_n") * F.col("n_g")).cast("bigint").alias("tvd_den"),
+            "_n",
+        )
+        .select(
+            "lang",
+            "source",
+            "len_band",
+            "k",
+            "tvd_num",
+            "tvd_den",
+            F.round(ratio, 6).alias("t_closeness"),
+            (F.round(ratio, 6) > 0.2).alias("breaches_t02"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4d: Matryoshka truncation-recall curve (Kusupati et al. 2022, MRL):
+# how much exact-top-3 recall survives scoring on only the first d dims.
+# The operating table for the "store 64, search 8/16/32" memory/recall
+# trade every embedding platform now tunes.
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _sql_cos_trunc(a: str, b: str, d: int) -> str:
+    return (
+        f"round(list_sum(list_transform(range({d}), i -> {a}[i+1] * {b}[i+1]))"
+        f" / sqrt(list_sum(list_transform(range({d}), i -> {a}[i+1] * {a}[i+1]))"
+        f" * list_sum(list_transform(range({d}), i -> {b}[i+1] * {b}[i+1]))), 6)"
+    )
+
+
+def _mrl_sql() -> str:
+    parts = []
+    for d in _MRL_DIMS:
+        parts.append(f"""
+t{d} AS (
+  SELECT {d} AS dims, query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_sql_cos_trunc('q.v', 'c.v', d)} DESC,
+                         c.vec_id ASC) AS rn
+    FROM e c, e q WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT dims, query_id, neighbor_id FROM t{d}" for d in _MRL_DIMS
+    )
+    dim_spine = " UNION ALL ".join(f"SELECT {d} AS dims" for d in _MRL_DIMS)
+    from cliner_spark.entry_queries import SQL_EXACT_TOPK as _EX
+
+    return f"""
+WITH {SQL_EMB.strip()},
+{_EX.strip()},
+{','.join(p.strip() for p in parts)},
+allm AS ({unions}),
+hits AS (
+  SELECT a.dims, CAST(count(*) AS BIGINT) AS n
+  FROM allm a JOIN exact x
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST(m.dims AS INT) AS dims,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact
+FROM ({dim_spine}) m LEFT JOIN hits h USING (dims)
+"""
+
+
+@_register_r4("q_matryoshka_recall", _mrl_sql())
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation-recall: exact top-3 recall when cosine
+    is computed over only the first d of 64 dims, for d in 8/16/32/64 —
+    one exact-integer (dims, hits, n_exact) row each. The d=64 row equals
+    n_exact by construction (built-in sanity); the d<64 rows are the
+    memory/recall trade a platform reads before shipping truncated
+    embeddings to the ANN tier (8x fewer bytes at d=8).
+
+    Scale plan: the brute-force spine (broadcast <=20-query side x corpus)
+    is the exact-baseline gate shape, BY DESIGN (same contract as
+    q_embedding_topk — production evaluates recall on a sampled query set;
+    the serving path is the IVF/LSH family). One corpus scan per d, no
+    corpus shuffle."""
+    from cliner_spark import similarity as _sm
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings"))
+    flt = F.col("vec_id") < 20
+    exact = (
+        _sm.brute_force_topk(emb, flt, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def trunc_topk(d: int) -> DataFrame:
+        q = emb.filter(flt).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        )
+        j = c.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        ).withColumn(
+            "sim",
+            _sm.cosine_sim(F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.lit(d).cast("int").alias("dims"), "query_id", "neighbor_id"
+            )
+        )
+
+    allm = None
+    for d in _MRL_DIMS:
+        part = trunc_topk(d)
+        allm = part if allm is None else allm.unionAll(part)
+    hits = allm.join(exact, ["query_id", "neighbor_id"]).groupBy("dims").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spine = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dims int")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        spine.join(hits, "dims", "left")
+        .select(
+            "dims", F.coalesce("n", F.lit(0)).cast("bigint").alias("hits")
+        )
+        .join(F.broadcast(n_exact))
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4e: link prediction over the doc-similarity graph — the classic
+# missing-edge scorers (Liben-Nowell & Kleinberg 2003): common neighbors,
+# Jaccard, resource allocation (Zhou et al. 2009, kept as exact fixed-point
+# integers instead of the float-sum-order-hazardous Adamic-Adar), and
+# preferential attachment, top-3 candidates per node.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_DOCS_TOKS  # noqa: E402
+from cliner_spark.queries_r2 import SQL_DOCPAIR_GRAPH as _DPG4  # noqa: E402
+
+_LINKPRED_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+ed AS (SELECT lo AS src, hi AS dst FROM ge UNION ALL SELECT hi, lo FROM ge),
+dg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
+wedge AS (
+  SELECT a.src AS u, b.dst AS w, a.dst AS z
+  FROM ed a JOIN ed b ON a.dst = b.src
+  WHERE a.src < b.dst
+),
+cand AS (
+  SELECT u, w, count(*) AS cn,
+         CAST(sum(1000000 // dz.deg) AS BIGINT) AS ra_micro
+  FROM wedge JOIN dg dz ON dz.node = wedge.z
+  GROUP BY 1, 2
+),
+ne AS (
+  SELECT c.* FROM cand c LEFT JOIN ge ON ge.lo = c.u AND ge.hi = c.w
+  WHERE ge.lo IS NULL
+),
+scored AS (
+  SELECT ne.u, ne.w, ne.cn, ne.ra_micro,
+         round(CAST(ne.cn AS DOUBLE) / (du.deg + dw.deg - ne.cn), 6)
+           AS jaccard,
+         CAST(du.deg * dw.deg AS BIGINT) AS pref_attach
+  FROM ne JOIN dg du ON du.node = ne.u JOIN dg dw ON dw.node = ne.w
+)
+SELECT u, w, CAST(cn AS BIGINT) AS common_neighbors, ra_micro, jaccard,
+       pref_attach, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY u
+           ORDER BY cn DESC, ra_micro DESC, w ASC) AS rn FROM scored)
+WHERE rn <= 3
+"""
+
+
+@_register_r4("q_link_prediction", _LINKPRED_SQL)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 predicted missing edges per node over the materialized
+    doc-similarity graph: for every non-edge (u, w) sharing >= 1 neighbor,
+    common-neighbor count, Jaccard of neighborhoods (single exact-int
+    division, rounded 6), resource-allocation index as EXACT fixed-point
+    micro-units (sum of 1000000 // deg(z) — chosen over Adamic-Adar's
+    1/ln(deg) because an integer floor-division sum is order-independent
+    across engines while a float ln-sum is not), and preferential
+    attachment. This is the dedup-cluster GROWTH forecast: the pairs most
+    likely to become near-dups in the next crawl.
+
+    Scale plan: one wedge join over the df-cut-bounded similarity graph
+    (same shape and bound as node2vec's transition table), degree table
+    joined by key, candidate anti-join against the edge artifact; top-3
+    window partitioned per node. Never touches the corpus — graph-sized
+    throughout."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ed0 = _docpair_edges(spark, sf_dir)
+    und = ed0.select("src", "dst").unionAll(
+        ed0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    b = und.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    wedge = a.join(b, "z").filter(F.col("u") < F.col("w"))
+    cand = (
+        wedge.join(dg.withColumnRenamed("node", "z"), "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("CAST(1000000 div deg AS BIGINT)"))
+            .cast("bigint")
+            .alias("ra_micro"),
+        )
+    )
+    ne = cand.join(
+        ed0.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    du = dg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dw = dg.select(F.col("node").alias("w"), F.col("deg").alias("deg_w"))
+    scored = (
+        ne.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "cn",
+            "ra_micro",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            (F.col("deg_u") * F.col("deg_w")).cast("bigint").alias("pref_attach"),
+        )
+    )
+    wdw = Window.partitionBy("u").orderBy(
+        F.desc("cn"), F.desc("ra_micro"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wdw).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "u",
+            "w",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            "ra_micro",
+            "jaccard",
+            "pref_attach",
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4f: LLM-eval bookkeeping + ops forecasting over the events stream —
+# the unbiased pass@k estimator (Chen et al. 2021, the Codex paper) and the
+# seasonal-naive MASE forecast-error ledger (Hyndman & Koehler 2006).
+# --------------------------------------------------------------------------
+
+_PASS_AT_K_SQL = """
+WITH trials AS (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1
+  HAVING count(*) >= 10
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_trials, CAST(c AS BIGINT) AS n_success,
+       round(CASE WHEN n - c < 1 THEN 1.0 ELSE
+         1.0 - list_product(list_transform(range(1),
+               i -> (n - c - i) / CAST(n - i AS DOUBLE))) END, 6) AS pass_at_1,
+       round(CASE WHEN n - c < 5 THEN 1.0 ELSE
+         1.0 - list_product(list_transform(range(5),
+               i -> (n - c - i) / CAST(n - i AS DOUBLE))) END, 6) AS pass_at_5,
+       round(CASE WHEN n - c < 10 THEN 1.0 ELSE
+         1.0 - list_product(list_transform(range(10),
+               i -> (n - c - i) / CAST(n - i AS DOUBLE))) END, 6) AS pass_at_10
+FROM trials
+"""
+
+
+@_register_r4("q_pass_at_k", _PASS_AT_K_SQL)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021): each user_id is a 'problem',
+    its click events are trials, success = value >= 50; pass@k =
+    1 - C(n-c, k)/C(n, k), computed as the falling-factorial product
+    prod_{i<k}(n-c-i)/(n-i) in identical left-fold order on both engines
+    (the naive (c/n)^k-style estimators the paper warns about are biased;
+    this is the estimator every code-model eval reports). Users with
+    n >= 10 trials; k = 1, 5, 10.
+
+    Scale plan: one map-side-combined groupBy on user_id; pass@k is a
+    per-row projection over the (n, c) sufficient statistics — no joins,
+    no windows, output is user-dimension-sized."""
+    ev = load(spark, sf_dir, "events")
+    tr = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") >= 50).cast("long")).alias("c"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+    def pk(k: int):
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc
+            * (F.col("n") - F.col("c") - i) / (F.col("n") - i),
+        )
+        return F.round(
+            F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(
+                F.lit(1.0) - prod
+            ),
+            6,
+        ).alias(f"pass_at_{k}")
+
+    return tr.select(
+        F.col("user_id").cast("bigint"),
+        F.col("n").cast("bigint").alias("n_trials"),
+        F.col("c").cast("bigint").alias("n_success"),
+        pk(1),
+        pk(5),
+        pk(10),
+    )
+
+
+_MASE_SQL = """
+WITH cnt AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+seas AS (
+  SELECT a.event_type, count(*) AS pairs, sum(abs(a.n - b.n)) AS abs_err
+  FROM cnt a JOIN cnt b ON b.event_type = a.event_type AND b.h = a.h - 24
+  GROUP BY 1
+),
+naiv AS (
+  SELECT a.event_type, count(*) AS pairs, sum(abs(a.n - b.n)) AS abs_err
+  FROM cnt a JOIN cnt b ON b.event_type = a.event_type AND b.h = a.h - 1
+  GROUP BY 1
+),
+hrs AS (SELECT event_type, count(*) AS n_hours FROM cnt GROUP BY 1)
+SELECT h.event_type, CAST(h.n_hours AS BIGINT) AS n_hours,
+       CAST(s.pairs AS BIGINT) AS seasonal_pairs,
+       CAST(s.abs_err AS BIGINT) AS seasonal_abs_err,
+       CAST(v.pairs AS BIGINT) AS naive_pairs,
+       CAST(v.abs_err AS BIGINT) AS naive_abs_err,
+       round((CAST(s.abs_err AS DOUBLE) / s.pairs)
+             / (CAST(v.abs_err AS DOUBLE) / v.pairs), 6) AS mase
+FROM hrs h JOIN seas s USING (event_type) JOIN naiv v USING (event_type)
+"""
+
+
+@_register_r4("q_seasonal_naive_mase", _MASE_SQL)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast-error ledger (MASE, Hyndman & Koehler 2006)
+    over hourly event counts: per event_type, the MAE of the 24h-seasonal
+    naive forecast scaled by the MAE of the 1h naive forecast — MASE < 1
+    means daily seasonality carries real signal for capacity planning of
+    the ingest pipeline. All error sums are exact BIGINTs over integer
+    counts; only the final scaled ratio is rounded.
+
+    Scale plan: the corpus collapses to an hourly count grid in one
+    map-side-combined groupBy; both lag comparisons are equi-joins on the
+    (type, hour-index) key of that tiny grid — no window over the raw
+    event stream, no corpus shuffle beyond the one aggregation."""
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def lag_join(off: int) -> DataFrame:
+        a = cnt.select("event_type", "h", F.col("n").alias("na"))
+        b = cnt.select(
+            "event_type", (F.col("h") + off).alias("h"), F.col("n").alias("nb")
+        )
+        return (
+            a.join(b, ["event_type", "h"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("pairs"),
+                F.sum(F.abs(F.col("na") - F.col("nb"))).alias("abs_err"),
+            )
+        )
+
+    seas = lag_join(24)
+    naiv = lag_join(1)
+    hrs = cnt.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hours"))
+    return (
+        hrs.join(
+            seas.select(
+                "event_type",
+                F.col("pairs").alias("seasonal_pairs"),
+                F.col("abs_err").alias("seasonal_abs_err"),
+            ),
+            "event_type",
+        )
+        .join(
+            naiv.select(
+                "event_type",
+                F.col("pairs").alias("naive_pairs"),
+                F.col("abs_err").alias("naive_abs_err"),
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.col("n_hours").cast("bigint"),
+            F.col("seasonal_pairs").cast("bigint"),
+            F.col("seasonal_abs_err").cast("bigint"),
+            F.col("naive_pairs").cast("bigint"),
+            F.col("naive_abs_err").cast("bigint"),
+            F.round(
+                (F.col("seasonal_abs_err").cast("double") / F.col("seasonal_pairs"))
+                / (F.col("naive_abs_err").cast("double") / F.col("naive_pairs")),
+                6,
+            ).alias("mase"),
+        )
+    )

@@ -154,6 +154,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "q_ivfpq_topk (probe selection); anchors join and candidate "
          "scoring are cell equi-joins)")
     ],
+    "q_t_closeness": [
+        ("BroadcastNestedLoopJoin",
+         "1-row corpus-total N carry onto the equivalence-class x 5-value "
+         "spine (exact-TVD denominator)")
+    ],
+    "q_matryoshka_recall": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast <=20-row query spine x corpus per truncation dim — the "
+         "exact brute-force gate shape by design (same as q_embedding_topk) "
+         "+ 1-row n_exact carry onto the 4-row dims spine")
+    ],
     "q_between_scatter": [
         ("BroadcastNestedLoopJoin",
          "1-row corpus-total carry onto the |labels|-sized scatter frame")
