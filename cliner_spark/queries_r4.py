@@ -813,3 +813,1016 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mase"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4g: deterministic sketch audits — count-min (Cormode & Muthukrishnan
+# 2005) and Bloom-filter decontamination — plus k-center coreset selection
+# (Gonzalez 1985 farthest-point traversal). All md5-hashed, so the sketches
+# themselves (not just their consumers) hash-check against DuckDB; the
+# sketch error CLAIMS (CMS never undercounts, Bloom never false-negatives)
+# become assertable integer columns.
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+_CMS_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tok AS (
+  SELECT lower(t.x) AS tok FROM docs, unnest(toks) AS t(x)
+),
+hashed AS (
+  SELECT tok, d.d,
+         CAST(CAST('0x' || substr(md5(d.d::VARCHAR || '#' || tok), 1, 4)
+              AS INTEGER) % {_CMS_W} AS INTEGER) AS bucket
+  FROM tok, (SELECT unnest(range({_CMS_D})) AS d) d
+),
+cms AS (SELECT d, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+exact AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+top AS (
+  SELECT tok, n FROM exact ORDER BY n DESC, tok ASC LIMIT 20
+),
+est AS (
+  SELECT t.tok, t.n, min(cms.c) AS est
+  FROM top t, (SELECT unnest(range({_CMS_D})) AS d) d
+  JOIN cms ON cms.d = d.d
+   AND cms.bucket = CAST(CAST('0x' || substr(md5(d.d::VARCHAR || '#' || t.tok),
+                               1, 4) AS INTEGER) % {_CMS_W} AS INTEGER)
+  GROUP BY 1, 2
+)
+SELECT tok, CAST(n AS BIGINT) AS exact_count, CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - n AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@_register_r4("q_countmin_audit", _CMS_SQL)
+def q_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: a {_CMS_D}x{_CMS_W} CMS (md5 row-hashes, so
+    the sketch is bit-identical on both engines) over the corpus token
+    stream, read back for the exact top-20 tokens — exact count, CMS
+    estimate (min over rows), and the overcount. CMS NEVER undercounts
+    (est >= exact, asserted in tests); the overcount column is the
+    measured collision cost of compressing the whole vocabulary into
+    {_CMS_D}*{_CMS_W} counters — the sketch a streaming heavy-hitter
+    pipeline ships between executors instead of the full frequency table.
+
+    Scale plan: the sketch build is one map-side-combined groupBy on
+    (row, bucket) — output is {_CMS_D}*{_CMS_W} counters regardless of
+    corpus size, THE point of a sketch; the top-20 probe joins those
+    counters by key. No corpus shuffle beyond the one aggregation."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("t")
+    ).select(F.lower("t").alias("tok"))
+
+    def bucket(d, tok_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{d}#"), tok_col)), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % _CMS_W
+        ).cast("int")
+
+    hashed = None
+    for d in range(_CMS_D):
+        part = tok.select(
+            "tok", F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket")
+        )
+        hashed = part if hashed is None else hashed.unionAll(part)
+    cms = hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    probes = None
+    for d in range(_CMS_D):
+        part = top.select(
+            "tok", "n", F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket")
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("bigint").alias("exact_count"),
+        F.col("est").cast("bigint").alias("cms_estimate"),
+        (F.col("est") - F.col("n")).cast("bigint").alias("overcount"),
+    )
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+_BLOOM_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+sh5 AS (
+  SELECT DISTINCT d.doc_id,
+         lower(array_to_string(d.toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+  WHERE t.i + 3 <= len(d.toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 101 = 0),
+cand AS (SELECT * FROM sh5 WHERE doc_id % 101 <> 0),
+bbits AS (
+  SELECT DISTINCT j.j,
+         CAST(CAST('0x' || substr(md5(j.j::VARCHAR || '#' || b.shingle), 1, 4)
+              AS INTEGER) % {_BLOOM_M} AS INTEGER) AS bit
+  FROM bench b, (SELECT unnest(range({_BLOOM_K})) AS j) j
+),
+probe AS (
+  SELECT c.doc_id, c.shingle, j.j,
+         CAST(CAST('0x' || substr(md5(j.j::VARCHAR || '#' || c.shingle), 1, 4)
+              AS INTEGER) % {_BLOOM_M} AS INTEGER) AS bit
+  FROM cand c, (SELECT unnest(range({_BLOOM_K})) AS j) j
+),
+verdict AS (
+  SELECT p.doc_id, p.shingle,
+         count(bb.bit) = {_BLOOM_K} AS bloom_pos
+  FROM probe p LEFT JOIN bbits bb ON bb.j = p.j AND bb.bit = p.bit
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT c.doc_id, c.shingle, b.shingle IS NOT NULL AS is_member
+  FROM cand c LEFT JOIN bench b ON b.shingle = c.shingle
+),
+joined AS (
+  SELECT v.doc_id, v.bloom_pos, t.is_member
+  FROM verdict v JOIN truth t ON t.doc_id = v.doc_id AND t.shingle = v.shingle
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS true_hits,
+       CAST(sum(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       CAST(sum(CASE WHEN is_member AND NOT bloom_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_negatives
+FROM joined j JOIN src s ON s.doc_id = j.doc_id
+GROUP BY 1
+"""
+
+
+@_register_r4("q_bloom_decontaminate", _BLOOM_SQL)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit: the benchmark's 3-gram shingles
+    populate a {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom filter (md5 bit
+    positions — the filter is bit-identical on both engines); every
+    candidate (doc, shingle) probe is scored by the filter AND by the
+    exact join, per source: probes, bloom hits, true hits, false
+    positives (the filter's rental cost), and false negatives — which a
+    Bloom filter can NEVER produce (asserted 0 in tests). This is the
+    pre-filter a 100 TB decontamination pass ships to every executor
+    (~{_BLOOM_M // 8} bytes) so the exact equi-join only sees
+    bloom-positive survivors.
+
+    Scale plan: the bit set is built from the benchmark side (eval suites
+    are tiny) and broadcast; probes are a projection + a broadcast join —
+    the corpus-side shuffle is only the per-(doc, shingle) distinct the
+    exact path needs anyway."""
+    from cliner_spark.sampling import shingles
+
+    docs = load_docs(spark, sf_dir)
+    bench_docs = docs.filter(F.col("doc_id") % 101 == 0)
+    cand_docs = docs.filter(F.col("doc_id") % 101 != 0)
+    bench_sh = shingles(bench_docs, 3).select("shingle").distinct()
+    cand_sh = shingles(cand_docs, 3).select("doc_id", "shingle").distinct()
+
+    def bit(j, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}#"), col)), 1, 4), 16, 10
+            ).cast("int")
+            % _BLOOM_M
+        ).cast("int")
+
+    bbits = None
+    for j in range(_BLOOM_K):
+        part = bench_sh.select(
+            F.lit(j).alias("j"), bit(j, F.col("shingle")).alias("bit")
+        )
+        bbits = part if bbits is None else bbits.unionAll(part)
+    bbits = bbits.distinct()
+    probe = None
+    for j in range(_BLOOM_K):
+        part = cand_sh.select(
+            "doc_id", "shingle", F.lit(j).alias("j"),
+            bit(j, F.col("shingle")).alias("bit"),
+        )
+        probe = part if probe is None else probe.unionAll(part)
+    verdict = (
+        probe.join(
+            F.broadcast(bbits.withColumn("hit", F.lit(1))), ["j", "bit"], "left"
+        )
+        .groupBy("doc_id", "shingle")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_pos"))
+    )
+    truth = cand_sh.join(
+        F.broadcast(bench_sh.withColumn("mem", F.lit(1))), "shingle", "left"
+    ).select("doc_id", "shingle", F.col("mem").isNotNull().alias("is_member"))
+    joined = verdict.join(truth, ["doc_id", "shingle"])
+    return (
+        joined.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(F.col("bloom_pos").cast("long")).cast("bigint").alias("bloom_hits"),
+            F.sum(F.col("is_member").cast("long")).cast("bigint").alias("true_hits"),
+            F.sum((F.col("bloom_pos") & ~F.col("is_member")).cast("long"))
+            .cast("bigint")
+            .alias("false_positives"),
+            F.sum((F.col("is_member") & ~F.col("bloom_pos")).cast("long"))
+            .cast("bigint")
+            .alias("false_negatives"),
+        )
+    )
+
+
+_CORESET_K = 8
+
+
+def _sql_cos4(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(64), i -> {a}[i+1] * {b}[i+1]))"
+        f" / sqrt(list_sum(list_transform({a}, x -> x * x))"
+        f" * list_sum(list_transform({b}, x -> x * x))), 6)"
+    )
+
+
+def _coreset_sql() -> str:
+    parts = [
+        SQL_EMB.strip(),
+        """c0 AS (SELECT vec_id, v FROM e
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+a0 AS (SELECT 0 AS r, vec_id, v, -1.0 AS msim FROM c0)""",
+    ]
+    for r in range(1, _CORESET_K):
+        parts.append(f"""s{r} AS (
+  SELECT e.vec_id, e.v, max({_sql_cos4('e.v', 'a.v')}) AS msim
+  FROM e CROSS JOIN a{r - 1} a
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM a{r - 1})
+  GROUP BY e.vec_id, e.v
+),
+c{r} AS (SELECT {r} AS r, vec_id, v, msim FROM s{r}
+  ORDER BY msim ASC, vec_id ASC LIMIT 1),
+a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM c{r})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(r AS INT) AS round, CAST(vec_id AS BIGINT) AS center_id,
+       msim AS max_sim_to_prior
+FROM a{_CORESET_K - 1}
+"""
+    )
+
+
+@_register_r4("q_coreset_kcenter", _coreset_sql())
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset by farthest-point traversal (Gonzalez 1985), the
+    2-approximation every diversity-sampling / facility-location pipeline
+    uses: start from the md5-seeded vector, then 7 times pick the corpus
+    vector with the SMALLEST maximum cosine similarity to the centers so
+    far (i.e. the farthest point), ties to the lower vec_id. Output:
+    (round, center_id, max_sim_to_prior) — the msim column is the coverage
+    radius curve, monotonically nondecreasing in round (asserted in
+    tests): the moment it flattens near 1.0 the corpus is covered and more
+    centers buy nothing.
+
+    Scale plan: k-1 corpus scans, each a narrow greatest()-of-k-constants
+    projection + one TakeOrdered(1) (map-side top-1, no full sort, 1 row
+    to the driver per round — the same bounded-collect allowance as the
+    BPE top-1 and PQ codebook builds). The selection loop is inherently
+    sequential (each pick conditions the next); k is index-build-sized,
+    never corpus-sized."""
+    from cliner_spark import similarity as _sm
+    from cliner_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    first = (
+        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [
+        (0, int(first["vec_id"]), [float(x) for x in first["embedding"]], -1.0)
+    ]
+    for r in range(1, _CORESET_K):
+        sims = [
+            _sm.cosine_sim(
+                F.col("embedding"), F.array(*[F.lit(v) for v in cv])
+            )
+            for (_r, _cid, cv, _m) in centers
+        ]
+        msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        row = (
+            emb.filter(
+                ~F.col("vec_id").isin([cid for (_r, cid, _v, _m) in centers])
+            )
+            .select("vec_id", "embedding", msim.alias("msim"))
+            .orderBy(F.asc("msim"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            (r, int(row["vec_id"]), [float(x) for x in row["embedding"]],
+             float(row["msim"]))
+        )
+    return spark.createDataFrame(
+        [(r, cid, m) for (r, cid, _v, m) in centers],
+        "round int, center_id bigint, max_sim_to_prior double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4h: HyperLogLog cardinality audit — completes the sketch triad
+# (count-min = frequency, Bloom = membership, HLL = cardinality). The
+# registers are exact integers (bit-length via bin(), never float log2),
+# so the SKETCH STATE itself hash-checks across engines, and the float
+# estimate is a single shared-literal division + round-6 on top.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64            # registers (b = 6 index bits)
+_HLL_ALPHA_NUM = 24945719810981.887  # 0.709 * m^2 * 2^33, precomputed once
+_HLL_POW33 = 8589934592  # 2^33: common denominator of sum(2^-M_j)
+
+_HLL_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tok AS (
+  SELECT d2.source, lower(t.x) AS tok
+  FROM docs JOIN documents d2 USING (doc_id), unnest(toks) AS t(x)
+),
+h AS (
+  SELECT source, tok,
+         CAST(CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % {_HLL_M}
+              AS INTEGER) AS idx,
+         CAST('0x' || substr(md5(tok), 5, 8) AS BIGINT) AS w
+  FROM tok
+),
+regs AS (
+  SELECT source, idx,
+         max(CASE WHEN w = 0 THEN 33
+                  ELSE 33 - CAST(length(bin(w)) AS INTEGER) END) AS m
+  FROM h GROUP BY 1, 2
+),
+ex AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_exact
+  FROM tok GROUP BY 1
+),
+agg AS (
+  SELECT source, count(*) AS n_regs,
+         sum(CAST(pow(2, 33 - m) AS BIGINT)) AS present_num
+  FROM regs GROUP BY 1
+),
+fl AS (
+  SELECT e.source, e.n_tokens, e.n_exact,
+         {_HLL_M} - coalesce(a.n_regs, 0) AS v_zero,
+         coalesce(a.present_num, 0)
+         + ({_HLL_M} - coalesce(a.n_regs, 0)) * {_HLL_POW33} AS ind_num
+  FROM ex e LEFT JOIN agg a USING (source)
+),
+est AS (
+  SELECT source, n_tokens, n_exact, v_zero, ind_num,
+         CASE WHEN {_HLL_ALPHA_NUM} / ind_num <= 2.5 * {_HLL_M}
+                   AND v_zero > 0
+              THEN {_HLL_M} * ln({_HLL_M}.0 / v_zero)
+              ELSE {_HLL_ALPHA_NUM} / ind_num END AS est_raw
+  FROM fl
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(v_zero AS INT) AS v_zero,
+       CAST(ind_num AS BIGINT) AS ind_num,
+       round(est_raw, 6) AS hll_est,
+       round((est_raw - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""
+
+
+@_register_r4("q_hll_audit", _HLL_SQL)
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality audit (Flajolet 2007): per-source distinct-
+    token estimate from a 64-register HLL whose state is EXACT integers on
+    both engines — register index = 16 md5 bits mod 64, rho = leading-zero
+    count of an independent 32-bit md5 word computed as 33 - len(bin(w))
+    (string bit-length, no float log2), register = max(rho). The indicator
+    sum(2^-M_j) is carried as a BIGINT numerator over 2^33, so the sketch
+    hash-checks exactly; the raw estimate alpha*m^2/sum (shared decimal
+    literal / one division) and the small-range linear-counting correction
+    m*ln(m/V) are the only float ops, round-6 on top. Columns: exact
+    distinct count, zero-register count, indicator numerator, estimate,
+    relative error — the measured cost of replacing a vocabulary-sized
+    distinct shuffle with 64 counters.
+
+    Scale plan: the sketch side is one map-side-combinable groupBy to
+    <= 64 rows per source (registers merge by max — the HLL union law,
+    which is why this replaces count(DISTINCT) at 100 TB); the exact
+    count(DISTINCT) exists only as the audit baseline. No corpus shuffle
+    beyond the register aggregation."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("t")
+    ).select("source", F.lower("t").alias("tok"))
+    h = tok.select(
+        "source",
+        "tok",
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % _HLL_M)
+        .cast("int")
+        .alias("idx"),
+        F.conv(F.substring(F.md5("tok"), 5, 8), 16, 10)
+        .cast("bigint")
+        .alias("w"),
+    )
+    regs = (
+        h.withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin("w")).cast("int")
+            ),
+        )
+        .groupBy("source", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    ex = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_exact"),
+    )
+    agg = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(33) - F.col("m")).cast("bigint")).alias(
+            "present_num"
+        ),
+    )
+    full = ex.join(agg, "source", "left").select(
+        "source",
+        "n_tokens",
+        "n_exact",
+        (F.lit(_HLL_M) - F.coalesce(F.col("n_regs"), F.lit(0))).alias("v_zero"),
+        (
+            F.coalesce(F.col("present_num"), F.lit(0))
+            + (F.lit(_HLL_M) - F.coalesce(F.col("n_regs"), F.lit(0)))
+            * F.lit(_HLL_POW33)
+        ).alias("ind_num"),
+    )
+    raw = F.lit(_HLL_ALPHA_NUM) / F.col("ind_num")
+    est_raw = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return full.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("v_zero").cast("int").alias("v_zero"),
+        F.col("ind_num").cast("bigint").alias("ind_num"),
+        F.round(est_raw, 6).alias("hll_est"),
+        F.round((est_raw - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4i: Katz centrality on the materialized doc-similarity graph —
+# truncated at walk length 3 with beta = 1/4, so the score is an EXACT
+# integer numerator (16*w1 + 4*w2 + w3) over the constant denominator 64:
+# no iterative float fixed point, no convergence tolerance, and the final
+# division by 64 is exact in binary floating point.
+# --------------------------------------------------------------------------
+
+_KATZ_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+und AS (SELECT lo AS u, hi AS v FROM ge UNION ALL SELECT hi, lo FROM ge),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+w2 AS (
+  SELECT e.u, sum(dv.d) AS w2 FROM und e JOIN deg dv ON dv.u = e.v GROUP BY 1
+),
+w3 AS (
+  SELECT e.u, sum(wv.w2) AS w3 FROM und e JOIN w2 wv ON wv.u = e.v GROUP BY 1
+),
+k AS (
+  SELECT deg.u, deg.d, w2.w2, w3.w3,
+         16 * deg.d + 4 * w2.w2 + w3.w3 AS knum
+  FROM deg JOIN w2 USING (u) JOIN w3 USING (u)
+)
+SELECT CAST(u AS BIGINT) AS node, CAST(d AS BIGINT) AS deg,
+       CAST(w2 AS BIGINT) AS walks2, CAST(w3 AS BIGINT) AS walks3,
+       CAST(knum AS BIGINT) AS katz_num,
+       CAST(knum AS DOUBLE) / 64 AS katz
+FROM k ORDER BY knum DESC, u ASC LIMIT 20
+"""
+
+
+@_register_r4("q_katz_centrality", _KATZ_SQL)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (Katz 1953) truncated at walk length 3, beta = 1/4,
+    over the materialized doc-similarity graph: katz(u) = sum over L=1..3
+    of beta^L * (walks of length L from u). Walk counts come from two
+    edge⋈aggregate joins (w2(u) = sum of neighbor degrees, w3(u) = sum of
+    neighbor w2 — backtracking walks included, as Katz defines), so the
+    score is the exact BIGINT 16*w1 + 4*w2 + w3 over denominator 64 and
+    the float column is an exact binary division — zero rounding surface.
+    Top-20 hubs, ties to the lower doc_id: the documents whose boilerplate
+    radiates furthest through the near-dup graph, i.e. the crawl's
+    template epicenters.
+
+    Scale plan: the graph artifact is built once per corpus (df-cut <= 50
+    bounds the shingle join); each walk level is one equi-join of the edge
+    list against a node-dim aggregate followed by a map-side-combinable
+    groupBy — never a matrix power, never an iteration-to-convergence.
+    Output is TakeOrdered(20)."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ge = _docpair_edges(spark, sf_dir)
+    und = ge.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        ge.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    w2 = (
+        und.join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+        .groupBy("u")
+        .agg(F.sum("dv").alias("w2"))
+    )
+    w3 = (
+        und.join(
+            w2.select(F.col("u").alias("v"), F.col("w2").alias("w2v")), "v"
+        )
+        .groupBy("u")
+        .agg(F.sum("w2v").alias("w3"))
+    )
+    k = (
+        deg.join(w2, "u")
+        .join(w3, "u")
+        .select(
+            F.col("u").cast("bigint").alias("node"),
+            F.col("d").cast("bigint").alias("deg"),
+            F.col("w2").cast("bigint").alias("walks2"),
+            F.col("w3").cast("bigint").alias("walks3"),
+            (16 * F.col("d") + 4 * F.col("w2") + F.col("w3"))
+            .cast("bigint")
+            .alias("katz_num"),
+        )
+        .withColumn("katz", F.col("katz_num").cast("double") / 64)
+    )
+    return k.orderBy(F.desc("katz_num"), F.asc("node")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Round 4j: exact-rational diversity ledger, SymSpell typo pairs, and a
+# differentially-private release with a fully integer noise channel.
+# --------------------------------------------------------------------------
+
+_SIMPSON_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tok AS (
+  SELECT d2.source, lower(t.x) AS tok
+  FROM docs JOIN documents d2 USING (doc_id), unnest(toks) AS t(x)
+),
+cnt AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS richness,
+       CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num,
+       CAST(sum(n) * (sum(n) - 1) AS BIGINT) AS simpson_den,
+       round(CAST(sum(n * (n - 1)) AS DOUBLE)
+             / (sum(n) * (sum(n) - 1)), 6) AS simpson,
+       CAST(max(n) AS BIGINT) AS berger_num,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS berger_parker
+FROM cnt GROUP BY source
+"""
+
+
+@_register_r4("q_simpson_diversity", _SIMPSON_SQL)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity ledger in EXACT rationals: Simpson
+    concentration sum n_i(n_i-1) / N(N-1) (the probability two sampled
+    tokens are the same type — the collision-entropy complement to Shannon,
+    chosen because it needs no logarithm: numerator and denominator are
+    BIGINT columns, the float is one division + round-6) and Berger-Parker
+    dominance max n_i / N. High simpson = templated/boilerplate source;
+    the curation signal that survives exact cross-engine hashing where
+    Shannon's float ln-sum would not.
+
+    Scale plan: one map-side-combinable (source, token) count, then a
+    source-dim rollup. No joins, no windows, no corpus shuffle beyond the
+    two-level aggregation."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    cnt = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .select("source", F.lower("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.col("n")
+    return cnt.groupBy("source").agg(
+        F.sum(n).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("richness"),
+        F.sum(n * (n - 1)).cast("bigint").alias("simpson_num"),
+        (F.sum(n) * (F.sum(n) - 1)).cast("bigint").alias("simpson_den"),
+        F.round(
+            F.sum(n * (n - 1)).cast("double") / (F.sum(n) * (F.sum(n) - 1)), 6
+        ).alias("simpson"),
+        F.max(n).cast("bigint").alias("berger_num"),
+        F.round(F.max(n).cast("double") / F.sum(n), 6).alias("berger_parker"),
+    )
+
+
+_TYPO_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tok AS (
+  SELECT lower(t.x) AS tok FROM docs, unnest(toks) AS t(x)
+),
+v AS (
+  SELECT tok, count(*) AS freq FROM tok
+  WHERE regexp_matches(tok, '^[a-z]{{4,}}$') GROUP BY 1
+),
+d1 AS (
+  SELECT tok,
+         substr(tok, 1, CAST(t.i AS INT)) || substr(tok, CAST(t.i + 2 AS INT))
+           AS k
+  FROM v, unnest(range(length(tok))) AS t(i)
+),
+d2 AS (
+  SELECT tok,
+         substr(k, 1, CAST(t.i AS INT)) || substr(k, CAST(t.i + 2 AS INT))
+           AS k
+  FROM d1, unnest(range(length(k))) AS t(i)
+),
+keys AS (
+  SELECT DISTINCT tok, k FROM (
+    SELECT tok, tok AS k FROM v
+    UNION ALL SELECT tok, k FROM d1
+    UNION ALL SELECT tok, k FROM d2
+  )
+),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.tok < b.tok
+),
+ver AS (
+  SELECT tok_a, tok_b, levenshtein(tok_a, tok_b) AS dist
+  FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
+)
+SELECT tok_a, tok_b, CAST(dist AS INT) AS dist,
+       CAST(fa.freq AS BIGINT) AS freq_a,
+       CAST(fb.freq AS BIGINT) AS freq_b,
+       CAST(fa.freq + fb.freq AS BIGINT) AS pair_freq
+FROM ver JOIN v fa ON fa.tok = ver.tok_a JOIN v fb ON fb.tok = ver.tok_b
+ORDER BY pair_freq DESC, tok_a ASC, tok_b ASC LIMIT 50
+"""
+
+
+@_register_r4("q_typo_pairs", _TYPO_SQL)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant pairs at edit distance <= 2 via the SymSpell
+    deletion-neighborhood join (Garbe 2012): each vocabulary word (alpha,
+    len >= 4) emits itself plus every variant reachable by deleting up to
+    two characters as blocking keys; if lev(a, b) <= 2 the delete-2
+    neighborhoods provably intersect (delete the edited positions from
+    each side), so the block join is COMPLETE for d <= 2 — unlike prefix
+    blocking, which misses edits inside the blocked prefix. Candidates are
+    verified with the built-in levenshtein (same classic DP on both
+    engines) and the verified distance is emitted. Top-50 by combined
+    corpus frequency: the normalize-before-dedup map a text cleaner
+    applies ahead of exact hashing.
+
+    Scale plan: keys are vocab-dimension (O(len^2) per word), the join is
+    per-key (no all-pairs), verification is a per-candidate O(len^2) JVM
+    builtin, and output is TakeOrdered(50). The corpus is touched once,
+    for the frequency table."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    v = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        .select(F.lower("t").alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]{4,}$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def dels(df, col):
+        return df.select(
+            "tok",
+            F.col(col),
+            F.explode(F.sequence(F.lit(0), F.length(col) - 1)).alias("i"),
+        ).select(
+            "tok",
+            F.expr(f"concat(substr({col}, 1, i), substr({col}, i + 2))").alias(
+                "k"
+            ),
+        )
+
+    d1 = dels(v.select("tok", F.col("tok").alias("k0")), "k0").select(
+        "tok", "k"
+    )
+    d2 = dels(d1.select("tok", F.col("k").alias("k0")), "k0").select("tok", "k")
+    keys = (
+        v.select("tok", F.col("tok").alias("k"))
+        .unionAll(d1)
+        .unionAll(d2)
+        .distinct()
+    )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.tok") < F.col("b.tok"))
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    ver = cand.withColumn("dist", F.levenshtein("tok_a", "tok_b")).filter(
+        F.col("dist") <= 2
+    )
+    fa = v.select(F.col("tok").alias("tok_a"), F.col("freq").alias("freq_a"))
+    fb = v.select(F.col("tok").alias("tok_b"), F.col("freq").alias("freq_b"))
+    return (
+        ver.join(fa, "tok_a")
+        .join(fb, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("freq_a").cast("bigint"),
+            F.col("freq_b").cast("bigint"),
+            (F.col("freq_a") + F.col("freq_b")).cast("bigint").alias("pair_freq"),
+        )
+        .orderBy(F.desc("pair_freq"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(50)
+    )
+
+
+def _dp_geometric_ladder(u_col: str, bound: int = 30) -> str:
+    """SQL CASE ladder mapping a uniform 32-bit integer column to a
+    two-sided geometric noise draw with ratio alpha = 3/4 (the discrete
+    Laplace mechanism, Ghosh-Roughgarden-Sundararajan 2009: pmf
+    (1-a)/(1+a) * a^|k|, per-unit epsilon = ln(1/a) = ln(4/3)). The
+    inverse-CDF thresholds are EXACT Fractions scaled to 2^32 and emitted
+    as integer literals, so the identical expression text runs on DuckDB
+    and in Spark's F.expr — the noise channel has no float surface at all.
+    Mass beyond |k| > bound (1.5e-4 for bound=30) clamps to +bound."""
+    from fractions import Fraction
+
+    a = Fraction(3, 4)
+    cum = Fraction(0)
+    branches = []
+    for k in range(-bound, bound):
+        cum += (1 - a) / (1 + a) * a ** abs(k)
+        branches.append(f"WHEN {u_col} < {round(cum * 2**32)} THEN {k}")
+    return "CASE " + " ".join(branches) + f" ELSE {bound} END"
+
+
+_DP_LADDER = _dp_geometric_ladder("u_int")
+
+_DP_SQL = f"""
+WITH cnt AS (
+  SELECT source, count(*) AS true_count FROM documents GROUP BY 1
+),
+seeded AS (
+  SELECT source, true_count,
+         CAST('0x' || substr(md5('dp#' || source), 1, 8) AS BIGINT) AS u_int
+  FROM cnt
+),
+noised AS (
+  SELECT source, true_count, u_int, {_DP_LADDER} AS noise FROM seeded
+)
+SELECT source, CAST(true_count AS BIGINT) AS true_count,
+       CAST(u_int AS BIGINT) AS u_int, CAST(noise AS INT) AS noise,
+       CAST(greatest(true_count + noise, 0) AS BIGINT) AS dp_count,
+       round(ln(4.0 / 3.0), 6) AS epsilon
+FROM noised
+"""
+
+
+@_register_r4("q_dp_release", _DP_SQL)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release of per-source document
+    counts under the GEOMETRIC mechanism — the discrete Laplace that real
+    DP deployments use for counting queries (epsilon = ln(4/3) per unit
+    sensitivity; count contributions are 1 per document, sensitivity 1).
+    The noise draw is seeded (md5 of the source key -> uniform 32-bit int)
+    and inverted through an exact integer CASE ladder of Fraction-derived
+    CDF thresholds shared verbatim by both engines (F.expr on Spark), so
+    the mechanism is reproducible and hash-checkable while keeping the
+    true Laplace-tail calibration: THE test harness shape for a DP
+    pipeline, where you pin the noise channel and audit the release
+    end-to-end. Negative releases clamp at 0 (post-processing, DP-safe).
+    Completes the privacy family: k-anonymity, l-diversity, t-closeness,
+    pseudonymization, and now a calibrated-noise release.
+
+    Scale plan: one map-side-combinable groupBy to the source dimension,
+    then pure projection — the ladder is a 61-branch scalar CASE in
+    whole-stage codegen. No joins, no corpus shuffle beyond the count."""
+    cnt = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    seeded = cnt.withColumn(
+        "u_int",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp#"), F.col("source"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    noised = seeded.withColumn("noise", F.expr(_DP_LADDER))
+    return noised.select(
+        "source",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.col("u_int").cast("bigint").alias("u_int"),
+        F.col("noise").cast("int").alias("noise"),
+        F.greatest(F.col("true_count") + F.col("noise"), F.lit(0))
+        .cast("bigint")
+        .alias("dp_count"),
+        F.round(F.log(F.lit(4.0) / F.lit(3.0)), 6).alias("epsilon"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4k: evaluation statistics at scale — exact Mann-Whitney AUC and the
+# Poisson bootstrap (the one-pass distributed bootstrap).
+# --------------------------------------------------------------------------
+
+_AUC_SQL = """
+WITH lab AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+g AS (
+  SELECT source, score, count(*) AS cnt, sum(pos) AS pos_cnt
+  FROM lab GROUP BY 1, 2
+),
+w AS (
+  SELECT source, score, cnt, pos_cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+),
+agg AS (
+  SELECT source,
+         sum(pos_cnt) AS n_pos,
+         sum(cnt) - sum(pos_cnt) AS n_neg,
+         sum(pos_cnt * (2 * below + cnt + 1)) AS rank2_sum
+  FROM w GROUP BY 1
+)
+SELECT source,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(rank2_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+       round(CAST(rank2_sum - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2 * n_pos * n_neg), 6) AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@_register_r4("q_auc_ranksum", _AUC_SQL)
+def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per source via the Mann-Whitney rank-sum identity
+    (AUC = U / (n_pos * n_neg)), scoring n_chars against the lang == 'en'
+    label. Tied scores get average ranks carried as the INTEGER
+    2*avg_rank = 2*below + cnt + 1 (below = docs with strictly smaller
+    score), so the 2U numerator and 2*n_pos*n_neg denominator are exact
+    BIGINT columns and the float is one division + round-6. This is the
+    sort-free AUC: no per-row rank materialization, no threshold sweep —
+    the identity every large-scale ranking-metric job should use instead
+    of trapezoidal ROC integration.
+
+    Scale plan: one map-side-combinable groupBy to the (source, distinct
+    score) grid — value-domain bounded, same contract as the perplexity
+    threshold window — then a window cumsum over that grid and a
+    source-dim rollup. The corpus is scanned once; no join, no per-row
+    window."""
+    docs = load(spark, sf_dir, "documents")
+    lab = docs.select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = lab.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = g.withColumn("below", F.coalesce(F.sum("cnt").over(win), F.lit(0)))
+    agg = w.groupBy("source").agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos_cnt")).alias("n_neg"),
+        F.sum(
+            F.col("pos_cnt") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("rank2_sum"),
+    )
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "source",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        (F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint")
+        .alias("auc_num2"),
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("bigint").alias("auc_den2"),
+        F.round(
+            (F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _poisson1_ladder(u_col: str) -> str:
+    """SQL CASE ladder: uniform 32-bit int -> Poisson(1) draw, via CDF
+    thresholds scaled to 2^32 (floats quantized once in Python; the SAME
+    integer literals run on DuckDB and in Spark's F.expr, so the resample
+    weights are engine-exact). Tail beyond k=8 (1.1e-6 mass) clamps to 9."""
+    import math
+
+    cum, p, branches = 0.0, math.exp(-1.0), []
+    for k in range(9):
+        cum += p
+        branches.append(f"WHEN {u_col} < {round(cum * 2**32)} THEN {k}")
+        p /= k + 1
+    return "CASE " + " ".join(branches) + " ELSE 9 END"
+
+
+_BOOT_B = 32
+_BOOT_LADDER = _poisson1_ladder("u_int")
+
+_BOOT_SQL = f"""
+WITH draws AS (
+  SELECT b.b, d.doc_id, d.n_chars,
+         CAST('0x' || substr(md5(b.b::VARCHAR || '#' || d.doc_id::VARCHAR),
+              1, 8) AS BIGINT) AS u_int
+  FROM documents d, (SELECT unnest(range({_BOOT_B})) AS b) b
+),
+wt AS (SELECT b, doc_id, n_chars, {_BOOT_LADDER} AS w FROM draws)
+SELECT CAST(b AS INT) AS resample,
+       CAST(sum(w) AS BIGINT) AS w_total,
+       CAST(sum(w * n_chars) AS BIGINT) AS wx_total,
+       round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS boot_mean
+FROM wt GROUP BY b
+"""
+
+
+@_register_r4("q_poisson_bootstrap", _BOOT_SQL)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — the bootstrap Google runs
+    on MapReduce) of the mean document length: each of {_BOOT_B} resamples
+    weights every doc by an independent Poisson(1) draw instead of
+    multinomial resampling, so the whole bootstrap is ONE corpus pass with
+    {_BOOT_B} counters — no N-way resample shuffle, no per-resample scan.
+    Draws are seeded (md5(b # doc_id) -> uniform 32-bit) and inverted
+    through a shared integer CDF ladder, so every weight is engine-exact;
+    per-resample weighted sum and weight total are BIGINT columns and the
+    resample mean is one division + round-6. The spread of boot_mean
+    across the 32 rows IS the standard-error estimate a 100 TB metrics
+    job reports without a second pass.
+
+    Scale plan: the b-fanout is a {_BOOT_B}-row broadcast range join
+    (corpus x 32 projected rows, map-side combined straight down to 32
+    groups); everything else is whole-stage-codegen scalar math."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    draws = docs.crossJoin(F.broadcast(b)).withColumn(
+        "u_int",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("#"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    wt = draws.withColumn("w", F.expr(_BOOT_LADDER))
+    return wt.groupBy(F.col("b").cast("int").alias("resample")).agg(
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("wx_total"),
+        F.round(
+            F.sum(F.col("w") * F.col("n_chars")).cast("double") / F.sum("w"), 6
+        ).alias("boot_mean"),
+    )

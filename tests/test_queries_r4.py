@@ -158,3 +158,320 @@ def test_seasonal_naive_mase_matches_python_replica(spark):
         assert (r["naive_pairs"], r["naive_abs_err"]) == (len(naiv), sum(naiv))
         exp = (sum(seas) / len(seas)) / (sum(naiv) / len(naiv))
         assert abs(r["mase"] - exp) < 2e-6
+
+
+def test_countmin_audit_never_undercounts(spark):
+    rows = _q(spark, "q_countmin_audit").collect()
+    assert len(rows) == 20
+    import hashlib
+
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    exact = Counter(
+        t.lower() for (text,) in docs for t in (text or "").split()
+    )
+    for r in rows:
+        assert r["exact_count"] == exact[r["tok"]]
+        # the CMS guarantee: estimates never undercount
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"] >= 0
+    # replica of one CMS cell: row 0 estimate for the most frequent token
+    top_tok = max(exact.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    row0_bucket = (
+        int(hashlib.md5(f"0#{top_tok[0]}".encode()).hexdigest()[:4], 16) % 64
+    )
+    cell = sum(
+        n
+        for t, n in exact.items()
+        if int(hashlib.md5(f"0#{t}".encode()).hexdigest()[:4], 16) % 64
+        == row0_bucket
+    )
+    got = {r["tok"]: r for r in rows}
+    assert got[top_tok[0]]["cms_estimate"] <= cell
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    rows = _q(spark, "q_bloom_decontaminate").collect()
+    assert rows
+    tot_probes = sum(r["n_probes"] for r in rows)
+    assert tot_probes > 100
+    for r in rows:
+        # the Bloom guarantee
+        assert r["false_negatives"] == 0, r
+        assert r["bloom_hits"] == r["true_hits"] + r["false_positives"]
+        assert 0 <= r["true_hits"] <= r["bloom_hits"] <= r["n_probes"]
+
+
+def test_coreset_kcenter_matches_python_replica(spark):
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) * sum(y * y for y in b)) ** 0.5
+        return r6(num / den)
+
+    start = min(emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    centers = [(0, start, -1.0)]
+    chosen = {start}
+    for r in range(1, 8):
+        best = None
+        for vid, v in emb.items():
+            if vid in chosen:
+                continue
+            m = max(cos(v, emb[c]) for (_r, c, _m) in centers)
+            key = (m, vid)
+            if best is None or key < best:
+                best = key
+        centers.append((r, best[1], best[0]))
+        chosen.add(best[1])
+    got = sorted(
+        (r["round"], r["center_id"], r["max_sim_to_prior"])
+        for r in _q(spark, "q_coreset_kcenter").collect()
+    )
+    for (gr, gc, gm), (wr, wc, wm) in zip(got, centers):
+        assert (gr, gc) == (wr, wc)
+        assert abs(gm - wm) < 2e-6
+    # coverage radius is monotonically nondecreasing after round 1
+    ms = [m for (_r, _c, m) in got[1:]]
+    assert all(a <= b + 1e-9 for a, b in zip(ms, ms[1:]))
+
+
+def test_hll_audit_matches_python_replica(spark):
+    import hashlib
+
+    rows = {r["source"]: r for r in _q(spark, "q_hll_audit").collect()}
+    docs = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    per_src = defaultdict(list)
+    for source, text in docs:
+        per_src[source].extend(t.lower() for t in (text or "").split())
+    assert set(rows) == set(per_src)
+    for source, toks in per_src.items():
+        regs = {}
+        for tok in set(toks):
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            idx = int(hx[:4], 16) % 64
+            w = int(hx[4:12], 16)
+            rho = 33 if w == 0 else 33 - w.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rho)
+        v_zero = 64 - len(regs)
+        ind_num = sum(2 ** (33 - m) for m in regs.values()) + v_zero * 2**33
+        r = rows[source]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_exact"] == len(set(toks))
+        assert r["v_zero"] == v_zero
+        assert r["ind_num"] == ind_num
+        raw = 24945719810981.887 / ind_num
+        est = 64 * math.log(64.0 / v_zero) if (raw <= 160 and v_zero > 0) else raw
+        assert abs(r["hll_est"] - est) < 2e-6
+        assert abs(r["rel_err"] - (est - len(set(toks))) / len(set(toks))) < 2e-6
+        # HLL with 64 registers: expect estimate within ~50% of truth
+        assert 0.5 * len(set(toks)) < est < 1.6 * len(set(toks))
+
+
+def test_katz_centrality_matches_python_replica(spark):
+    got = _q(spark, "q_katz_centrality").collect()
+    assert 0 < len(got) <= 20
+    # independent replica: rebuild the >=2-common-3-shingle graph
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    sh = defaultdict(set)
+    for doc_id, text in docs:
+        toks = [t.lower() for t in (text or "").split()]
+        for i in range(len(toks) - 2):
+            sh[" ".join(toks[i : i + 3])].add(doc_id)
+    common = Counter()
+    for shingle, ds in sh.items():
+        if len(ds) > 50:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                common[(ds[i], ds[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), c in common.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    w2 = {u: sum(deg[v] for v in adj[u]) for u in adj}
+    w3 = {u: sum(w2[v] for v in adj[u]) for u in adj}
+    knum = {u: 16 * deg[u] + 4 * w2[u] + w3[u] for u in adj}
+    want = sorted(knum.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["node"], r["katz_num"]) for r in got] == want
+    for r in got:
+        assert r["katz_num"] == 16 * r["deg"] + 4 * r["walks2"] + r["walks3"]
+        assert r["katz"] == r["katz_num"] / 64
+
+
+def test_simpson_diversity_matches_python_replica(spark):
+    rows = {r["source"]: r for r in _q(spark, "q_simpson_diversity").collect()}
+    docs = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    per_src = defaultdict(Counter)
+    for source, text in docs:
+        per_src[source].update(t.lower() for t in (text or "").split())
+    assert set(rows) == set(per_src)
+    for source, cnt in per_src.items():
+        r = rows[source]
+        N = sum(cnt.values())
+        num = sum(n * (n - 1) for n in cnt.values())
+        assert r["n_tokens"] == N
+        assert r["richness"] == len(cnt)
+        assert (r["simpson_num"], r["simpson_den"]) == (num, N * (N - 1))
+        assert abs(r["simpson"] - num / (N * (N - 1))) < 2e-6
+        assert r["berger_num"] == max(cnt.values())
+        assert abs(r["berger_parker"] - max(cnt.values()) / N) < 2e-6
+        assert 0 <= r["simpson"] <= 1
+
+
+def test_typo_pairs_complete_for_distance_two(spark):
+    import re
+
+    got = _q(spark, "q_typo_pairs").collect()
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    freq = Counter(
+        t.lower()
+        for (text,) in docs
+        for t in (text or "").split()
+        if re.fullmatch(r"[a-z]{4,}", t.lower())
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    # brute-force ALL distance<=2 pairs over the vocab (completeness oracle)
+    vocab = sorted(freq)
+    pairs = []
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1 :]:
+            d = lev(a, b)
+            if d <= 2:
+                pairs.append((a, b, d, freq[a], freq[b], freq[a] + freq[b]))
+    want = sorted(pairs, key=lambda p: (-p[5], p[0], p[1]))[:50]
+    assert [
+        (
+            r["tok_a"],
+            r["tok_b"],
+            r["dist"],
+            r["freq_a"],
+            r["freq_b"],
+            r["pair_freq"],
+        )
+        for r in got
+    ] == want
+    assert len(got) > 0  # non-vacuous on the fixture corpus
+
+
+def test_dp_release_noise_channel(spark):
+    import hashlib
+    from fractions import Fraction
+
+    rows = _q(spark, "q_dp_release").collect()
+    truth = dict(
+        duckdb.sql(
+            f"SELECT source, count(*) FROM "
+            f"read_parquet('{SF}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r["source"] for r in rows} == set(truth)
+    a = Fraction(3, 4)
+    cum, thresh = Fraction(0), []
+    for k in range(-30, 30):
+        cum += (1 - a) / (1 + a) * a ** abs(k)
+        thresh.append((k, round(cum * 2**32)))
+    for r in rows:
+        assert r["true_count"] == truth[r["source"]]
+        u = int(hashlib.md5(f"dp#{r['source']}".encode()).hexdigest()[:8], 16)
+        assert r["u_int"] == u
+        noise = next((k for k, t in thresh if u < t), 30)
+        assert r["noise"] == noise
+        assert r["dp_count"] == max(r["true_count"] + noise, 0)
+        assert abs(r["epsilon"] - math.log(4 / 3)) < 2e-6
+    # across sources the noise should not be constant (seeded per key)
+    assert len({r["noise"] for r in rows}) > 1 or len(rows) < 3
+
+
+def test_auc_ranksum_matches_python_replica(spark):
+    rows = {r["source"]: r for r in _q(spark, "q_auc_ranksum").collect()}
+    docs = duckdb.sql(
+        f"SELECT source, n_chars, lang FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    per_src = defaultdict(list)
+    for source, n_chars, lang in docs:
+        per_src[source].append((n_chars, 1 if lang == "en" else 0))
+    for source, obs in per_src.items():
+        n_pos = sum(p for _s, p in obs)
+        n_neg = len(obs) - n_pos
+        if n_pos == 0 or n_neg == 0:
+            assert source not in rows
+            continue
+        # direct pairwise AUC: P(score_pos > score_neg) + 0.5 P(tie)
+        num2 = 0
+        for sp, p in obs:
+            if not p:
+                continue
+            for sn, q in obs:
+                if q:
+                    continue
+                num2 += 2 if sp > sn else (1 if sp == sn else 0)
+        r = rows[source]
+        assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+        assert r["auc_num2"] == num2
+        assert r["auc_den2"] == 2 * n_pos * n_neg
+        assert abs(r["auc"] - num2 / (2 * n_pos * n_neg)) < 2e-6
+        assert 0 <= r["auc"] <= 1
+
+
+def test_poisson_bootstrap_matches_python_replica(spark):
+    import hashlib
+    import math
+
+    rows = {r["resample"]: r for r in _q(spark, "q_poisson_bootstrap").collect()}
+    assert set(rows) == set(range(32))
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    cum, p, thresh = 0.0, math.exp(-1.0), []
+    for k in range(9):
+        cum += p
+        thresh.append((k, round(cum * 2**32)))
+        p /= k + 1
+    means = []
+    for b in range(32):
+        w_total = wx_total = 0
+        for doc_id, n_chars in docs:
+            u = int(hashlib.md5(f"{b}#{doc_id}".encode()).hexdigest()[:8], 16)
+            w = next((k for k, t in thresh if u < t), 9)
+            w_total += w
+            wx_total += w * n_chars
+        r = rows[b]
+        assert (r["w_total"], r["wx_total"]) == (w_total, wx_total)
+        assert abs(r["boot_mean"] - wx_total / w_total) < 2e-6
+        means.append(wx_total / w_total)
+    # bootstrap spread should straddle the plugin estimate
+    plugin = sum(n for _d, n in docs) / len(docs)
+    assert min(means) <= plugin <= max(means)

@@ -45,6 +45,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "+ 1-row recall numerator/denominator carries (assert formulation)"),
         ("CartesianProduct", "1-row hits x 1-row denom scalar carry"),
     ],
+    "q_poisson_bootstrap": [
+        ("BroadcastNestedLoopJoin",
+         "32-row broadcast resample spine x corpus — the Poisson-bootstrap "
+         "fanout (one pass, B counters), map-side combined to 32 rows")
+    ],
     "q_value_hist": [("BroadcastNestedLoopJoin", "1-row min/max bounds carry")],
     "q_quality_filter": [("BroadcastNestedLoopJoin", "1-row percentile bounds carry")],
     "q_curation_manifest": [
