@@ -1826,3 +1826,115 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("n_chars")).cast("double") / F.sum("w"), 6
         ).alias("boot_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4l: graph DBSCAN over the materialized doc-similarity graph —
+# density clustering with the core/border/noise trichotomy, deterministic
+# via min-comp tie-breaks.
+# --------------------------------------------------------------------------
+
+_DBSCAN_MINPTS = 3
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+und AS (SELECT lo AS u, hi AS v FROM ge UNION ALL SELECT hi, lo FROM ge),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+core AS (SELECT u FROM deg WHERE d >= {_DBSCAN_MINPTS}),
+cce AS (
+  SELECT e.u, e.v FROM und e
+  JOIN core a ON a.u = e.u JOIN core b ON b.u = e.v
+),
+reach(src, dst) AS (
+  SELECT u, u FROM core
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN cce e ON r.dst = e.u
+),
+comp AS (SELECT src AS u, min(dst) AS comp FROM reach GROUP BY 1),
+border AS (
+  SELECT e.u, min(c.comp) AS comp
+  FROM und e JOIN comp c ON c.u = e.v
+  WHERE e.u NOT IN (SELECT u FROM core)
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN cm.u IS NOT NULL THEN 'core'
+            WHEN b.u IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(cm.comp, b.comp, -1) AS BIGINT) AS cluster_id
+FROM docs d
+LEFT JOIN comp cm ON cm.u = d.doc_id
+LEFT JOIN border b ON b.u = d.doc_id
+"""
+
+
+@_register_r4("q_dbscan_clusters", _DBSCAN_SQL)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph DBSCAN (Ester 1996 recast on the similarity graph): the
+    eps-neighborhood is the materialized doc-pair graph's adjacency
+    (>= 2 common 3-shingles under the df-cut), core = >= {_DBSCAN_MINPTS}
+    neighbors, clusters = connected components of the core-core subgraph
+    (cluster id = min core doc_id — deterministic, no visit-order
+    dependence, unlike textbook DBSCAN where border assignment depends on
+    scan order), border = non-core adjacent to a core (joins the SMALLEST
+    adjacent cluster id — the order-free tie-break), everything else
+    noise (cluster_id -1). The density complement to the threshold-CC
+    dup-clusters: boilerplate families must be DENSE to cluster, so
+    chains of weak pairwise links no longer snowball into one mega-dup
+    cluster.
+
+    Scale plan: degrees and the core filter are one map-side-combinable
+    agg over the (tiny) pair graph; CC runs on core endpoints only via
+    canonicalize.connected_components (the proven iterative min-label
+    loop); singleton/noise attachment is a corpus-side left join. The
+    corpus never self-joins."""
+    from cliner_spark.canonicalize import connected_components
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ge = _docpair_edges(spark, sf_dir)
+    und = ge.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        ge.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") >= _DBSCAN_MINPTS).select("u")
+    cce = (
+        und.join(core, "u")
+        .join(core.select(F.col("u").alias("v")), "v")
+        .select("u", "v")
+    )
+    comps = connected_components(
+        cce.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        nodes=core.select(F.col("u").alias("node")),
+    ).select(F.col("node").alias("u"), F.col("comp"))
+    border = (
+        und.join(comps.select(F.col("u").alias("v"), "comp"), "v")
+        .join(core, "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("comp").alias("comp"))
+    )
+    docs = load_docs(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(
+            comps.select(F.col("u").alias("doc_id"),
+                         F.col("comp").alias("core_comp")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            border.select(F.col("u").alias("doc_id"),
+                          F.col("comp").alias("border_comp")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.when(F.col("core_comp").isNotNull(), F.lit("core"))
+            .when(F.col("border_comp").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("core_comp"), F.col("border_comp"), F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

@@ -475,3 +475,62 @@ def test_poisson_bootstrap_matches_python_replica(spark):
     # bootstrap spread should straddle the plugin estimate
     plugin = sum(n for _d, n in docs) / len(docs)
     assert min(means) <= plugin <= max(means)
+
+
+def test_dbscan_clusters_matches_python_replica(spark):
+    got = {r["doc_id"]: r for r in _q(spark, "q_dbscan_clusters").collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    sh = defaultdict(set)
+    for doc_id, text in docs:
+        toks = [t.lower() for t in (text or "").split()]
+        for i in range(len(toks) - 2):
+            sh[" ".join(toks[i : i + 3])].add(doc_id)
+    common = Counter()
+    for shingle, ds in sh.items():
+        if len(ds) > 50:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                common[(ds[i], ds[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), c in common.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {u for u in adj if len(adj[u]) >= 3}
+    # CC over core-core edges, min-id labels
+    comp = {u: u for u in core}
+
+    def find(u):
+        while comp[u] != u:
+            comp[u] = comp[comp[u]]
+            u = comp[u]
+        return u
+
+    for u in core:
+        for v in adj[u]:
+            if v in core:
+                ra, rb = find(u), find(v)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    comp[hi] = lo
+    labels = {u: find(u) for u in core}
+    assert len(got) == len(docs)
+    n_core = n_border = n_noise = 0
+    for doc_id, _text in docs:
+        r = got[doc_id]
+        if doc_id in core:
+            assert r["role"] == "core" and r["cluster_id"] == labels[doc_id]
+            n_core += 1
+        elif doc_id in adj and any(v in core for v in adj[doc_id]):
+            want = min(labels[v] for v in adj[doc_id] if v in core)
+            assert r["role"] == "border" and r["cluster_id"] == want
+            n_border += 1
+        else:
+            assert r["role"] == "noise" and r["cluster_id"] == -1
+            n_noise += 1
+    # the fixture graph must exercise all three roles
+    assert n_core > 0 and n_border > 0 and n_noise > 0
