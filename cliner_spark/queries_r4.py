@@ -1938,3 +1938,521 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4m: distributed Borůvka spanning forest, survival/inequality/
+# agreement/richness ledgers, and record-linkage agreement patterns.
+# --------------------------------------------------------------------------
+
+_MSF_CAP = 600
+
+_MSF_SQL = f"""
+WITH RECURSIVE {SQL_DOCS_TOKS.strip()},
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+keep2 AS (
+  SELECT shingle FROM sh2 GROUP BY shingle
+  HAVING count(DISTINCT doc_id) <= 50
+),
+shf2 AS (SELECT sh2.* FROM sh2 JOIN keep2 USING (shingle)),
+gw AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS common
+  FROM shf2 a JOIN shf2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+re AS (
+  SELECT lo, hi, common,
+         row_number() OVER (ORDER BY common DESC, lo ASC, hi ASC) AS rk
+  FROM gw
+),
+e AS (SELECT * FROM re WHERE rk <= {_MSF_CAP}),
+ue AS (SELECT rk, lo AS u, hi AS v FROM e UNION ALL SELECT rk, hi, lo FROM e),
+reach(k, n) AS (
+  SELECT rk, lo FROM e
+  UNION
+  SELECT r.k, x.v FROM reach r JOIN ue x ON x.u = r.n AND x.rk < r.k
+)
+SELECT CAST(e.rk AS BIGINT) AS rk, CAST(e.lo AS BIGINT) AS src,
+       CAST(e.hi AS BIGINT) AS dst, CAST(e.common AS BIGINT) AS common
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.k = e.rk AND r.n = e.hi)
+ORDER BY rk
+"""
+
+
+@_register_r4("q_boruvka_msf", _MSF_SQL)
+def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum spanning forest of the weighted doc-similarity graph
+    (weight = shared distinct 3-shingles under the df-cut) by DISTRIBUTED
+    Borůvka (1926; the textbook parallel MST algorithm — Kruskal and Prim
+    are inherently sequential): every round each component selects its
+    best incident edge (global rank = dense (common DESC, lo, hi) order,
+    so all weights are distinct and the forest is unique), the selected
+    edges join the forest, and components contract via the proven CC
+    loop; O(log n) rounds, never a sort-the-world or a driver union-find.
+    The MSF is the single-linkage dendrogram backbone of the near-dup
+    corpus: cutting it at weight w reproduces the threshold-w clustering
+    for every w at once.
+
+    The graph is capped at the {_MSF_CAP} best-ranked edges — a
+    deterministic spec choice that keeps the DuckDB oracle's per-edge
+    cycle-property check (reachability over strictly-lighter edges, the
+    dual certificate Borůvka never computes) polynomial at gate SFs; the
+    Spark loop itself has no such cap at production scale, where rounds
+    stay O(log n) regardless of edge count.
+
+    Scale plan: rank cap = TakeOrdered({_MSF_CAP}); per round one
+    edge⋈comp equi-join, a map-side-combinable per-component min, and CC
+    over the CONTRACTED component graph (shrinks geometrically);
+    localCheckpoint pins each round's 600-row frames so lineage never
+    snowballs."""
+    from cliner_spark.canonicalize import connected_components
+    from cliner_spark.dedup import jaccard_pairs
+
+    pairs = (
+        jaccard_pairs(load_docs(spark, sf_dir), n=3, df_cut=50)
+        .filter(F.col("common") >= 2)
+        .select("doc_a", "doc_b", "common")
+    )
+    top = pairs.orderBy(
+        F.desc("common"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(_MSF_CAP)
+    w = Window.orderBy(F.desc("common"), F.asc("doc_a"), F.asc("doc_b"))
+    edges = top.select(
+        F.row_number().over(w).alias("rk"),
+        F.col("doc_a").alias("u"),
+        F.col("doc_b").alias("v"),
+        "common",
+    ).localCheckpoint(eager=True)
+    comp = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    msf = None
+    for _ in range(32):
+        ec = (
+            edges.join(
+                comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if ec.limit(1).count() == 0:
+            break
+        inc = ec.select(F.col("cu").alias("c"), "rk").unionByName(
+            ec.select(F.col("cv").alias("c"), "rk")
+        )
+        sel = (
+            inc.groupBy("c")
+            .agg(F.min("rk").alias("rk"))
+            .select("rk")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        msf = sel if msf is None else msf.unionByName(sel).distinct()
+        merged = connected_components(
+            ec.join(sel, "rk").select(
+                F.col("cu").alias("src"), F.col("cv").alias("dst")
+            ),
+            nodes=comp.select(F.col("comp").alias("node")).distinct(),
+        ).select(F.col("node").alias("comp"), F.col("comp").alias("newc"))
+        comp = (
+            comp.withColumnRenamed("comp", "oldc")
+            .join(merged.withColumnRenamed("comp", "oldc"), "oldc")
+            .select("node", F.col("newc").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if msf is None:
+        msf = edges.select("rk").limit(0)
+    return (
+        edges.join(msf.localCheckpoint(eager=True), "rk")
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("u").cast("bigint").alias("src"),
+            F.col("v").cast("bigint").alias("dst"),
+            F.col("common").cast("bigint").alias("common"),
+        )
+        .orderBy("rk")
+    )
+
+
+_KM_SQL = """
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t,
+         CASE WHEN date_diff('day', max(CAST(ts AS DATE)),
+                             (SELECT max(CAST(ts AS DATE)) FROM events)) < 7
+              THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT t, sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS n_event,
+         sum(censored) AS n_censored
+  FROM life GROUP BY t
+)
+SELECT CAST(t AS INT) AS t_days,
+       CAST(sum(n_event + n_censored)
+            OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_risk,
+       CAST(n_event AS BIGINT) AS n_event,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(sum(n_event + n_censored)
+            OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_event AS BIGINT) AS surv_num,
+       round(CAST(sum(n_event + n_censored)
+                  OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_event AS DOUBLE)
+             / sum(n_event + n_censored)
+               OVER (ORDER BY t DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS km_factor
+FROM g
+"""
+
+
+@_register_r4("q_kaplan_meier", _KM_SQL)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier (1958) survival ledger over user lifetimes: lifetime =
+    calendar days between a user's first and last event; right-censored if
+    the last event falls within 7 days of the corpus horizon (the user may
+    still be active — the defining subtlety KM exists to handle). One row
+    per observed lifetime t: n_risk (users still under observation at t,
+    a descending cumsum over the day grid), events, censorings, and the
+    EXACT per-step factor (n_risk - n_event)/n_risk as BIGINT numerator
+    over n_risk — the cumulative product S(t) is a trivial driver-side
+    fold over this <=90-row ledger, kept out of the query because a
+    cross-engine float product has no exact formulation (no log surface
+    anywhere). The retention curve a 100 TB transcript warehouse reports
+    per release.
+
+    Scale plan: one map-side-combinable per-user min/max, a day-grid
+    rollup (value-domain bounded: rows <= days in the corpus window), and
+    one window over that grid. The horizon max is a 1-row broadcast
+    scalar carry."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    horizon = ev.agg(F.max("day").alias("hmax"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("d1", "d0").alias("t"),
+            F.when(F.datediff("hmax", "d1") < 7, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("censored"),
+        )
+    )
+    g = life.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("n_event"),
+        F.sum("censored").alias("n_censored"),
+    )
+    wd = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_risk = F.sum(F.col("n_event") + F.col("n_censored")).over(wd)
+    return g.select(
+        F.col("t").cast("int").alias("t_days"),
+        n_risk.cast("bigint").alias("n_risk"),
+        F.col("n_event").cast("bigint").alias("n_event"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        (n_risk - F.col("n_event")).cast("bigint").alias("surv_num"),
+        F.round((n_risk - F.col("n_event")).cast("double") / n_risk, 6).alias(
+            "km_factor"
+        ),
+    )
+
+
+_GINI_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(2 * sum(rn * n_chars) - (count(*) + 1) * sum(n_chars)
+            AS BIGINT) AS gini_num,
+       CAST(count(*) * sum(n_chars) AS BIGINT) AS gini_den,
+       round(CAST(2 * sum(rn * n_chars) - (count(*) + 1) * sum(n_chars)
+                  AS DOUBLE) / (count(*) * sum(n_chars)), 6) AS gini
+FROM r GROUP BY source
+"""
+
+
+@_register_r4("q_gini_concentration", _GINI_SQL)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document length mass within each source via
+    the exact rank identity G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))
+    over the ascending sort — numerator and denominator are BIGINT columns
+    (ties broken by doc_id; swapping equal x values never changes
+    sum(i*x_i), so the statistic is tie-order invariant). The data-mixture
+    skew audit: gini near 0 = uniform shard sizes, near 1 = a few mega-docs
+    carry the source — exactly what decides whether a source needs
+    length-stratified sampling before training.
+
+    Scale plan: one per-source distributed sort (the window is partitioned
+    BY source, never global), then a map-side-combinable rollup. No joins."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    )
+    r = docs.select("source", "n_chars", rn.alias("rn"))
+    n = F.count(F.lit(1))
+    sx = F.sum("n_chars")
+    num = 2 * F.sum(F.col("rn") * F.col("n_chars")) - (n + 1) * sx
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        sx.cast("bigint").alias("total_chars"),
+        num.cast("bigint").alias("gini_num"),
+        (n * sx).cast("bigint").alias("gini_den"),
+        F.round(num.cast("double") / (n * sx), 6).alias("gini"),
+    )
+
+
+_SPEARMAN_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+m AS (
+  SELECT d2.source, d2.doc_id, d2.n_chars, len(docs.toks) AS n_toks
+  FROM docs JOIN documents d2 USING (doc_id)
+),
+r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS ra,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_toks ASC, doc_id ASC) AS rb
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS d2_sum,
+       CAST(count(*) * (count(*) * count(*) - 1)
+            - 6 * sum((ra - rb) * (ra - rb)) AS BIGINT) AS rho_num,
+       CAST(count(*) * (count(*) * count(*) - 1) AS BIGINT) AS rho_den,
+       round(CAST(count(*) * (count(*) * count(*) - 1)
+                  - 6 * sum((ra - rb) * (ra - rb)) AS DOUBLE)
+             / (count(*) * (count(*) * count(*) - 1)), 6) AS spearman_rho
+FROM r GROUP BY source HAVING count(*) >= 2
+"""
+
+
+@_register_r4("q_spearman_rank", _SPEARMAN_SQL)
+def q_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the char-length and token-count
+    orderings of each source's documents, via the exact identity
+    rho = 1 - 6*sum(d^2) / (n(n^2-1)): rho_num / rho_den are BIGINT
+    columns and d^2 comes from two row_number ranks (deterministic doc_id
+    tie-break on BOTH ranks, so the statistic is the rho of that pinned
+    total order — identical on every engine, no mid-rank float ties).
+    The quality-signal agreement audit: rho << 1 between two length
+    proxies flags tokenizer pathologies (char-heavy scripts, whitespace
+    anomalies) per source before either signal gates a 100 TB curation.
+
+    Scale plan: two per-source distributed sorts (partitioned windows),
+    one rollup; O(n log n) per source with no joins — the reason Spearman
+    is computable at scale while Kendall's tau (pairwise concordance)
+    is not."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokens_col(F.col("text"))).alias("n_toks"),
+    )
+    ra = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    )
+    rb = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("n_toks"), F.asc("doc_id"))
+    )
+    r = docs.select("source", ra.alias("ra"), rb.alias("rb"))
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+    den = n * (n * n - 1)
+    return (
+        r.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            d2.cast("bigint").alias("d2_sum"),
+            (den - 6 * d2).cast("bigint").alias("rho_num"),
+            den.cast("bigint").alias("rho_den"),
+            F.round((den - 6 * d2).cast("double") / den, 6).alias(
+                "spearman_rho"
+            ),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_CHAO1_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tok AS (
+  SELECT d2.source, lower(t.x) AS tok
+  FROM docs JOIN documents d2 USING (doc_id), unnest(toks) AS t(x)
+),
+cnt AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+s AS (
+  SELECT source, sum(n) AS n_tokens, count(*) AS s_obs,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+  FROM cnt GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s_obs AS BIGINT) AS s_obs,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       CAST(f1 * (f1 - 1) AS BIGINT) AS chao_num,
+       CAST(2 * (f2 + 1) AS BIGINT) AS chao_den,
+       round(s_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 6)
+         AS chao1,
+       CAST(n_tokens - f1 AS BIGINT) AS coverage_num,
+       round(CAST(n_tokens - f1 AS DOUBLE) / n_tokens, 6) AS good_coverage
+FROM s
+"""
+
+
+@_register_r4("q_chao1_richness", _CHAO1_SQL)
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate per source (Chao 1984, the
+    bias-corrected form S_obs + f1(f1-1)/(2(f2+1)) that never divides by
+    zero) plus Good's sample coverage 1 - f1/N — both exact rationals from
+    the hapax/dis-legomena counts (the same f1/f2 the Good-Turing spectrum
+    query emits, composed here into the 'how much vocabulary have we NOT
+    crawled yet' decision number for corpus-acquisition planning). The
+    d=64 analogue of a species-accumulation forecast: chao1 - s_obs is the
+    expected unseen type count if the source were sampled to exhaustion.
+
+    Scale plan: one map-side-combinable (source, token) count then a
+    source-dim rollup — identical shuffle shape to the Simpson ledger, no
+    joins, no windows."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    cnt = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .select("source", F.lower("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    f1 = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    ntok = F.sum("n")
+    sobs = F.count(F.lit(1))
+    return cnt.groupBy("source").agg(
+        ntok.cast("bigint").alias("n_tokens"),
+        sobs.cast("bigint").alias("s_obs"),
+        f1.cast("bigint").alias("f1"),
+        f2.cast("bigint").alias("f2"),
+        (f1 * (f1 - 1)).cast("bigint").alias("chao_num"),
+        (2 * (f2 + 1)).cast("bigint").alias("chao_den"),
+        F.round(
+            sobs + (f1 * (f1 - 1)).cast("double") / (2 * (f2 + 1)), 6
+        ).alias("chao1"),
+        (ntok - f1).cast("bigint").alias("coverage_num"),
+        F.round((ntok - f1).cast("double") / ntok, 6).alias("good_coverage"),
+    )
+
+
+_FS_SQL = """
+WITH c AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+p AS (
+  SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_agree,
+         CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 1 ELSE 0 END
+           AS bal_agree,
+         CASE WHEN (a.cents < 0) = (b.cents < 0) THEN 1 ELSE 0 END
+           AS credit_agree
+  FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k
+)
+SELECT CAST(seg_agree AS INT) AS seg_agree,
+       CAST(bal_agree AS INT) AS bal_agree,
+       CAST(credit_agree AS INT) AS credit_agree,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(count(*)) OVER () AS BIGINT) AS total_pairs,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS u_prob
+FROM p GROUP BY 1, 2, 3
+"""
+
+
+@_register_r4("q_fs_linkage", _FS_SQL)
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (1969) record-linkage agreement-pattern sufficient
+    statistics: within-block candidate pairs (blocked on nationkey — the
+    standard blocking step that makes probabilistic linkage tractable)
+    compared field-by-field into a 3-bit agreement vector (market segment
+    equality, balance within $100 as exact integer cents, credit-status
+    sign), then the pattern frequency table with exact u-probability
+    rationals (n_pairs over the windowed total). These frequencies are the
+    E-step input of the FS expectation-maximization fit; the m-side needs
+    labeled duplicates, which the synthetic corpus deliberately lacks —
+    the docstring contract is the pattern ledger, not the EM fixpoint.
+    The entity-resolution complement to the canonicalize/pseudonymize
+    family: it quantifies how discriminating each field is BEFORE anyone
+    trusts it as a match key.
+
+    Scale plan: blocking keeps the pair join an equi-join on nat (never
+    all-pairs across blocks); the k< predicate halves it; output is a
+    <=8-row pattern grid, so the OVER () total is an 8-row window. Exact
+    cents via round(x*100) — the Benford-audit trick."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat")) & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.when(F.col("a.seg") == F.col("b.seg"), 1).otherwise(0).alias(
+            "seg_agree"
+        ),
+        F.when(
+            F.abs(F.col("a.cents") - F.col("b.cents")) <= 10000, 1
+        )
+        .otherwise(0)
+        .alias("bal_agree"),
+        F.when(
+            (F.col("a.cents") < 0) == (F.col("b.cents") < 0), 1
+        )
+        .otherwise(0)
+        .alias("credit_agree"),
+    )
+    g = p.groupBy("seg_agree", "bal_agree", "credit_agree").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    tot = F.sum("n_pairs").over(Window.partitionBy())
+    return g.select(
+        F.col("seg_agree").cast("int").alias("seg_agree"),
+        F.col("bal_agree").cast("int").alias("bal_agree"),
+        F.col("credit_agree").cast("int").alias("credit_agree"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        tot.cast("bigint").alias("total_pairs"),
+        F.round(F.col("n_pairs").cast("double") / tot, 6).alias("u_prob"),
+    )

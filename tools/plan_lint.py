@@ -35,6 +35,9 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin", "5-row broadcast budget spine x length scan")
     ],
     "q_lm_doc_score": [("BroadcastNestedLoopJoin", "1-row vocab-size carry")],
+    "q_kaplan_meier": [
+        ("BroadcastNestedLoopJoin", "1-row corpus-horizon max-day carry")
+    ],
     "q_dsir_weights": [("BroadcastNestedLoopJoin", "1-row vocab carries (x2)")],
     "q_gap_fill": [("BroadcastNestedLoopJoin", "hour-spine x group dim (both tiny)")],
     "q_mix_weights": [("BroadcastNestedLoopJoin", "1-row total carry")],
