@@ -2456,3 +2456,512 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.cast("bigint").alias("total_pairs"),
         F.round(F.col("n_pairs").cast("double") / tot, 6).alias("u_prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4n: product/monitoring analytics — ordered funnel conversion,
+# retention cohort matrix, chi-square/Cramér's-V independence audit,
+# Mann-Kendall trend + Theil-Sen slope, and an EWMA volume-anomaly ledger.
+# Exact-integer sufficient statistics throughout; floats only as rounded
+# convenience columns.
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1
+),
+f AS (
+  SELECT 1 AS step, 'signup' AS step_name, count(*) AS n FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT CAST(step AS INT) AS step, step_name,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(coalesce(lag(n) OVER (ORDER BY step), n) AS BIGINT) AS prev_users,
+       round(CAST(n AS DOUBLE)
+             / coalesce(lag(n) OVER (ORDER BY step), n), 6) AS conv_prev,
+       CAST(max(CASE WHEN step = 1 THEN n END) OVER () AS BIGINT)
+         AS first_users,
+       round(CAST(n AS DOUBLE)
+             / max(CASE WHEN step = 1 THEN n END) OVER (), 6) AS conv_first
+FROM f
+"""
+
+
+@_register_r4("q_funnel_conversion", _FUNNEL_SQL)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup -> click -> purchase) with the
+    STRICT temporal-order semantics real funnel engines use: a user counts
+    at step k only if their earliest step-k event happens strictly AFTER
+    their earliest qualifying step-(k-1) event (min-ts chaining, not mere
+    event presence — a purchase before first click does not convert).
+    Emits the 3-row step ledger with exact user counts and step-over-step
+    / from-first conversion rationals.
+
+    Scale plan: each step is one filtered scan + an equi-join on user_id
+    against the previous (already user-deduped, strictly smaller) step
+    frame — broadcastable in practice, hash-co-located otherwise; no
+    windows over the fact table, no all-event materialization per user.
+    The lag/max windows run on the 3-row step frame."""
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    f = (
+        s1.agg(F.lit(1).alias("step"), F.lit("signup").alias("step_name"),
+               F.count(F.lit(1)).alias("n"))
+        .unionAll(
+            s2.agg(F.lit(2).alias("step"), F.lit("click").alias("step_name"),
+                   F.count(F.lit(1)).alias("n"))
+        )
+        .unionAll(
+            s3.agg(F.lit(3).alias("step"),
+                   F.lit("purchase").alias("step_name"),
+                   F.count(F.lit(1)).alias("n"))
+        )
+    )
+    w = Window.orderBy("step")
+    wall = Window.partitionBy()
+    prev = F.coalesce(F.lag("n").over(w), F.col("n"))
+    first = F.max(F.when(F.col("step") == 1, F.col("n"))).over(wall)
+    return f.select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        F.col("n").cast("bigint").alias("n_users"),
+        prev.cast("bigint").alias("prev_users"),
+        F.round(F.col("n").cast("double") / prev, 6).alias("conv_prev"),
+        first.cast("bigint").alias("first_users"),
+        F.round(F.col("n").cast("double") / first, 6).alias("conv_first"),
+    )
+
+
+_RETENTION_SQL = """
+WITH u AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, u.d0,
+         CAST((date_diff('day', u.d0, CAST(e.ts AS DATE))
+               - (date_diff('day', u.d0, CAST(e.ts AS DATE)) % 7)) / 7
+              AS INT) AS wk
+  FROM events e JOIN u ON e.user_id = u.user_id
+),
+cs AS (SELECT d0, count(*) AS cohort_n FROM u GROUP BY 1),
+r AS (SELECT d0, wk, count(*) AS n_active FROM act GROUP BY 1, 2),
+mw AS (SELECT max(wk) AS m FROM act),
+spine AS (
+  SELECT cs.d0, cs.cohort_n, CAST(g.x AS INT) AS wk
+  FROM cs, mw, unnest(range(CAST(mw.m + 1 AS BIGINT))) AS g(x)
+)
+SELECT CAST(s.d0 AS VARCHAR) AS cohort_day, s.wk AS week_offset,
+       CAST(s.cohort_n AS BIGINT) AS cohort_users,
+       CAST(coalesce(r.n_active, 0) AS BIGINT) AS active_users,
+       round(CAST(coalesce(r.n_active, 0) AS DOUBLE) / s.cohort_n, 6)
+         AS retention
+FROM spine s LEFT JOIN r ON s.d0 = r.d0 AND s.wk = r.wk
+"""
+
+
+@_register_r4("q_retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention cohort matrix: users cohorted by first-activity
+    day, activity bucketed into 7-day offsets from EACH USER'S OWN day-0
+    (not calendar weeks — the unbiased form that doesn't penalize users
+    who sign up late in a week), zero-filled over the full cohort x offset
+    grid so silent cohorts are visible rows, with exact active/cohort-size
+    rationals.
+
+    Scale plan: two map-side-combined groupBys over the fact table (user
+    day-0, then distinct user-week activity) and an equi-join on user_id;
+    the zero-fill spine is |cohorts| x |offsets| — dimension-sized, built
+    from two tiny frames. Day-0 per user is the only per-user state, no
+    windows over raw events."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    dd = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    act = (
+        ev.join(u, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            ((dd - dd % 7) / 7).cast("int").alias("wk"),
+        )
+        .distinct()
+    )
+    cs = u.groupBy("d0").agg(F.count(F.lit(1)).alias("cohort_n"))
+    r = act.groupBy("d0", "wk").agg(F.count(F.lit(1)).alias("n_active"))
+    mw = act.agg(F.max("wk").alias("m"))
+    spine = cs.crossJoin(mw).select(
+        "d0",
+        "cohort_n",
+        F.explode(F.sequence(F.lit(0), F.col("m"))).alias("wk"),
+    )
+    out = spine.join(r, ["d0", "wk"], "left")
+    na = F.coalesce(F.col("n_active"), F.lit(0))
+    return out.select(
+        F.col("d0").cast("string").alias("cohort_day"),
+        F.col("wk").cast("int").alias("week_offset"),
+        F.col("cohort_n").cast("bigint").alias("cohort_users"),
+        na.cast("bigint").alias("active_users"),
+        F.round(na.cast("double") / F.col("cohort_n"), 6).alias("retention"),
+    )
+
+
+_CHISQ_SQL = """
+WITH o AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+srcs AS (SELECT source, sum(n) AS r FROM o GROUP BY 1),
+langs AS (SELECT lang, sum(n) AS c FROM o GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(n) FROM o) AS nn,
+         (SELECT count(*) FROM srcs) AS nr,
+         (SELECT count(*) FROM langs) AS nc
+),
+cell AS (
+  SELECT s.source, l.lang, s.r, l.c, coalesce(o.n, 0) AS obs
+  FROM srcs s CROSS JOIN langs l
+  LEFT JOIN o ON o.source = s.source AND o.lang = l.lang
+),
+t AS (
+  SELECT cell.*, tot.nn, tot.nr, tot.nc,
+         (nn * obs - r * c) * (nn * obs - r * c) AS num,
+         nn * r * c AS den
+  FROM cell, tot
+),
+w AS (
+  SELECT t.*, sum(CAST(num AS DOUBLE) / den) OVER () AS chi2 FROM t
+)
+SELECT source, lang, CAST(obs AS BIGINT) AS obs,
+       CAST(r AS BIGINT) AS row_total, CAST(c AS BIGINT) AS col_total,
+       CAST(num AS BIGINT) AS chisq_num, CAST(den AS BIGINT) AS chisq_den,
+       round(CAST(num AS DOUBLE) / den, 6) AS cell_term,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (nn * least(nr - 1, nc - 1))), 6) AS cramers_v
+FROM w
+"""
+
+
+@_register_r4("q_chisq_independence", _CHISQ_SQL)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the source x lang contingency
+    table (is language mix independent of crawl source?) with Cramér's V
+    effect size. Per-cell sufficient statistics are EXACT BIGINTs via the
+    cross-multiplied identity (obs-exp)^2/exp = (N*obs - r*c)^2 / (N*r*c)
+    — no float expected-counts; the zero-filled full grid means empty
+    cells (a source missing a language entirely) contribute their full
+    r*c/N expectation to the statistic, exactly the signal a biased
+    crawl shows. chi2 / cramers_v are rounded conveniences (sums of ~100
+    exact rationals; value >> 6dp rounding noise).
+
+    Scale plan: one map-side-combined (source, lang) count; everything
+    downstream runs on dimension-sized frames (|sources| x |langs| grid).
+    The 1-row totals frame rides a broadcast scalar-carry crossJoin
+    (whitelisted)."""
+    docs = load_docs(spark, sf_dir)
+    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    srcs = o.groupBy("source").agg(F.sum("n").alias("r"))
+    langs = o.groupBy("lang").agg(F.sum("n").alias("c"))
+    tot = o.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("source").alias("nr"),
+        F.countDistinct("lang").alias("nc"),
+    )
+    cell = (
+        srcs.crossJoin(langs)
+        .join(o, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "r", "c",
+            F.coalesce(F.col("n"), F.lit(0)).alias("obs"),
+        )
+    )
+    t = cell.crossJoin(tot).select(
+        "*",
+        ((F.col("nn") * F.col("obs") - F.col("r") * F.col("c"))
+         * (F.col("nn") * F.col("obs") - F.col("r") * F.col("c"))).alias("num"),
+        (F.col("nn") * F.col("r") * F.col("c")).alias("den"),
+    )
+    chi2 = F.sum(F.col("num").cast("double") / F.col("den")).over(
+        Window.partitionBy()
+    )
+    w = t.withColumn("chi2", chi2)
+    return w.select(
+        "source",
+        "lang",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.col("r").cast("bigint").alias("row_total"),
+        F.col("c").cast("bigint").alias("col_total"),
+        F.col("num").cast("bigint").alias("chisq_num"),
+        F.col("den").cast("bigint").alias("chisq_den"),
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("cell_term"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("nn") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+spine AS (
+  SELECT CAST(g.gs AS DATE) AS day
+  FROM b, unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g(gs)
+),
+dense AS (
+  SELECT row_number() OVER (ORDER BY s.day) AS k, coalesce(d.x, 0) AS x
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg,
+         (b.x - a.x) * 1000 AS snum, b.k - a.k AS sden
+  FROM dense a JOIN dense b ON a.k < b.k
+),
+sl AS (
+  SELECT sg,
+         CAST((snum - ((snum % sden) + sden) % sden) // sden AS BIGINT)
+           AS slope_milli,
+         ka, kb,
+         count(*) OVER () AS n_pairs,
+         sum(sg) OVER () AS s_stat,
+         row_number() OVER (ORDER BY
+           (snum - ((snum % sden) + sden) % sden) // sden, ka, kb) AS pr
+  FROM pairs
+),
+nd AS (SELECT count(*) AS n_days FROM dense),
+tie AS (
+  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT count(*) AS t FROM dense GROUP BY x HAVING count(*) > 1)
+)
+SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+       CAST(sl.s_stat AS BIGINT) AS s_stat,
+       CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+            - tie.tie_term AS BIGINT) AS var18,
+       CAST(sl.slope_milli AS BIGINT) AS ts_slope_milli,
+       round(CAST(sl.slope_milli AS DOUBLE) / 1000, 6) AS ts_slope
+FROM sl, nd, tie
+WHERE sl.pr = (sl.n_pairs + 1) // 2
+"""
+
+
+@_register_r4("q_mann_kendall", _MANN_KENDALL_SQL)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over the daily event
+    volume (zero-filled day grid): S = sum of pairwise signs (exact
+    integer), tie-corrected variance as the exact integer 18*Var(S) =
+    n(n-1)(2n+5) - sum t(t-1)(2t+5), and the Theil-Sen slope as the LOWER
+    MEDIAN of all pairwise slopes in exact milli-units per day — each
+    slope floor((xj-xi)*1000 / (kj-ki)) with the engine-stable
+    ((a%b)+b)%b floor-mod (Spark's and DuckDB's % both take the
+    dividend's sign), so the median is selected from an integer total
+    order with (ka, kb) tie pinning. The nonparametric trend primitive —
+    robust to outliers that wreck OLS on bursty volumes.
+
+    Scale plan: the pair join is over the DAY GRID (|days|^2 — a
+    dimension squared, ~10^5 rows for a year; never the corpus); the raw
+    fact table contributes one map-side-combined daily rollup. The 1-row
+    n_days / tie-term frames ride whitelisted scalar-carry crossJoins."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    b = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = b.select(
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("day")
+    )
+    dense = (
+        spine.join(daily, "day", "left")
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("k"),
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    a, c = dense.alias("a"), dense.alias("b")
+    pairs = a.join(c, F.col("a.k") < F.col("b.k")).select(
+        F.col("a.k").alias("ka"),
+        F.col("b.k").alias("kb"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sg"),
+        ((F.col("b.x") - F.col("a.x")) * 1000).alias("snum"),
+        (F.col("b.k") - F.col("a.k")).alias("sden"),
+    )
+    fmod = ((F.col("snum") % F.col("sden")) + F.col("sden")) % F.col("sden")
+    slope = ((F.col("snum") - fmod) / F.col("sden")).cast("bigint")
+    wall = Window.partitionBy()
+    sl = pairs.select(
+        "sg",
+        slope.alias("slope_milli"),
+        "ka",
+        "kb",
+        F.count(F.lit(1)).over(wall).alias("n_pairs"),
+        F.sum("sg").over(wall).alias("s_stat"),
+        F.row_number()
+        .over(Window.orderBy(slope.asc(), F.asc("ka"), F.asc("kb")))
+        .alias("pr"),
+    )
+    nd = dense.agg(F.count(F.lit(1)).alias("n_days"))
+    tie = (
+        dense.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    med = sl.filter(
+        F.col("pr") == F.floor((F.col("n_pairs") + 1) / 2)
+    )
+    out = med.crossJoin(nd).crossJoin(tie)
+    return out.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        (
+            F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+            - F.col("tie_term")
+        )
+        .cast("bigint")
+        .alias("var18"),
+        F.col("slope_milli").cast("bigint").alias("ts_slope_milli"),
+        F.round(F.col("slope_milli").cast("double") / 1000, 6).alias("ts_slope"),
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+spine AS (
+  SELECT CAST(g.gs AS DATE) AS day
+  FROM b, unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g(gs)
+),
+dense AS (
+  SELECT s.day, coalesce(d.x, 0) AS x
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+off AS (SELECT CAST(t.i + 1 AS INT) AS o FROM unnest(range(16)) AS t(i)),
+j AS (
+  SELECT g.day, g.x,
+         (CAST(1 AS BIGINT) << (16 - off.o)) AS w, h.x AS hx
+  FROM dense g CROSS JOIN off
+  JOIN dense h ON h.day = g.day - off.o
+),
+agg AS (
+  SELECT day, x,
+         CAST(sum(w * hx) AS BIGINT) AS ewma_num,
+         CAST(sum(w) AS BIGINT) AS ewma_den
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(day AS VARCHAR) AS day, x,
+       ewma_num, ewma_den,
+       round(CAST(ewma_num AS DOUBLE) / ewma_den, 6) AS ewma,
+       (x * ewma_den > 2 * ewma_num) AS flag_high,
+       (2 * x * ewma_den < ewma_num) AS flag_low
+FROM agg
+"""
+
+
+@_register_r4("q_ewma_anomaly", _EWMA_SQL)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA volume-anomaly ledger over the daily event grid: each day's
+    baseline is the alpha=1/2 exponentially-weighted mean of the 16 PRIOR
+    days (weights 2^(16-o), an exact power-of-two ladder, so ewma_num /
+    ewma_den are exact BIGINTs — near the series start the denominator
+    self-normalizes over the available history). Anomaly flags are exact
+    cross-multiplied comparisons (x > 2*ewma / x < ewma/2) — zero float
+    surface in the decision; the rounded ewma column is convenience only.
+    The pointwise burst/outage detector complementing CUSUM (level shifts)
+    and KS (distribution drift).
+
+    Scale plan: the 16x fanout joins the DAY GRID against itself on an
+    equi-key (day - offset) — dimension-sized both sides; the fact table
+    contributes one map-side-combined rollup. First day emits no row (no
+    prior history, honest rather than a fabricated baseline). Production
+    partitions the same shape by tenant key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    b = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = b.select(
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("day")
+    )
+    dense = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    off = spark.range(16).select((F.col("id") + 1).cast("int").alias("o"))
+    g, h = dense.alias("g"), dense.alias("h")
+    j = (
+        g.crossJoin(off)
+        .join(h, F.col("h.day") == F.date_sub(F.col("g.day"), F.col("o")))
+        .select(
+            F.col("g.day").alias("day"),
+            F.col("g.x").alias("x"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), 16 - o)").alias("w"),
+            F.col("h.x").alias("hx"),
+        )
+    )
+    agg = j.groupBy("day", "x").agg(
+        F.sum(F.col("w") * F.col("hx")).cast("bigint").alias("ewma_num"),
+        F.sum("w").cast("bigint").alias("ewma_den"),
+    )
+    return agg.select(
+        F.col("day").cast("string").alias("day"),
+        "x",
+        "ewma_num",
+        "ewma_den",
+        F.round(F.col("ewma_num").cast("double") / F.col("ewma_den"), 6).alias(
+            "ewma"
+        ),
+        (F.col("x") * F.col("ewma_den") > 2 * F.col("ewma_num")).alias(
+            "flag_high"
+        ),
+        (2 * F.col("x") * F.col("ewma_den") < F.col("ewma_num")).alias(
+            "flag_low"
+        ),
+    )

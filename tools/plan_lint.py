@@ -193,6 +193,26 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "DESIGN — candidates are scored from codes, never raw vectors; "
          "at scale the candidate set is IVF-cell-pruned first")
     ],
+    "q_retention_cohorts": [
+        ("BroadcastNestedLoopJoin",
+         "1-row max-week-offset carry building the |cohorts| x |offsets| "
+         "zero-fill spine (dimension-sized)")
+    ],
+    "q_chisq_independence": [
+        ("BroadcastNestedLoopJoin",
+         "|sources| x |langs| contingency grid (dimension x dimension) + "
+         "1-row N/R/C totals carry")
+    ],
+    "q_mann_kendall": [
+        ("BroadcastNestedLoopJoin",
+         "day-grid^2 pairwise sign/slope join (dimension squared, never "
+         "the corpus) + 1-row n_days / tie-term scalar carries")
+    ],
+    "q_ewma_anomaly": [
+        ("BroadcastNestedLoopJoin",
+         "16-row offset spine x day grid (dimension-sized EWMA fanout; "
+         "the prior-day lookup itself is an equi-join)")
+    ],
 }
 
 
