@@ -2965,3 +2965,993 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_low"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4o: graph / text / layout — bipartite HITS, k-truss peel, longest
+# common token run over near-dup pairs, corpus BLEU between near-dup pairs,
+# and a Z-order vs linear file-layout pruning audit.
+# --------------------------------------------------------------------------
+
+_HITS_SQL = """
+WITH w AS (
+  SELECT user_id AS u, event_type AS t, CAST(count(*) AS BIGINT) AS w
+  FROM events GROUP BY 1, 2
+),
+h1 AS (SELECT u, sum(w) AS h FROM w GROUP BY u),
+a1 AS (SELECT t, sum(w.w * h1.h) AS a FROM w JOIN h1 USING (u) GROUP BY t),
+h2 AS (SELECT u, sum(w.w * a1.a) AS h FROM w JOIN a1 USING (t) GROUP BY u),
+a2 AS (SELECT t, sum(w.w * h2.h) AS a FROM w JOIN h2 USING (u) GROUP BY t),
+hub AS (
+  SELECT 'hub' AS side, CAST(u AS VARCHAR) AS id,
+         CAST(h1.h AS BIGINT) AS score1, CAST(h2.h AS BIGINT) AS score2
+  FROM h1 JOIN h2 USING (u)
+),
+auth AS (
+  SELECT 'auth' AS side, t AS id,
+         CAST(a1.a AS BIGINT) AS score1, CAST(a2.a AS BIGINT) AS score2
+  FROM a1 JOIN a2 USING (t)
+),
+uni AS (SELECT * FROM hub UNION ALL SELECT * FROM auth)
+SELECT side, id, score1, score2,
+       round(CAST(score2 AS DOUBLE)
+             / max(score2) OVER (PARTITION BY side), 6) AS share
+FROM uni
+"""
+
+
+@_register_r4("q_hits_bipartite", _HITS_SQL)
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the weighted user x event-type bipartite
+    graph, two exact unrolled iterations from a_0 = 1: hubs are users
+    (h = W a), authorities are event types (a = W^T h). Normalization is
+    deferred to the END (share = score / side-max as a rounded
+    convenience), so every intermediate is an exact BIGINT — the same
+    integer-fixed-point trick as q_pagerank / q_katz_centrality, here in
+    its bipartite mutual-reinforcement form: a user scores high when
+    they do high-authority things; an event type scores high when heavy
+    users do it.
+
+    Scale plan: each half-iteration is one equi-join of the weighted edge
+    list against a node-score dimension + a map-side-combined groupBy —
+    the textbook distributed HITS step; the authority side is tiny and
+    broadcasts. Two iterations keep BIGINT exact (score2 <= W_tot^2 *
+    max_w); deeper fixpoints switch to the pagerank fixed-point scaling."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    h1 = w.groupBy("u").agg(F.sum("w").alias("h"))
+    a1 = (
+        w.join(h1, "u")
+        .groupBy("t")
+        .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
+    )
+    h2 = (
+        w.join(a1, "t")
+        .groupBy("u")
+        .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
+    )
+    a2 = (
+        w.join(h2, "u")
+        .groupBy("t")
+        .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
+    )
+    hub = h1.join(h2.withColumnRenamed("h", "h2"), "u").select(
+        F.lit("hub").alias("side"),
+        F.col("u").cast("string").alias("id"),
+        F.col("h").cast("bigint").alias("score1"),
+        F.col("h2").cast("bigint").alias("score2"),
+    )
+    auth = a1.join(a2.withColumnRenamed("a", "a2"), "t").select(
+        F.lit("auth").alias("side"),
+        F.col("t").alias("id"),
+        F.col("a").cast("bigint").alias("score1"),
+        F.col("a2").cast("bigint").alias("score2"),
+    )
+    uni = hub.unionAll(auth)
+    return uni.select(
+        "side",
+        "id",
+        "score1",
+        "score2",
+        F.round(
+            F.col("score2").cast("double")
+            / F.max("score2").over(Window.partitionBy("side")),
+            6,
+        ).alias("share"),
+    )
+
+
+def _sql_truss_round(src: str, out: str) -> str:
+    """One k=4 truss peel round in SQL: recompute per-edge triangle
+    support over the surviving edge set, keep support >= 2."""
+    return f"""
+adj_{out} AS (SELECT lo AS u, hi AS v FROM {src}
+              UNION ALL SELECT hi, lo FROM {src}),
+sup_{out} AS (
+  SELECT e.lo, e.hi, count(*) AS c
+  FROM {src} e
+  JOIN adj_{out} x ON x.u = e.lo
+  JOIN adj_{out} y ON y.u = e.hi AND y.v = x.v
+  GROUP BY 1, 2
+),
+{out} AS (SELECT lo, hi FROM sup_{out} WHERE c >= 2)
+"""
+
+
+_KTRUSS_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+e1 AS (SELECT lo, hi FROM ge),
+{_sql_truss_round('e1', 'e2').strip()},
+{_sql_truss_round('e2', 'e3').strip()},
+{_sql_truss_round('e3', 'e4').strip()},
+adj_f AS (SELECT lo AS u, hi AS v FROM e4 UNION ALL SELECT hi, lo FROM e4),
+sup_f AS (
+  SELECT e.lo, e.hi, count(*) AS c
+  FROM e4 e
+  JOIN adj_f x ON x.u = e.lo
+  JOIN adj_f y ON y.u = e.hi AND y.v = x.v
+  GROUP BY 1, 2
+)
+SELECT e4.lo, e4.hi, CAST(coalesce(sup_f.c, 0) AS BIGINT) AS support
+FROM e4 LEFT JOIN sup_f ON e4.lo = sup_f.lo AND e4.hi = sup_f.hi
+"""
+
+
+@_register_r4("q_ktruss_edges", _KTRUSS_SQL)
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peel of the doc-similarity graph, 3 rounds: an edge
+    survives a round only if it closes >= 2 triangles WITH OTHER
+    SURVIVORS (support = common neighbors >= k-2 for k=4), recomputed
+    after each peel — the cohesion filter that kills chain/star edges CC
+    and DBSCAN both keep, leaving only triangle-dense duplicate
+    communities (Cohen 2008). Emits surviving edges with their support
+    over the final edge set (coalesced 0 if the peel hasn't converged in
+    3 rounds — the honest column, not a fabricated fixpoint claim).
+
+    Scale plan: each round is one wedge equi-join (adjacency joined on
+    the shared neighbor) over the CURRENT survivor set — monotonically
+    shrinking, df-cut-bounded degrees; rounds are localCheckpoint-pinned
+    so lineage stays flat. The standard distributed truss decomposition
+    shape (one support-recompute per peel, O(k) rounds)."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    e = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+
+    def peel(edges: DataFrame) -> DataFrame:
+        adj = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        x = adj.alias("x")
+        y = adj.alias("y")
+        sup = (
+            edges.alias("e")
+            .join(x, F.col("x.u") == F.col("e.lo"))
+            .join(
+                y,
+                (F.col("y.u") == F.col("e.hi")) & (F.col("y.v") == F.col("x.v")),
+            )
+            .groupBy(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return sup.filter(F.col("c") >= 2).select("lo", "hi").localCheckpoint()
+
+    e4 = e
+    for _ in range(3):
+        e4 = peel(e4)
+    adj = e4.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+        e4.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    supf = (
+        e4.alias("e")
+        .join(x, F.col("x.u") == F.col("e.lo"))
+        .join(y, (F.col("y.u") == F.col("e.hi")) & (F.col("y.v") == F.col("x.v")))
+        .groupBy(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        e4.join(supf, ["lo", "hi"], "left")
+        .select(
+            "lo", "hi", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("support")
+        )
+    )
+
+
+_LCS_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+pg AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         lower(array_to_string(toks[t.i + 1 : t.i + 3], ' ')) AS shingle
+  FROM docs, unnest(range(len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+m AS (
+  SELECT e.lo, e.hi, a.pos AS ia, b.pos AS ib
+  FROM ge e
+  JOIN pg a ON a.doc_id = e.lo
+  JOIN pg b ON b.doc_id = e.hi AND b.shingle = a.shingle
+),
+r AS (
+  SELECT lo, hi, ia,
+         ia - row_number() OVER (PARTITION BY lo, hi, ia - ib ORDER BY ia)
+           AS grp,
+         ia - ib AS d
+  FROM m
+),
+runs AS (
+  SELECT lo, hi, count(*) AS run FROM r GROUP BY lo, hi, d, grp
+)
+SELECT lo, hi,
+       CAST(max(run) AS BIGINT) AS max_run,
+       CAST(max(run) + 2 AS BIGINT) AS lcs_tokens,
+       CAST(sum(run) AS BIGINT) AS n_matches
+FROM runs GROUP BY 1, 2
+"""
+
+
+@_register_r4("q_lcs_pairs", _LCS_SQL)
+def q_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common token run per near-dup candidate pair — the exact
+    substring-dedup primitive (Lee et al. 2022 find verbatim cross-doc
+    substrings; this is its pair-local form): positional 3-grams of both
+    docs are joined on gram text, a match (ia, ib) lies on diagonal
+    d = ia - ib, and a maximal run of consecutive positions on one
+    diagonal (islands via the ia - row_number gap trick) of length L
+    certifies a verbatim common token substring of L + 2 tokens. (ia, ib)
+    pairs are unique by construction — positions are keys — so no
+    dedup pass is needed.
+
+    Scale plan: positional grams never leave their doc partition until
+    the pair join, which is bounded by the candidate EDGE list (df-cut
+    similarity graph), never corpus x corpus; per-pair match volume is
+    O(len_a x len_b) only for true heavy clones — exactly the pairs worth
+    the work. The diagonal window partitions by (pair, d) — small frames."""
+    from cliner_spark.queries_r2 import _docpair_edges
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.lower(F.concat_ws(" ", F.slice(toks, i + 1, 3))).alias(
+                    "shingle"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,shingle:string>>"))
+    pg = docs.select("doc_id", F.explode(sh).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle")
+    )
+    e = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    a, b = pg.alias("a"), pg.alias("b")
+    m = (
+        e.join(a, F.col("a.doc_id") == F.col("lo"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("hi"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .select(
+            "lo",
+            "hi",
+            F.col("a.pos").alias("ia"),
+            F.col("b.pos").alias("ib"),
+        )
+    )
+    wd = Window.partitionBy("lo", "hi", F.col("ia") - F.col("ib")).orderBy("ia")
+    r = m.select(
+        "lo",
+        "hi",
+        (F.col("ia") - F.col("ib")).alias("d"),
+        (F.col("ia") - F.row_number().over(wd)).alias("grp"),
+    )
+    runs = r.groupBy("lo", "hi", "d", "grp").agg(F.count(F.lit(1)).alias("run"))
+    return runs.groupBy("lo", "hi").agg(
+        F.max("run").cast("bigint").alias("max_run"),
+        (F.max("run") + 2).cast("bigint").alias("lcs_tokens"),
+        F.sum("run").cast("bigint").alias("n_matches"),
+    )
+
+
+_BLEU_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+uni AS (
+  SELECT doc_id, lower(t.x) AS g, CAST(count(*) AS BIGINT) AS c
+  FROM docs, unnest(toks) AS t(x) GROUP BY 1, 2
+),
+big AS (
+  SELECT doc_id, lower(array_to_string(toks[t.i + 1 : t.i + 2], ' ')) AS g,
+         CAST(count(*) AS BIGINT) AS c
+  FROM docs, unnest(range(len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+),
+ln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM docs),
+c1 AS (
+  SELECT e.lo, e.hi, sum(least(a.c, b.c)) AS m
+  FROM ge e
+  JOIN uni b ON b.doc_id = e.hi
+  JOIN uni a ON a.doc_id = e.lo AND a.g = b.g
+  GROUP BY 1, 2
+),
+c2 AS (
+  SELECT e.lo, e.hi, sum(least(a.c, b.c)) AS m
+  FROM ge e
+  JOIN big b ON b.doc_id = e.hi
+  JOIN big a ON a.doc_id = e.lo AND a.g = b.g
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ge.lo, ge.hi, lr.n AS n_ref, lc.n AS n_cand,
+         coalesce(c1.m, 0) AS m1, coalesce(c2.m, 0) AS m2
+  FROM ge
+  JOIN ln lr ON lr.doc_id = ge.lo
+  JOIN ln lc ON lc.doc_id = ge.hi
+  LEFT JOIN c1 ON c1.lo = ge.lo AND c1.hi = ge.hi
+  LEFT JOIN c2 ON c2.lo = ge.lo AND c2.hi = ge.hi
+  WHERE lc.n >= 2
+)
+SELECT lo, hi,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+       round(CAST(m1 AS DOUBLE) / n_cand, 6) AS p1,
+       round(CAST(m2 AS DOUBLE) / (n_cand - 1), 6) AS p2,
+       round(
+         least(1.0, exp(1 - CAST(n_ref AS DOUBLE) / n_cand))
+         * sqrt((CAST(m1 AS DOUBLE) / n_cand)
+                * (CAST(m2 AS DOUBLE) / (n_cand - 1))), 6) AS bleu2
+FROM j
+"""
+
+
+@_register_r4("q_bleu_neardup", _BLEU_SQL)
+def q_bleu_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 (Papineni 2002) of each near-dup candidate's HIGHER
+    doc against its LOWER doc: clipped unigram/bigram precisions as exact
+    integer modified counts (sum of min(count_cand, count_ref) per gram),
+    brevity penalty min(1, e^(1 - r/c)), geometric mean of p1/p2. The MT
+    metric repurposed as a dedup-quality grade: BLEU ~1 means verbatim
+    clone (drop), mid-range means template kin (keep one, or mask the
+    shared spans q_lcs_pairs localizes), near-0 flags a false-positive
+    candidate edge. Exact sufficient statistics (m1, m2, lengths); floats
+    only in the rounded convenience columns.
+
+    Scale plan: per-doc gram count tables are map-side-combined and join
+    ONLY through the candidate edge list (df-cut bounded, never
+    all-pairs); per-pair cost is the true gram overlap. Same join shape
+    as the Jaccard/containment family, so the same bucketing holds at
+    100 TB."""
+    from cliner_spark.queries_r2 import _docpair_edges
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    uni = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .select("doc_id", F.lower("t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.lower(F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        docs.select("doc_id", F.explode(bi).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ln = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n")
+    )
+    e = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+
+    def clipped(cnt: DataFrame) -> DataFrame:
+        a, b = cnt.alias("a"), cnt.alias("b")
+        return (
+            e.join(b, F.col("b.doc_id") == F.col("hi"))
+            .join(
+                a,
+                (F.col("a.doc_id") == F.col("lo"))
+                & (F.col("a.g") == F.col("b.g")),
+            )
+            .groupBy("lo", "hi")
+            .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("m"))
+        )
+    c1 = clipped(uni).withColumnRenamed("m", "m1")
+    c2 = clipped(big).withColumnRenamed("m", "m2")
+    lr = ln.withColumnRenamed("doc_id", "lo").withColumnRenamed("n", "n_ref")
+    lc = ln.withColumnRenamed("doc_id", "hi").withColumnRenamed("n", "n_cand")
+    j = (
+        e.join(lr, "lo")
+        .join(lc, "hi")
+        .join(c1, ["lo", "hi"], "left")
+        .join(c2, ["lo", "hi"], "left")
+        .filter(F.col("n_cand") >= 2)
+        .select(
+            "lo",
+            "hi",
+            "n_ref",
+            "n_cand",
+            F.coalesce("m1", F.lit(0)).cast("bigint").alias("m1"),
+            F.coalesce("m2", F.lit(0)).cast("bigint").alias("m2"),
+        )
+    )
+    p1 = F.col("m1").cast("double") / F.col("n_cand")
+    p2 = F.col("m2").cast("double") / (F.col("n_cand") - 1)
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(F.lit(1) - F.col("n_ref").cast("double") / F.col("n_cand")),
+    )
+    return j.select(
+        "lo",
+        "hi",
+        "n_ref",
+        "n_cand",
+        "m1",
+        "m2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+    )
+
+
+def _interleave_expr(xa: str, xb: str) -> str:
+    """Engine-portable 8+8-bit Morton/Z-order interleave as pure integer
+    arithmetic (no bit intrinsics — identical text runs on Spark SQL and
+    DuckDB): bit i of xa lands at position 2i+1, bit i of xb at 2i."""
+    terms = []
+    for i in range(8):
+        p = 1 << i
+        terms.append(
+            f"(CASE WHEN ({xa} % {2 * p}) >= {p} THEN {1 << (2 * i + 1)} ELSE 0 END)"
+        )
+        terms.append(
+            f"(CASE WHEN ({xb} % {2 * p}) >= {p} THEN {1 << (2 * i)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH k AS (
+  SELECT CAST(user_id % 256 AS BIGINT) AS ub,
+         CAST((day(ts) * 24 + hour(ts)) % 256 AS BIGINT) AS hb
+  FROM events
+),
+z AS (
+  SELECT ub, hb, {_interleave_expr('ub', 'hb')} AS zval,
+         ub * 256 + hb AS lin
+  FROM k
+),
+f AS (
+  SELECT 'zorder' AS layout, CAST((zval - zval % 2048) // 2048 AS INT)
+           AS file_id, ub, hb
+  FROM z
+  UNION ALL
+  SELECT 'linear', CAST((lin - lin % 2048) // 2048 AS INT), ub, hb FROM z
+)
+SELECT layout, file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ub) AS BIGINT) AS ub_min, CAST(max(ub) AS BIGINT) AS ub_max,
+       CAST(min(hb) AS BIGINT) AS hb_min, CAST(max(hb) AS BIGINT) AS hb_max,
+       CAST(max(ub) - min(ub) + max(hb) - min(hb) AS BIGINT) AS span_sum
+FROM f GROUP BY 1, 2
+"""
+
+
+@_register_r4("q_zorder_layout", _ZORDER_SQL)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) vs linear file-layout audit — the data-layout
+    decision behind Delta/Iceberg OPTIMIZE ZORDER: events keyed by
+    (user bucket, hour bucket) are assigned to 32 files either by the
+    8+8-bit Morton interleave (built from pure integer arithmetic — the
+    SAME expression text runs on both engines) or by the linear
+    concatenation ub*256+hb, and each file reports its min/max span in
+    BOTH dimensions. Z-order bounds both spans at ~sqrt(cells-per-file)
+    so min/max file skipping prunes on EITHER predicate; linear bounds
+    only the leading dimension and every file spans the full trailing
+    range — span_sum makes the difference a single comparable number per
+    file. All exact integers.
+
+    Scale plan: stateless per-row key arithmetic + one 64-key groupBy —
+    the audit itself is trivially distributed; the real win it certifies
+    is at the table-layout layer (range-pruned scans at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.select(
+        (F.col("user_id") % 256).cast("bigint").alias("ub"),
+        (
+            (F.dayofmonth("ts") * 24 + F.hour("ts")) % 256
+        ).cast("bigint").alias("hb"),
+    )
+    z = k.select(
+        "ub",
+        "hb",
+        F.expr(_interleave_expr("ub", "hb")).alias("zval"),
+        (F.col("ub") * 256 + F.col("hb")).alias("lin"),
+    )
+    zf = z.select(
+        F.lit("zorder").alias("layout"),
+        F.floor(F.col("zval") / 2048).cast("int").alias("file_id"),
+        "ub",
+        "hb",
+    )
+    lf = z.select(
+        F.lit("linear").alias("layout"),
+        F.floor(F.col("lin") / 2048).cast("int").alias("file_id"),
+        "ub",
+        "hb",
+    )
+    f = zf.unionAll(lf)
+    return f.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ub").cast("bigint").alias("ub_min"),
+        F.max("ub").cast("bigint").alias("ub_max"),
+        F.min("hb").cast("bigint").alias("hb_min"),
+        F.max("hb").cast("bigint").alias("hb_max"),
+        (F.max("ub") - F.min("ub") + F.max("hb") - F.min("hb"))
+        .cast("bigint")
+        .alias("span_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4p: calibration / rank-agreement / paired-eval statistics —
+# isotonic (PAV) recalibration of the quality classifier, Kendall tau-b
+# over the daily volume/revenue series, rank-biased overlap between two
+# top-k rankings, and a McNemar paired comparison of two document gates.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_BEST_GAZ,
+    SQL_KEPT_MENTIONS,
+    SQL_LINKED,
+)
+
+_ISO_SQL = f"""
+WITH {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ}, {SQL_LINKED},
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docs
+       WHERE len(toks) > 0),
+du AS (SELECT d.doc_id, CAST(count(DISTINCT lower(t.tok)) AS BIGINT) AS n_uniq
+       FROM docs d, unnest(d.toks) AS t(tok) GROUP BY 1),
+pred AS (SELECT dl.doc_id, (1000 * du.n_uniq) // dl.n_toks AS pred_milli
+         FROM dl JOIN du USING (doc_id)),
+lab AS (SELECT DISTINCT doc_id FROM linked),
+b AS (SELECT least(p.pred_milli // 100, 9) AS bin,
+             CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS pos
+      FROM pred p LEFT JOIN lab l USING (doc_id)),
+bins AS (SELECT bin, count(*) AS n, sum(pos) AS p FROM b GROUP BY 1),
+ix AS (SELECT bin, row_number() OVER (ORDER BY bin) AS i, n, p FROM bins),
+iv AS (
+  SELECT j.i AS j, k.i AS k,
+         CAST(sum(t.p) AS BIGINT) AS pn, CAST(sum(t.n) AS BIGINT) AS nn
+  FROM ix j JOIN ix k ON j.i <= k.i
+  JOIN ix t ON t.i BETWEEN j.i AND k.i
+  GROUP BY 1, 2
+),
+mn AS (
+  SELECT x.i, v.j, v.pn, v.nn,
+         row_number() OVER (PARTITION BY x.i, v.j
+                            ORDER BY CAST(v.pn AS DOUBLE) / v.nn, v.k) AS rn
+  FROM ix x JOIN iv v ON v.j <= x.i AND v.k >= x.i
+),
+mx AS (
+  SELECT i, pn, nn,
+         row_number() OVER (PARTITION BY i
+                            ORDER BY CAST(pn AS DOUBLE) / nn DESC, j) AS rn2
+  FROM mn WHERE rn = 1
+)
+SELECT ix.bin, CAST(ix.n AS BIGINT) AS n, CAST(ix.p AS BIGINT) AS n_pos,
+       round(CAST(ix.p AS DOUBLE) / ix.n, 6) AS raw_rate,
+       mx.pn AS iso_num, mx.nn AS iso_den,
+       round(CAST(mx.pn AS DOUBLE) / mx.nn, 6) AS iso_rate
+FROM ix JOIN mx ON mx.i = ix.i AND mx.rn2 = 1
+"""
+
+
+@_register_r4("q_isotonic_calibration", _ISO_SQL)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the q_calibration_bins classifier —
+    the standard fix when the reliability diagram says scores are
+    miscalibrated: fitted rate per score bin via the exact max-min
+    identity mu_i = max_{j<=i} min_{k>=i} (pos[j..k] / n[j..k]), which
+    equals pool-adjacent-violators on the bin sequence. Interval rates
+    stay exact integer pairs (pn, nn); argmin/argmax selection orders by
+    the IEEE-identical double quotient with (k, then j) tie pins — two
+    distinct bin-count rationals cannot collide in double at corpus
+    denominators, and equal-VALUE ties select the same fraction value
+    regardless of pin. Output is the monotone fitted curve beside the raw
+    per-bin rate, iso_num/iso_den exact.
+
+    Scale plan: the corpus contributes two partial-agg groupBys (the same
+    shape as q_calibration_bins); the PAV itself runs on the <=10-bin
+    frame — intervals are a <=10^2 dimension join, never data-sized."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks_c = tokens_col("text")
+    dl = docs.filter(F.size(toks_c) > 0).select(
+        "doc_id", F.size(toks_c).cast("long").alias("n_toks")
+    )
+    du = (
+        docs.select("doc_id", F.explode(toks_c).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_uniq"))
+    )
+    pred = dl.join(du, "doc_id").select(
+        "doc_id", F.expr("(1000 * n_uniq) div n_toks").alias("pred_milli")
+    )
+    lab = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"))
+        .distinct()
+        .withColumn("pos", F.lit(1))
+    )
+    b = pred.join(F.broadcast(lab), "doc_id", "left").select(
+        F.least(F.expr("pred_milli div 100"), F.lit(9)).alias("bin"),
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    bins = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    ix = bins.select(
+        "bin", F.row_number().over(Window.orderBy("bin")).alias("i"), "n", "p"
+    )
+    j, k, t = ix.alias("j"), ix.alias("k"), ix.alias("t")
+    iv = (
+        j.join(k, F.col("j.i") <= F.col("k.i"))
+        .join(t, (F.col("t.i") >= F.col("j.i")) & (F.col("t.i") <= F.col("k.i")))
+        .groupBy(F.col("j.i").alias("j"), F.col("k.i").alias("k"))
+        .agg(
+            F.sum("t.p").cast("bigint").alias("pn"),
+            F.sum("t.n").cast("bigint").alias("nn"),
+        )
+    )
+    x, v = ix.alias("x"), iv.alias("v")
+    mn = (
+        x.join(v, (F.col("v.j") <= F.col("x.i")) & (F.col("v.k") >= F.col("x.i")))
+        .select(
+            F.col("x.i").alias("i"),
+            F.col("v.j").alias("j"),
+            "v.pn",
+            "v.nn",
+            F.row_number()
+            .over(
+                Window.partitionBy(F.col("x.i"), F.col("v.j")).orderBy(
+                    (F.col("v.pn").cast("double") / F.col("v.nn")).asc(),
+                    F.col("v.k").asc(),
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    mx = mn.select(
+        "i",
+        "pn",
+        "nn",
+        F.row_number()
+        .over(
+            Window.partitionBy("i").orderBy(
+                (F.col("pn").cast("double") / F.col("nn")).desc(), F.col("j").asc()
+            )
+        )
+        .alias("rn2"),
+    ).filter(F.col("rn2") == 1)
+    return (
+        ix.join(mx, "i")
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("p").cast("bigint").alias("n_pos"),
+            F.round(F.col("p").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.col("pn").alias("iso_num"),
+            F.col("nn").alias("iso_den"),
+            F.round(F.col("pn").cast("double") / F.col("nn"), 6).alias("iso_rate"),
+        )
+    )
+
+
+_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+spine AS (
+  SELECT CAST(g.gs AS DATE) AS day
+  FROM b, unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g(gs)
+),
+dense AS (
+  SELECT row_number() OVER (ORDER BY s.day) AS k,
+         coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+p AS (
+  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS con,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS dis,
+         CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END AS ty,
+         CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END AS txy
+  FROM dense a JOIN dense b ON a.k < b.k
+)
+SELECT CAST(sum(con) AS BIGINT) AS n_con, CAST(sum(dis) AS BIGINT) AS n_dis,
+       CAST(sum(tx) AS BIGINT) AS ties_x, CAST(sum(ty) AS BIGINT) AS ties_y,
+       CAST(sum(txy) AS BIGINT) AS ties_xy,
+       CAST(sum(con) - sum(dis) AS BIGINT) AS tau_num,
+       CAST(sum(con) + sum(dis) + sum(tx) AS BIGINT) AS tau_den_x,
+       CAST(sum(con) + sum(dis) + sum(ty) AS BIGINT) AS tau_den_y,
+       round((sum(con) - sum(dis)) / sqrt(
+         CAST(sum(con) + sum(dis) + sum(tx) AS DOUBLE)
+         * (sum(con) + sum(dis) + sum(ty))), 6) AS tau_b
+FROM p
+"""
+
+
+@_register_r4("q_kendall_taub", _KENDALL_SQL)
+def q_kendall_taub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily event VOLUME and daily REVENUE (exact
+    integer cents) over the zero-filled day grid: concordant/discordant/
+    tied pair counts are exact integers from the pairwise sign products,
+    and tau-b's tie correction uses the standard denominators
+    (C+D+Tx)(C+D+Ty). The complement to q_spearman_rank: Spearman needs a
+    pinned total order (tie-sensitive); tau-b is the statistic whose tie
+    treatment is canonical — worth its O(grid^2) cost exactly because the
+    DAY GRID is bounded by the calendar, not the corpus (the reason the
+    Spearman docstring calls corpus-scale Kendall infeasible).
+
+    Scale plan: one map-side-combined daily rollup (count + exact-cents
+    sum), then the pair join runs over |days|^2 — dimension squared. At a
+    year of data that is ~66k pairs; the corpus scan stays single-pass."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    bb = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = bb.select(
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("day")
+    )
+    dense = spine.join(daily, "day", "left").select(
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+    )
+    a, c = dense.alias("a"), dense.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    p = a.join(c, F.col("a.k") < F.col("b.k")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+        F.when((dx == 0) & (dy == 0), 1).otherwise(0).alias("txy"),
+    )
+    sc, sd = F.sum("con"), F.sum("dis")
+    stx, sty = F.sum("tx"), F.sum("ty")
+    return p.agg(
+        sc.cast("bigint").alias("n_con"),
+        sd.cast("bigint").alias("n_dis"),
+        stx.cast("bigint").alias("ties_x"),
+        sty.cast("bigint").alias("ties_y"),
+        F.sum("txy").cast("bigint").alias("ties_xy"),
+        (sc - sd).cast("bigint").alias("tau_num"),
+        (sc + sd + stx).cast("bigint").alias("tau_den_x"),
+        (sc + sd + sty).cast("bigint").alias("tau_den_y"),
+        F.round(
+            (sc - sd)
+            / F.sqrt((sc + sd + stx).cast("double") * (sc + sd + sty)),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+_RBO_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra,
+         row_number() OVER (ORDER BY len(toks) DESC, doc_id) AS rb
+  FROM docs JOIN documents USING (doc_id)
+),
+d AS (SELECT CAST(t.i + 1 AS INT) AS depth FROM unnest(range(20)) AS t(i)),
+rk AS (SELECT * FROM r WHERE ra <= 20 OR rb <= 20),
+o AS (
+  SELECT d.depth,
+         CAST(count(CASE WHEN rk.ra <= d.depth AND rk.rb <= d.depth
+                         THEN 1 END) AS BIGINT) AS overlap
+  FROM d CROSS JOIN rk GROUP BY 1
+),
+t AS (
+  SELECT depth, overlap,
+         CAST(overlap AS BIGINT) AS term_num,
+         CAST(depth AS BIGINT) * (CAST(1 AS BIGINT) << depth) AS term_den
+  FROM o
+)
+SELECT depth, overlap,
+       round(CAST(overlap AS DOUBLE) / depth, 6) AS agreement,
+       term_num, term_den,
+       round(CAST(term_num AS DOUBLE) / term_den, 6) AS term,
+       round(sum(CAST(term_num AS DOUBLE) / term_den)
+             OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING), 6) AS rbo_min
+FROM t
+"""
+
+
+@_register_r4("q_rbo_topk", _RBO_SQL)
+def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber 2010) between the char-length and
+    token-count document rankings at p = 1/2, depths 1..20: per depth the
+    exact top-d intersection size, the agreement o_d/d, and the RBO
+    partial sum sum_d (1-p) p^(d-1) o_d/d whose terms are exact rationals
+    o_d / (d * 2^d) (power-of-two weights — the same trick as the EWMA
+    ladder). The TOP-WEIGHTED rank-agreement number Spearman/tau can't
+    give: disagreement at rank 2 costs more than at rank 20 — exactly how
+    a curation pipeline should compare two quality rankings that only act
+    on their heads.
+
+    Scale plan: two global top-k ranks (at scale: orderBy(...).limit(k)
+    per ranking, a tiny frame each — never a full sort); the depth x
+    top-k comparison is a 20 x k dimension product. The corpus is
+    scanned once per ranking key."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    r = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc(F.size(tokens_col("text"))), F.asc("doc_id"))
+        )
+        .alias("rb"),
+    )
+    d = spark.range(20).select((F.col("id") + 1).cast("int").alias("depth"))
+    rk = r.filter((F.col("ra") <= 20) | (F.col("rb") <= 20))
+    o = (
+        d.crossJoin(rk)
+        .groupBy("depth")
+        .agg(
+            F.count(
+                F.when((F.col("ra") <= F.col("depth")) & (F.col("rb") <= F.col("depth")), 1)
+            )
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    t = o.select(
+        "depth",
+        "overlap",
+        F.col("overlap").cast("bigint").alias("term_num"),
+        (
+            F.col("depth").cast("bigint")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), depth)")
+        ).alias("term_den"),
+    )
+    wcum = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "depth",
+        "overlap",
+        F.round(F.col("overlap").cast("double") / F.col("depth"), 6).alias(
+            "agreement"
+        ),
+        "term_num",
+        "term_den",
+        F.round(F.col("term_num").cast("double") / F.col("term_den"), 6).alias(
+            "term"
+        ),
+        F.round(
+            F.sum(F.col("term_num").cast("double") / F.col("term_den")).over(wcum),
+            6,
+        ).alias("rbo_min"),
+    )
+
+
+_MCNEMAR_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+f AS (
+  SELECT d.doc_id,
+         CASE WHEN (1000 * (SELECT count(DISTINCT lower(t.tok))
+                            FROM unnest(d.toks) AS t(tok)))
+                   // len(d.toks) >= 500
+              THEN 1 ELSE 0 END AS g1,
+         CASE WHEN dd.n_chars >= 200 THEN 1 ELSE 0 END AS g2
+  FROM docs d JOIN documents dd USING (doc_id)
+  WHERE len(d.toks) > 0
+)
+SELECT CAST(sum(g1 * g2) AS BIGINT) AS both_pass,
+       CAST(sum(g1 * (1 - g2)) AS BIGINT) AS only_g1,
+       CAST(sum((1 - g1) * g2) AS BIGINT) AS only_g2,
+       CAST(sum((1 - g1) * (1 - g2)) AS BIGINT) AS neither,
+       CAST((sum(g1 * (1 - g2)) - sum((1 - g1) * g2))
+            * (sum(g1 * (1 - g2)) - sum((1 - g1) * g2)) AS BIGINT)
+         AS mcnemar_num,
+       CAST(sum(g1 * (1 - g2)) + sum((1 - g1) * g2) AS BIGINT) AS mcnemar_den,
+       round(CAST((sum(g1 * (1 - g2)) - sum((1 - g1) * g2))
+                  * (sum(g1 * (1 - g2)) - sum((1 - g1) * g2)) AS DOUBLE)
+             / nullif(sum(g1 * (1 - g2)) + sum((1 - g1) * g2), 0), 6)
+         AS mcnemar_stat,
+       CAST(sum(g1 * g2) * sum((1 - g1) * (1 - g2)) AS BIGINT) AS odds_num,
+       CAST(sum(g1 * (1 - g2)) * sum((1 - g1) * g2) AS BIGINT) AS odds_den
+FROM f
+"""
+
+
+@_register_r4("q_mcnemar_gates", _MCNEMAR_SQL)
+def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of two document quality gates on the SAME
+    corpus (lexical-diversity >= 0.5 vs length >= 200 chars): the full
+    exact 2x2 agreement table, the McNemar statistic (b-c)^2/(b+c) over
+    the DISCORDANT cells only — the correct paired test when both gates
+    judge the same documents (an unpaired chi-square would overcount the
+    agreeing mass) — and the exact odds-ratio pair (ad, bc). This is how
+    a pipeline decides whether a cheaper gate can replace an expensive
+    one: a small McNemar statistic says their disagreements are symmetric
+    noise, not a systematic quality shift.
+
+    Scale plan: one pass over the corpus computing both gate bits, one
+    global aggregate — fully map-side combinable, no joins beyond the
+    per-doc token stats."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks_c = tokens_col("text")
+    du = (
+        docs.select("doc_id", F.explode(toks_c).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_uniq"))
+    )
+    f = (
+        docs.filter(F.size(toks_c) > 0)
+        .select("doc_id", "n_chars", F.size(toks_c).cast("long").alias("n_toks"))
+        .join(du, "doc_id")
+        .select(
+            F.when(F.expr("(1000 * n_uniq) div n_toks") >= 500, 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("g2"),
+        )
+    )
+    b_ = F.sum(F.col("g1") * (1 - F.col("g2")))
+    c_ = F.sum((1 - F.col("g1")) * F.col("g2"))
+    a_ = F.sum(F.col("g1") * F.col("g2"))
+    d_ = F.sum((1 - F.col("g1")) * (1 - F.col("g2")))
+    return f.agg(
+        a_.cast("bigint").alias("both_pass"),
+        b_.cast("bigint").alias("only_g1"),
+        c_.cast("bigint").alias("only_g2"),
+        d_.cast("bigint").alias("neither"),
+        ((b_ - c_) * (b_ - c_)).cast("bigint").alias("mcnemar_num"),
+        (b_ + c_).cast("bigint").alias("mcnemar_den"),
+        F.round(
+            ((b_ - c_) * (b_ - c_)).cast("double")
+            / F.nullif((b_ + c_).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mcnemar_stat"),
+        (a_ * d_).cast("bigint").alias("odds_num"),
+        (b_ * c_).cast("bigint").alias("odds_den"),
+    )

@@ -213,6 +213,24 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "16-row offset spine x day grid (dimension-sized EWMA fanout; "
          "the prior-day lookup itself is an equi-join)")
     ],
+    "q_isotonic_calibration": [
+        ("BroadcastNestedLoopJoin",
+         "PAV interval joins over the <=10-row bin frame (j<=k range "
+         "joins on a dimension, never the corpus)"),
+        ("CartesianProduct",
+         "<=10-row bin frame x <=55-row interval frame (PAV max-min "
+         "selection, both dimension-sized)"),
+    ],
+    "q_kendall_taub": [
+        ("BroadcastNestedLoopJoin",
+         "day-grid^2 concordance pair join (dimension squared, same shape "
+         "as q_mann_kendall)")
+    ],
+    "q_rbo_topk": [
+        ("BroadcastNestedLoopJoin",
+         "20-row depth spine x top-20-filtered rank frame (both bounded "
+         "by k, not the corpus)")
+    ],
 }
 
 
