@@ -3955,3 +3955,346 @@ def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a_ * d_).cast("bigint").alias("odds_num"),
         (b_ * c_).cast("bigint").alias("odds_den"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4q: experiment/eval statistics — one-way ANOVA across sources, a
+# seeded paired sign-flip permutation test, ordered 2-sequence support
+# mining, and a deterministic k-fold balance audit.
+# --------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(n_chars) AS BIGINT) AS sum_g,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_g
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT g.*, sum(n_g) OVER () AS nn, sum(sum_g) OVER () AS tt,
+         sum(sumsq_g) OVER () AS ss, count(*) OVER () AS k
+  FROM g
+),
+w AS (
+  SELECT t.*,
+         sum(CAST(nn * sum_g - n_g * tt AS DOUBLE)
+             * (nn * sum_g - n_g * tt) / (CAST(nn AS DOUBLE) * nn * n_g))
+           OVER () AS ssb,
+         CAST(ss AS DOUBLE) - CAST(tt AS DOUBLE) * tt / nn AS sstot
+  FROM t
+)
+SELECT source, n_g, sum_g, sumsq_g,
+       CAST((nn * sum_g - n_g * tt) * (nn * sum_g - n_g * tt) AS BIGINT)
+         AS ssb_num,
+       CAST(nn * nn * n_g AS BIGINT) AS ssb_den,
+       round(ssb, 6) AS ss_between,
+       round(sstot - ssb, 6) AS ss_within,
+       round((ssb / (k - 1)) / ((sstot - ssb) / (nn - k)), 6) AS f_stat
+FROM w
+"""
+
+
+@_register_r4("q_anova_sources", _ANOVA_SQL)
+def q_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across crawl sources: per-source
+    sufficient statistics (n, sum, sum-of-squares — exact BIGINTs over the
+    integer n_chars) and the between/within decomposition via the
+    cross-multiplied identity SSB = sum_g (N*sum_g - n_g*T)^2 / (N^2 n_g),
+    with the F statistic as a rounded convenience. The is-my-corpus-
+    homogeneous gate before pooling sources into one training mix: a huge
+    F says per-source length norms differ enough that a single global
+    length filter is the wrong tool (use per-source thresholds).
+    ssb_num/ssb_den pin each source's contribution exactly.
+
+    Scale plan: one map-side-combined groupBy over the corpus; the
+    windowed rollups run on the |sources| frame. Identical shuffle shape
+    to the scatter/Gini ledgers."""
+    docs = load_docs(spark, sf_dir)
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("sum_g"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sumsq_g"),
+    )
+    wall = Window.partitionBy()
+    t = g.select(
+        "*",
+        F.sum("n_g").over(wall).alias("nn"),
+        F.sum("sum_g").over(wall).alias("tt"),
+        F.sum("sumsq_g").over(wall).alias("ss"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    dev = F.col("nn") * F.col("sum_g") - F.col("n_g") * F.col("tt")
+    ssb_term = (
+        dev.cast("double")
+        * dev
+        / (F.col("nn").cast("double") * F.col("nn") * F.col("n_g"))
+    )
+    w = t.select(
+        "*",
+        F.sum(ssb_term).over(wall).alias("ssb"),
+        (
+            F.col("ss").cast("double")
+            - F.col("tt").cast("double") * F.col("tt") / F.col("nn")
+        ).alias("sstot"),
+    )
+    return w.select(
+        "source",
+        "n_g",
+        "sum_g",
+        "sumsq_g",
+        (dev * dev).cast("bigint").alias("ssb_num"),
+        (F.col("nn") * F.col("nn") * F.col("n_g")).cast("bigint").alias("ssb_den"),
+        F.round(F.col("ssb"), 6).alias("ss_between"),
+        F.round(F.col("sstot") - F.col("ssb"), 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / ((F.col("sstot") - F.col("ssb")) / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+_PERM_B = 64
+
+_PERM_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events GROUP BY 1
+),
+obs AS (SELECT abs(sum(d)) AS t_obs FROM u),
+b AS (SELECT CAST(t.i AS INT) AS b FROM unnest(range({_PERM_B})) AS t(i)),
+fl AS (
+  SELECT b.b,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(b.b::VARCHAR || '#' || u.user_id::VARCHAR),
+                                  1, 1)) - 1) % 2 = 0
+              THEN u.d ELSE -u.d END AS sd
+  FROM u CROSS JOIN b
+),
+tb AS (SELECT b, CAST(abs(sum(sd)) AS BIGINT) AS t_b FROM fl GROUP BY 1)
+SELECT tb.b, tb.t_b, CAST(obs.t_obs AS BIGINT) AS t_obs,
+       (tb.t_b >= obs.t_obs) AS ge_obs,
+       CAST(1 + sum(CASE WHEN tb.t_b >= obs.t_obs THEN 1 ELSE 0 END)
+                OVER () AS BIGINT) AS p_num,
+       CAST({_PERM_B} + 1 AS BIGINT) AS p_den,
+       round(CAST(1 + sum(CASE WHEN tb.t_b >= obs.t_obs THEN 1 ELSE 0 END)
+                      OVER () AS DOUBLE) / ({_PERM_B} + 1), 6) AS p_value
+FROM tb, obs
+"""
+
+
+@_register_r4("q_permutation_test", _PERM_SQL)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test (the exact nonparametric paired
+    test, Fisher 1935) of H0 'users click as often as they view': per-user
+    paired difference d_u = clicks - views, {_PERM_B} seeded replicas flip
+    each user's sign by an md5(b#user) coin, T_b = |sum of flipped
+    diffs|, and the standard add-one permutation p-value
+    (1 + #{{T_b >= T_obs}}) / (B+1) — every quantity an exact integer, the
+    p-value a single rounded division. The deterministic-resample design
+    of q_poisson_bootstrap applied to hypothesis testing: any shard can
+    regenerate any replica's coins independently.
+
+    Scale plan: one map-side-combined per-user rollup, then a {_PERM_B}-row
+    broadcast fanout collapsed straight back to {_PERM_B} counters — one
+    corpus pass regardless of B; the windowed p-value runs on the
+    {_PERM_B}-row frame."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = u.agg(F.abs(F.sum("d")).alias("t_obs"))
+    b = spark.range(_PERM_B).select(F.col("id").cast("int").alias("b"))
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("#"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    fl = u.crossJoin(F.broadcast(b)).select(
+        "b", F.when(coin == 0, F.col("d")).otherwise(-F.col("d")).alias("sd")
+    )
+    tb = fl.groupBy("b").agg(F.abs(F.sum("sd")).cast("bigint").alias("t_b"))
+    wall = Window.partitionBy()
+    out = tb.crossJoin(obs)
+    ge = F.sum(F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)).over(wall)
+    return out.select(
+        "b",
+        "t_b",
+        F.col("t_obs").cast("bigint").alias("t_obs"),
+        (F.col("t_b") >= F.col("t_obs")).alias("ge_obs"),
+        (1 + ge).cast("bigint").alias("p_num"),
+        F.lit(_PERM_B + 1).cast("bigint").alias("p_den"),
+        F.round((1 + ge).cast("double") / (_PERM_B + 1), 6).alias("p_value"),
+    )
+
+
+_SEQ2_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type AS t, min(ts) AS mn, max(ts) AS mx
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+p AS (
+  SELECT a.t AS a, b.t AS b,
+         CAST(count(*) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seq
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t <> b.t
+  GROUP BY 1, 2
+),
+m AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1)
+SELECT p.a, p.b, p.n_both, p.n_seq,
+       ma.n_t AS n_a, mb.n_t AS n_b,
+       CAST(tot.n_users AS BIGINT) AS n_users,
+       round(CAST(p.n_seq AS DOUBLE) / tot.n_users, 6) AS support,
+       round(CAST(p.n_seq AS DOUBLE) / ma.n_t, 6) AS confidence,
+       round(CAST(p.n_seq AS DOUBLE) * tot.n_users
+             / (CAST(ma.n_t AS DOUBLE) * mb.n_t), 6) AS lift
+FROM p JOIN m ma ON ma.t = p.a JOIN m mb ON mb.t = p.b, tot
+"""
+
+
+@_register_r4("q_seq2_support", _SEQ2_SQL)
+def q_seq2_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 2-sequence support mining (the GSP/PrefixSpan length-2
+    core): for every ordered event-type pair (a, b), the number of users
+    with SOME a-event strictly before SOME b-event — computed from
+    per-(user, type) min/max timestamps alone via the exists identity
+    min_ts(a) < max_ts(b), so the fact table is never self-joined at the
+    event level. Emits exact support / confidence / lift sufficient
+    statistics against the type marginals — the sequential complement to
+    q_assoc_rules (unordered co-occurrence) and q_funnel_conversion (one
+    fixed path).
+
+    Scale plan: one map-side-combined (user, type) rollup; the pair join
+    is per-user over the TYPE dimension (|types|^2 rows per user, types
+    ~5); marginals and the user total are dimension-sized broadcast
+    joins."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a, c = ut.alias("a"), ut.alias("b")
+    p = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.t") != F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("a"), F.col("b.t").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_both"),
+            F.sum(F.when(F.col("a.mn") < F.col("b.mx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_seq"),
+        )
+    )
+    m = ut.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    ma = m.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))
+    mb = m.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))
+    out = p.join(ma, "a").join(mb, "b").crossJoin(tot)
+    return out.select(
+        "a",
+        "b",
+        "n_both",
+        "n_seq",
+        "n_a",
+        "n_b",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("n_seq").cast("double") / F.col("n_users"), 6).alias(
+            "support"
+        ),
+        F.round(F.col("n_seq").cast("double") / F.col("n_a"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("n_seq").cast("double")
+            * F.col("n_users")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+_KFOLD_SQL = """
+WITH f AS (
+  SELECT lang,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(doc_id::VARCHAR), 1, 1)) - 1) % 5 AS INT)
+           AS fold
+  FROM documents
+),
+lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM f GROUP BY 1),
+grid AS (
+  SELECT lt.lang, lt.n_lang, CAST(t.i AS INT) AS fold
+  FROM lt, unnest(range(5)) AS t(i)
+),
+c AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2)
+SELECT g.lang, g.fold, g.n_lang,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       CAST(abs(5 * coalesce(c.n, 0) - g.n_lang) AS BIGINT) AS dev_num,
+       round(CAST(coalesce(c.n, 0) AS DOUBLE) / g.n_lang, 6) AS frac
+FROM grid g LEFT JOIN c ON c.lang = g.lang AND c.fold = g.fold
+"""
+
+
+@_register_r4("q_kfold_assignment", _KFOLD_SQL)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment audit: folds come
+    from md5(doc_id) — reproducible on any shard with zero coordination,
+    the same RNG-free discipline as the sampling family — and the audit
+    reports the per-(lang, fold) cell count against its stratum share
+    with the exact cross-multiplied deviation |5n - n_lang| (zero-filled
+    grid, so an empty (lang, fold) cell is a visible row, not a missing
+    one). Hash folds are NOT stratified by construction; this table is
+    how a pipeline decides whether the imbalance is tolerable or a
+    per-stratum re-split is needed before eval numbers are trusted.
+
+    Scale plan: stateless per-row fold assignment + one map-side-combined
+    groupBy; the grid join runs on |langs| x 5 dimension frames."""
+    docs = load_docs(spark, sf_dir)
+    f = docs.select(
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int")
+            % 5
+        ).alias("fold"),
+    )
+    lt = f.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_lang"))
+    grid = lt.crossJoin(
+        spark.range(5).select(F.col("id").cast("int").alias("fold"))
+    )
+    c = f.groupBy("lang", "fold").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = grid.join(c, ["lang", "fold"], "left")
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return out.select(
+        "lang",
+        "fold",
+        "n_lang",
+        n.cast("bigint").alias("n"),
+        F.abs(5 * n - F.col("n_lang")).cast("bigint").alias("dev_num"),
+        F.round(n.cast("double") / F.col("n_lang"), 6).alias("frac"),
+    )

@@ -231,6 +231,20 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "20-row depth spine x top-20-filtered rank frame (both bounded "
          "by k, not the corpus)")
     ],
+    "q_permutation_test": [
+        ("BroadcastNestedLoopJoin",
+         "64-row broadcast replica spine x per-user diffs (one-pass "
+         "sign-flip fanout, map-side combined to 64 counters — the "
+         "poisson-bootstrap shape) + 1-row t_obs carry")
+    ],
+    "q_seq2_support": [
+        ("BroadcastNestedLoopJoin",
+         "1-row n_users total carry onto the |types|^2 pair table")
+    ],
+    "q_kfold_assignment": [
+        ("BroadcastNestedLoopJoin",
+         "5-row fold spine x |langs| stratum frame (zero-fill grid)")
+    ],
 }
 
 
