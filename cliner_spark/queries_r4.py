@@ -4298,3 +4298,304 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(5 * n - F.col("n_lang")).cast("bigint").alias("dev_num"),
         F.round(n.cast("double") / F.col("n_lang"), 6).alias("frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4r: systems/streaming operations — consistent-hashing ring audit,
+# Fano-factor burstiness ledger, and a watermark-lateness histogram.
+# --------------------------------------------------------------------------
+
+_CHASH_SQL = """
+WITH tok8 AS (
+  SELECT CAST(s.i AS INT) AS shard, CAST(v.j AS INT) AS vnode,
+         md5('shard:' || s.i::VARCHAR || ':' || v.j::VARCHAR) AS tok
+  FROM unnest(range(8)) AS s(i), unnest(range(4)) AS v(j)
+),
+tok9 AS (
+  SELECT CAST(s.i AS INT) AS shard, CAST(v.j AS INT) AS vnode,
+         md5('shard:' || s.i::VARCHAR || ':' || v.j::VARCHAR) AS tok
+  FROM unnest(range(9)) AS s(i), unnest(range(4)) AS v(j)
+),
+d AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+a8 AS (
+  SELECT d.doc_id,
+         coalesce(min(t.tok) FILTER (WHERE t.tok >= d.h),
+                  (SELECT min(tok) FROM tok8)) AS sel
+  FROM d CROSS JOIN tok8 t GROUP BY d.doc_id, d.h
+),
+m8 AS (
+  SELECT a8.doc_id, t.shard AS s8 FROM a8 JOIN tok8 t ON t.tok = a8.sel
+),
+a9 AS (
+  SELECT d.doc_id,
+         coalesce(min(t.tok) FILTER (WHERE t.tok >= d.h),
+                  (SELECT min(tok) FROM tok9)) AS sel
+  FROM d CROSS JOIN tok9 t GROUP BY d.doc_id, d.h
+),
+m9 AS (
+  SELECT a9.doc_id, t.shard AS s9 FROM a9 JOIN tok9 t ON t.tok = a9.sel
+),
+j AS (SELECT m8.doc_id, m8.s8, m9.s9 FROM m8 JOIN m9 USING (doc_id))
+SELECT s8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN s9 = s8 THEN 1 ELSE 0 END) AS BIGINT) AS n_stay,
+       CAST(sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST(sum(CASE WHEN s9 = 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new_shard,
+       CAST(sum(sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)) OVER ()
+            AS BIGINT) AS total_moved,
+       round(CAST(sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS moved_frac
+FROM j GROUP BY 1
+"""
+
+
+@_register_r4("q_consistent_hashing", _CHASH_SQL)
+def q_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring audit (Karger 1997) for the doc store: 8
+    shards x 4 md5 vnodes on the hex ring, each doc owned by the first
+    vnode token >= md5(doc_id) (wrapping to the ring minimum) — then the
+    ring grows to 9 shards and the audit counts, per original shard, how
+    many docs stay, move, and move TO THE NEW SHARD. The defining
+    consistent-hashing property — only ~1/(n+1) of keys move, all of them
+    to the new shard, none between old shards — becomes an exact
+    assertion surface (n_moved == n_to_new_shard per row). This is the
+    resharding-cost ledger a 100 TB doc store consults before scaling
+    out; md5-token comparison is plain string order, identical on both
+    engines.
+
+    Scale plan: the ring is a 32/36-row broadcast dimension; ownership is
+    a per-doc min-over-32 (a broadcast fanout collapsed map-side), one
+    pass per ring size. No corpus self-joins."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+
+    def ring(n_shards: int):
+        s = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+        v = spark.range(4).select(F.col("id").cast("int").alias("vnode"))
+        return s.crossJoin(v).select(
+            "shard",
+            "vnode",
+            F.md5(
+                F.concat(
+                    F.lit("shard:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("vnode").cast("string"),
+                )
+            ).alias("tok"),
+        )
+
+    def assign(ring_df, out_col: str):
+        rmin = ring_df.agg(F.min("tok").alias("ring_min"))
+        sel = (
+            docs.crossJoin(F.broadcast(ring_df))
+            .groupBy("doc_id", "h")
+            .agg(
+                F.min(F.when(F.col("tok") >= F.col("h"), F.col("tok"))).alias(
+                    "ge"
+                )
+            )
+            .crossJoin(F.broadcast(rmin))
+            .select(
+                "doc_id", F.coalesce(F.col("ge"), F.col("ring_min")).alias("sel")
+            )
+        )
+        return sel.join(ring_df, sel["sel"] == ring_df["tok"]).select(
+            "doc_id", F.col("shard").alias(out_col)
+        )
+
+    m8 = assign(ring(8), "s8")
+    m9 = assign(ring(9), "s9")
+    j = m8.join(m9, "doc_id")
+    moved = F.sum(F.when(F.col("s9") != F.col("s8"), 1).otherwise(0))
+    g = j.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("s9") == F.col("s8"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stay"),
+        moved.cast("bigint").alias("n_moved"),
+        F.sum(F.when(F.col("s9") == 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_to_new_shard"),
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        "shard",
+        "n_before",
+        "n_stay",
+        "n_moved",
+        "n_to_new_shard",
+        F.sum("n_moved").over(wall).cast("bigint").alias("total_moved"),
+        F.round(F.col("n_moved").cast("double") / F.col("n_before"), 6).alias(
+            "moved_frac"
+        ),
+    )
+
+
+_FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+spine AS (
+  SELECT et.event_type, CAST(g.gs AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) et, b,
+       unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g(gs)
+),
+dense AS (
+  SELECT s.event_type, coalesce(d.x, 0) AS x
+  FROM spine s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day = s.day
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(x) AS BIGINT) AS total,
+       CAST(sum(x * x) AS BIGINT) AS sumsq,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         AS var_num,
+       CAST(count(*) * sum(x) AS BIGINT) AS fano_den,
+       round(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+             / (count(*) * sum(x)), 6) AS fano
+FROM dense GROUP BY 1
+"""
+
+
+@_register_r4("q_fano_burstiness", _FANO_SQL)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness ledger per event type over the zero-filled
+    day grid: F = Var/Mean with the population identity n*Var = n*sum(x^2)
+    - sum(x)^2, so the statistic is the exact BIGINT rational
+    (n*sumsq - total^2) / (n*total) — F ~ 1 is Poisson traffic, F >> 1 is
+    bursty (retry storms, batch backfills), F << 1 is suspiciously
+    uniform (synthetic injection, rate caps). The per-type complement to
+    q_ewma_anomaly (which days) and q_cusum_changepoint (which
+    changepoint): this one says which STREAMS need burst-tolerant
+    capacity at all.
+
+    Scale plan: one map-side-combined (type, day) rollup; the grid
+    zero-fill is |types| x |days| dimension frames; final rollup is
+    |types|-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    b = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    et = ev.select("event_type").distinct()
+    spine = et.crossJoin(b).select(
+        "event_type",
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    dense = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    n, tot, ss = F.count(F.lit(1)), F.sum("x"), F.sum(F.col("x") * F.col("x"))
+    return dense.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        tot.cast("bigint").alias("total"),
+        ss.cast("bigint").alias("sumsq"),
+        (n * ss - tot * tot).cast("bigint").alias("var_num"),
+        (n * tot).cast("bigint").alias("fano_den"),
+        F.round((n * ss - tot * tot).cast("double") / (n * tot), 6).alias(
+            "fano"
+        ),
+    )
+
+
+_LATE_SQL = """
+WITH o AS (
+  SELECT event_id, ts,
+         max(ts) OVER (ORDER BY md5(event_id::VARCHAR), event_id
+                       ROWS UNBOUNDED PRECEDING) AS watermark
+  FROM events
+),
+l AS (
+  SELECT CAST(date_diff('second', ts, watermark) AS BIGINT) AS late_s
+  FROM o
+),
+bkt AS (
+  SELECT CASE WHEN late_s <= 0 THEN -1
+              ELSE length(bin(late_s)) - position('1' IN bin(late_s)) END
+           AS bucket,
+         late_s
+  FROM l
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(CASE WHEN bucket = -1 THEN 0
+                 ELSE CAST(1 AS BIGINT) << bucket END AS BIGINT)
+         AS bucket_floor_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_s) AS BIGINT) AS max_late_s,
+       CAST(sum(count(*)) OVER () AS BIGINT) AS n_total,
+       round(CAST(sum(count(*)) OVER (ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / sum(count(*)) OVER (), 6) AS cum_frac
+FROM bkt GROUP BY bucket
+"""
+
+
+@_register_r4("q_watermark_lateness", _LATE_SQL)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness histogram — the number that CHOOSES a streaming
+    watermark delay: each event's lateness is (running max event-time) -
+    (its own event-time) in arrival order; the synthetic corpus arrives
+    perfectly ts-sorted (lateness would be vacuously 0 — the dup_discovery
+    lesson), so arrival is SIMULATED as the md5(event_id) permutation and
+    documented as such — production swaps in the real ingest sequence and
+    the ledger machinery is identical. Lateness is bucketed into
+    power-of-two second bands via the HLL bit-length trick (in-order
+    events land in bucket -1). cum_frac per bucket reads directly as 'a
+    watermark of 2^k seconds would have admitted this fraction of
+    events'; everything except the rounded fraction is exact integers.
+    The batch-side calibration for streaming.run_stream_triples'
+    withWatermark choice — measured from the data instead of guessed.
+
+    Scale plan: the running max is ONE global-order window (at production
+    scale: per-partition arrival sequences, same shape as the PPS
+    prefix-sum sharding); buckets collapse map-side to <=34 rows and the
+    cumulative window runs on that dimension frame."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = ev.select(
+        "event_id", "ts", F.max("ts").over(w).alias("watermark")
+    )
+    late = o.select(
+        (
+            F.unix_timestamp("watermark") - F.unix_timestamp("ts")
+        ).cast("bigint").alias("late_s")
+    )
+    bucket = F.when(F.col("late_s") <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr("bin(late_s)"))
+        - F.expr("position('1' IN bin(late_s))")
+    )
+    bkt = late.select(bucket.cast("int").alias("bucket"), "late_s")
+    g = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "bucket",
+        F.when(F.col("bucket") == -1, F.lit(0))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+        .cast("bigint")
+        .alias("bucket_floor_s"),
+        "n_events",
+        "max_late_s",
+        F.sum("n_events").over(wall).cast("bigint").alias("n_total"),
+        F.round(
+            F.sum("n_events").over(wcum).cast("double")
+            / F.sum("n_events").over(wall),
+            6,
+        ).alias("cum_frac"),
+    )

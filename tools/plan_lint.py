@@ -245,6 +245,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "5-row fold spine x |langs| stratum frame (zero-fill grid)")
     ],
+    "q_consistent_hashing": [
+        ("BroadcastNestedLoopJoin",
+         "32/36-row broadcast vnode ring x corpus ownership fanout "
+         "(collapsed map-side to one row per doc) + 1-row ring-min "
+         "wrap carry")
+    ],
+    "q_fano_burstiness": [
+        ("BroadcastNestedLoopJoin",
+         "1-row day-bounds carry building the |types| x |days| zero-fill "
+         "spine (dimension-sized)")
+    ],
 }
 
 
