@@ -4599,3 +4599,198 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4s: distribution distance + shuffle-skew forensics — exact
+# Wasserstein-1 between source length distributions, and a join-key skew
+# audit that recommends salting factors.
+# --------------------------------------------------------------------------
+
+_W1_SQL = """
+WITH a AS (
+  SELECT n_chars AS v, count(*) AS c FROM documents WHERE lang = 'en'
+  GROUP BY 1
+),
+b AS (
+  SELECT n_chars AS v, count(*) AS c FROM documents WHERE lang <> 'en'
+  GROUP BY 1
+),
+g AS (
+  SELECT v, coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM (SELECT v FROM a UNION SELECT v FROM b) u
+  LEFT JOIN a USING (v) LEFT JOIN b USING (v)
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS fa,
+         CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS fb,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb,
+         lead(v) OVER (ORDER BY v) AS v_next
+  FROM g
+),
+seg AS (
+  SELECT v, v_next, fa, fb, na, nb,
+         abs(fa * nb - fb * na) * (v_next - v) AS w1_term
+  FROM cum WHERE v_next IS NOT NULL
+)
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_grid,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(sum(w1_term) AS BIGINT) AS w1_num,
+       CAST(max(na) * max(nb) AS BIGINT) AS w1_den,
+       round(CAST(sum(w1_term) AS DOUBLE) / (max(na) * max(nb)), 6) AS w1,
+       CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS ks_num,
+       round(CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+             / (max(na) * max(nb)), 6) AS ks
+FROM seg
+"""
+
+
+@_register_r4("q_wasserstein_lengths", _W1_SQL)
+def q_wasserstein_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) distance between the English and
+    non-English document-length distributions, via the 1-D identity
+    W1 = integral |F_a - F_b| dv over the merged distinct-value grid:
+    each grid segment contributes |F_a(v)·n_b − F_b(v)·n_a| · (v_next − v)
+    in exact BIGINTs over the common denominator n_a·n_b; the same
+    cross-multiplied CDF gap also yields the exact KS numerator as a
+    built-in consistency column (must equal q_ks_drift's formulation).
+    W1 is the drift metric that SIZES the shift (how many char-units of
+    mass must move) where KS only locates the worst point — the right
+    number for deciding whether a per-lang length filter needs re-tuning.
+
+    Scale plan: one map-side-combined value-histogram per side, windows
+    over the merged DISTINCT-VALUE grid (bounded by the value domain,
+    not the corpus). Same grid discipline as the perplexity thresholds."""
+    docs = load_docs(spark, sf_dir)
+    a = (
+        docs.filter(F.col("lang") == "en")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        docs.filter(F.col("lang") != "en")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    g = (
+        a.select("v")
+        .union(b.select("v"))
+        .distinct()
+        .join(a, "v", "left")
+        .join(b, "v", "left")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = g.select(
+        "v",
+        F.sum("ca").over(wc).cast("bigint").alias("fa"),
+        F.sum("cb").over(wc).cast("bigint").alias("fb"),
+        F.sum("ca").over(wall).cast("bigint").alias("na"),
+        F.sum("cb").over(wall).cast("bigint").alias("nb"),
+        F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+    )
+    gap = F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+    seg = cum.filter(F.col("v_next").isNotNull()).select(
+        "fa",
+        "fb",
+        "na",
+        "nb",
+        (gap * (F.col("v_next") - F.col("v"))).alias("w1_term"),
+        gap.alias("gap"),
+    )
+    return seg.agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_grid"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.sum("w1_term").cast("bigint").alias("w1_num"),
+        (F.max("na") * F.max("nb")).cast("bigint").alias("w1_den"),
+        F.round(
+            F.sum("w1_term").cast("double") / (F.max("na") * F.max("nb")), 6
+        ).alias("w1"),
+        F.max("gap").cast("bigint").alias("ks_num"),
+        F.round(
+            F.max("gap").cast("double") / (F.max("na") * F.max("nb")), 6
+        ).alias("ks"),
+    )
+
+
+_SKEW_SQL = """
+WITH k1 AS (
+  SELECT 'lineitem.l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+),
+k2 AS (SELECT 'orders.o_custkey', o_custkey FROM orders),
+k3 AS (SELECT 'events.user_id', user_id FROM events),
+ks AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3),
+c AS (
+  SELECT join_key, k, CAST(count(*) AS BIGINT) AS n
+  FROM ks GROUP BY 1, 2
+)
+SELECT join_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       CAST(max(n) * count(*) AS BIGINT) AS skew_num,
+       CAST(sum(n) AS BIGINT) AS skew_den,
+       round(CAST(max(n) * count(*) AS DOUBLE) / sum(n), 6) AS skew_ratio,
+       CAST(CASE WHEN max(n) * count(*) <= 4 * sum(n) THEN 1
+                 ELSE (max(n) * count(*) + 4 * sum(n) - 1)
+                      // (4 * sum(n)) END AS BIGINT) AS rec_salt
+FROM c GROUP BY 1
+"""
+
+
+@_register_r4("q_skew_audit", _SKEW_SQL)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over the three hottest shuffle keys in the
+    schema (lineitem->orders, orders->customer, events per user): per key
+    the exact cardinality/row counts, the skew ratio max_key_rows /
+    mean_key_rows as the cross-multiplied rational max·n_keys / n_rows,
+    and the SALTING FACTOR a shuffle planner would apply — ceil(skew_ratio
+    / 4) with tolerance 4x-mean, computed in exact integer ceiling
+    division. This is the table that decides, BEFORE the job runs, which
+    joins get salted/AQE-skew-split at 100 TB; the whole mechanism the
+    triple sink's salted_partition_col implements is sized by exactly
+    this number.
+
+    Scale plan: three map-side-combined per-key counts unioned, one
+    |keys|-frame rollup per audit row. No joins at all — the audit of
+    joins costs less than any join it tunes."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("join_key"),
+        F.col("l_orderkey").alias("k"),
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("join_key"),
+        F.col("o_custkey").alias("k"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("join_key"), F.col("user_id").alias("k")
+    )
+    c = (
+        li.unionAll(od)
+        .unionAll(ev)
+        .groupBy("join_key", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    nk, nr, mx = F.count(F.lit(1)), F.sum("n"), F.max("n")
+    rec = F.when(mx * nk <= 4 * nr, F.lit(1)).otherwise(
+        F.floor((mx * nk + 4 * nr - 1) / (4 * nr))
+    )
+    return c.groupBy("join_key").agg(
+        nk.cast("bigint").alias("n_keys"),
+        nr.cast("bigint").alias("n_rows"),
+        mx.cast("bigint").alias("max_key_rows"),
+        (mx * nk).cast("bigint").alias("skew_num"),
+        nr.cast("bigint").alias("skew_den"),
+        F.round((mx * nk).cast("double") / nr, 6).alias("skew_ratio"),
+        rec.cast("bigint").alias("rec_salt"),
+    )
