@@ -4794,3 +4794,284 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mx * nk).cast("double") / nr, 6).alias("skew_ratio"),
         rec.cast("bigint").alias("rec_salt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4t: graph health + Bayesian smoothing — dup-cluster conductance
+# over the doc-similarity graph, the degree CCDF spectrum, and
+# Laplace-smoothed per-user conversion rates.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_DUP_CLUSTER_CTES  # noqa: E402
+
+_COND_SQL = f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_DUP_CLUSTER_CTES},
+{_DPG4.strip()},
+lab AS (SELECT doc_id, cluster_id FROM clusters),
+e AS (
+  SELECT la.cluster_id AS ca, lb.cluster_id AS cb
+  FROM ge
+  JOIN lab la ON la.doc_id = ge.lo
+  JOIN lab lb ON lb.doc_id = ge.hi
+),
+vol AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS vol FROM (
+    SELECT la.cluster_id FROM ge JOIN lab la ON la.doc_id = ge.lo
+    UNION ALL
+    SELECT lb.cluster_id FROM ge JOIN lab lb ON lb.doc_id = ge.hi
+  ) GROUP BY 1
+),
+tot AS (SELECT CAST(2 * count(*) AS BIGINT) AS vol_total FROM ge),
+sz AS (
+  SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1
+  HAVING count(*) >= 2
+),
+agg AS (
+  SELECT s.cluster_id, s.n_docs, coalesce(v.vol, 0) AS vol,
+         coalesce(sum(CASE WHEN e.ca = e.cb THEN 1 ELSE 0 END), 0)
+           AS internal,
+         0 AS dummy
+  FROM sz s
+  LEFT JOIN vol v ON v.cluster_id = s.cluster_id
+  LEFT JOIN e ON e.ca = s.cluster_id AND e.cb = s.cluster_id
+  GROUP BY 1, 2, 3
+),
+cut AS (
+  SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_cut FROM (
+    SELECT ca AS cluster_id, 1 AS n FROM e WHERE ca <> cb
+    UNION ALL
+    SELECT cb, 1 FROM e WHERE ca <> cb
+  ) GROUP BY 1
+)
+SELECT a.cluster_id, CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.vol AS BIGINT) AS volume,
+       CAST(a.internal AS BIGINT) AS internal_edges,
+       CAST(coalesce(c.n_cut, 0) AS BIGINT) AS cut_edges,
+       CAST(least(a.vol, t.vol_total - a.vol) AS BIGINT) AS min_vol,
+       round(CASE WHEN least(a.vol, t.vol_total - a.vol) = 0 THEN 0.0
+                  ELSE CAST(coalesce(c.n_cut, 0) AS DOUBLE)
+                       / least(a.vol, t.vol_total - a.vol) END, 6)
+         AS conductance
+FROM agg a LEFT JOIN cut c ON c.cluster_id = a.cluster_id, tot t
+"""
+
+
+@_register_r4("q_cluster_conductance", _COND_SQL)
+def q_cluster_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of every non-singleton dup cluster against the WEAKER
+    doc-similarity graph (common >= 2 shingles): cut edges / min(vol,
+    vol_total − vol), all exact integers — the graph-partition quality
+    number (low conductance = the cluster is a real community, high =
+    the Jaccard >= 0.5 threshold carved through a denser neighborhood
+    and the dedup decision boundary deserves a second look). Strict
+    cluster labels come from the jaccard CC (q_dup_clusters' exact
+    semantics); the edge universe is the candidate graph both DBSCAN and
+    the MSF consume — so this ledger is precisely 'how well does the
+    strict dedup partition respect the loose similarity structure'.
+
+    Scale plan: two equi-joins attach cluster labels to the edge list's
+    endpoints; volumes/cuts are map-side-combined unions over edge
+    endpoints. CC runs on pair-graph endpoints only (the dedup module's
+    standing argument); nothing touches corpus x corpus."""
+    from cliner_spark import dedup
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    docs = load_docs(spark, sf_dir)
+    lab = dedup.dup_clusters(docs)
+    ge = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    la = lab.select(F.col("doc_id").alias("lo"), F.col("cluster_id").alias("ca"))
+    lb = lab.select(F.col("doc_id").alias("hi"), F.col("cluster_id").alias("cb"))
+    e = ge.join(la, "lo").join(lb, "hi").select("ca", "cb")
+    vol = (
+        e.select(F.col("ca").alias("cluster_id"))
+        .unionAll(e.select(F.col("cb").alias("cluster_id")))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vol"))
+    )
+    tot = e.agg((2 * F.count(F.lit(1))).cast("bigint").alias("vol_total"))
+    sz = (
+        lab.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    internal = (
+        e.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal"))
+    )
+    cut = (
+        e.filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("cluster_id"))
+        .unionAll(
+            e.filter(F.col("ca") != F.col("cb")).select(
+                F.col("cb").alias("cluster_id")
+            )
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cut"))
+    )
+    out = (
+        sz.join(vol, "cluster_id", "left")
+        .join(internal, "cluster_id", "left")
+        .join(cut, "cluster_id", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    v = F.coalesce(F.col("vol"), F.lit(0))
+    nc = F.coalesce(F.col("n_cut"), F.lit(0))
+    mv = F.least(v, F.col("vol_total") - v)
+    return out.select(
+        "cluster_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        v.cast("bigint").alias("volume"),
+        F.coalesce(F.col("internal"), F.lit(0)).cast("bigint").alias(
+            "internal_edges"
+        ),
+        nc.cast("bigint").alias("cut_edges"),
+        mv.cast("bigint").alias("min_vol"),
+        F.round(
+            F.when(mv == 0, F.lit(0.0)).otherwise(nc.cast("double") / mv), 6
+        ).alias("conductance"),
+    )
+
+
+_CCDF_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT lo AS node FROM ge UNION ALL SELECT hi FROM ge
+  ) GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+h AS (SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM deg GROUP BY 1)
+SELECT h.d AS degree, h.n_d,
+       CAST(sum(h.n_d) OVER (ORDER BY h.d DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_ge,
+       n.n_nodes,
+       round(CAST(sum(h.n_d) OVER (ORDER BY h.d DESC
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / n.n_nodes, 6) AS ccdf
+FROM h, n
+"""
+
+
+@_register_r4("q_degree_ccdf", _CCDF_SQL)
+def q_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree CCDF spectrum of the doc-similarity graph (nodes = docs
+    with at least one candidate edge): per observed degree the node
+    count and the exact complementary-cumulative P(D >= d) rational —
+    read on log-log axes this is THE heavy-tail diagnostic (a straight
+    CCDF = power-law boilerplate contamination; at 100 TB a fat tail
+    here predicts hot keys in every downstream pair join, which is what
+    q_skew_audit then sizes). Exact integers except the rounded ccdf.
+
+    Scale plan: degree = one map-side-combined count over edge
+    endpoints; the spectrum windows run on the |distinct degrees| frame.
+    The 1-row node-total carry is a whitelisted broadcast."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ge = _docpair_edges(spark, sf_dir)
+    deg = (
+        ge.select(F.col("src").alias("node"))
+        .unionAll(ge.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    h = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    wc = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.crossJoin(F.broadcast(n))
+        .select(
+            F.col("d").alias("degree"),
+            "n_d",
+            F.sum("n_d").over(wc).cast("bigint").alias("n_ge"),
+            "n_nodes",
+            F.round(
+                F.sum("n_d").over(wc).cast("double") / F.col("n_nodes"), 6
+            ).alias("ccdf"),
+        )
+    )
+
+
+_LAPLACE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_click
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(n_purch) AS BIGINT) AS tot_p,
+         CAST(sum(n_click) AS BIGINT) AS tot_c FROM u
+)
+SELECT u.user_id, u.n_purch, u.n_click,
+       CAST(u.n_purch + 1 AS BIGINT) AS post_num,
+       CAST(u.n_click + 2 AS BIGINT) AS post_den,
+       round(CAST(u.n_purch + 1 AS DOUBLE) / (u.n_click + 2), 6)
+         AS smoothed_rate,
+       round(CAST(u.n_purch AS DOUBLE) / nullif(u.n_click, 0), 6)
+         AS raw_rate,
+       round(CAST(g.tot_p AS DOUBLE) / g.tot_c, 6) AS global_rate,
+       (CAST(u.n_purch + 1 AS BIGINT) * g.tot_c
+        > CAST(u.n_click + 2 AS BIGINT) * g.tot_p) AS above_global
+FROM u, g
+"""
+
+
+@_register_r4("q_laplace_rates", _LAPLACE_SQL)
+def q_laplace_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace (add-one Beta(1,1)) smoothed per-user purchase-per-click
+    rates: the posterior mean (purchases+1)/(clicks+2) as an exact
+    integer rational beside the undefined-prone raw rate — the standard
+    fix for ranking users (or documents, or sources) by a rate when most
+    denominators are tiny: zero-click users shrink to 1/2 instead of
+    dividing by zero, one-click converters stop topping the leaderboard.
+    above_global is the exact cross-multiplied comparison of the
+    posterior against the global rate — no float in the decision bit.
+
+    Scale plan: one map-side-combined per-user rollup + a 1-row global
+    carry (whitelisted broadcast); pure projection afterwards."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purch"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click"),
+    )
+    g = u.agg(
+        F.sum("n_purch").cast("bigint").alias("tot_p"),
+        F.sum("n_click").cast("bigint").alias("tot_c"),
+    )
+    out = u.crossJoin(F.broadcast(g))
+    return out.select(
+        "user_id",
+        "n_purch",
+        "n_click",
+        (F.col("n_purch") + 1).cast("bigint").alias("post_num"),
+        (F.col("n_click") + 2).cast("bigint").alias("post_den"),
+        F.round(
+            (F.col("n_purch") + 1).cast("double") / (F.col("n_click") + 2), 6
+        ).alias("smoothed_rate"),
+        F.round(
+            F.col("n_purch").cast("double")
+            / F.nullif(F.col("n_click").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("raw_rate"),
+        F.round(F.col("tot_p").cast("double") / F.col("tot_c"), 6).alias(
+            "global_rate"
+        ),
+        (
+            (F.col("n_purch") + 1) * F.col("tot_c")
+            > (F.col("n_click") + 2) * F.col("tot_p")
+        ).alias("above_global"),
+    )

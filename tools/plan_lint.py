@@ -256,6 +256,19 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row day-bounds carry building the |types| x |days| zero-fill "
          "spine (dimension-sized)")
     ],
+    "q_cluster_conductance": [
+        ("BroadcastNestedLoopJoin",
+         "1-row total-volume carry onto the |clusters|-sized ledger")
+    ],
+    "q_degree_ccdf": [
+        ("BroadcastNestedLoopJoin",
+         "1-row node-total carry onto the |distinct degrees| spectrum")
+    ],
+    "q_laplace_rates": [
+        ("BroadcastNestedLoopJoin",
+         "1-row global-rate carry onto the per-user rollup (exact "
+         "cross-multiplied above_global bit)")
+    ],
 }
 
 
