@@ -5075,3 +5075,213 @@ def q_laplace_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             > (F.col("n_click") + 2) * F.col("tot_p")
         ).alias("above_global"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4u: graph diameter double-sweep + best-of-n selection ledger.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import SQL_DOC_CUI  # noqa: E402
+
+_DIAM_SQL = f"""
+WITH RECURSIVE {SQL_DOCS_TOKS}, {SQL_KEPT_MENTIONS}, {SQL_BEST_GAZ},
+{SQL_LINKED}, {SQL_DOC_CUI},
+e2 AS (SELECT src AS s, dst AS t FROM coedges UNION SELECT dst, src FROM coedges),
+bfs1(node, hops) AS (
+  SELECT 'CD001', 0
+  UNION
+  SELECT e2.t, bfs1.hops + 1 FROM bfs1 JOIN e2 ON e2.s = bfs1.node
+  WHERE bfs1.hops < 10
+),
+d1 AS (SELECT node, min(hops) AS hops FROM bfs1 GROUP BY node),
+far1 AS (
+  SELECT node, hops FROM d1 ORDER BY hops DESC, node ASC LIMIT 1
+),
+bfs2(node, hops) AS (
+  SELECT node, 0 FROM far1
+  UNION
+  SELECT e2.t, bfs2.hops + 1 FROM bfs2 JOIN e2 ON e2.s = bfs2.node
+  WHERE bfs2.hops < 10
+),
+d2 AS (SELECT node, min(hops) AS hops FROM bfs2 GROUP BY node),
+far2 AS (
+  SELECT node, hops FROM d2 ORDER BY hops DESC, node ASC LIMIT 1
+)
+SELECT 'CD001' AS start_node,
+       CAST(far1.hops AS INT) AS ecc_start,
+       far1.node AS sweep_node,
+       CAST(far2.hops AS INT) AS diameter_lb,
+       far2.node AS far_node,
+       CAST((SELECT count(*) FROM d1) AS BIGINT) AS n_reach_start,
+       CAST((SELECT count(*) FROM d2) AS BIGINT) AS n_reach_sweep
+FROM far1, far2
+"""
+
+
+@_register_r4("q_diameter_sweep", _DIAM_SQL)
+def q_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-BFS diameter sweep (the classic 2-sweep lower bound,
+    exact on trees and near-tight in practice) over the concept
+    co-occurrence graph: BFS from CD001 to exhaustion, hop to the
+    farthest reached node (tie -> min id, pinned on both engines), BFS
+    again — the second eccentricity is the diameter lower bound the
+    iterative-BFS family was missing (q_kg_bfs gives one eccentricity;
+    all-pairs BFS is the thing you must NOT do at scale, and the 2-sweep
+    is the standard cheap substitute). Also reports both reachable-set
+    sizes (connectivity audit of the sweep component).
+
+    Scale plan: exactly two bfs_distances runs (per-superstep
+    frontier-x-edges equi-joins, broadcast frontiers); the only driver
+    value is the 1-row farthest-node pick between sweeps — the same
+    bounded driver-scalar pattern as the BPE top-1 rounds."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.graph import bfs_distances, group_concept_pairs
+
+    edges = group_concept_pairs(_doc_linked(spark, sf_dir)).localCheckpoint()
+    d1 = bfs_distances(edges, "CD001", max_hops=10)
+    far1 = (
+        d1.orderBy(F.desc("hops"), F.asc("node")).limit(1).collect()[0]
+    )
+    d2 = bfs_distances(edges, far1["node"], max_hops=10)
+    far2 = (
+        d2.orderBy(F.desc("hops"), F.asc("node")).limit(1).collect()[0]
+    )
+    n1, n2 = d1.count(), d2.count()
+    return spark.createDataFrame(
+        [
+            (
+                "CD001",
+                int(far1["hops"]),
+                far1["node"],
+                int(far2["hops"]),
+                far2["node"],
+                n1,
+                n2,
+            )
+        ],
+        "start_node string, ecc_start int, sweep_node string, "
+        "diameter_lb int, far_node string, n_reach_start bigint, "
+        "n_reach_sweep bigint",
+    )
+
+
+_BON_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docs
+       WHERE len(toks) > 0),
+du AS (SELECT d.doc_id, CAST(count(DISTINCT lower(t.tok)) AS BIGINT) AS n_uniq
+       FROM docs d, unnest(d.toks) AS t(tok) GROUP BY 1),
+sc AS (
+  SELECT dd.source, dl.doc_id,
+         (1000 * du.n_uniq) // dl.n_toks AS reward
+  FROM dl JOIN du USING (doc_id) JOIN documents dd USING (doc_id)
+),
+gr AS (
+  SELECT source, doc_id, reward,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY md5(doc_id::VARCHAR), doc_id) - 1) // 4
+           AS grp
+  FROM sc
+),
+full_g AS (
+  SELECT source, grp FROM gr GROUP BY 1, 2 HAVING count(*) = 4
+),
+gw AS (
+  SELECT gr.source, gr.grp, gr.reward,
+         row_number() OVER (PARTITION BY gr.source, gr.grp
+                            ORDER BY gr.reward DESC, gr.doc_id ASC) AS rn,
+         sum(gr.reward) OVER (PARTITION BY gr.source, gr.grp) AS grp_sum
+  FROM gr JOIN full_g USING (source, grp)
+),
+w AS (
+  SELECT source, grp, reward AS win_reward, grp_sum
+  FROM gw WHERE rn = 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(grp_sum) AS BIGINT) AS base_sum,
+       CAST(4 * count(*) AS BIGINT) AS base_den,
+       CAST(sum(win_reward) AS BIGINT) AS bon_sum,
+       round(CAST(sum(grp_sum) AS DOUBLE) / (4 * count(*)), 6) AS base_mean,
+       round(CAST(sum(win_reward) AS DOUBLE) / count(*), 6) AS bon_mean,
+       CAST(4 * sum(win_reward) - sum(grp_sum) AS BIGINT) AS uplift_num
+FROM w GROUP BY 1
+"""
+
+
+@_register_r4("q_best_of_n", _BON_SQL)
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-4 selection ledger per source (the rejection-sampling /
+    BoN primitive of RFT data pipelines): docs are md5-grouped into
+    complete groups of 4 within each source, the group winner is the max
+    deterministic reward (lexical-diversity milli, tie -> min doc_id via
+    a pinned row_number), and the ledger reports the
+    exact base-mean vs winner-mean sufficient statistics — uplift_num =
+    4*sum(winners) - sum(all) over the common denominator 4*n_groups is
+    the exact BoN lift, always >= 0 by construction (a replica-test
+    invariant). Incomplete trailing groups are excluded (no small-group
+    bias).
+
+    Scale plan: one corpus scan for rewards, one window per source for
+    md5 grouping (partitioned, not global), map-side-combined group
+    rollups. The selection itself never leaves the group key — no pair
+    joins."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks_c = tokens_col("text")
+    dl = docs.filter(F.size(toks_c) > 0).select(
+        "doc_id", "source", F.size(toks_c).cast("long").alias("n_toks")
+    )
+    du = (
+        docs.select("doc_id", F.explode(toks_c).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_uniq"))
+    )
+    sc = dl.join(du, "doc_id").select(
+        "source", "doc_id", F.expr("(1000 * n_uniq) div n_toks").alias("reward")
+    )
+    wgrp = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    gr = sc.select(
+        "source",
+        "doc_id",
+        "reward",
+        F.floor((F.row_number().over(wgrp) - 1) / 4).alias("grp"),
+    )
+    full_g = (
+        gr.groupBy("source", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 4)
+        .select("source", "grp")
+    )
+    wg = Window.partitionBy("source", "grp")
+    gw = gr.join(full_g, ["source", "grp"]).select(
+        "source",
+        "grp",
+        "reward",
+        F.row_number()
+        .over(wg.orderBy(F.desc("reward"), F.asc("doc_id")))
+        .alias("rn"),
+        F.sum("reward").over(wg).alias("grp_sum"),
+    )
+    w = gw.filter(F.col("rn") == 1).select(
+        "source", "grp", F.col("reward").alias("win_reward"), "grp_sum"
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("grp_sum").cast("bigint").alias("base_sum"),
+        (4 * F.count(F.lit(1))).cast("bigint").alias("base_den"),
+        F.sum("win_reward").cast("bigint").alias("bon_sum"),
+        F.round(
+            F.sum("grp_sum").cast("double") / (4 * F.count(F.lit(1))), 6
+        ).alias("base_mean"),
+        F.round(F.sum("win_reward").cast("double") / F.count(F.lit(1)), 6).alias(
+            "bon_mean"
+        ),
+        (4 * F.sum("win_reward") - F.sum("grp_sum"))
+        .cast("bigint")
+        .alias("uplift_num"),
+    )
