@@ -5285,3 +5285,152 @@ def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uplift_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4v: Luby's maximal-independent-set rounds over the doc-similarity
+# graph — the classic O(log n)-round distributed symmetry-breaking
+# primitive (Luby 1986), with md5 priorities so every round is
+# engine-reproducible.
+# --------------------------------------------------------------------------
+
+
+def _luby_sql() -> str:
+    blocks = []
+    prev = "surv0"
+    for r in (1, 2, 3):
+        blocks.append(f"""
+pr{r} AS (
+  SELECT node, md5('{r}:' || node::VARCHAR) || '#'
+         || lpad(node::VARCHAR, 12, '0') AS k
+  FROM {prev}
+),
+ea{r} AS (
+  SELECT a.node AS u, b.node AS v, pb.k AS kv
+  FROM adj
+  JOIN pr{r} a ON a.node = adj.u
+  JOIN pr{r} b ON b.node = adj.v
+  JOIN pr{r} pb ON pb.node = adj.v
+),
+mn{r} AS (SELECT u AS node, min(kv) AS min_nb FROM ea{r} GROUP BY 1),
+sel{r} AS (
+  SELECT p.node FROM pr{r} p LEFT JOIN mn{r} m ON m.node = p.node
+  WHERE m.min_nb IS NULL OR p.k < m.min_nb
+),
+del{r} AS (
+  SELECT node FROM sel{r}
+  UNION
+  SELECT adj.v FROM adj JOIN sel{r} s ON s.node = adj.u
+  JOIN pr{r} pv ON pv.node = adj.v
+),
+surv{r} AS (
+  SELECT node FROM {prev} WHERE node NOT IN (SELECT node FROM del{r})
+)""".strip())
+        prev = f"surv{r}"
+    return ",\n".join(blocks)
+
+
+_LUBY_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+nodes AS (SELECT lo AS node FROM ge UNION SELECT hi FROM ge),
+adj AS (SELECT lo AS u, hi AS v FROM ge UNION ALL SELECT hi, lo FROM ge),
+surv0 AS (SELECT node FROM nodes),
+{_luby_sql()}
+SELECT n.node,
+       CAST(CASE WHEN n.node IN (SELECT node FROM sel1) THEN 1
+                 WHEN n.node IN (SELECT node FROM sel2) THEN 2
+                 WHEN n.node IN (SELECT node FROM sel3) THEN 3
+                 ELSE -1 END AS INT) AS sel_round,
+       (n.node IN (SELECT node FROM surv3)) AS still_active
+FROM nodes n
+"""
+
+
+@_register_r4("q_luby_mis", _LUBY_SQL)
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's maximal-independent-set algorithm (Luby 1986 — THE
+    distributed symmetry-breaking primitive behind parallel coloring and
+    scheduling), 3 rounds over the doc-similarity graph: each round every
+    surviving node draws the md5-keyed priority md5(round:node)#node (a
+    strict total order — the node suffix breaks any hex tie), joins the
+    MIS iff its key beats every surviving neighbor's, and selected nodes
+    eliminate their neighborhoods. Per round this selects an independent
+    set in expectation-constant fraction of edges — O(log n) rounds to
+    exhaustion; the 3-round ledger emits each node's selection round
+    (-1 = not selected) and whether it is still undecided. The selected
+    set is independent BY CONSTRUCTION at every prefix — the replica
+    asserts it; applied to dedup, MIS of the similarity graph is a
+    maximal set of pairwise-dissimilar representatives (an alternative
+    keep-policy to min-id CC).
+
+    Scale plan: each round is one adjacency equi-join against the
+    surviving node frame (priorities are stateless md5 projections — any
+    shard regenerates them), a min-per-node map-side combine, and an
+    anti-join elimination; rounds are localCheckpoint-pinned. No
+    cartesian anywhere; exactly the Pregel MIS shape."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ge = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    nodes = (
+        ge.select(F.col("lo").alias("node"))
+        .union(ge.select(F.col("hi").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = ge.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+        ge.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    ).localCheckpoint()
+
+    def key(r: int, col: str):
+        return F.concat(
+            F.md5(F.concat(F.lit(f"{r}:"), F.col(col).cast("string"))),
+            F.lit("#"),
+            F.lpad(F.col(col).cast("string"), 12, "0"),
+        )
+
+    surv = nodes
+    sels = []
+    for r in (1, 2, 3):
+        pr = surv.select("node", key(r, "node").alias("k"))
+        ea = (
+            adj.join(pr.select(F.col("node").alias("u")), "u")
+            .join(
+                pr.select(F.col("node").alias("v"), F.col("k").alias("kv")),
+                "v",
+            )
+            .select("u", "kv")
+        )
+        mn = ea.groupBy(F.col("u").alias("node")).agg(
+            F.min("kv").alias("min_nb")
+        )
+        sel = (
+            pr.join(mn, "node", "left")
+            .filter(F.col("min_nb").isNull() | (F.col("k") < F.col("min_nb")))
+            .select("node")
+            .localCheckpoint()
+        )
+        elim = (
+            adj.join(sel.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .join(surv, "node", "left_semi")
+            .union(sel)
+            .distinct()
+        )
+        surv = surv.join(elim, "node", "left_anti").localCheckpoint()
+        sels.append(sel.withColumn("sel_round", F.lit(r)))
+    sel_all = sels[0].unionAll(sels[1]).unionAll(sels[2])
+    out = (
+        nodes.join(sel_all, "node", "left")
+        .join(surv.withColumn("active", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("sel_round"), F.lit(-1)).cast("int").alias(
+                "sel_round"
+            ),
+            F.coalesce(F.col("active"), F.lit(False)).alias("still_active"),
+        )
+    )
+    return out
