@@ -5434,3 +5434,435 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Round 4p: marketing-attribution trio — the revenue-credit ledgers every
+# product-analytics stack runs over its event stream. Three credit models
+# over the same (purchase x preceding-touch) frame: positional (first/last
+# touch), game-theoretic (exact 3-player Shapley over coalition conversion
+# counts), and the per-user RFM segmentation that feeds campaign targeting.
+# --------------------------------------------------------------------------
+
+_TOUCH_ATTR_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(round(value * 100) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS t_ch
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+),
+pt AS (
+  SELECT p.p_id, p.p_cents, t.t_ts, t.t_id, t.t_ch
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+rn AS (
+  SELECT p_id, p_cents, t_ch,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts DESC, t_id DESC) AS rn_l,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts ASC, t_id ASC) AS rn_f
+  FROM pt
+),
+lastt AS (
+  SELECT coalesce(t_ch, 'direct') AS channel,
+         CAST(count(*) AS BIGINT) AS n_last,
+         CAST(sum(p_cents) AS BIGINT) AS cents_last
+  FROM rn WHERE rn_l = 1 GROUP BY 1
+),
+firstt AS (
+  SELECT coalesce(t_ch, 'direct') AS channel,
+         CAST(count(*) AS BIGINT) AS n_first,
+         CAST(sum(p_cents) AS BIGINT) AS cents_first
+  FROM rn WHERE rn_f = 1 GROUP BY 1
+)
+SELECT coalesce(l.channel, f.channel) AS channel,
+       CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last,
+       CAST(coalesce(l.cents_last, 0) AS BIGINT) AS cents_last,
+       CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first,
+       CAST(coalesce(f.cents_first, 0) AS BIGINT) AS cents_first,
+       round(CAST(coalesce(l.cents_last, 0) AS DOUBLE)
+             / sum(coalesce(l.cents_last, 0)) OVER (), 6) AS share_last
+FROM lastt l FULL OUTER JOIN firstt f ON l.channel = f.channel
+"""
+
+
+@_register_r4("q_touch_attribution", _TOUCH_ATTR_SQL)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution: every purchase is
+    credited to the latest (and, in the twin column set, the earliest)
+    click/view/signup by the same user inside a 7-day lookback window;
+    purchases with no preceding touch fall to the 'direct' channel. Pure
+    timestamp comparisons (no epoch extraction), exact integer cents, ties
+    pinned by event_id — the positional-credit half of the attribution
+    trio (q_shapley_attribution is the game-theoretic half).
+
+    Scale plan: purchases x touches is a per-user equi-join (the 7-day
+    band is a post-join filter Spark pushes into the join condition);
+    fan-in is bounded by per-user activity, the classic user-partitioned
+    shape — salt hot users via the q_skew_audit factor if the stream has
+    bot traffic. Both picks come from one window pass over the pair frame;
+    the final 4-row channel ledger is a map-side-combined rollup."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        cents.alias("p_cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_ch"),
+    )
+    pt = p.join(
+        t,
+        (p["p_user"] == t["t_user"])
+        & (t["t_ts"] < p["p_ts"])
+        & (t["t_ts"] >= p["p_ts"] - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w_l = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    w_f = Window.partitionBy("p_id").orderBy(F.asc("t_ts"), F.asc("t_id"))
+    rn = pt.select(
+        "p_id",
+        "p_cents",
+        "t_ch",
+        F.row_number().over(w_l).alias("rn_l"),
+        F.row_number().over(w_f).alias("rn_f"),
+    )
+    lastt = (
+        rn.filter(F.col("rn_l") == 1)
+        .groupBy(F.coalesce("t_ch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_last"),
+            F.sum("p_cents").cast("bigint").alias("cents_last"),
+        )
+    )
+    firstt = (
+        rn.filter(F.col("rn_f") == 1)
+        .groupBy(F.coalesce("t_ch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_first"),
+            F.sum("p_cents").cast("bigint").alias("cents_first"),
+        )
+    )
+    both = lastt.join(firstt, "channel", "full_outer").select(
+        "channel",
+        F.coalesce("n_last", F.lit(0)).cast("bigint").alias("n_last"),
+        F.coalesce("cents_last", F.lit(0)).cast("bigint").alias("cents_last"),
+        F.coalesce("n_first", F.lit(0)).cast("bigint").alias("n_first"),
+        F.coalesce("cents_first", F.lit(0))
+        .cast("bigint")
+        .alias("cents_first"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return both.withColumn(
+        "share_last",
+        F.round(
+            F.col("cents_last")
+            / F.sum("cents_last").over(w_all).cast("double"),
+            6,
+        ),
+    )
+
+
+_SHAPLEY_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_type AS t_ch FROM events
+  WHERE event_type IN ('click', 'view', 'signup')
+),
+masks AS (
+  SELECT p.p_id,
+         coalesce(max(CASE WHEN t.t_ch = 'click' THEN 1 END), 0)
+         + coalesce(max(CASE WHEN t.t_ch = 'view' THEN 2 END), 0)
+         + coalesce(max(CASE WHEN t.t_ch = 'signup' THEN 4 END), 0) AS mask
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+  GROUP BY 1
+),
+mh AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_conv FROM masks GROUP BY 1),
+coal AS (
+  SELECT s.s, CAST(coalesce(sum(mh.n_conv), 0) AS BIGINT) AS v
+  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)
+  LEFT JOIN mh ON (mh.mask | s.s) = s.s
+  GROUP BY 1
+),
+vw AS (
+  SELECT max(CASE WHEN s = 0 THEN v END) AS v0,
+         max(CASE WHEN s = 1 THEN v END) AS v1,
+         max(CASE WHEN s = 2 THEN v END) AS v2,
+         max(CASE WHEN s = 3 THEN v END) AS v3,
+         max(CASE WHEN s = 4 THEN v END) AS v4,
+         max(CASE WHEN s = 5 THEN v END) AS v5,
+         max(CASE WHEN s = 6 THEN v END) AS v6,
+         max(CASE WHEN s = 7 THEN v END) AS v7
+  FROM coal
+)
+SELECT c.channel,
+       CAST(CASE c.bit
+         WHEN 1 THEN 2*(v1 - v0) + (v3 - v2) + (v5 - v4) + 2*(v7 - v6)
+         WHEN 2 THEN 2*(v2 - v0) + (v3 - v1) + (v6 - v4) + 2*(v7 - v5)
+         ELSE        2*(v4 - v0) + (v5 - v1) + (v6 - v2) + 2*(v7 - v3)
+       END AS BIGINT) AS shap6_num,
+       CAST(CASE c.bit WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v4 END
+            AS BIGINT) AS v_solo,
+       CAST(v0 AS BIGINT) AS v_none,
+       CAST(v7 AS BIGINT) AS v_grand,
+       CAST(6 * (v7 - v0) AS BIGINT) AS eff_den,
+       round(CAST(CASE c.bit
+         WHEN 1 THEN 2*(v1 - v0) + (v3 - v2) + (v5 - v4) + 2*(v7 - v6)
+         WHEN 2 THEN 2*(v2 - v0) + (v3 - v1) + (v6 - v4) + 2*(v7 - v5)
+         ELSE        2*(v4 - v0) + (v5 - v1) + (v6 - v2) + 2*(v7 - v3)
+       END AS DOUBLE) / (6 * (v7 - v0)), 6) AS shap_share
+FROM (VALUES ('click', 1), ('view', 2), ('signup', 4)) c(channel, bit)
+CROSS JOIN vw
+"""
+
+
+@_register_r4("q_shapley_attribution", _SHAPLEY_SQL)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-player Shapley-value attribution (the data-driven MTA model
+    of Zhao et al. 2018, "Shapley value methods for attribution modeling"):
+    each purchase contributes its touched-channel set as a 3-bit mask, the
+    coalition game is v(S) = number of conversions reachable using only
+    channels in S (mask subset-of S — monotone by construction, v(empty) =
+    no-touch conversions), and each channel's Shapley value is the exact
+    permutation-weighted marginal sum. With 3 players the 3! weights clear
+    to integers at x6: shap6 = 2*(v(i)-v(0)) + sum_j (v(ij)-v(j)) +
+    2*(v(N)-v(N\\i)). Efficiency — sum(shap6) == 6*(v(N)-v(empty)) — is a
+    replica-test invariant; eff_den ships in the row so the check is
+    hash-visible.
+
+    Scale plan: the corpus-sized work is one user-partitioned purchase x
+    touch join collapsed to a per-purchase bit-or (map-side combinable);
+    everything after operates on the <=8-row mask histogram x 8-row
+    coalition spine — driver-scale by construction, same dimension-spine
+    shape as q_fs_linkage's agreement patterns."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_ch"),
+    )
+    masks = (
+        p.join(
+            t,
+            (p["p_user"] == t["t_user"])
+            & (t["t_ts"] < p["p_ts"])
+            & (t["t_ts"] >= p["p_ts"] - F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("t_ch") == "click", 1)), F.lit(0)
+                )
+                + F.coalesce(
+                    F.max(F.when(F.col("t_ch") == "view", 2)), F.lit(0)
+                )
+                + F.coalesce(
+                    F.max(F.when(F.col("t_ch") == "signup", 4)), F.lit(0)
+                )
+            ).alias("mask")
+        )
+    )
+    mh = masks.groupBy("mask").agg(F.count("*").cast("bigint").alias("n_conv"))
+    spine = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    coal = (
+        spine.join(
+            mh, F.expr("(mask | s) = s"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    vw = coal.agg(
+        *[
+            F.max(F.when(F.col("s") == k, F.col("v"))).alias(f"v{k}")
+            for k in range(8)
+        ]
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4)], "channel string, bit int"
+    )
+    shap6 = (
+        F.when(
+            F.col("bit") == 1,
+            2 * (F.col("v1") - F.col("v0"))
+            + (F.col("v3") - F.col("v2"))
+            + (F.col("v5") - F.col("v4"))
+            + 2 * (F.col("v7") - F.col("v6")),
+        )
+        .when(
+            F.col("bit") == 2,
+            2 * (F.col("v2") - F.col("v0"))
+            + (F.col("v3") - F.col("v1"))
+            + (F.col("v6") - F.col("v4"))
+            + 2 * (F.col("v7") - F.col("v5")),
+        )
+        .otherwise(
+            2 * (F.col("v4") - F.col("v0"))
+            + (F.col("v5") - F.col("v1"))
+            + (F.col("v6") - F.col("v2"))
+            + 2 * (F.col("v7") - F.col("v3")),
+        )
+    )
+    v_solo = (
+        F.when(F.col("bit") == 1, F.col("v1"))
+        .when(F.col("bit") == 2, F.col("v2"))
+        .otherwise(F.col("v4"))
+    )
+    return ch.crossJoin(F.broadcast(vw)).select(
+        "channel",
+        shap6.cast("bigint").alias("shap6_num"),
+        v_solo.cast("bigint").alias("v_solo"),
+        F.col("v0").cast("bigint").alias("v_none"),
+        F.col("v7").cast("bigint").alias("v_grand"),
+        (6 * (F.col("v7") - F.col("v0"))).cast("bigint").alias("eff_den"),
+        F.round(
+            shap6.cast("double") / (6 * (F.col("v7") - F.col("v0"))), 6
+        ).alias("shap_share"),
+    )
+
+
+_RFM_SQL = """
+WITH pur AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id,
+         CAST(max(date_trunc('day', ts)) AS DATE) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM pur GROUP BY 1
+),
+anch AS (
+  SELECT u.*, max(last_d) OVER () AS anchor_d,
+         CAST(count(*) OVER () AS BIGINT) AS n_u
+  FROM u
+),
+r AS (
+  SELECT user_id, frequency, monetary_cents, n_u,
+         CAST(date_diff('day', last_d, anchor_d) AS BIGINT) AS recency_days
+  FROM anch
+),
+s AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         5 - ((row_number() OVER (ORDER BY recency_days ASC, user_id ASC)
+               - 1) * 5) // n_u AS r_score,
+         5 - ((row_number() OVER (ORDER BY frequency DESC, user_id ASC)
+               - 1) * 5) // n_u AS f_score,
+         5 - ((row_number() OVER (ORDER BY monetary_cents DESC, user_id ASC)
+               - 1) * 5) // n_u AS m_score
+  FROM r
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, recency_days, frequency,
+       monetary_cents,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
+
+@_register_r4("q_rfm_segments", _RFM_SQL)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    campaign-targeting ledger: per purchasing user, exact days since last
+    purchase (day-truncated dates — engine-stable, no epoch math), purchase
+    count, and lifetime cents; each axis scored 1..5 by the exact rank
+    formula 5 - ((rank-1)*5) div n (most-recent / highest gets 5), ties
+    pinned by user_id, concatenated into the '555'-style segment label.
+    The rank formula replaces ntile() so bucket edges are pure integer
+    arithmetic on both engines rather than engine tie-semantics.
+
+    Scale plan: one map-side-combined per-user rollup; the three global
+    rankings run over the USER frame, not events (10^8 rows at 10^12
+    events). At that scale the rank windows become 3 single-key sorts —
+    the documented production swap is 5 broadcast quantile cutoffs per
+    axis (computed once from the same exact frame) with bucket-by-cutoff,
+    which this formula reproduces exactly on unique-value axes."""
+    ev = load(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    u = pur.groupBy("user_id").agg(
+        F.max(F.date_trunc("day", F.col("ts"))).cast("date").alias("last_d"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum("cents").cast("bigint").alias("monetary_cents"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    r = u.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.count("*").over(w_all).cast("bigint").alias("n_u"),
+        F.datediff(F.max("last_d").over(w_all), F.col("last_d"))
+        .cast("bigint")
+        .alias("recency_days"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    s = r.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (
+            5
+            - F.expr(
+                "CAST((row_number() OVER (ORDER BY recency_days ASC, "
+                "user_id ASC) - 1) * 5 AS BIGINT) div n_u"
+            )
+        ).cast("int").alias("r_score"),
+        (
+            5
+            - F.expr(
+                "CAST((row_number() OVER (ORDER BY frequency DESC, "
+                "user_id ASC) - 1) * 5 AS BIGINT) div n_u"
+            )
+        ).cast("int").alias("f_score"),
+        (
+            5
+            - F.expr(
+                "CAST((row_number() OVER (ORDER BY monetary_cents DESC, "
+                "user_id ASC) - 1) * 5 AS BIGINT) div n_u"
+            )
+        ).cast("int").alias("m_score"),
+    )
+    return s.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

@@ -269,6 +269,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row global-rate carry onto the per-user rollup (exact "
          "cross-multiplied above_global bit)")
     ],
+    "q_shapley_attribution": [
+        ("BroadcastNestedLoopJoin",
+         "8-row coalition spine x <=8-row mask histogram (subset theta "
+         "join) + 1-row coalition-value wide carry onto the 3-row "
+         "channel spine — all dimension-scale by construction")
+    ],
 }
 
 
