@@ -5866,3 +5866,379 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4q: LLM-eval / search-loop primitives — self-consistency majority
+# voting (Wang et al. 2022), successive halving (Jamieson & Talwalkar
+# 2016, the Hyperband inner loop), and offline policy evaluation by replay
+# matching (Li et al. WSDM 2011). All three are the deterministic-ledger
+# halves of loops a training stack runs constantly: sample-k-vote, tune-
+# under-budget, and evaluate-a-policy-from-logs-without-deploying-it.
+# --------------------------------------------------------------------------
+
+_MAJVOTE_SQL = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars % 4 AS INT) AS answer,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY md5(doc_id::VARCHAR), doc_id) - 1) // 5
+           AS grp
+  FROM documents
+),
+full_g AS (SELECT source, grp FROM d GROUP BY 1, 2 HAVING count(*) = 5),
+votes AS (
+  SELECT d.source, d.grp, d.answer, CAST(count(*) AS BIGINT) AS n_votes
+  FROM d JOIN full_g USING (source, grp)
+  GROUP BY 1, 2, 3
+),
+winner AS (
+  SELECT source, grp, answer, n_votes,
+         row_number() OVER (PARTITION BY source, grp
+                            ORDER BY n_votes DESC, answer ASC) AS rn
+  FROM votes
+)
+SELECT source, CAST(answer AS INT) AS answer,
+       CAST(count(*) AS BIGINT) AS n_wins,
+       CAST(sum(n_votes) AS BIGINT) AS winner_votes,
+       CAST(sum(CASE WHEN n_votes = 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unanimous,
+       CAST(sum(2 * n_votes - 5) AS BIGINT) AS margin_sum
+FROM winner WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@_register_r4("q_majority_vote", _MAJVOTE_SQL)
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency majority voting (Wang et al. 2022): docs are
+    md5-grouped into complete groups of 5 per source (the "k samples of
+    one prompt"), each sample's answer class is the deterministic
+    n_chars % 4, and the group's decision is the plurality answer with
+    ties pinned to the smallest class. The ledger per (source, winning
+    answer) reports wins, the winner's pooled vote count, unanimous
+    groups, and the exact aggregate margin sum(2*votes - k) — the
+    agreement signal self-consistency uses to gate low-confidence
+    answers. Complements q_best_of_n: argmax-by-reward there, plurality
+    here.
+
+    Scale plan: one corpus scan, one per-source window for md5 grouping,
+    then strictly (source, grp, answer)-keyed aggregations — map-side
+    combinable throughout; no pair joins, the vote never leaves its
+    group key."""
+    docs = load_docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") % 4).cast("int").alias("answer"),
+        ((F.row_number().over(w) - 1) / 5).cast("bigint").alias("grp"),
+    )
+    full_g = (
+        d.groupBy("source", "grp").count().filter(F.col("count") == 5)
+        .drop("count")
+    )
+    votes = (
+        d.join(full_g, ["source", "grp"])
+        .groupBy("source", "grp", "answer")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w_win = Window.partitionBy("source", "grp").orderBy(
+        F.desc("n_votes"), F.asc("answer")
+    )
+    winner = votes.withColumn("rn", F.row_number().over(w_win)).filter(
+        F.col("rn") == 1
+    )
+    return winner.groupBy("source", "answer").agg(
+        F.count("*").cast("bigint").alias("n_wins"),
+        F.sum("n_votes").cast("bigint").alias("winner_votes"),
+        F.sum(F.when(F.col("n_votes") == 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unanimous"),
+        F.sum(2 * F.col("n_votes") - 5).cast("bigint").alias("margin_sum"),
+    )
+
+
+_SH_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5('cfg:' || doc_id::VARCHAR), 1, 1)) - 1
+              AS INT) AS config,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5('rung:' || doc_id::VARCHAR), 1, 1)) - 1) % 4
+              AS INT) AS shard
+  FROM documents
+),
+cells AS (
+  SELECT config, shard, CAST(sum(score) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+),
+cfg AS (
+  SELECT config,
+         CAST(coalesce(sum(CASE WHEN shard < 1 THEN s END), 0) AS BIGINT)
+           AS r1_reward,
+         CAST(coalesce(sum(CASE WHEN shard < 2 THEN s END), 0) AS BIGINT)
+           AS r2_reward,
+         CAST(sum(s) AS BIGINT) AS r3_reward,
+         CAST(sum(n) AS BIGINT) AS n_docs
+  FROM cells GROUP BY 1
+),
+k1 AS (
+  SELECT cfg.*,
+         row_number() OVER (ORDER BY r1_reward DESC, config ASC) AS rk1
+  FROM cfg
+),
+k2 AS (
+  SELECT k1.*,
+         CASE WHEN rk1 <= 8 THEN
+           row_number() OVER (PARTITION BY CASE WHEN rk1 <= 8 THEN 1 END
+                              ORDER BY CASE WHEN rk1 <= 8 THEN r2_reward END
+                                       DESC, config ASC)
+         END AS rk2
+  FROM k1
+),
+k3 AS (
+  SELECT k2.*,
+         CASE WHEN rk2 <= 4 THEN
+           row_number() OVER (PARTITION BY CASE WHEN rk2 <= 4 THEN 1 END
+                              ORDER BY CASE WHEN rk2 <= 4 THEN r3_reward END
+                                       DESC, config ASC)
+         END AS rk3
+  FROM k2
+)
+SELECT CAST(config AS INT) AS config, n_docs, r1_reward,
+       rk1 <= 8 AS alive2,
+       CAST(CASE WHEN rk1 <= 8 THEN r2_reward ELSE -1 END AS BIGINT)
+         AS r2_seen,
+       coalesce(rk2 <= 4, FALSE) AS alive3,
+       CAST(CASE WHEN coalesce(rk2 <= 4, FALSE) THEN r3_reward ELSE -1 END
+            AS BIGINT) AS r3_seen,
+       CAST(coalesce(CASE WHEN coalesce(rk2 <= 4, FALSE) THEN rk3 END, 0)
+            AS INT) AS final_rank
+FROM k3
+"""
+
+
+@_register_r4("q_successive_halving", _SH_SQL)
+def q_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive halving (Jamieson & Talwalkar AISTATS 2016 — the
+    Hyperband inner loop): 16 md5-assigned configs are evaluated on
+    nested budget rungs (shard<1, shard<2, all 4 md5 shards of each
+    config's docs), the bottom half is eliminated at each rung by exact
+    reward (ties pinned to the smaller config id), and survivors re-rank
+    on the next rung. Eliminated configs honestly report -1 for unseen
+    rungs — the ledger records exactly what the tuner would have
+    observed, per rung, including the final top-4 ranking.
+
+    Scale plan: the corpus is touched ONCE to build the 64-cell
+    (config x shard) sufficient-statistics table (map-side combined);
+    all three elimination rounds are windows over the 16-row config
+    frame — the whole 'tuning loop' costs one scan regardless of rung
+    count, which is the point of evaluating on nested md5 shards."""
+    docs = load_docs(spark, sf_dir)
+    hex_pos = "0123456789abcdef"
+    d = docs.select(
+        F.col("n_chars").cast("bigint").alias("score"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cfg:"), F.col("doc_id").cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+        ).alias("config"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("rung:"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        ).alias("shard"),
+    )
+    assert hex_pos  # doc parity note: strpos(hex)-1 == conv(hex,16,10)
+    cells = d.groupBy("config", "shard").agg(
+        F.sum("score").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cfg = cells.groupBy("config").agg(
+        F.coalesce(F.sum(F.when(F.col("shard") < 1, F.col("s"))), F.lit(0))
+        .cast("bigint")
+        .alias("r1_reward"),
+        F.coalesce(F.sum(F.when(F.col("shard") < 2, F.col("s"))), F.lit(0))
+        .cast("bigint")
+        .alias("r2_reward"),
+        F.sum("s").cast("bigint").alias("r3_reward"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+    )
+    w1 = Window.orderBy(F.desc("r1_reward"), F.asc("config"))
+    k1 = cfg.withColumn("rk1", F.row_number().over(w1))
+    w2 = Window.partitionBy(
+        F.when(F.col("rk1") <= 8, 1)
+    ).orderBy(F.desc(F.when(F.col("rk1") <= 8, F.col("r2_reward"))), F.asc("config"))
+    k2 = k1.withColumn(
+        "rk2", F.when(F.col("rk1") <= 8, F.row_number().over(w2))
+    )
+    w3 = Window.partitionBy(
+        F.when(F.col("rk2") <= 4, 1)
+    ).orderBy(F.desc(F.when(F.col("rk2") <= 4, F.col("r3_reward"))), F.asc("config"))
+    k3 = k2.withColumn(
+        "rk3",
+        F.when(
+            F.coalesce(F.col("rk2") <= 4, F.lit(False)),
+            F.row_number().over(w3),
+        ),
+    )
+    return k3.select(
+        F.col("config").cast("int").alias("config"),
+        "n_docs",
+        "r1_reward",
+        (F.col("rk1") <= 8).alias("alive2"),
+        F.when(F.col("rk1") <= 8, F.col("r2_reward"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("r2_seen"),
+        F.coalesce(F.col("rk2") <= 4, F.lit(False)).alias("alive3"),
+        F.when(
+            F.coalesce(F.col("rk2") <= 4, F.lit(False)), F.col("r3_reward")
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("r3_seen"),
+        F.coalesce(
+            F.when(
+                F.coalesce(F.col("rk2") <= 4, F.lit(False)), F.col("rk3")
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("final_rank"),
+    )
+
+
+_REPLAY_SQL = """
+WITH logged AS (
+  SELECT event_id, user_id, event_type AS action,
+         CAST(round(value * 100) AS BIGINT) AS reward_cents
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pol AS (
+  SELECT p.policy, l.event_id, l.reward_cents,
+         CASE p.policy
+           WHEN 'always_click' THEN 'click'
+           WHEN 'always_view' THEN 'view'
+           ELSE CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5('pol:' || l.user_id::VARCHAR), 1, 1))
+                           - 1) % 2 = 0
+                     THEN 'click' ELSE 'view' END
+         END AS chosen,
+         l.action
+  FROM (VALUES ('always_click'), ('always_view'), ('md5_personalized'))
+       p(policy)
+  CROSS JOIN logged l
+)
+SELECT policy,
+       CAST(count(*) AS BIGINT) AS n_logged,
+       CAST(sum(CASE WHEN chosen = action THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN chosen = action THEN reward_cents ELSE 0 END)
+            AS BIGINT) AS matched_cents,
+       CAST(sum(CASE WHEN chosen = action
+                THEN reward_cents * reward_cents ELSE 0 END) AS BIGINT)
+         AS matched_cents_sq,
+       round(CAST(sum(CASE WHEN chosen = action THEN reward_cents ELSE 0 END)
+                  AS DOUBLE)
+             / sum(CASE WHEN chosen = action THEN 1 ELSE 0 END), 6)
+         AS replay_value
+FROM pol GROUP BY 1
+"""
+
+
+@_register_r4("q_replay_policy_eval", _REPLAY_SQL)
+def q_replay_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by replay matching (Li et al. WSDM 2011):
+    three candidate policies — two constant arms and an md5-personalized
+    per-user rule — are scored against the logged click/view stream by
+    keeping exactly the events where the policy's choice equals the logged
+    action and averaging their rewards (unbiased when logging is uniform
+    over arms, which the synthetic stream is by construction). Exact
+    matched-count / matched-cents / matched-cents² sufficient statistics
+    ship in the row, so both the replay value and its variance are
+    reproducible downstream without re-scanning logs.
+
+    Scale plan: the 3-row policy spine fans out over one log scan
+    (broadcast side is the 3 literals) and collapses map-side to 3 rows —
+    no shuffle wider than the policy key; at 10^12 events this is the
+    cheapest possible counterfactual evaluation shape (one pass, no
+    per-event state)."""
+    ev = load(spark, sf_dir, "events")
+    logged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("bigint").alias("reward_cents"),
+    )
+    pol = spark.createDataFrame(
+        [("always_click",), ("always_view",), ("md5_personalized",)],
+        "policy string",
+    )
+    user_arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pol:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        F.lit("click"),
+    ).otherwise(F.lit("view"))
+    chosen = (
+        F.when(F.col("policy") == "always_click", F.lit("click"))
+        .when(F.col("policy") == "always_view", F.lit("view"))
+        .otherwise(user_arm)
+    )
+    matched = F.when(chosen == F.col("action"), 1).otherwise(0)
+    return (
+        F.broadcast(pol)
+        .crossJoin(logged)
+        .groupBy("policy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_logged"),
+            F.sum(matched).cast("bigint").alias("n_matched"),
+            F.sum(
+                F.when(chosen == F.col("action"), F.col("reward_cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("matched_cents"),
+            F.sum(
+                F.when(
+                    chosen == F.col("action"),
+                    F.col("reward_cents") * F.col("reward_cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("matched_cents_sq"),
+        )
+        .withColumn(
+            "replay_value",
+            F.round(
+                F.col("matched_cents") / F.col("n_matched").cast("double"), 6
+            ),
+        )
+    )

@@ -269,6 +269,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row global-rate carry onto the per-user rollup (exact "
          "cross-multiplied above_global bit)")
     ],
+    "q_replay_policy_eval": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast policy spine x one log scan — the replay "
+         "fanout, map-side combined back to 3 rows (same shape as the "
+         "Poisson-bootstrap resample spine)")
+    ],
     "q_shapley_attribution": [
         ("BroadcastNestedLoopJoin",
          "8-row coalition spine x <=8-row mask histogram (subset theta "
