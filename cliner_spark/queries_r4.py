@@ -6242,3 +6242,482 @@ def q_replay_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4r: random-projection geometry + chain analytics. The JL audit is
+# the go/no-go table for running ANN on cheaper projected vectors; the
+# Markov stationary distribution is the long-run event-mix forecast used
+# for capacity planning — both kept engine-exact (literal md5 sign matrix,
+# fixed-point 2^20 arithmetic with floor at every step).
+# --------------------------------------------------------------------------
+
+import hashlib as _hl  # noqa: E402
+
+
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[int]]:
+    """Deterministic ±1 Achlioptas-style sign matrix: parity of the first
+    hex nibble of md5('jl:<j>:<i>'). Computed once at import; embedded as a
+    literal in BOTH the Spark plan and the DuckDB oracle, so the projection
+    is engine-identical by construction."""
+    return [
+        [
+            1 if int(_hl.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_S = _jl_signs()
+_JL_S_SQL = (
+    "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _JL_S) + "]"
+)
+
+_JL_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+  FROM embeddings
+),
+signs AS (SELECT {_JL_S_SQL} AS s),
+proj AS (
+  SELECT vec_id, mv,
+         list_transform(range(16), j ->
+           CAST(list_sum(list_transform(range(64),
+                i -> mv[CAST(i AS INT) + 1]
+                     * s[CAST(j AS INT) + 1][CAST(i AS INT) + 1]))
+                AS BIGINT)) AS pv
+  FROM e CROSS JOIN signs
+),
+pairs AS (
+  SELECT a.vec_id AS pair_id,
+         CAST(list_sum(list_transform(range(64),
+              i -> (a.mv[CAST(i AS INT) + 1] - b.mv[CAST(i AS INT) + 1])
+                   * (a.mv[CAST(i AS INT) + 1] - b.mv[CAST(i AS INT) + 1])))
+              AS BIGINT) AS d2_orig,
+         CAST(list_sum(list_transform(range(16),
+              j -> (a.pv[CAST(j AS INT) + 1] - b.pv[CAST(j AS INT) + 1])
+                   * (a.pv[CAST(j AS INT) + 1] - b.pv[CAST(j AS INT) + 1])))
+              AS BIGINT) AS d2_proj
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+)
+SELECT CAST(pair_id AS BIGINT) AS pair_id, d2_orig, d2_proj,
+       CAST(16 * d2_orig AS BIGINT) AS expect_den,
+       round(CAST(d2_proj AS DOUBLE) / (16 * d2_orig), 6) AS distortion
+FROM pairs
+"""
+
+
+@_register_r4("q_jl_distortion", _JL_SQL)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit: every embedding
+    is projected 64 -> 16 dims through a literal ±1 md5 sign matrix
+    (Achlioptas 2001 database-friendly JL), and consecutive-id pairs
+    compare exact squared distances in both spaces as BIGINT micro-unit
+    integers. E[d2_proj] = 16 * d2_orig for ±1 signs, so
+    distortion = d2_proj / (16 * d2_orig) should concentrate around 1 —
+    the one-table answer to "can ANN run on 4x-cheaper vectors here?".
+    Zero explode: the projection is aggregate/zip_with over packed arrays
+    (whole-stage codegen), the sign matrix a plan literal.
+
+    Scale plan: projection is a projection-only map over the corpus (no
+    shuffle); the pair frame is an equi-join on vec_id+1 — at 10^12 rows
+    swap in any bounded candidate pair set (the df-cut edge list) without
+    touching the distortion algebra."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))"
+        ).alias("mv"),
+    )
+    sign_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in row) + ")"
+            for row in _JL_S
+        )
+        + ")"
+    )
+    proj = e.withColumn(
+        "pv",
+        F.expr(
+            f"transform(sequence(0, 15), j -> aggregate("
+            f"zip_with(mv, {sign_sql}[j], (x, s) -> x * s), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+        ),
+    )
+    a = proj.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("mv").alias("ma"),
+        F.col("pv").alias("pa"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("mv").alias("mb"),
+        F.col("pv").alias("pb"),
+    )
+    d2 = "aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    pairs = a.join(b, "pair_id").select(
+        F.col("pair_id").cast("bigint").alias("pair_id"),
+        F.expr(d2.format("ma", "mb")).cast("bigint").alias("d2_orig"),
+        F.expr(d2.format("pa", "pb")).cast("bigint").alias("d2_proj"),
+    )
+    return pairs.select(
+        "pair_id",
+        "d2_orig",
+        "d2_proj",
+        (16 * F.col("d2_orig")).cast("bigint").alias("expect_den"),
+        F.round(
+            F.col("d2_proj").cast("double") / (16 * F.col("d2_orig")), 6
+        ).alias("distortion"),
+    )
+
+
+_MARKOV_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS a, event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rowsum AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS r_a FROM trans GROUP BY 1),
+p AS (
+  SELECT t.a, t.b, (t.n_ab * 1048576) // rs.r_a AS p_fp
+  FROM trans t JOIN rowsum rs USING (a)
+),
+types AS (SELECT DISTINCT event_type AS ty FROM events),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM types),
+v0 AS (SELECT ty, 1048576 // nt.n_types AS m FROM types CROSS JOIN nt),
+v1 AS (
+  SELECT p.b AS ty, CAST(sum(v0.m * p.p_fp) // 1048576 AS BIGINT) AS m
+  FROM v0 JOIN p ON p.a = v0.ty GROUP BY 1
+),
+v2 AS (
+  SELECT p.b AS ty, CAST(sum(v1.m * p.p_fp) // 1048576 AS BIGINT) AS m
+  FROM v1 JOIN p ON p.a = v1.ty GROUP BY 1
+),
+v3 AS (
+  SELECT p.b AS ty, CAST(sum(v2.m * p.p_fp) // 1048576 AS BIGINT) AS m
+  FROM v2 JOIN p ON p.a = v2.ty GROUP BY 1
+)
+SELECT t.ty AS event_type,
+       CAST(coalesce(v1.m, 0) AS BIGINT) AS p1_fp,
+       CAST(coalesce(v2.m, 0) AS BIGINT) AS p2_fp,
+       CAST(coalesce(v3.m, 0) AS BIGINT) AS p3_fp,
+       round(CAST(coalesce(v3.m, 0) AS DOUBLE) / 1048576, 6) AS p3,
+       CAST(row_number() OVER (ORDER BY coalesce(v3.m, 0) DESC, t.ty ASC)
+            AS INT) AS rnk
+FROM types t LEFT JOIN v1 ON v1.ty = t.ty
+             LEFT JOIN v2 ON v2.ty = t.ty
+             LEFT JOIN v3 ON v3.ty = t.ty
+"""
+
+
+@_register_r4("q_markov_stationary", _MARKOV_SQL)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run event-mix forecast: the user-event chain's empirical
+    transition matrix, iterated three power steps from uniform in exact
+    2^20 fixed-point arithmetic — P_fp[a][b] = (n_ab << 20) div r_a and
+    v' [b] = (sum_a v[a] * P_fp[a][b]) div 2^20, floored at every step so
+    both engines compute bit-identical masses (the same fixed-point trick
+    as the resource-allocation link score; no float matrix powers). Emits
+    the mass after each step — convergence is visible as p2 ≈ p3 — plus
+    the final ranking, the table a capacity planner reads for "what does
+    the steady-state request mix look like".
+
+    Scale plan: one lag window per user (the only corpus-sized shuffle)
+    collapses to a |types|² transition frame; the three iterations are
+    joins over that 25-row frame — chain length never multiplies corpus
+    cost, which is why the unrolled form is safe at any event volume."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    rowsum = trans.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("r_a"))
+    p = trans.join(rowsum, "a").select(
+        "a", "b", F.expr("(n_ab * 1048576) div r_a").alias("p_fp")
+    )
+    types = ev.select(F.col("event_type").alias("ty")).distinct()
+    nt = types.agg(F.count("*").cast("bigint").alias("n_types"))
+    v = types.crossJoin(F.broadcast(nt)).select(
+        "ty", F.expr("1048576 div n_types").alias("m")
+    )
+    vs = []
+    for _step in range(3):
+        v = (
+            v.join(p, v["ty"] == p["a"])
+            .groupBy(F.col("b").alias("ty2"))
+            .agg(
+                F.expr("CAST(sum(m * p_fp) div 1048576 AS BIGINT)").alias("m")
+            )
+            .withColumnRenamed("ty2", "ty")
+        )
+        vs.append(v)
+    out = types
+    for k, vk in enumerate(vs, start=1):
+        out = out.join(
+            vk.withColumnRenamed("m", f"p{k}_fp"), "ty", "left"
+        )
+    out = out.select(
+        F.col("ty").alias("event_type"),
+        *[
+            F.coalesce(F.col(f"p{k}_fp"), F.lit(0))
+            .cast("bigint")
+            .alias(f"p{k}_fp")
+            for k in (1, 2, 3)
+        ],
+    )
+    return out.select(
+        "*",
+        F.round(F.col("p3_fp").cast("double") / 1048576, 6).alias("p3"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("p3_fp"), F.asc("event_type")))
+        .cast("int")
+        .alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4s: greedy best-first routing over a navigable small-world-style
+# graph — the HNSW/NSW layer-0 search primitive (Malkov & Yashunin 2016),
+# run as a bounded unrolled descent so the whole approximate search is
+# engine-exact and hash-checkable. The graph: a global vec_id ring (the
+# connectivity backbone) plus per-LSH-bucket chains (the long-range
+# shortcut links a bucketed index gives for free).
+# --------------------------------------------------------------------------
+
+
+def _sql_d2(a: str, b: str) -> str:
+    """Exact BIGINT micro-unit squared L2 between two BIGINT lists."""
+    return (
+        f"CAST(list_sum(list_transform(range(64), i -> "
+        f"({a}[CAST(i AS INT) + 1] - {b}[CAST(i AS INT) + 1]) * "
+        f"({a}[CAST(i AS INT) + 1] - {b}[CAST(i AS INT) + 1]))) AS BIGINT)"
+    )
+
+
+def _greedy_sql(hops: int = 6) -> str:
+    from cliner_spark.entry_queries import SQL_EMB, _sql_lsh_buckets
+
+    parts = [
+        f"WITH {SQL_EMB}, {_sql_lsh_buckets(4).strip()},",
+        """
+m AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+  FROM e
+),
+chain AS (
+  SELECT lag(vec_id) OVER (PARTITION BY bucket ORDER BY vec_id) AS a,
+         vec_id AS b
+  FROM bk QUALIFY a IS NOT NULL
+),
+ring AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+edges AS (SELECT a, b FROM chain UNION SELECT a, b FROM ring),
+adj AS (SELECT a AS src, b AS dst FROM edges
+        UNION SELECT b AS src, a AS dst FROM edges),
+entry AS (SELECT min(vec_id) AS ev FROM e),
+qs AS (
+  SELECT vec_id AS query_id, mv AS qmv
+  FROM m CROSS JOIN entry WHERE vec_id <> entry.ev
+  ORDER BY md5('gq:' || vec_id::VARCHAR), vec_id LIMIT 12
+),
+f0 AS (
+  SELECT q.query_id, q.qmv, entry.ev AS cur,
+         """
+        + _sql_d2("m.mv", "q.qmv")
+        + """ AS d2,
+         CAST(0 AS INT) AS moves, CAST(1 AS INT) AS last_move
+  FROM qs q CROSS JOIN entry JOIN m ON m.vec_id = entry.ev
+)""",
+    ]
+    prev = "f0"
+    for k in range(1, hops + 1):
+        nd2 = _sql_d2("nb.mv", "f.qmv")
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT f.query_id, f.qmv, f.cur, f.d2, f.moves, adj.dst AS nb_id,
+         {nd2} AS nd2,
+         row_number() OVER (PARTITION BY f.query_id
+                            ORDER BY {nd2} ASC, adj.dst ASC) AS rn
+  FROM {prev} f JOIN adj ON adj.src = f.cur
+  JOIN m nb ON nb.vec_id = adj.dst
+),
+f{k} AS (
+  SELECT query_id, qmv,
+         CASE WHEN nd2 < d2 THEN nb_id ELSE cur END AS cur,
+         CASE WHEN nd2 < d2 THEN nd2 ELSE d2 END AS d2,
+         moves + CASE WHEN nd2 < d2 THEN 1 ELSE 0 END AS moves,
+         CASE WHEN nd2 < d2 THEN 1 ELSE 0 END AS last_move
+  FROM c{k} WHERE rn = 1
+)"""
+        )
+        prev = f"f{k}"
+    parts.append(
+        f"""
+SELECT f.query_id, s.d2 AS start_d2, f.cur AS final_node, f.d2 AS final_d2,
+       CAST(f.moves AS INT) AS n_moves, f.last_move = 0 AS converged,
+       CASE WHEN s.d2 > 0
+            THEN round(CAST(f.d2 AS DOUBLE) / s.d2, 6) ELSE 0.0 END
+         AS dist_ratio
+FROM {prev} f JOIN f0 s USING (query_id)"""
+    )
+    return "\n".join(parts)
+
+
+_GREEDY_HOPS = 6
+_GREEDY_SQL = _greedy_sql(_GREEDY_HOPS)
+
+_SPARK_D2 = (
+    "CAST(aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+)
+
+
+@_register_r4("q_graph_greedy_search", _GREEDY_SQL)
+def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first vector search over a navigable graph — the NSW /
+    HNSW layer-0 primitive (Malkov & Yashunin 2016): from a fixed entry
+    node (min vec_id), each of 12 md5-chosen query vectors repeatedly
+    hops to its current node's best neighbor (exact BIGINT micro-unit
+    squared L2, ties to the smaller id) while that improves, for 6
+    unrolled supersteps. The graph is the vec_id ring (connectivity
+    backbone) ∪ per-LSH-bucket chains (4 md5 hyperplanes — the shortcut
+    links a bucketed index already has). The ledger reports start/final
+    exact distances, hop count, convergence, and the distance ratio —
+    the searchability audit of the index graph itself.
+
+    Scale plan: bucket chains come from one window per bucket; the ring
+    is an equi-self-join; each superstep is frontier(12) x adjacency
+    equi-joins with broadcast frontiers and a per-query window —
+    never corpus x corpus. localCheckpoint pins the graph and each
+    12-row frontier exactly like the BFS/diameter family."""
+    from cliner_spark.similarity import lsh_buckets
+
+    emb = load(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))"
+        ).alias("mv"),
+    ).localCheckpoint()
+    bk = lsh_buckets(emb, n_planes=4)
+    w_b = Window.partitionBy("bucket").orderBy("vec_id")
+    chain = (
+        bk.select(
+            F.lag("vec_id").over(w_b).alias("a"), F.col("vec_id").alias("b")
+        )
+        .filter(F.col("a").isNotNull())
+    )
+    ring = (
+        m.select(F.col("vec_id").alias("a"))
+        .join(
+            m.select((F.col("vec_id") - 1).alias("a"), F.col("vec_id").alias("b")),
+            "a",
+        )
+        .select("a", "b")
+    )
+    edges = chain.union(ring).distinct()
+    adj = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    entry = m.agg(F.min("vec_id").alias("ev"))
+    qs = (
+        m.crossJoin(F.broadcast(entry))
+        .filter(F.col("vec_id") != F.col("ev"))
+        .orderBy(
+            F.md5(F.concat(F.lit("gq:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(12)
+        .select(F.col("vec_id").alias("query_id"), F.col("mv").alias("qmv"))
+    )
+    f = (
+        qs.crossJoin(F.broadcast(entry))
+        .join(m.select(F.col("vec_id").alias("ev"), F.col("mv").alias("emv")), "ev")
+        .select(
+            "query_id",
+            "qmv",
+            F.col("ev").alias("cur"),
+            F.expr(_SPARK_D2.format("emv", "qmv")).alias("d2"),
+            F.lit(0).cast("int").alias("moves"),
+            F.lit(1).cast("int").alias("last_move"),
+        )
+        .localCheckpoint()
+    )
+    f0 = f
+    for _k in range(_GREEDY_HOPS):
+        nbm = m.select(
+            F.col("vec_id").alias("nb_id"), F.col("mv").alias("nb_mv")
+        )
+        cand = (
+            f.join(adj, f["cur"] == adj["src"])
+            .join(nbm, F.col("dst") == F.col("nb_id"))
+            .withColumn("nd2", F.expr(_SPARK_D2.format("nb_mv", "qmv")))
+        )
+        w_q = Window.partitionBy("query_id").orderBy(
+            F.asc("nd2"), F.asc("nb_id")
+        )
+        best = cand.withColumn("rn", F.row_number().over(w_q)).filter(
+            F.col("rn") == 1
+        )
+        f = best.select(
+            "query_id",
+            "qmv",
+            F.when(F.col("nd2") < F.col("d2"), F.col("nb_id"))
+            .otherwise(F.col("cur"))
+            .alias("cur"),
+            F.when(F.col("nd2") < F.col("d2"), F.col("nd2"))
+            .otherwise(F.col("d2"))
+            .alias("d2"),
+            (
+                F.col("moves")
+                + F.when(F.col("nd2") < F.col("d2"), 1).otherwise(0)
+            ).cast("int").alias("moves"),
+            F.when(F.col("nd2") < F.col("d2"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("last_move"),
+        ).localCheckpoint()
+    return (
+        f.join(
+            f0.select("query_id", F.col("d2").alias("start_d2")), "query_id"
+        )
+        .select(
+            "query_id",
+            "start_d2",
+            F.col("cur").alias("final_node"),
+            F.col("d2").alias("final_d2"),
+            F.col("moves").cast("int").alias("n_moves"),
+            (F.col("last_move") == 0).alias("converged"),
+            F.when(
+                F.col("start_d2") > 0,
+                F.round(F.col("d2").cast("double") / F.col("start_d2"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dist_ratio"),
+        )
+    )

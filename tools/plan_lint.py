@@ -269,6 +269,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row global-rate carry onto the per-user rollup (exact "
          "cross-multiplied above_global bit)")
     ],
+    "q_markov_stationary": [
+        ("BroadcastNestedLoopJoin",
+         "1-row n_types carry onto the |types| spine for the uniform "
+         "fixed-point start vector")
+    ],
     "q_replay_policy_eval": [
         ("BroadcastNestedLoopJoin",
          "3-row broadcast policy spine x one log scan — the replay "
