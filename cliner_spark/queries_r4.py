@@ -6721,3 +6721,363 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4t: forecast-quality + local-DP + campaign-eval ledgers. Brier's
+# Murphy decomposition is the proper-scoring-rule complement to the ECE
+# bins / isotonic PAV already shipped; randomized response is the Warner
+# 1965 local-DP collection primitive with its honest utility audit; the
+# gains chart is the decile capture table every targeting model ships
+# with.
+# --------------------------------------------------------------------------
+
+from cliner_spark.entry_queries import (  # noqa: E402
+    SQL_BEST_GAZ,
+    SQL_KEPT_MENTIONS,
+    SQL_LINKED,
+)
+
+_BRIER_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()}, {SQL_KEPT_MENTIONS.strip()}, {SQL_BEST_GAZ.strip()},
+{SQL_LINKED.strip()},
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM docs
+       WHERE len(toks) > 0),
+du AS (SELECT d.doc_id, CAST(count(DISTINCT lower(t.tok)) AS BIGINT) AS n_uniq
+       FROM docs d, unnest(d.toks) AS t(tok) GROUP BY 1),
+pred AS (SELECT dl.doc_id, (1000 * du.n_uniq) // dl.n_toks AS p_milli
+         FROM dl JOIN du USING (doc_id)),
+lab AS (SELECT DISTINCT doc_id FROM linked),
+b AS (SELECT least(p.p_milli // 100, 9) AS bin, p.p_milli,
+             CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS pos
+      FROM pred p LEFT JOIN lab l USING (doc_id)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(pos) AS BIGINT) AS p_all FROM b)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(p_milli) AS BIGINT) AS sum_p_milli,
+       CAST(sum((p_milli - 1000 * pos) * (p_milli - 1000 * pos)) AS BIGINT)
+         AS brier_num,
+       CAST((sum(p_milli) - 1000 * sum(pos))
+            * (sum(p_milli) - 1000 * sum(pos)) AS BIGINT) AS rel_num,
+       CAST(count(*) * 1000000 AS BIGINT) AS rel_den,
+       CAST((tot.n_all * sum(pos) - count(*) * tot.p_all)
+            * (tot.n_all * sum(pos) - count(*) * tot.p_all) AS BIGINT)
+         AS res_num,
+       CAST(count(*) * tot.n_all * tot.n_all AS BIGINT) AS res_den,
+       CAST(count(*) * sum(p_milli * p_milli)
+            - sum(p_milli) * sum(p_milli) AS BIGINT) AS wbv_num,
+       CAST(1000 * (count(*) * sum(p_milli * pos)
+                    - sum(p_milli) * sum(pos)) AS BIGINT) AS wbc_num,
+       round(CAST(sum((p_milli - 1000 * pos) * (p_milli - 1000 * pos))
+                  AS DOUBLE) / (count(*) * 1000000), 6) AS brier_bin,
+       round(CAST(tot.p_all AS DOUBLE) * (tot.n_all - tot.p_all)
+             / (tot.n_all * tot.n_all), 6) AS unc_global
+FROM b CROSS JOIN tot
+GROUP BY bin, tot.n_all, tot.p_all
+"""
+
+
+@_register_r4("q_brier_decomposition", _BRIER_SQL)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the deterministic
+    quality classifier (same milli-unit forecast and gazetteer-linked
+    label as q_calibration_bins): per decile bin the exact per-bin Brier
+    numerator sum((p - 1000y)^2), the reliability term numerator
+    (sum_p - 1000*n_pos)^2 over den 10^6*n, and the resolution term
+    numerator (N*n_pos - n*P)^2 over den n*N^2, plus the within-bin
+    variance (n*sum_p2 - sum_p^2) and covariance 1000*(n*sum_py -
+    sum_p*n_pos) numerators — all BIGINT, so the GENERALIZED Murphy
+    identity for binned continuous forecasts, Brier = REL - RES + UNC
+    + WBV - 2*WBC (Stephenson et al. 2008), is checkable in exact
+    rational arithmetic by the replica test (UNC = P(N-P)/N^2 ships as
+    the rounded global convenience column). REL tells you to recalibrate
+    (feed q_isotonic_calibration); RES tells you whether the score ranks
+    at all; WBV/WBC tell you what the binning itself hides.
+
+    Scale plan: identical shape to the calibration bins — two partial
+    aggregations over the corpus, a broadcast label join, a 1-row N/P
+    carry onto the 10-row bin rollup. No windows, no pairs."""
+    from cliner_spark.entry_queries import _doc_linked
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("tok"))
+    dl = docs.filter(F.size(tokens_col("text")) > 0).select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_toks")
+    )
+    du = toks.groupBy("doc_id").agg(F.countDistinct("tok").alias("n_uniq"))
+    pred = dl.join(du, "doc_id").select(
+        "doc_id", F.expr("(1000 * n_uniq) div n_toks").alias("p_milli")
+    )
+    lab = (
+        _doc_linked(spark, sf_dir)
+        .select(F.col("conv_id").alias("doc_id"))
+        .distinct()
+        .withColumn("pos", F.lit(1))
+    )
+    b = pred.join(F.broadcast(lab), "doc_id", "left").select(
+        F.least(F.expr("p_milli div 100"), F.lit(9)).cast("int").alias("bin"),
+        "p_milli",
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("pos").cast("bigint").alias("p_all"),
+    )
+    n, npos, spm = F.count(F.lit(1)), F.sum("pos"), F.sum("p_milli")
+    sq = F.sum(
+        (F.col("p_milli") - 1000 * F.col("pos"))
+        * (F.col("p_milli") - 1000 * F.col("pos"))
+    )
+    rel_num = (spm - 1000 * npos) * (spm - 1000 * npos)
+    res_num = (F.first("n_all") * npos - n * F.first("p_all")) * (
+        F.first("n_all") * npos - n * F.first("p_all")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            n.cast("bigint").alias("n"),
+            npos.cast("bigint").alias("n_pos"),
+            spm.cast("bigint").alias("sum_p_milli"),
+            sq.cast("bigint").alias("brier_num"),
+            rel_num.cast("bigint").alias("rel_num"),
+            (n * 1000000).cast("bigint").alias("rel_den"),
+            res_num.cast("bigint").alias("res_num"),
+            (n * F.first("n_all") * F.first("n_all"))
+            .cast("bigint")
+            .alias("res_den"),
+            (
+                n * F.sum(F.col("p_milli") * F.col("p_milli"))
+                - spm * spm
+            )
+            .cast("bigint")
+            .alias("wbv_num"),
+            (
+                1000
+                * (
+                    n * F.sum(F.col("p_milli") * F.col("pos"))
+                    - spm * npos
+                )
+            )
+            .cast("bigint")
+            .alias("wbc_num"),
+            F.round(sq.cast("double") / (n * 1000000), 6).alias("brier_bin"),
+            F.round(
+                F.first("p_all").cast("double")
+                * (F.first("n_all") - F.first("p_all"))
+                / (F.first("n_all") * F.first("n_all")),
+                6,
+            ).alias("unc_global"),
+        )
+    )
+
+
+_RR_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('rr1:' || doc_id::VARCHAR), 1, 1)) - 1) % 4 = 0
+              THEN 1 ELSE 0 END AS flip
+  FROM documents
+),
+r AS (
+  SELECT source, truth,
+         CASE WHEN flip = 1 THEN 1 - truth ELSE truth END AS reported
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(truth) AS BIGINT) AS true_pos,
+       CAST(sum(reported) AS BIGINT) AS n_reported,
+       CAST(4 * sum(reported) - count(*) AS BIGINT) AS est_num,
+       CAST(2 AS BIGINT) AS est_den,
+       CAST(abs(2 * sum(truth) - (4 * sum(reported) - count(*))) AS BIGINT)
+         AS abs_err_num,
+       round(CAST(4 * sum(reported) - count(*) AS DOUBLE) / (2 * count(*)), 6)
+         AS est_rate,
+       round(CAST(sum(truth) AS DOUBLE) / count(*), 6) AS true_rate
+FROM r GROUP BY 1
+"""
+
+
+@_register_r4("q_randomized_response", _RR_SQL)
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner-1965 randomized response, the local-DP collection primitive:
+    each document's sensitive bit (lang == 'en') is flipped with
+    probability 1/4 by a deterministic md5 coin before 'collection', and
+    the per-source unbiased estimator t_hat = (4*reports - n) / 2 is
+    reconstructed from the noisy tally (flip prob q: (reports - nq) /
+    (1 - 2q)). Because the corpus also carries the ground truth, the
+    ledger doubles as the utility audit — abs_err_num = |2*true - est_num|
+    over the common denominator 2 is the exact estimator error the privacy
+    budget bought. Complements q_dp_release (central geometric DP) with
+    the local model.
+
+    Scale plan: one projection-only scan, one map-side-combined rollup per
+    source. The md5 coin is regenerable per shard — no RNG state, same as
+    every seeded draw in the repo."""
+    docs = load_docs(spark, sf_dir)
+    truth = F.when(F.col("lang") == "en", 1).otherwise(0)
+    flip = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rr1:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 4
+        == 0,
+        1,
+    ).otherwise(0)
+    r = docs.select(
+        "source",
+        truth.alias("truth"),
+        F.when(flip == 1, 1 - truth).otherwise(truth).alias("reported"),
+    )
+    n, tp, rep = F.count(F.lit(1)), F.sum("truth"), F.sum("reported")
+    est_num = 4 * rep - n
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n"),
+        tp.cast("bigint").alias("true_pos"),
+        rep.cast("bigint").alias("n_reported"),
+        est_num.cast("bigint").alias("est_num"),
+        F.lit(2).cast("bigint").alias("est_den"),
+        F.abs(2 * tp - est_num).cast("bigint").alias("abs_err_num"),
+        F.round(est_num.cast("double") / (2 * n), 6).alias("est_rate"),
+        F.round(tp.cast("double") / n, 6).alias("true_rate"),
+    )
+
+
+_GAINS_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+              AS BIGINT) AS score,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+              AS BIGINT) AS outcome
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT u.*,
+         row_number() OVER (ORDER BY score DESC, user_id ASC) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_u,
+         CAST(sum(outcome) OVER () AS BIGINT) AS out_all
+  FROM u
+),
+dec AS (
+  SELECT ((rn - 1) * 10) // n_u AS decile, n_u, out_all,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(outcome) AS BIGINT) AS outcomes,
+         CAST(sum(score) AS BIGINT) AS score_sum
+  FROM rk GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT decile, n_users, outcomes, score_sum, n_u, out_all,
+         CAST(sum(n_users) OVER (ORDER BY decile) AS BIGINT) AS cum_users,
+         CAST(sum(outcomes) OVER (ORDER BY decile) AS BIGINT) AS cum_outcomes
+  FROM dec
+)
+SELECT CAST(decile AS INT) AS decile, n_users, outcomes, score_sum,
+       cum_users, cum_outcomes,
+       CAST(cum_outcomes * n_u - cum_users * out_all AS BIGINT) AS lift_num,
+       CAST(cum_users * out_all AS BIGINT) AS lift_den,
+       round(CAST(cum_outcomes AS DOUBLE) / out_all, 6) AS capture,
+       round(CAST(cum_outcomes AS DOUBLE) * n_u / (cum_users * out_all), 6)
+         AS lift
+FROM cum
+"""
+
+
+@_register_r4("q_gains_chart", _GAINS_SQL)
+def q_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart, the standard targeting-model eval:
+    users ranked by a deterministic model score (click count, ties pinned
+    by user_id), cut into deciles by the exact ((rank-1)*10) div n formula
+    (no ntile), and per decile the captured outcomes (purchases), the
+    running capture curve, and the exact cross-multiplied lift
+    (cum_outcomes * N vs cum_users * total_outcomes) — lift_num > 0 means
+    the decile beats random targeting, and the top-decile row is the
+    'how much better than spray-and-pray' number campaign planning runs
+    on.
+
+    Scale plan: one map-side-combined per-user rollup; ranking and the
+    cumulative window run over the USER frame, deciles collapse it to 10
+    rows before the cumulative sum. Same production swap as
+    q_rfm_segments: broadcast decile cutoffs replace the global rank
+    window at 10^8-user scale."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("outcome"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rn = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    rk = u.select(
+        "user_id",
+        "score",
+        "outcome",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_all).cast("bigint").alias("n_u"),
+        F.sum("outcome").over(w_all).cast("bigint").alias("out_all"),
+    )
+    dec = (
+        rk.groupBy(
+            F.expr("((rn - 1) * 10) div n_u").alias("decile"), "n_u", "out_all"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("outcome").cast("bigint").alias("outcomes"),
+            F.sum("score").cast("bigint").alias("score_sum"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dec.select(
+        "decile",
+        "n_users",
+        "outcomes",
+        "score_sum",
+        "n_u",
+        "out_all",
+        F.sum("n_users").over(w_cum).cast("bigint").alias("cum_users"),
+        F.sum("outcomes").over(w_cum).cast("bigint").alias("cum_outcomes"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        "outcomes",
+        "score_sum",
+        "cum_users",
+        "cum_outcomes",
+        (F.col("cum_outcomes") * F.col("n_u") - F.col("cum_users") * F.col("out_all"))
+        .cast("bigint")
+        .alias("lift_num"),
+        (F.col("cum_users") * F.col("out_all")).cast("bigint").alias("lift_den"),
+        F.round(F.col("cum_outcomes").cast("double") / F.col("out_all"), 6).alias(
+            "capture"
+        ),
+        F.round(
+            F.col("cum_outcomes").cast("double")
+            * F.col("n_u")
+            / (F.col("cum_users") * F.col("out_all")),
+            6,
+        ).alias("lift"),
+    )

@@ -269,6 +269,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row global-rate carry onto the per-user rollup (exact "
          "cross-multiplied above_global bit)")
     ],
+    "q_brier_decomposition": [
+        ("BroadcastNestedLoopJoin",
+         "1-row N/P global-total carry onto the 10-row bin rollup "
+         "(resolution-term cross-multiplication)")
+    ],
     "q_markov_stationary": [
         ("BroadcastNestedLoopJoin",
          "1-row n_types carry onto the |types| spine for the uniform "
