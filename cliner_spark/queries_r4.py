@@ -7081,3 +7081,111 @@ def q_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4u: distributed suffix-array construction by prefix doubling
+# (Manber & Myers 1990) — the index structure behind EXACT substring
+# deduplication of training corpora (Lee et al. 2022 build suffix arrays
+# over the whole corpus to strip repeated spans; q_lcs_pairs is the
+# pair-local approximation, this is the corpus-global primitive). Four
+# doubling rounds rank every suffix by its first 16 tokens; equal ranks
+# are exactly the repeated-16-token-window groups.
+# --------------------------------------------------------------------------
+
+
+def _suffix_sql(rounds: int = 4) -> str:
+    parts = [
+        f"WITH {SQL_DOCS_TOKS.strip()},",
+        """
+s0 AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         lower(toks[CAST(t.i AS INT) + 1]) AS tok
+  FROM docs, unnest(range(len(toks))) AS t(i)
+),
+r0 AS (
+  SELECT doc_id, pos,
+         CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
+  FROM s0
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        off = 1 << (k - 1)
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT a.doc_id, a.pos,
+         CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0))
+              AS BIGINT) AS r
+  FROM r{k - 1} a LEFT JOIN r{k - 1} b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + {off}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, pos, r AS rank16,
+       CAST(count(*) OVER (PARTITION BY r) AS BIGINT) AS group_size,
+       count(*) OVER (PARTITION BY r) > 1 AS is_dup
+FROM r{rounds}"""
+    )
+    return "\n".join(parts)
+
+
+_SUFFIX_ROUNDS = 4
+_SUFFIX_SQL = _suffix_sql(_SUFFIX_ROUNDS)
+
+
+@_register_r4("q_suffix_ranks", _SUFFIX_SQL)
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global suffix ranking by prefix doubling (Manber-Myers):
+    round 0 dense-ranks every (doc, pos) suffix by its first token; round
+    k re-ranks by the pair (rank, rank at pos+2^(k-1)) with 0 as the
+    end-of-doc sentinel (shorter suffix sorts first, the suffix-array
+    convention); after 4 rounds rank16 totally orders suffixes by their
+    first 16 tokens. group_size > 1 rows are EXACTLY the repeated
+    16-token windows — the signal Lee et al. 2022 cut from training
+    corpora — computed without materializing a single n-gram string
+    (ranks double their reach, strings never concatenate).
+
+    Scale plan: each round is one equi-self-join on (doc_id, pos+2^k)
+    plus one distributed dense_rank — i.e. suffix-array construction IS
+    O(log n) distributed sorts, the honest cost every SA paper pays. The
+    ranking is NOT a global window (which would collapse to one
+    partition): dist_dense_rank range-partitions on the key, ranks each
+    partition locally, and shifts by per-partition distinct counts —
+    exact global dense_rank, fully parallel (see cliner_spark.ranking).
+    Lineage is localCheckpoint-pinned per round (inside dist_dense_rank)
+    like the BFS/Luby loops."""
+    from cliner_spark.ranking import dist_dense_rank
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    s0 = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), F.lower("tok").alias("tok"))
+    r = dist_dense_rank(s0, ["tok"], out="r").select("doc_id", "pos", "r")
+    for k in range(1, _SUFFIX_ROUNDS + 1):
+        off = 1 << (k - 1)
+        b = r.select(
+            F.col("doc_id").alias("b_doc"),
+            (F.col("pos") - off).alias("b_pos"),
+            F.col("r").alias("rb"),
+        )
+        j = r.join(
+            b,
+            (F.col("doc_id") == F.col("b_doc")) & (F.col("pos") == F.col("b_pos")),
+            "left",
+        ).select(
+            "doc_id", "pos", "r", F.coalesce(F.col("rb"), F.lit(0)).alias("rb")
+        )
+        r = dist_dense_rank(j, ["r", "rb"], out="r2").select(
+            "doc_id", "pos", F.col("r2").alias("r")
+        )
+    w_g = Window.partitionBy("r")
+    return r.select(
+        "doc_id",
+        "pos",
+        F.col("r").alias("rank16"),
+        F.count("*").over(w_g).cast("bigint").alias("group_size"),
+        (F.count("*").over(w_g) > 1).alias("is_dup"),
+    )
