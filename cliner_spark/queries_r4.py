@@ -7189,3 +7189,387 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_g).cast("bigint").alias("group_size"),
         (F.count("*").over(w_g) > 1).alias("is_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4v: causal inference / experimentation trio over the event log —
+# stratified average treatment effect with positivity guards, 2x2
+# difference-in-differences, and CUPED variance reduction (Deng et al.
+# WSDM 2013). Treatment is an md5 user-bucket bit (the standard hash-based
+# assignment every experimentation platform uses), outcome is exact
+# purchase cents, strata come from the customer dimension. All effects
+# ship as cross-multiplied BIGINT rationals; floats only as round(.,6)
+# convenience columns derived from those integers.
+# --------------------------------------------------------------------------
+
+_CAUSAL_USERS_SQL = """
+users AS (
+  SELECT DISTINCT e.user_id, c.c_mktsegment AS seg,
+         (strpos('0123456789abcdef',
+                 substr(md5('trt:' || e.user_id::VARCHAR), 1, 1)) - 1) % 2
+           AS trt
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+)"""
+
+_STRAT_ATE_SQL = f"""
+WITH {_CAUSAL_USERS_SQL.strip()},
+y AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+cells AS (
+  SELECT u.seg,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u.trt) AS BIGINT) AS n_treat,
+         CAST(count(*) - sum(u.trt) AS BIGINT) AS n_ctrl,
+         CAST(sum(CASE WHEN u.trt = 1 THEN coalesce(y.cents, 0) ELSE 0 END)
+              AS BIGINT) AS y1_cents,
+         CAST(sum(CASE WHEN u.trt = 0 THEN coalesce(y.cents, 0) ELSE 0 END)
+              AS BIGINT) AS y0_cents
+  FROM users u LEFT JOIN y ON y.user_id = u.user_id
+  GROUP BY u.seg
+)
+SELECT seg, n, n_treat, n_ctrl, y1_cents, y0_cents,
+       CASE WHEN n_treat > 0 AND n_ctrl > 0
+            THEN y1_cents * n_ctrl - y0_cents * n_treat END AS eff_num,
+       CASE WHEN n_treat > 0 AND n_ctrl > 0
+            THEN n_treat * n_ctrl END AS eff_den,
+       CASE WHEN n_treat > 0 AND n_ctrl > 0
+            THEN n * (y1_cents * n_ctrl - y0_cents * n_treat) END
+         AS w_eff_num,
+       round(CAST(CASE WHEN n_treat > 0 AND n_ctrl > 0
+                  THEN y1_cents * n_ctrl - y0_cents * n_treat END AS DOUBLE)
+             / (n_treat * n_ctrl), 6) AS avg_effect_cents
+FROM cells
+"""
+
+
+@_register_r4("q_stratified_ate", _STRAT_ATE_SQL)
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect of an md5 user-bucket treatment
+    on lifetime purchase cents, one row per market-segment stratum. Within
+    a stratum the hash assignment is unconfounded, so the per-stratum
+    effect is the plain arm-mean difference, carried as the exact rational
+    (eff_num, eff_den) = (y1*n_ctrl - y0*n_treat, n_treat*n_ctrl);
+    w_eff_num = n * eff_num lets downstream assemble the population ATE
+    sum_s n_s/N * eff_s without re-scanning. Strata violating positivity
+    (an empty arm) emit NULL effects instead of dividing by zero — the
+    guard every real experimentation pipeline needs.
+
+    Scale plan: one dimension-side broadcast join (customer), one
+    purchase aggregation keyed by user, one segment-keyed agg — map-side
+    combine everywhere, output is dimension-sized (#segments)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    trt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("trt:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .select("user_id", F.col("c_mktsegment").alias("seg"), trt.alias("trt"))
+    )
+    y = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    cells = (
+        users.join(y.withColumnRenamed("user_id", "y_user"),
+                   F.col("user_id") == F.col("y_user"), "left")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("trt").cast("bigint").alias("n_treat"),
+            (F.count("*") - F.sum("trt")).cast("bigint").alias("n_ctrl"),
+            F.sum(
+                F.when(F.col("trt") == 1, F.coalesce(F.col("cents"), F.lit(0)))
+                .otherwise(0)
+            ).cast("bigint").alias("y1_cents"),
+            F.sum(
+                F.when(F.col("trt") == 0, F.coalesce(F.col("cents"), F.lit(0)))
+                .otherwise(0)
+            ).cast("bigint").alias("y0_cents"),
+        )
+    )
+    pos = (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)
+    eff_num = F.col("y1_cents") * F.col("n_ctrl") - F.col("y0_cents") * F.col("n_treat")
+    return cells.select(
+        "seg", "n", "n_treat", "n_ctrl", "y1_cents", "y0_cents",
+        F.when(pos, eff_num).alias("eff_num"),
+        F.when(pos, F.col("n_treat") * F.col("n_ctrl")).alias("eff_den"),
+        F.when(pos, F.col("n") * eff_num).alias("w_eff_num"),
+        F.round(
+            F.when(pos, eff_num).cast("double")
+            / (F.col("n_treat") * F.col("n_ctrl")),
+            6,
+        ).alias("avg_effect_cents"),
+    )
+
+
+_DID_SQL = f"""
+WITH {_CAUSAL_USERS_SQL.strip()},
+py AS (
+  SELECT user_id,
+         CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS post,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+spine AS (
+  SELECT u.user_id, u.trt, p.post FROM users u
+  CROSS JOIN (VALUES (0), (1)) p(post)
+),
+cells AS (
+  SELECT s.trt, s.post,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(coalesce(py.cents, 0)) AS BIGINT) AS sum_cents
+  FROM spine s LEFT JOIN py
+    ON py.user_id = s.user_id AND py.post = s.post
+  GROUP BY s.trt, s.post
+),
+w AS (
+  SELECT trt, post, n_users, sum_cents,
+         max(CASE WHEN trt = 1 AND post = 1 THEN sum_cents END) OVER () AS s11,
+         max(CASE WHEN trt = 1 AND post = 0 THEN sum_cents END) OVER () AS s10,
+         max(CASE WHEN trt = 0 AND post = 1 THEN sum_cents END) OVER () AS s01,
+         max(CASE WHEN trt = 0 AND post = 0 THEN sum_cents END) OVER () AS s00,
+         max(CASE WHEN trt = 1 THEN n_users END) OVER () AS nt,
+         max(CASE WHEN trt = 0 THEN n_users END) OVER () AS nc
+  FROM cells
+)
+SELECT CAST(trt AS BIGINT) AS trt, CAST(post AS BIGINT) AS post,
+       n_users, sum_cents,
+       round(CAST(sum_cents AS DOUBLE) / n_users, 6) AS mean_cents,
+       CAST((s11 - s10) * nc - (s01 - s00) * nt AS BIGINT) AS did_num,
+       CAST(nt * nc AS BIGINT) AS did_den,
+       round(CAST((s11 - s10) * nc - (s01 - s00) * nt AS DOUBLE)
+             / (nt * nc), 6) AS did_cents
+FROM w
+"""
+
+
+@_register_r4("q_did_estimator", _DID_SQL)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences: unit = user, periods split at
+    day-of-month 16 (wall-clock component, engine-stable per
+    [[engine-exactness-discipline]]), outcome = per-user per-period
+    purchase cents zero-filled over the full user x {pre,post} spine (a
+    user with no purchases in a period contributes 0, not a dropped row —
+    dropping them biases the panel). Emits the 4 cell rows plus the DiD
+    estimate as one exact rational replicated across the frame:
+    did_num/did_den = (S11-S10)/nt - (S01-S00)/nc cross-multiplied, the
+    parallel-trends counterfactual estimate of the treatment effect.
+
+    Scale plan: the 2-row period spine is a literal cross join (no
+    shuffle); cells collapse map-side to 4 rows; the window runs over the
+    4-row frame only. At petabyte logs this is one scan + one 4-row
+    window."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    trt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("trt:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .select("user_id", trt.alias("trt"))
+    )
+    py = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("p_user"),
+            F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0).alias("p_post"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    periods = spark.createDataFrame([(0,), (1,)], "post int")
+    spine = users.crossJoin(F.broadcast(periods))
+    cells = (
+        spine.join(
+            py,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("post") == F.col("p_post")),
+            "left",
+        )
+        .groupBy("trt", "post")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+    w = Window.partitionBy()  # 4-row frame
+    pick = lambda cond: F.max(F.when(cond, F.col("sum_cents"))).over(w)  # noqa: E731
+    s11 = pick((F.col("trt") == 1) & (F.col("post") == 1))
+    s10 = pick((F.col("trt") == 1) & (F.col("post") == 0))
+    s01 = pick((F.col("trt") == 0) & (F.col("post") == 1))
+    s00 = pick((F.col("trt") == 0) & (F.col("post") == 0))
+    nt = F.max(F.when(F.col("trt") == 1, F.col("n_users"))).over(w)
+    nc = F.max(F.when(F.col("trt") == 0, F.col("n_users"))).over(w)
+    did_num = (s11 - s10) * nc - (s01 - s00) * nt
+    return cells.select(
+        F.col("trt").cast("bigint").alias("trt"),
+        F.col("post").cast("bigint").alias("post"),
+        "n_users",
+        "sum_cents",
+        F.round(F.col("sum_cents").cast("double") / F.col("n_users"), 6).alias(
+            "mean_cents"
+        ),
+        did_num.cast("bigint").alias("did_num"),
+        (nt * nc).cast("bigint").alias("did_den"),
+        F.round(did_num.cast("double") / (nt * nc), 6).alias("did_cents"),
+    )
+
+
+_CUPED_SQL = f"""
+WITH {_CAUSAL_USERS_SQL.strip()},
+py AS (
+  SELECT user_id,
+         CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS post,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+xy AS (
+  SELECT u.seg, u.user_id,
+         coalesce(max(CASE WHEN py.post = 0 THEN py.cents END), 0) AS x,
+         coalesce(max(CASE WHEN py.post = 1 THEN py.cents END), 0) AS y
+  FROM users u LEFT JOIN py ON py.user_id = u.user_id
+  GROUP BY u.seg, u.user_id
+),
+s AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY seg
+)
+SELECT seg, n, sx, sy, sxx, sxy, syy,
+       CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS theta_den,
+       CAST(n * syy - sy * sy AS BIGINT) AS vary_num,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round((CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho2
+FROM s
+"""
+
+
+@_register_r4("q_cuped_adjustment", _CUPED_SQL)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM 2013): per segment, the
+    pre-period purchase cents X is the control covariate for the
+    post-period metric Y; theta = cov(X,Y)/var(X) ships as the exact
+    integer rational (n*sxy - sx*sy) / (n*sxx - sx^2) and the achievable
+    variance-reduction fraction rho^2 = theta_num^2 / (theta_den *
+    vary_num) — the number that tells an experimenter how much smaller
+    their confidence intervals get for free. Degenerate segments (zero
+    pre- or post-variance) emit NULL rho2 rather than a division blow-up.
+    All six sufficient statistics (n, sx, sy, sxx, sxy, syy) ship in the
+    row so downstream can pool segments without re-scanning.
+
+    Scale plan: one purchase scan -> (user, period) partial agg ->
+    per-user pivot -> segment agg, all map-side-combinable; output is
+    dimension-sized. The convenience doubles derive from the same BIGINTs
+    via the same expression tree on both engines (IEEE-identical)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    trt_users = (
+        ev.select("user_id")
+        .distinct()
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .select("user_id", F.col("c_mktsegment").alias("seg"))
+    )
+    py = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("p_user"),
+            F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0).alias("p_post"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    xy = (
+        trt_users.join(py, F.col("user_id") == F.col("p_user"), "left")
+        .groupBy("seg", "user_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("p_post") == 0, F.col("cents"))), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.max(F.when(F.col("p_post") == 1, F.col("cents"))), F.lit(0)
+            ).alias("y"),
+        )
+    )
+    s = xy.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    tn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    td = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vn = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "seg", "n", "sx", "sy", "sxx", "sxy", "syy",
+        tn.cast("bigint").alias("theta_num"),
+        td.cast("bigint").alias("theta_den"),
+        vn.cast("bigint").alias("vary_num"),
+        F.round(tn.cast("double") / td.cast("double"), 6).alias("theta"),
+        F.when(
+            (td > 0) & (vn > 0),
+            F.round(
+                (tn.cast("double") * tn.cast("double"))
+                / (td.cast("double") * vn.cast("double")),
+                6,
+            ),
+        ).alias("rho2"),
+    )

@@ -291,6 +291,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_did_estimator": [
+        ("BroadcastNestedLoopJoin",
+         "2-row broadcast {pre,post} period spine x the user dimension — "
+         "the zero-filled panel; cells collapse map-side to 4 rows")
+    ],
 }
 
 
