@@ -7094,7 +7094,9 @@ def q_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _suffix_sql(rounds: int = 4) -> str:
+def _suffix_cte(rounds: int = 4) -> str:
+    """Shared WITH-body: docs -> token stream s0 -> doubling ranks r0..r{rounds}
+    (r_k ranks every suffix by its first 2^k tokens, sentinel 0 past doc end)."""
     parts = [
         f"WITH {SQL_DOCS_TOKS.strip()},",
         """
@@ -7121,18 +7123,59 @@ r{k} AS (
     ON b.doc_id = a.doc_id AND b.pos = a.pos + {off}
 )"""
         )
-    parts.append(
-        f"""
+    return "\n".join(parts)
+
+
+def _suffix_sql(rounds: int = 4) -> str:
+    return (
+        _suffix_cte(rounds)
+        + f"""
 SELECT doc_id, pos, r AS rank16,
        CAST(count(*) OVER (PARTITION BY r) AS BIGINT) AS group_size,
        count(*) OVER (PARTITION BY r) > 1 AS is_dup
 FROM r{rounds}"""
     )
-    return "\n".join(parts)
 
 
 _SUFFIX_ROUNDS = 4
 _SUFFIX_SQL = _suffix_sql(_SUFFIX_ROUNDS)
+
+
+def _suffix_levels(
+    spark: SparkSession, sf_dir: str, rounds: int = _SUFFIX_ROUNDS
+) -> list[DataFrame]:
+    """Spark twin of _suffix_cte: returns [r0, .., r_rounds], each
+    (doc_id, pos, r) with r = exact dense rank of the suffix's first
+    2^k tokens (distributed via dist_dense_rank — no global window)."""
+    from cliner_spark.ranking import dist_dense_rank
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    s0 = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), F.lower("tok").alias("tok")
+    )
+    levels = [dist_dense_rank(s0, ["tok"], out="r").select("doc_id", "pos", "r")]
+    for k in range(1, rounds + 1):
+        off = 1 << (k - 1)
+        r = levels[-1]
+        b = r.select(
+            F.col("doc_id").alias("b_doc"),
+            (F.col("pos") - off).alias("b_pos"),
+            F.col("r").alias("rb"),
+        )
+        j = r.join(
+            b,
+            (F.col("doc_id") == F.col("b_doc")) & (F.col("pos") == F.col("b_pos")),
+            "left",
+        ).select("doc_id", "pos", "r", F.coalesce(F.col("rb"), F.lit(0)).alias("rb"))
+        levels.append(
+            dist_dense_rank(j, ["r", "rb"], out="r2").select(
+                "doc_id", "pos", F.col("r2").alias("r")
+            )
+        )
+    return levels
 
 
 @_register_r4("q_suffix_ranks", _SUFFIX_SQL)
@@ -7156,31 +7199,7 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact global dense_rank, fully parallel (see cliner_spark.ranking).
     Lineage is localCheckpoint-pinned per round (inside dist_dense_rank)
     like the BFS/Luby loops."""
-    from cliner_spark.ranking import dist_dense_rank
-    from cliner_spark.tokenization import tokens_col
-
-    docs = load_docs(spark, sf_dir)
-    s0 = docs.select(
-        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
-    ).select("doc_id", F.col("pos").cast("int").alias("pos"), F.lower("tok").alias("tok"))
-    r = dist_dense_rank(s0, ["tok"], out="r").select("doc_id", "pos", "r")
-    for k in range(1, _SUFFIX_ROUNDS + 1):
-        off = 1 << (k - 1)
-        b = r.select(
-            F.col("doc_id").alias("b_doc"),
-            (F.col("pos") - off).alias("b_pos"),
-            F.col("r").alias("rb"),
-        )
-        j = r.join(
-            b,
-            (F.col("doc_id") == F.col("b_doc")) & (F.col("pos") == F.col("b_pos")),
-            "left",
-        ).select(
-            "doc_id", "pos", "r", F.coalesce(F.col("rb"), F.lit(0)).alias("rb")
-        )
-        r = dist_dense_rank(j, ["r", "rb"], out="r2").select(
-            "doc_id", "pos", F.col("r2").alias("r")
-        )
+    r = _suffix_levels(spark, sf_dir)[-1]
     w_g = Window.partitionBy("r")
     return r.select(
         "doc_id",
@@ -7572,4 +7591,363 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("rho2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4w: suffix-array clients — per-doc repeated-window extent profile,
+# tandem (periodic) repeat detection, and the LCP array of SA-adjacent
+# suffixes computed greedily from the doubling rank tables (the Kasai-free
+# construction: rank tables at powers of two give exact LCPs with O(log n)
+# lookups per pair and zero string comparisons). Together these are the
+# measurement half of exact substring dedup (Lee et al. 2022): extent says
+# HOW MUCH of each doc is repeated, tandem says what is self-repeating
+# (stuttering generation), LCP says how long the shared spans between
+# SA-neighbors run.
+# --------------------------------------------------------------------------
+
+_EXTENT_SQL = f"""{_suffix_cte(4)},
+lv AS (
+  SELECT a0.doc_id, a0.pos,
+         count(*) OVER (PARTITION BY a0.r) > 1 AS d0,
+         count(*) OVER (PARTITION BY a1.r) > 1 AS d1,
+         count(*) OVER (PARTITION BY a2.r) > 1 AS d2,
+         count(*) OVER (PARTITION BY a3.r) > 1 AS d3,
+         count(*) OVER (PARTITION BY a4.r) > 1 AS d4
+  FROM r0 a0
+  JOIN r1 a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos
+  JOIN r2 a2 ON a2.doc_id = a0.doc_id AND a2.pos = a0.pos
+  JOIN r3 a3 ON a3.doc_id = a0.doc_id AND a3.pos = a0.pos
+  JOIN r4 a4 ON a4.doc_id = a0.doc_id AND a4.pos = a0.pos
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN d0 THEN 1 ELSE 0 END) AS BIGINT) AS dup_w1,
+       CAST(sum(CASE WHEN d1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_w2,
+       CAST(sum(CASE WHEN d2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_w4,
+       CAST(sum(CASE WHEN d3 THEN 1 ELSE 0 END) AS BIGINT) AS dup_w8,
+       CAST(sum(CASE WHEN d4 THEN 1 ELSE 0 END) AS BIGINT) AS dup_w16,
+       CAST(max(CASE WHEN d4 THEN 16 WHEN d3 THEN 8 WHEN d2 THEN 4
+                     WHEN d1 THEN 2 WHEN d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS max_extent
+FROM lv GROUP BY doc_id
+"""
+
+
+@_register_r4("q_repeat_extent", _EXTENT_SQL)
+def q_repeat_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-window extent profile: for each width w in
+    {1,2,4,8,16}, dup_w{w} counts the doc's positions whose w-token window
+    occurs more than once in the WHOLE corpus (rank-group size > 1 at
+    doubling level log2 w), and max_extent is the widest such w anywhere
+    in the doc. dup_w1 >= dup_w2 >= ... >= dup_w16 positionwise by
+    construction (a duplicated 16-window's prefix is a duplicated
+    8-window) — the replica test asserts the monotone staircase. This is
+    the doc-level triage table for substring dedup: docs with high
+    dup_w16/n_pos are boilerplate-heavy and worth span-stripping.
+
+    Scale plan: five 1:1 equi-joins on (doc_id, pos) over the rank
+    tables (co-partitioned by the join key), five group-count windows
+    each partitioned by a rank column (never global), one doc-keyed agg."""
+    lvs = _suffix_levels(spark, sf_dir)
+    j = lvs[0].select("doc_id", "pos", F.col("r").alias("r0"))
+    for k in range(1, 5):
+        j = j.join(
+            lvs[k].select(
+                F.col("doc_id").alias("jd"),
+                F.col("pos").alias("jp"),
+                F.col("r").alias(f"r{k}"),
+            ),
+            (F.col("doc_id") == F.col("jd")) & (F.col("pos") == F.col("jp")),
+        ).drop("jd", "jp")
+    for k in range(5):
+        j = j.withColumn(
+            f"d{k}", F.count("*").over(Window.partitionBy(f"r{k}")) > 1
+        )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pos"),
+        *[
+            F.sum(F.when(F.col(f"d{k}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"dup_w{1 << k}")
+            for k in range(5)
+        ],
+        F.max(
+            F.when(F.col("d4"), 16)
+            .when(F.col("d3"), 8)
+            .when(F.col("d2"), 4)
+            .when(F.col("d1"), 2)
+            .when(F.col("d0"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("max_extent"),
+    )
+
+
+def _tandem_sql() -> str:
+    blocks = []
+    for k in range(5):
+        w = 1 << k
+        blocks.append(
+            f"""t{k} AS (
+  SELECT {w} AS w, a.doc_id, a.pos
+  FROM r{k} a
+  JOIN r{k} b ON b.doc_id = a.doc_id AND b.pos = a.pos + {w}
+  JOIN lens l ON l.doc_id = a.doc_id
+  WHERE b.r = a.r AND a.pos + {2 * w} <= l.len
+)"""
+        )
+    return (
+        _suffix_cte(4)
+        + """,
+lens AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM s0 GROUP BY doc_id
+),
+"""
+        + ",\n".join(blocks)
+        + """,
+allt AS (
+  SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t2
+  UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
+),
+agg AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_anchor,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM allt GROUP BY w
+),
+denom AS (
+  SELECT k.w,
+         CAST(sum(CASE WHEN l.len >= 2 * k.w THEN l.len - 2 * k.w + 1
+                       ELSE 0 END) AS BIGINT) AS n_windows
+  FROM (VALUES (1), (2), (4), (8), (16)) k(w) CROSS JOIN lens l
+  GROUP BY k.w
+)
+SELECT CAST(d.w AS BIGINT) AS width, d.n_windows,
+       coalesce(a.n_anchor, 0) AS n_anchor,
+       coalesce(a.n_docs, 0) AS n_docs,
+       CASE WHEN d.n_windows > 0
+            THEN round(CAST(coalesce(a.n_anchor, 0) AS DOUBLE) / d.n_windows,
+                       6) END AS tandem_rate
+FROM denom d LEFT JOIN agg a ON a.w = d.w
+"""
+    )
+
+
+_TANDEM_SQL = _tandem_sql()
+
+
+@_register_r4("q_tandem_repeats", _TANDEM_SQL)
+def q_tandem_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tandem (period-w) repeat census: an anchor at (doc, pos) for width
+    w means the w-token windows at pos and pos+w are identical (equal
+    doubling rank) and both lie fully inside the doc — 'batch batch' is a
+    width-1 anchor, 'x y x y' a width-2 one. This is the stuttering /
+    looping-generation detector every LLM-corpus QA pipeline runs; rates
+    come with exact denominators (positions where a 2w window fits). The
+    5-row width grid is always emitted — zero-filled via the denominator
+    spine, never empty-vs-empty (the q_dup_discovery lesson).
+
+    Scale plan: per width one self-equi-join of the rank table at offset
+    w (co-partitioned on doc_id) plus a broadcast doc-length join; the
+    denominator is a 5-row spine x the doc-length dimension, collapsed
+    map-side."""
+    lvs = _suffix_levels(spark, sf_dir)
+    lens = lvs[0].groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
+    parts = []
+    for k in range(5):
+        w = 1 << k
+        a = lvs[k]
+        b = lvs[k].select(
+            F.col("doc_id").alias("bd"),
+            F.col("pos").alias("bp"),
+            F.col("r").alias("br"),
+        )
+        t = (
+            a.join(
+                b,
+                (F.col("bd") == F.col("doc_id"))
+                & (F.col("bp") == F.col("pos") + w)
+                & (F.col("br") == F.col("r")),
+            )
+            .join(lens.withColumnRenamed("doc_id", "ld"), F.col("ld") == F.col("doc_id"))
+            .filter(F.col("pos") + 2 * w <= F.col("len"))
+            .select(F.lit(w).alias("w"), "doc_id", "pos")
+        )
+        parts.append(t)
+    allt = parts[0]
+    for t in parts[1:]:
+        allt = allt.unionAll(t)
+    agg = allt.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n_anchor"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    widths = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "w int")
+    denom = (
+        F.broadcast(widths)
+        .crossJoin(lens)
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.when(F.col("len") >= 2 * F.col("w"), F.col("len") - 2 * F.col("w") + 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_windows")
+        )
+    )
+    return (
+        denom.join(agg.withColumnRenamed("w", "aw"), F.col("aw") == F.col("w"), "left")
+        .select(
+            F.col("w").cast("bigint").alias("width"),
+            "n_windows",
+            F.coalesce(F.col("n_anchor"), F.lit(0)).cast("bigint").alias("n_anchor"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    F.coalesce(F.col("n_anchor"), F.lit(0)).cast("double")
+                    / F.col("n_windows"),
+                    6,
+                ),
+            ).alias("tandem_rate"),
+        )
+    )
+
+
+def _lcp_sql() -> str:
+    head = (
+        _suffix_cte(4)
+        + """,
+lens AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM s0 GROUP BY doc_id
+),
+sa AS (
+  SELECT doc_id, pos, r,
+         CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT)
+           AS sa_rank
+  FROM r4
+),
+g AS (
+  SELECT c.sa_rank, c.doc_id, c.pos, p.doc_id AS prev_doc,
+         p.pos AS prev_pos, l.len AS len_c, CAST(0 AS BIGINT) AS lcp
+  FROM sa c
+  JOIN sa p ON p.sa_rank = c.sa_rank - 1
+  JOIN lens l ON l.doc_id = c.doc_id
+)"""
+    )
+    steps = []
+    prev = "g"
+    for i, k in enumerate([4, 3, 2, 1, 0]):
+        w = 1 << k
+        name = f"g{k}"
+        steps.append(
+            f""",
+{name} AS (
+  SELECT g.sa_rank, g.doc_id, g.pos, g.prev_doc, g.prev_pos, g.len_c,
+         g.lcp + CASE WHEN x.r IS NOT NULL AND y.r IS NOT NULL
+                       AND x.r = y.r
+                      THEN least({w}, g.len_c - g.pos - g.lcp)
+                      ELSE 0 END AS lcp
+  FROM {prev} g
+  LEFT JOIN r{k} x ON x.doc_id = g.doc_id AND x.pos = g.pos + g.lcp
+  LEFT JOIN r{k} y ON y.doc_id = g.prev_doc AND y.pos = g.prev_pos + g.lcp
+)"""
+        )
+        prev = name
+    return (
+        head
+        + "".join(steps)
+        + """
+SELECT sa_rank, doc_id, pos, prev_doc, prev_pos, CAST(lcp AS BIGINT) AS lcp
+FROM g0
+"""
+    )
+
+
+_LCP_SQL = _lcp_sql()
+
+
+@_register_r4("q_lcp_adjacent", _LCP_SQL)
+def q_lcp_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCP array over the (16-token-precision) suffix array: suffixes are
+    totally ordered by (rank16, doc_id, pos) and each SA-adjacent pair
+    gets its exact longest-common-prefix computed GREEDILY from the
+    doubling rank tables — descend widths 16,8,4,2,1, and whenever the
+    width-w windows at offset lcp match (equal rank at both lookups), add
+    min(w, tokens-left); truncated windows compare equal only when both
+    suffixes end together, so the least() term is exact, and the result
+    saturates at 31 (16+8+4+2+1). Zero string comparisons, O(log n)
+    rank lookups per pair — the distributed replacement for Kasai's
+    inherently sequential scan. High-LCP runs are exactly the shared
+    spans substring dedup strips.
+
+    Scale plan: sa_rank comes from dist_dense_rank (unique key, so dense
+    rank == row_number) — no global window; the pair join is a 1-offset
+    equi-self-join; each greedy step is two equi-joins on
+    (doc_id, pos+lcp) against a rank table, co-partitioned on doc_id."""
+    from cliner_spark.ranking import dist_dense_rank
+
+    lvs = _suffix_levels(spark, sf_dir)
+    lens = lvs[0].groupBy(F.col("doc_id").alias("ld")).agg(
+        F.count("*").cast("bigint").alias("len_c")
+    )
+    sa = dist_dense_rank(lvs[4], ["r", "doc_id", "pos"], out="sa_rank").select(
+        "doc_id", "pos", "sa_rank"
+    )
+    prev = sa.select(
+        F.col("sa_rank").alias("p_rank"),
+        F.col("doc_id").alias("prev_doc"),
+        F.col("pos").alias("prev_pos"),
+    )
+    g = (
+        sa.join(prev, F.col("p_rank") == F.col("sa_rank") - 1)
+        .join(lens, F.col("ld") == F.col("doc_id"))
+        .select(
+            "sa_rank", "doc_id", "pos", "prev_doc", "prev_pos", "len_c",
+            F.lit(0).cast("bigint").alias("lcp"),
+        )
+    )
+    for k in [4, 3, 2, 1, 0]:
+        w = 1 << k
+        x = lvs[k].select(
+            F.col("doc_id").alias("xd"), F.col("pos").alias("xp"),
+            F.col("r").alias("xr"),
+        )
+        y = lvs[k].select(
+            F.col("doc_id").alias("yd"), F.col("pos").alias("yp"),
+            F.col("r").alias("yr"),
+        )
+        g = (
+            g.join(
+                x,
+                (F.col("xd") == F.col("doc_id"))
+                & (F.col("xp") == F.col("pos") + F.col("lcp")),
+                "left",
+            )
+            .join(
+                y,
+                (F.col("yd") == F.col("prev_doc"))
+                & (F.col("yp") == F.col("prev_pos") + F.col("lcp")),
+                "left",
+            )
+            .select(
+                "sa_rank", "doc_id", "pos", "prev_doc", "prev_pos", "len_c",
+                (
+                    F.col("lcp")
+                    + F.when(
+                        F.col("xr").isNotNull()
+                        & F.col("yr").isNotNull()
+                        & (F.col("xr") == F.col("yr")),
+                        F.least(
+                            F.lit(w),
+                            F.col("len_c") - F.col("pos") - F.col("lcp"),
+                        ),
+                    ).otherwise(0)
+                ).alias("lcp"),
+            )
+        )
+    return g.select(
+        "sa_rank", "doc_id", "pos", "prev_doc", "prev_pos",
+        F.col("lcp").cast("bigint").alias("lcp"),
     )

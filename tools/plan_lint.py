@@ -291,6 +291,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_tandem_repeats": [
+        ("BroadcastNestedLoopJoin",
+         "5-row broadcast width spine x the doc-length dimension — the "
+         "zero-filled rate denominator, collapsed map-side to 5 rows")
+    ],
     "q_did_estimator": [
         ("BroadcastNestedLoopJoin",
          "2-row broadcast {pre,post} period spine x the user dimension — "
