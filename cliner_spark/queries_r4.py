@@ -7951,3 +7951,322 @@ def q_lcp_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sa_rank", "doc_id", "pos", "prev_doc", "prev_pos",
         F.col("lcp").cast("bigint").alias("lcp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4x: survey-calibration / weighting trio — iterative proportional
+# fitting (raking) of the source x lang mix in shared fixed-point,
+# Horvitz-Thompson estimation under unequal-probability Poisson sampling,
+# and Hamilton largest-remainder apportionment of a sampling budget. These
+# are the corpus-rebalancing primitives: IPF answers 'what per-cell weights
+# make the mix match target marginals', HT answers 'what does a biased
+# cheap sample say about the full corpus, unbiasedly', Hamilton answers
+# 'how many sample slots does each source get, in integers'.
+# --------------------------------------------------------------------------
+
+_IPF_FP = 1 << 16  # 2^16 fixed point: floor at every step on both engines
+_IPF_SWEEPS = 3
+
+
+def _ipf_sql() -> str:
+    head = f"""
+WITH cnt AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+dims AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+  FROM documents
+),
+grid AS (
+  SELECT s.source, l.lang, coalesce(c.n, 0) AS n,
+         d.n_total, d.n_src, d.n_lang,
+         CAST({_IPF_FP} AS BIGINT) AS w
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN dims d
+  LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+)"""
+    prev = "grid"
+    steps = []
+    for i in range(1, _IPF_SWEEPS + 1):
+        steps.append(
+            f""",
+s{i} AS (
+  SELECT source, lang, n, n_total, n_src, n_lang,
+         (w * n_total * {_IPF_FP})
+           // (n_src * sum(n * w) OVER (PARTITION BY source)) AS w
+  FROM {prev}
+),
+l{i} AS (
+  SELECT source, lang, n, n_total, n_src, n_lang,
+         (w * n_total * {_IPF_FP})
+           // (n_lang * sum(n * w) OVER (PARTITION BY lang)) AS w
+  FROM s{i}
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT source, lang, n, CAST(w AS BIGINT) AS w_fp,
+       CAST(n * w AS BIGINT) AS weighted_fp,
+       CAST(sum(n * w) OVER (PARTITION BY source) AS BIGINT) AS row_sum_fp,
+       CAST(sum(n * w) OVER (PARTITION BY lang) AS BIGINT) AS col_sum_fp,
+       round(CAST(w AS DOUBLE) / {_IPF_FP}, 6) AS weight
+FROM {prev}
+"""
+    )
+
+
+_IPF_SQL = _ipf_sql()
+
+
+@_register_r4("q_ipf_raking", _IPF_SQL)
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming-Stephan 1940) of the
+    source x lang document mix toward UNIFORM target marginals — the
+    operation a data curator runs to rebalance a crawl before sampling.
+    Three full sweeps; each half-sweep rescales every cell weight by
+    target/current for its row (then column) margin in shared 2^16
+    fixed-point with floor division at every step, so both engines walk
+    bit-identical integer trajectories ([[engine-exactness-discipline]];
+    same trick as the Markov power iteration). The zero-filled grid ships
+    with final per-cell weights, weighted masses, and both achieved
+    margins — row margins drift after the column sweep, which is exactly
+    the IPF story the replica test checks against an independent python
+    run.
+
+    Scale plan: counts are one map-side-combined agg; the grid is
+    dimension x dimension (sources x langs) with a broadcast 1-row dims
+    carry; every sweep is a partitioned window over the tiny grid. Corpus
+    scans never repeat — IPF iterates on sufficient statistics only."""
+    docs = load_docs(spark, sf_dir)
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n"))
+    dims = docs.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.countDistinct("source").cast("bigint").alias("n_src"),
+        F.countDistinct("lang").cast("bigint").alias("n_lang"),
+    )
+    grid = (
+        docs.select("source").distinct()
+        .crossJoin(docs.select("lang").distinct())
+        .crossJoin(F.broadcast(dims))
+        .join(
+            cnt.select(
+                F.col("source").alias("cs"), F.col("lang").alias("cl"), "n"
+            ),
+            (F.col("source") == F.col("cs")) & (F.col("lang") == F.col("cl")),
+            "left",
+        )
+        .select(
+            "source", "lang",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            "n_total", "n_src", "n_lang",
+            F.lit(_IPF_FP).cast("bigint").alias("w"),
+        )
+    )
+    g = grid
+    for _ in range(_IPF_SWEEPS):
+        for margin, dim in (("source", "n_src"), ("lang", "n_lang")):
+            cur = F.sum(F.col("n") * F.col("w")).over(Window.partitionBy(margin))
+            g = g.select(
+                "source", "lang", "n", "n_total", "n_src", "n_lang",
+                F.expr(
+                    f"(w * n_total * {_IPF_FP}) div ({dim} * "
+                    f"sum(n * w) OVER (PARTITION BY {margin}))"
+                ).alias("w"),
+            )
+            _ = cur  # margin window inlined in the expr above
+    return g.select(
+        "source", "lang", "n",
+        F.col("w").cast("bigint").alias("w_fp"),
+        (F.col("n") * F.col("w")).cast("bigint").alias("weighted_fp"),
+        F.sum(F.col("n") * F.col("w"))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("row_sum_fp"),
+        F.sum(F.col("n") * F.col("w"))
+        .over(Window.partitionBy("lang"))
+        .cast("bigint")
+        .alias("col_sum_fp"),
+        F.round(F.col("w").cast("double") / _IPF_FP, 6).alias("weight"),
+    )
+
+
+_HT_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_chars < 200 THEN 0
+              WHEN n_chars < 400 THEN 1 ELSE 2 END AS cls,
+         (strpos('0123456789abcdef',
+                 substr(md5('ht:' || doc_id::VARCHAR), 1, 1)) - 1) AS nib
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_chars, cls,
+         CASE WHEN nib < 4 * (cls + 1) THEN 1 ELSE 0 END AS sampled,
+         CASE cls WHEN 0 THEN 12 WHEN 1 THEN 6 ELSE 4 END AS m3,
+         CASE cls WHEN 0 THEN 108 WHEN 1 THEN 18 ELSE 4 END AS v9
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pop,
+       CAST(sum(sampled) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS true_chars,
+       CAST(sum(CASE WHEN sampled = 1 THEN n_chars * m3 ELSE 0 END)
+            AS BIGINT) AS ht_num,
+       CAST(3 AS BIGINT) AS ht_den,
+       CAST(abs(3 * sum(n_chars)
+                - sum(CASE WHEN sampled = 1 THEN n_chars * m3 ELSE 0 END))
+            AS BIGINT) AS abs_err_num,
+       CAST(sum(CASE WHEN sampled = 1 THEN n_chars * n_chars * v9 ELSE 0 END)
+            AS BIGINT) AS var_num,
+       CAST(9 AS BIGINT) AS var_den,
+       round(CAST(sum(CASE WHEN sampled = 1 THEN n_chars * m3 ELSE 0 END)
+                  AS DOUBLE) / 3, 6) AS ht_estimate
+FROM s GROUP BY source
+"""
+
+
+@_register_r4("q_horvitz_thompson", _HT_SQL)
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation under unequal-probability Poisson
+    sampling: docs are included with pi = (cls+1)/4 by length class
+    (longer docs sampled more — the PPS shape real corpus QA uses, since
+    long docs carry more tokens per lookup), inclusion decided by an md5
+    nibble. The HT total sum(y_i/pi_i) over sampled docs is exact on the
+    common denominator 3 (1/pi in {4, 2, 4/3} -> m3 in {12, 6, 4}), the
+    Poisson-design variance estimator sum(y_i^2 (1-pi)/pi^2) on
+    denominator 9 (v9 in {108, 18, 4}), and the row carries the true
+    total so abs_err_num = |3*true - ht_num| audits the draw. Per-source
+    rows: the estimator a pipeline would publish instead of scanning
+    everything.
+
+    Scale plan: single scan, map-side-combined per-source agg; no joins,
+    no windows, no shuffle wider than the source key."""
+    docs = load_docs(spark, sf_dir)
+    cls = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+    )
+    nib = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ht:"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    s = docs.select(
+        "source",
+        "n_chars",
+        cls.alias("cls"),
+        F.when(nib < 4 * (cls + 1), 1).otherwise(0).alias("sampled"),
+        F.when(cls == 0, 12).when(cls == 1, 6).otherwise(4).alias("m3"),
+        F.when(cls == 0, 108).when(cls == 1, 18).otherwise(4).alias("v9"),
+    )
+    samp_chars = F.when(F.col("sampled") == 1, F.col("n_chars") * F.col("m3")).otherwise(0)
+    return s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("sampled").cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("true_chars"),
+        F.sum(samp_chars).cast("bigint").alias("ht_num"),
+        F.lit(3).cast("bigint").alias("ht_den"),
+        F.abs(3 * F.sum("n_chars") - F.sum(samp_chars))
+        .cast("bigint")
+        .alias("abs_err_num"),
+        F.sum(
+            F.when(
+                F.col("sampled") == 1,
+                F.col("n_chars") * F.col("n_chars") * F.col("v9"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("var_num"),
+        F.lit(9).cast("bigint").alias("var_den"),
+        F.round(F.sum(samp_chars).cast("double") / 3, 6).alias("ht_estimate"),
+    )
+
+
+_HAMILTON_B = 997  # prime budget so remainders actually exercise the ranking
+
+_HAMILTON_SQL = f"""
+WITH y AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS y_chars
+  FROM documents GROUP BY 1
+),
+q AS (
+  SELECT source, y_chars,
+         CAST(sum(y_chars) OVER () AS BIGINT) AS n_total,
+         {_HAMILTON_B} * y_chars AS quota_num,
+         ({_HAMILTON_B} * y_chars) // sum(y_chars) OVER () AS base,
+         ({_HAMILTON_B} * y_chars) % (sum(y_chars) OVER ()) AS rem
+  FROM y
+),
+r AS (
+  SELECT q.*,
+         CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk,
+         CAST({_HAMILTON_B} - sum(base) OVER () AS BIGINT) AS k_extra
+  FROM q
+)
+SELECT source, y_chars, CAST(quota_num AS BIGINT) AS quota_num,
+       n_total AS quota_den,
+       CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem, rk,
+       CAST(CASE WHEN rk <= k_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base + CASE WHEN rk <= k_extra THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+"""
+
+
+@_register_r4("q_hamilton_apportionment", _HAMILTON_SQL)
+def q_hamilton_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 997-slot sampling
+    budget across sources, proportional to total chars: integer quota
+    floor(B*y/N) per source, then the B - sum(base) leftover slots go to
+    the largest remainders (B*y mod N), ties pinned by source name. The
+    result satisfies the quota property (every alloc within +/-1 of its
+    exact quota) — the replica test proves it and that allocations sum to
+    exactly B. This is how a pipeline turns fractional PPS shares into an
+    integer per-source sample plan without systematic bias.
+
+    Scale plan: one per-source agg; everything after runs on the
+    dimension-sized 20-row frame (the partition-less windows span only
+    that frame, never the corpus)."""
+    docs = load_docs(spark, sf_dir)
+    y = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("y_chars"))
+    w = Window.partitionBy()  # 20-row source frame
+    q = y.select(
+        "source",
+        "y_chars",
+        F.sum("y_chars").over(w).cast("bigint").alias("n_total"),
+        (F.lit(_HAMILTON_B) * F.col("y_chars")).alias("quota_num"),
+        F.expr(f"({_HAMILTON_B} * y_chars) div (sum(y_chars) OVER ())").alias("base"),
+        (F.lit(_HAMILTON_B) * F.col("y_chars") % F.sum("y_chars").over(w)).alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .cast("bigint")
+        .alias("rk"),
+        (F.lit(_HAMILTON_B) - F.sum("base").over(w)).cast("bigint").alias("k_extra"),
+    )
+    extra = F.when(F.col("rk") <= F.col("k_extra"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "y_chars",
+        F.col("quota_num").cast("bigint").alias("quota_num"),
+        F.col("n_total").alias("quota_den"),
+        F.col("base").cast("bigint").alias("base"),
+        F.col("rem").cast("bigint").alias("rem"),
+        "rk",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base") + extra).cast("bigint").alias("alloc"),
+    )

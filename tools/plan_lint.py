@@ -291,6 +291,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_ipf_raking": [
+        ("BroadcastNestedLoopJoin",
+         "sources x langs dimension-grid cross (20 x 5) + broadcast "
+         "1-row dims carry — the zero-filled raking grid; all sweeps "
+         "run on that 100-row frame")
+    ],
     "q_tandem_repeats": [
         ("BroadcastNestedLoopJoin",
          "5-row broadcast width spine x the doc-length dimension — the "
