@@ -8270,3 +8270,327 @@ def q_hamilton_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("bigint").alias("extra"),
         (F.col("base") + extra).cast("bigint").alias("alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4y: storage/IR + sampling mechanics — inverted-index postings
+# compression audit (delta gaps, varint + Elias-gamma costs, exact byte/bit
+# integers), histogram-design quality (equi-width vs equi-depth binning
+# with exact within-bin variance numerators), and systematic PPS sampling
+# over a distributed prefix sum (the new dist_cumsum primitive in
+# cliner_spark.ranking — range partition + per-partition running sum +
+# offset shift, no global window).
+# --------------------------------------------------------------------------
+
+_POSTINGS_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+post AS (
+  SELECT DISTINCT lower(t.tok) AS tok, doc_id
+  FROM docs, unnest(toks) AS t(tok)
+),
+gaps AS (
+  SELECT tok, doc_id,
+         CAST(coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok
+                                                  ORDER BY doc_id),
+                       doc_id + 1) AS BIGINT) AS gap
+  FROM post
+),
+per_term AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                       WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                       ELSE 5 END) AS BIGINT) AS varint_bytes,
+         CAST(sum(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits
+  FROM gaps GROUP BY tok
+)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(8 * sum(df) AS BIGINT) AS raw_bytes,
+       CAST(sum(varint_bytes) AS BIGINT) AS varint_bytes,
+       CAST(sum(gamma_bits) AS BIGINT) AS gamma_bits,
+       round(CAST(sum(varint_bytes) AS DOUBLE) / (8 * sum(df)), 6)
+         AS varint_ratio
+FROM per_term GROUP BY 1
+"""
+
+
+@_register_r4("q_postings_varint", _POSTINGS_SQL)
+def q_postings_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings compression audit: per term the sorted
+    doc-id postings list becomes delta gaps (first entry stored as
+    doc_id+1 so every gap is >= 1), costed under two classic codes —
+    LEB128 varint (exact byte tiers at 2^7k) and Elias gamma
+    (2*bitlen-1 bits, bitlen via length(bin(gap)), identical on both
+    engines). Rows aggregate per document-frequency bucket (bitlen of
+    df): rare terms have big gaps (poor compression), frequent terms have
+    tiny gaps (great compression) — the size model every search/RAG index
+    planner needs before provisioning storage.
+
+    Scale plan: postings dedup and the gap window both partition by term
+    (never global); per-term then per-bucket aggs are map-side-combined.
+    At web scale this is exactly how one estimates index size without
+    building the index."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    post = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("tok"))
+        .distinct()
+    )
+    wt = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = post.select(
+        "tok",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wt), F.col("doc_id") + 1
+        )
+        .cast("bigint")
+        .alias("gap"),
+    )
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .otherwise(5)
+    )
+    per_term = gaps.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(vb).cast("bigint").alias("varint_bytes"),
+        F.sum(2 * F.length(F.bin("gap")) - 1).cast("bigint").alias("gamma_bits"),
+    )
+    return (
+        per_term.groupBy(F.length(F.bin("df")).cast("bigint").alias("df_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            (8 * F.sum("df")).cast("bigint").alias("raw_bytes"),
+            F.sum("varint_bytes").cast("bigint").alias("varint_bytes"),
+            F.sum("gamma_bits").cast("bigint").alias("gamma_bits"),
+            F.round(
+                F.sum("varint_bytes").cast("double") / (8 * F.sum("df")), 6
+            ).alias("varint_ratio"),
+        )
+    )
+
+
+_HIST_SPINE = ", ".join(
+    f"('{s}', {b})" for s in ("ew", "ed") for b in range(8)
+)
+
+_HIST_SQL = f"""
+WITH v AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+bounds AS (
+  SELECT CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM v
+),
+binned AS (
+  SELECT 'ew' AS scheme,
+         CAST(least(7, ((v.x - b.mn) * 8) // (b.mx - b.mn + 1)) AS BIGINT)
+           AS bin,
+         v.x
+  FROM v CROSS JOIN bounds b
+  UNION ALL
+  SELECT 'ed' AS scheme,
+         CAST(((rk - 1) * 8) // b.n_all AS BIGINT) AS bin, x
+  FROM (SELECT x, CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT)
+               AS rk
+        FROM v) r
+  CROSS JOIN bounds b
+),
+agg AS (
+  SELECT scheme, bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx
+  FROM binned GROUP BY 1, 2
+)
+SELECT s.scheme, CAST(s.bin AS BIGINT) AS bin,
+       coalesce(a.n, 0) AS n,
+       coalesce(a.sum_x, 0) AS sum_x,
+       coalesce(a.sum_xx, 0) AS sum_xx,
+       CAST(coalesce(a.n * a.sum_xx - a.sum_x * a.sum_x, 0) AS BIGINT)
+         AS var_num,
+       CASE WHEN a.n > 0
+            THEN round(CAST(a.sum_x AS DOUBLE) / a.n, 6) END AS mean_x
+FROM (VALUES {_HIST_SPINE}) s(scheme, bin)
+LEFT JOIN agg a ON a.scheme = s.scheme AND a.bin = s.bin
+"""
+
+
+@_register_r4("q_histogram_quality", _HIST_SQL)
+def q_histogram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-design shootout: the doc-length distribution binned two
+    ways — equi-width (8 bins over [min,max] via exact integer floor
+    division) and equi-depth (8 quantile bins via the engine-stable
+    ((rank-1)*8) div n formula over the distributed rank, doc_id
+    tie-pinned) — each bin shipping exact within-bin variance numerators
+    n*sum_xx - sum_x^2. This is the optimizer-statistics question (which
+    histogram models this column better for selectivity estimation)
+    answered with integers; the 16-row scheme x bin grid is zero-filled
+    from a literal spine so empty equi-width bins are visible rather than
+    silently absent.
+
+    Scale plan: one scan feeds both schemes; the equi-depth rank is
+    dist_dense_rank (unique key -> row number, range-partitioned, no
+    global window); bounds ride a broadcast 1-row carry; per-bin agg is
+    map-side-combined to 16 rows."""
+    from cliner_spark.ranking import dist_dense_rank
+
+    docs = load_docs(spark, sf_dir)
+    v = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    bounds = v.agg(
+        F.min("x").cast("bigint").alias("mn"),
+        F.max("x").cast("bigint").alias("mx"),
+        F.count("*").cast("bigint").alias("n_all"),
+    )
+    ew = (
+        v.crossJoin(F.broadcast(bounds))
+        .select(
+            F.lit("ew").alias("scheme"),
+            F.least(
+                F.lit(7),
+                F.expr("((x - mn) * 8) div (mx - mn + 1)"),
+            )
+            .cast("bigint")
+            .alias("bin"),
+            "x",
+        )
+    )
+    ed = (
+        dist_dense_rank(v, ["x", "doc_id"], out="rk")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.lit("ed").alias("scheme"),
+            F.expr("((rk - 1) * 8) div n_all").cast("bigint").alias("bin"),
+            "x",
+        )
+    )
+    agg = (
+        ew.unionAll(ed)
+        .groupBy("scheme", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(s, b) for s in ("ew", "ed") for b in range(8)], "scheme string, bin long"
+    )
+    return (
+        spine.join(
+            agg.select(
+                F.col("scheme").alias("as_"), F.col("bin").alias("ab"),
+                "n", "sum_x", "sum_xx",
+            ),
+            (F.col("scheme") == F.col("as_")) & (F.col("bin") == F.col("ab")),
+            "left",
+        )
+        .select(
+            "scheme",
+            F.col("bin").cast("bigint").alias("bin"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("sum_x"), F.lit(0)).cast("bigint").alias("sum_x"),
+            F.coalesce(F.col("sum_xx"), F.lit(0)).cast("bigint").alias("sum_xx"),
+            F.coalesce(
+                F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("var_num"),
+            F.when(
+                F.col("n") > 0, F.round(F.col("sum_x").cast("double") / F.col("n"), 6)
+            ).alias("mean_x"),
+        )
+    )
+
+
+_PPS_B = 101
+
+_PPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+         md5('pps:' || doc_id::VARCHAR) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, y, k,
+         CAST(sum(y) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM d
+),
+t AS (
+  SELECT doc_id, y, cum, CAST(sum(y) OVER () AS BIGINT) AS n_total FROM c
+),
+h AS (
+  SELECT doc_id, y, cum - y AS cum_before, n_total,
+         (2 * {_PPS_B} * cum + n_total - 1) // (2 * n_total)
+         - (2 * {_PPS_B} * (cum - y) + n_total - 1) // (2 * n_total)
+           AS n_hits
+  FROM t
+)
+SELECT doc_id, y AS n_chars, CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * n_total AS BIGINT) AS est_num,
+       CAST({_PPS_B} * y AS BIGINT) AS est_den,
+       round(CAST(n_hits * n_total AS DOUBLE) / ({_PPS_B} * y), 6)
+         AS est_docs_contrib
+FROM h WHERE n_hits >= 1
+"""
+
+
+@_register_r4("q_systematic_pps", _PPS_SQL)
+def q_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: docs are laid
+    on a char-mass line in md5 order (the deterministic stand-in for the
+    random stream shuffle), and {_PPS_B} equally spaced points at
+    (2i+1)*N/(2B) pick the doc whose cumulative interval contains them —
+    the textbook PPS workhorse (Madow 1949), zero rejection, exactly B
+    hits in total (a replica invariant). Point membership is exact
+    integer counting: hits = P(cum) - P(cum - y) with
+    P(t) = (2Bt + N - 1) div 2N. Each selected doc carries its
+    Horvitz-Thompson reciprocal n_hits*N/(B*y) as an exact rational —
+    the per-doc weight for estimating any corpus total from the sample.
+
+    Scale plan: the prefix sum is dist_cumsum (range partition +
+    per-partition running sum + offset shift — no global window, the
+    distributed scan primitive); everything after is per-row arithmetic
+    plus a broadcast 1-row total carry. A petabyte corpus samples in one
+    pass."""
+    from cliner_spark.ranking import dist_cumsum
+
+    docs = load_docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    c = dist_cumsum(d, ["k"], "y", out="cum")
+    tot = c.agg(F.sum("y").cast("bigint").alias("n_total"))
+    h = c.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "y", (F.col("cum") - F.col("y")).alias("cum_before"),
+        "n_total",
+        (
+            F.expr(f"(2 * {_PPS_B} * cum + n_total - 1) div (2 * n_total)")
+            - F.expr(
+                f"(2 * {_PPS_B} * (cum - y) + n_total - 1) div (2 * n_total)"
+            )
+        ).alias("n_hits"),
+    )
+    return h.filter(F.col("n_hits") >= 1).select(
+        "doc_id",
+        F.col("y").alias("n_chars"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits") * F.col("n_total")).cast("bigint").alias("est_num"),
+        (F.lit(_PPS_B) * F.col("y")).cast("bigint").alias("est_den"),
+        F.round(
+            (F.col("n_hits") * F.col("n_total")).cast("double")
+            / (F.lit(_PPS_B) * F.col("y")),
+            6,
+        ).alias("est_docs_contrib"),
+    )

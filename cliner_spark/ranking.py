@@ -68,3 +68,48 @@ def dist_dense_rank(
         .withColumn(out, (F.col(_LOCAL) + off).cast("bigint"))
         .drop(_PID, _LOCAL)
     )
+
+
+def dist_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out: str = "cumsum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append the exact inclusive prefix sum of ``val_col`` in
+    ``order_cols`` order without a global window: range-partition on the
+    order key, running-sum inside each partition, shift by the summed
+    totals of the partitions before it (one ≤``num_partitions``-row
+    aggregate collected once). Order keys must be non-null and UNIQUE per
+    row — with duplicate keys an inclusive running sum is order-ambiguous
+    (both engines' RANGE window frames would instead assign ties their
+    group total, which is a different operator).
+    """
+    if out in order_cols or out == val_col:
+        raise ValueError(f"out column {out!r} collides with inputs")
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = ranged.groupBy(_PID).agg(F.sum(val_col).alias("tot")).collect()
+    offsets: dict[int, int] = {}
+    cum = 0
+    for row in sorted(stats, key=lambda r: r[_PID]):
+        offsets[row[_PID]] = cum
+        cum += int(row["tot"] or 0)
+    off = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col(_PID),
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(_LOCAL, F.sum(val_col).over(w))
+        .withColumn(out, (F.col(_LOCAL) + off).cast("bigint"))
+        .drop(_PID, _LOCAL)
+    )

@@ -291,6 +291,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_histogram_quality": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 1-row min/max/count bounds carry onto the value scan "
+         "(x2: equi-width binning and the equi-depth rank divisor)")
+    ],
+    "q_systematic_pps": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 1-row total-char-mass carry onto the prefix-summed "
+         "scan — the PPS point-grid divisor")
+    ],
     "q_ipf_raking": [
         ("BroadcastNestedLoopJoin",
          "sources x langs dimension-grid cross (20 x 5) + broadcast "
