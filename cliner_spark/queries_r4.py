@@ -8594,3 +8594,367 @@ def q_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_docs_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4z: monitoring / inference trio — CUSUM changepoint ledger over
+# daily event volumes (Page 1954), exact two-sample Kolmogorov-Smirnov
+# over doc-length distributions (distributed cumulative counts via
+# dist_cumsum), and the log-rank test comparing survival between md5
+# treatment arms (Mantel 1966) — the inferential sibling of the
+# Kaplan-Meier ledger, sharing its lifetime/censoring framing.
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+),
+grid AS (
+  SELECT t.event_type, dd.d, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM base) t
+  CROSS JOIN (SELECT DISTINCT d FROM base) dd
+  LEFT JOIN (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+             FROM base GROUP BY 1, 2) c
+    ON c.event_type = t.event_type AND c.d = dd.d
+),
+k AS (
+  SELECT event_type, d, n,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM grid
+),
+z AS (
+  SELECT event_type, d, n, tot // n_days AS target,
+         n - tot // n_days AS zt,
+         CAST(sum(n - tot // n_days)
+              OVER (PARTITION BY event_type ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM k
+),
+s AS (
+  SELECT event_type, d, n, target, zt, cum,
+         least(CAST(0 AS BIGINT),
+               min(cum) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING)) AS run_min,
+         greatest(CAST(0 AS BIGINT),
+                  max(cum) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING)) AS run_max
+  FROM z
+)
+SELECT event_type, CAST(d AS VARCHAR) AS day, n, CAST(target AS BIGINT)
+         AS target,
+       CAST(zt AS BIGINT) AS z, cum,
+       CAST(cum - run_min AS BIGINT) AS cusum_up,
+       CAST(run_max - cum AS BIGINT) AS cusum_dn,
+       cum - run_min > 2 * target + 5 AS alarm_up,
+       run_max - cum > 2 * target + 5 AS alarm_dn
+FROM s
+"""
+
+
+@_register_r4("q_cusum_changepoint", _CUSUM_SQL)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint ledger (Page 1954) over daily per-type event
+    volumes on the zero-filled type x day grid: with target = floor
+    per-type daily mean, the classic recursions S+_t = max(0, S+_{t-1} +
+    z_t) and S-_t = max(0, S-_{t-1} - z_t) are computed WINDOW-ALGEBRAIC
+    as cum_t - min(0, running_min(cum)) and max(0, running_max(cum)) -
+    cum_t — the prefix-extrema identity that turns a sequential recursion
+    into two partitioned running windows, all exact BIGINTs. Alarm
+    thresholds at 2*target+5 flag sustained drifts the EWMA twin
+    (q_ewma_anomaly) smooths over; days are emitted as ISO strings
+    ([[engine-exactness-discipline]]).
+
+    Scale plan: everything partitions by event_type; the grid is
+    dimension x day; no global windows, one scan."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_type", F.col("ts").cast("date").alias("d"))
+    cnt = base.groupBy(
+        F.col("event_type").alias("ct"), F.col("d").alias("cd")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    grid = (
+        base.select("event_type").distinct()
+        .crossJoin(base.select("d").distinct())
+        .join(
+            cnt,
+            (F.col("event_type") == F.col("ct")) & (F.col("d") == F.col("cd")),
+            "left",
+        )
+        .select(
+            "event_type", "d", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    k = grid.select(
+        "event_type", "d", "n",
+        F.expr(
+            "sum(n) OVER (PARTITION BY event_type) div "
+            "count(*) OVER (PARTITION BY event_type)"
+        ).cast("bigint").alias("target"),
+    )
+    z = k.select(
+        "event_type", "d", "n", "target",
+        (F.col("n") - F.col("target")).cast("bigint").alias("zt"),
+    ).withColumn("cum", F.sum("zt").over(wo).cast("bigint"))
+    s = z.select(
+        "*",
+        F.least(F.lit(0).cast("bigint"), F.min("cum").over(wo)).alias("run_min"),
+        F.greatest(F.lit(0).cast("bigint"), F.max("cum").over(wo)).alias("run_max"),
+    )
+    return s.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n", "target",
+        F.col("zt").alias("z"),
+        "cum",
+        (F.col("cum") - F.col("run_min")).cast("bigint").alias("cusum_up"),
+        (F.col("run_max") - F.col("cum")).cast("bigint").alias("cusum_dn"),
+        (F.col("cum") - F.col("run_min") > 2 * F.col("target") + 5).alias("alarm_up"),
+        (F.col("run_max") - F.col("cum") > 2 * F.col("target") + 5).alias("alarm_dn"),
+    )
+
+
+_KS_SQL = """
+WITH v AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1
+  FROM documents
+),
+per_val AS (
+  SELECT x, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(1 - g1) AS BIGINT) AS c2
+  FROM v GROUP BY x
+),
+cum AS (
+  SELECT x, c1, c2,
+         CAST(sum(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS f1,
+         CAST(sum(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS f2,
+         CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         CAST(sum(c2) OVER () AS BIGINT) AS n2
+  FROM per_val
+),
+d AS (
+  SELECT x, c1, c2, f1, f2, n1, n2,
+         CAST(abs(n2 * f1 - n1 * f2) AS BIGINT) AS d_num,
+         CAST(n1 * n2 AS BIGINT) AS d_den
+  FROM cum
+)
+SELECT x, c1, c2, f1, f2, n1, n2, d_num, d_den,
+       d_num = max(d_num) OVER () AS is_ks_argmax,
+       round(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS d_at_x
+FROM d
+"""
+
+
+@_register_r4("q_ks_two_sample", _KS_SQL)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov profile comparing the
+    doc-length distribution of English vs non-English docs: at every
+    distinct length x the cross-multiplied ECDF gap |n2*F1(x) - n1*F2(x)|
+    on denominator n1*n2 is exact; the KS statistic is the flagged
+    row-max. Rows are per distinct value, so the output is
+    domain-bounded, not corpus-bounded — the drift detector a pipeline
+    runs between ingestion batches.
+
+    Scale plan: per-value counts are one map-side-combined agg; both
+    cumulative ECDFs ride dist_cumsum over the value order (range
+    partition + offset shift, no global window at corpus scale); the
+    n1/n2/argmax constants are broadcast 1-row carries."""
+    from cliner_spark.ranking import dist_cumsum
+
+    docs = load_docs(spark, sf_dir)
+    v = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g1"),
+    )
+    per_val = v.groupBy("x").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    cum = dist_cumsum(
+        dist_cumsum(per_val, ["x"], "c1", out="f1"), ["x"], "c2", out="f2"
+    )
+    tot = per_val.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "x", "c1", "c2", "f1", "f2", "n1", "n2",
+        F.abs(F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2"))
+        .cast("bigint")
+        .alias("d_num"),
+        (F.col("n1") * F.col("n2")).cast("bigint").alias("d_den"),
+    )
+    mx = d.agg(F.max("d_num").alias("mx"))
+    return d.crossJoin(F.broadcast(mx)).select(
+        "x", "c1", "c2", "f1", "f2", "n1", "n2", "d_num", "d_den",
+        (F.col("d_num") == F.col("mx")).alias("is_ks_argmax"),
+        F.round(F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")), 6).alias(
+            "d_at_x"
+        ),
+    )
+
+
+_LOGRANK_SQL = """
+WITH fe AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS t0, max(CAST(ts AS DATE)) AS t1
+  FROM events GROUP BY user_id
+),
+death AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS td
+  FROM events
+  WHERE event_type = 'purchase' AND round(value * 100) >= 19000
+  GROUP BY user_id
+),
+life AS (
+  SELECT fe.user_id,
+         (strpos('0123456789abcdef',
+                 substr(md5('trt:' || fe.user_id::VARCHAR), 1, 1)) - 1) % 2
+           AS grp,
+         CASE WHEN d.td IS NOT NULL THEN date_diff('day', fe.t0, d.td)
+              ELSE date_diff('day', fe.t0, fe.t1) END AS t,
+         CASE WHEN d.td IS NOT NULL THEN 0 ELSE 1 END AS censored
+  FROM fe LEFT JOIN death d ON d.user_id = fe.user_id
+),
+cnt AS (
+  SELECT t, grp,
+         CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_events,
+         CAST(count(*) AS BIGINT) AS n_leaving
+  FROM life GROUP BY 1, 2
+),
+grid AS (
+  SELECT tt.t, g.grp, coalesce(c.d_events, 0) AS d_events,
+         coalesce(c.n_leaving, 0) AS n_leaving
+  FROM (SELECT DISTINCT t FROM life) tt
+  CROSS JOIN (VALUES (0), (1)) g(grp)
+  LEFT JOIN cnt c ON c.t = tt.t AND c.grp = g.grp
+),
+risk AS (
+  SELECT t, grp, d_events,
+         CAST(sum(n_leaving) OVER (PARTITION BY grp ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_risk
+  FROM grid
+),
+w AS (
+  SELECT t,
+         max(CASE WHEN grp = 1 THEN n_risk END) AS n1,
+         max(CASE WHEN grp = 0 THEN n_risk END) AS n0,
+         max(CASE WHEN grp = 1 THEN d_events END) AS d1,
+         max(CASE WHEN grp = 0 THEN d_events END) AS d0
+  FROM risk GROUP BY t
+)
+SELECT CAST(t AS INT) AS t_days, CAST(n1 AS BIGINT) AS n1_risk,
+       CAST(n0 AS BIGINT) AS n0_risk,
+       CAST(d1 AS BIGINT) AS d1, CAST(d0 AS BIGINT) AS d0,
+       CAST((n1 + n0) * d1 - (d1 + d0) * n1 AS BIGINT) AS oe_num,
+       CAST(n1 + n0 AS BIGINT) AS oe_den,
+       CAST((d1 + d0) * (n1 + n0 - d1 - d0) * n1 * n0 AS BIGINT) AS var_num,
+       CASE WHEN n1 + n0 > 1
+            THEN CAST((n1 + n0) * (n1 + n0) * (n1 + n0 - 1) AS BIGINT) END
+         AS var_den
+FROM w WHERE d1 + d0 > 0
+"""
+
+
+@_register_r4("q_logrank_test", _LOGRANK_SQL)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test ledger (Mantel 1966) comparing time-to-first-big-
+    purchase (>= $190, the 'death' event; users who never convert are
+    right-censored at their last observed activity) between the md5
+    treatment arms: at every death time the observed-minus-expected
+    deaths in arm 1, oe = d1 - d*n1/n, ships as the exact rational
+    (n*d1 - d*n1)/n with its hypergeometric variance
+    d*(n-d)*n1*n0 / (n^2*(n-1)) — the replica sums Fractions into the
+    chi-square statistic and proves the arm-symmetry identity
+    sum(O1-E1) = -sum(O0-E0). Single-at-risk times emit NULL variance
+    denominators rather than dividing by zero. (The q_kaplan_meier
+    lifetime framing has zero deaths on this fixture — every user stays
+    active to the horizon — so the test would be vacuous there; the
+    conversion framing mixes deaths and censoring at every SF.)
+
+    Scale plan: lifetimes are one user-keyed agg + one broadcast-joined
+    death table; at-risk counts are reverse running sums partitioned by
+    arm over the time x arm grid (dimension-sized); the grid cross is a
+    2-row literal spine."""
+    ev = load(spark, sf_dir, "events")
+    fe = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("t0"),
+        F.max(F.col("ts").cast("date")).alias("t1"),
+    )
+    death = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.round(F.col("value") * 100) >= 19000)
+        )
+        .groupBy(F.col("user_id").alias("du"))
+        .agg(F.min(F.col("ts").cast("date")).alias("td"))
+    )
+    life = fe.join(death, F.col("du") == F.col("user_id"), "left").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("trt:"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("grp"),
+        F.when(
+            F.col("td").isNotNull(), F.datediff(F.col("td"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("t1"), F.col("t0")))
+        .alias("t"),
+        F.when(F.col("td").isNotNull(), 0).otherwise(1).alias("censored"),
+    )
+    cnt = life.groupBy(F.col("t").alias("ct"), F.col("grp").alias("cg")).agg(
+        F.sum(F.when(F.col("censored") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_events"),
+        F.count("*").cast("bigint").alias("n_leaving"),
+    )
+    grps = spark.createDataFrame([(0,), (1,)], "grp int")
+    grid = (
+        life.select("t").distinct()
+        .crossJoin(F.broadcast(grps))
+        .join(
+            cnt, (F.col("ct") == F.col("t")) & (F.col("cg") == F.col("grp")), "left"
+        )
+        .select(
+            "t", "grp",
+            F.coalesce(F.col("d_events"), F.lit(0)).cast("bigint").alias("d_events"),
+            F.coalesce(F.col("n_leaving"), F.lit(0)).cast("bigint").alias("n_leaving"),
+        )
+    )
+    wrev = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.select(
+        "t", "grp", "d_events", F.sum("n_leaving").over(wrev).cast("bigint").alias("n_risk")
+    )
+    w = risk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n_risk"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_risk"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("d_events"))).alias("d1"),
+        F.max(F.when(F.col("grp") == 0, F.col("d_events"))).alias("d0"),
+    )
+    n = F.col("n1") + F.col("n0")
+    d = F.col("d1") + F.col("d0")
+    return w.filter(d > 0).select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n1").cast("bigint").alias("n1_risk"),
+        F.col("n0").cast("bigint").alias("n0_risk"),
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d0").cast("bigint").alias("d0"),
+        (n * F.col("d1") - d * F.col("n1")).cast("bigint").alias("oe_num"),
+        n.cast("bigint").alias("oe_den"),
+        (d * (n - d) * F.col("n1") * F.col("n0")).cast("bigint").alias("var_num"),
+        F.when(n > 1, (n * n * (n - 1)).cast("bigint")).alias("var_den"),
+    )

@@ -291,6 +291,21 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_cusum_changepoint": [
+        ("BroadcastNestedLoopJoin",
+         "event-type x day dimension grid cross (5 x ~30) — the "
+         "zero-filled CUSUM spine; all windows partition by type")
+    ],
+    "q_ks_two_sample": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 1-row n1/n2 totals carry + 1-row KS-argmax carry "
+         "onto the domain-bounded per-value frame")
+    ],
+    "q_logrank_test": [
+        ("BroadcastNestedLoopJoin",
+         "2-row literal arm spine x the distinct-lifetime dimension — "
+         "the zero-filled at-risk grid")
+    ],
     "q_histogram_quality": [
         ("BroadcastNestedLoopJoin",
          "broadcast 1-row min/max/count bounds carry onto the value scan "
