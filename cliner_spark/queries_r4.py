@@ -8958,3 +8958,488 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d * (n - d) * F.col("n1") * F.col("n0")).cast("bigint").alias("var_num"),
         F.when(n > 1, (n * n * (n - 1)).cast("bigint")).alias("var_den"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4aa: eval-governance trio — Benjamini-Hochberg FDR over per-source
+# Monte-Carlo p-values (the multiple-testing gate every drift dashboard
+# needs), split-conformal calibration with finite-sample coverage audit
+# (Vovk; Angelopoulos-Bates 2021), and Borda/Condorcet rank aggregation of
+# five REAL per-source quality criteria (the committee-vote answer to
+# 'which source is best overall').
+# --------------------------------------------------------------------------
+
+_BH_B = 64
+_BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 10  # alpha = 0.1
+
+_BH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(en) AS BIGINT) AS en_all
+  FROM d
+),
+obs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(en) AS BIGINT)
+           AS en_s
+  FROM d GROUP BY 1
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM obs),
+b AS (SELECT CAST(t.i AS INT) AS b FROM unnest(range({_BH_B})) AS t(i)),
+coins AS (
+  SELECT b.b, d.source,
+         CASE WHEN (
+           (strpos('0123456789abcdef',
+                   substr(md5(b.b::VARCHAR || '#' || d.doc_id::VARCHAR),
+                          1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef',
+                     substr(md5(b.b::VARCHAR || '#' || d.doc_id::VARCHAR),
+                            2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(b.b::VARCHAR || '#' || d.doc_id::VARCHAR),
+                            3, 1)) - 1)
+         ) * tot.n_all < 4096 * tot.en_all THEN 1 ELSE 0 END AS en
+  FROM d CROSS JOIN b CROSS JOIN tot
+),
+rep AS (
+  SELECT source, b, CAST(sum(en) AS BIGINT) AS en_b
+  FROM coins GROUP BY 1, 2
+),
+pv AS (
+  SELECT o.source, o.n_s, o.en_s,
+         CAST(abs(t.n_all * o.en_s - o.n_s * t.en_all) AS BIGINT) AS t_obs,
+         CAST(1 + sum(CASE WHEN abs(t.n_all * r.en_b - o.n_s * t.en_all)
+                            >= abs(t.n_all * o.en_s - o.n_s * t.en_all)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p_num,
+         CAST({_BH_B} + 1 AS BIGINT) AS p_den
+  FROM obs o
+  JOIN rep r ON r.source = o.source
+  CROSS JOIN tot t
+  GROUP BY o.source, o.n_s, o.en_s, t.n_all, t.en_all
+),
+rk AS (
+  SELECT pv.*, m.m,
+         CAST(row_number() OVER (ORDER BY p_num, source) AS BIGINT) AS bh_rank
+  FROM pv CROSS JOIN m
+),
+istar AS (
+  SELECT rk.*,
+         CAST(coalesce(max(CASE WHEN p_num * m * {_BH_ALPHA_DEN}
+                                 <= bh_rank * p_den * {_BH_ALPHA_NUM}
+                           THEN bh_rank END) OVER (), 0) AS BIGINT) AS i_star
+  FROM rk
+)
+SELECT source, n_s AS n_docs, en_s AS en_obs, t_obs, p_num, p_den,
+       round(CAST(p_num AS DOUBLE) / p_den, 6) AS p_value,
+       bh_rank, i_star, bh_rank <= i_star AS rejected
+FROM istar
+"""
+
+
+@_register_r4("q_bh_fdr", _BH_SQL)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (1995) over one hypothesis
+    per source — H0_s: 'source s has the corpus-wide English share'. The
+    per-source statistic is the cross-multiplied deviation
+    |N*en_s - n_s*EN|; its null distribution comes from 64 deterministic
+    md5 replicas that re-draw each doc's language from the pooled share
+    (12-bit coin v*N < 4096*EN — exact, no float probability), giving
+    add-one Monte-Carlo p-values k/65. BH then ranks the m p-values and
+    rejects through the largest rank with p <= rank*alpha/m, all
+    cross-multiplied (p_num*m*10 <= rank*65): no float ever decides a
+    rejection. The dashboard gate for 'which sources drifted, at 10% FDR'.
+
+    Scale plan: one corpus scan fans out over the broadcast 64-row
+    replica spine and collapses map-side to 20x64 cells; the BH step-up
+    runs on the m-row frame."""
+    docs = load_docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source", F.when(F.col("lang") == "en", 1).otherwise(0).alias("en")
+    )
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("en").cast("bigint").alias("en_all"),
+    )
+    obs = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("en").cast("bigint").alias("en_s"),
+    )
+    bsp = spark.range(_BH_B).select(F.col("id").cast("int").alias("b"))
+    h3 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("b").cast("string"), F.lit("#"),
+                           F.col("doc_id").cast("string"))),
+            1,
+            3,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    coins = (
+        d.crossJoin(F.broadcast(bsp))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b", "source",
+            F.when(h3 * F.col("n_all") < 4096 * F.col("en_all"), 1)
+            .otherwise(0)
+            .alias("en"),
+        )
+    )
+    rep = coins.groupBy(F.col("source").alias("rs"), "b").agg(
+        F.sum("en").cast("bigint").alias("en_b")
+    )
+    pv = (
+        obs.join(rep, F.col("rs") == F.col("source"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "en_s", "n_all", "en_all")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_all") * F.col("en_b") - F.col("n_s") * F.col("en_all"))
+                    >= F.abs(
+                        F.col("n_all") * F.col("en_s") - F.col("n_s") * F.col("en_all")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .alias("ge"),
+        )
+        .select(
+            "source", "n_s", "en_s",
+            F.abs(F.col("n_all") * F.col("en_s") - F.col("n_s") * F.col("en_all"))
+            .cast("bigint")
+            .alias("t_obs"),
+            (1 + F.col("ge")).cast("bigint").alias("p_num"),
+            F.lit(_BH_B + 1).cast("bigint").alias("p_den"),
+        )
+    )
+    m = pv.agg(F.count("*").cast("bigint").alias("m"))
+    rk = pv.crossJoin(F.broadcast(m)).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p_num", "source"))
+        .cast("bigint")
+        .alias("bh_rank"),
+    )
+    w = Window.partitionBy()  # m-row frame
+    istar = rk.select(
+        "*",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_num") * F.col("m") * _BH_ALPHA_DEN
+                    <= F.col("bh_rank") * F.col("p_den") * _BH_ALPHA_NUM,
+                    F.col("bh_rank"),
+                )
+            ).over(w),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("i_star"),
+    )
+    return istar.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.col("en_s").alias("en_obs"),
+        "t_obs", "p_num", "p_den",
+        F.round(F.col("p_num").cast("double") / F.col("p_den"), 6).alias("p_value"),
+        "bh_rank", "i_star",
+        (F.col("bh_rank") <= F.col("i_star")).alias("rejected"),
+    )
+
+
+_CONF_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+dl AS (
+  SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+         (SELECT count(DISTINCT lower(t.tok))
+          FROM unnest(d.toks) AS t(tok)) AS n_uniq
+  FROM docs d WHERE len(d.toks) > 0
+),
+pred AS (
+  SELECT dd.doc_id, dd.source,
+         CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END AS y,
+         (1000 * dl.n_uniq) // dl.n_toks AS s_milli,
+         (strpos('0123456789abcdef',
+                 substr(md5('cal:' || dd.doc_id::VARCHAR), 1, 1)) - 1) % 2
+           AS is_cal
+  FROM documents dd JOIN dl ON dl.doc_id = dd.doc_id
+),
+cal AS (
+  SELECT 1000 - s_milli AS a, doc_id FROM pred WHERE is_cal = 0 AND y = 1
+),
+kc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         (9 * (count(*) + 1) + 9) // 10 AS k
+  FROM cal
+),
+qh AS (
+  SELECT coalesce(max(CASE WHEN rn = kc.k THEN a END), 1001) AS qhat,
+         max(kc.n_cal) AS n_cal, max(kc.k) AS k
+  FROM (SELECT a, row_number() OVER (ORDER BY a, doc_id) AS rn FROM cal) r
+  CROSS JOIN kc
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_test_pos,
+       CAST(sum(CASE WHEN 1000 - p.s_milli <= q.qhat THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST(q.n_cal AS BIGINT) AS n_cal, CAST(q.k AS BIGINT) AS k,
+       CAST(q.qhat AS BIGINT) AS qhat,
+       round(CAST(sum(CASE WHEN 1000 - p.s_milli <= q.qhat THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS coverage
+FROM pred p CROSS JOIN qh q
+WHERE p.is_cal = 1 AND p.y = 1
+GROUP BY p.source, q.n_cal, q.k, q.qhat
+"""
+
+
+@_register_r4("q_conformal_calibration", _CONF_SQL)
+def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration audit (Vovk's inductive conformal;
+    Angelopoulos-Bates 2021) for the lexical-diversity 'English-ness'
+    score: calibration docs (md5 split, true-en only) contribute
+    nonconformity a = 1000 - s_milli; the conformal quantile is the k-th
+    smallest a with k = ceil(0.9*(n_cal+1)) — pure rank arithmetic,
+    doc_id tie-pinned, k = (9*(n_cal+1)+9) div 10 exact. Per source the
+    test-split true-en docs report how many landed inside the 90%
+    prediction set (1000 - s <= qhat): marginal coverage is guaranteed
+    >= 90% by exchangeability, and the per-source breakdown shows where
+    conditional coverage sags — the audit conformal papers tell you to
+    run. An empty calibration set degrades safely to qhat = 1001
+    (cover everything).
+
+    Scale plan: the quantile is one rank on the calibration subset (at
+    corpus scale dist_dense_rank replaces the window — same algebra);
+    everything else is a broadcast 1-row qhat carry over one scan."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", "lang", F.explode(tokens_col("text")).alias("tok")
+    )
+    dl = toks.groupBy(F.col("doc_id").alias("td")).agg(
+        F.count("*").cast("bigint").alias("n_toks"),
+        F.countDistinct(F.lower("tok")).cast("bigint").alias("n_uniq"),
+    )
+    pred = docs.join(dl, F.col("td") == F.col("doc_id")).select(
+        "doc_id", "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.expr("(1000 * n_uniq) div n_toks").alias("s_milli"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("is_cal"),
+    )
+    cal = pred.filter((F.col("is_cal") == 0) & (F.col("y") == 1)).select(
+        (1000 - F.col("s_milli")).alias("a"), "doc_id"
+    )
+    kc = cal.agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.expr("(9 * (count(*) + 1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    ranked = cal.select(
+        "a", F.row_number().over(Window.orderBy("a", "doc_id")).alias("rn")
+    )
+    qh = (
+        ranked.crossJoin(F.broadcast(kc))
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("k"), F.col("a"))), F.lit(1001)
+            )
+            .cast("bigint")
+            .alias("qhat"),
+            F.max("n_cal").cast("bigint").alias("n_cal"),
+            F.max("k").cast("bigint").alias("k"),
+        )
+    )
+    test = pred.filter((F.col("is_cal") == 1) & (F.col("y") == 1))
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .groupBy("source", "n_cal", "k", "qhat")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_pos"),
+            F.sum(
+                F.when(1000 - F.col("s_milli") <= F.col("qhat"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "source", "n_test_pos", "n_covered", "n_cal", "k", "qhat",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test_pos"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+_BORDA_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+per_src AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS tot_chars,
+         CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS en_docs
+  FROM documents d GROUP BY 1
+),
+vocab AS (
+  SELECT dd.source, CAST(count(DISTINCT lower(t.tok)) AS BIGINT) AS n_vocab
+  FROM docs d
+  JOIN documents dd ON dd.doc_id = d.doc_id
+  CROSS JOIN unnest(d.toks) AS t(tok)
+  GROUP BY 1
+),
+met AS (
+  SELECT p.source, p.n_docs, p.tot_chars, p.en_docs, v.n_vocab,
+         CAST(row_number() OVER (ORDER BY p.tot_chars DESC, p.source)
+              AS BIGINT) AS r_chars,
+         CAST(row_number() OVER (ORDER BY p.n_docs DESC, p.source)
+              AS BIGINT) AS r_docs,
+         CAST(row_number() OVER (
+                ORDER BY CAST(p.en_docs AS DOUBLE) / p.n_docs DESC, p.source)
+              AS BIGINT) AS r_en,
+         CAST(row_number() OVER (ORDER BY v.n_vocab DESC, p.source)
+              AS BIGINT) AS r_vocab,
+         CAST(row_number() OVER (
+                ORDER BY CAST(p.tot_chars AS DOUBLE) / p.n_docs DESC, p.source)
+              AS BIGINT) AS r_avglen
+  FROM per_src p JOIN vocab v ON v.source = p.source
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM met),
+pair AS (
+  SELECT a.source,
+         CAST(sum(CASE WHEN
+             (CASE WHEN a.r_chars < b.r_chars THEN 1 ELSE 0 END)
+           + (CASE WHEN a.r_docs < b.r_docs THEN 1 ELSE 0 END)
+           + (CASE WHEN a.r_en < b.r_en THEN 1 ELSE 0 END)
+           + (CASE WHEN a.r_vocab < b.r_vocab THEN 1 ELSE 0 END)
+           + (CASE WHEN a.r_avglen < b.r_avglen THEN 1 ELSE 0 END) >= 3
+           THEN 1 ELSE 0 END) AS BIGINT) AS pair_wins
+  FROM met a JOIN met b ON b.source <> a.source
+  GROUP BY a.source
+)
+SELECT met.source, met.n_docs, met.tot_chars, met.en_docs, met.n_vocab,
+       met.r_chars, met.r_docs, met.r_en, met.r_vocab, met.r_avglen,
+       CAST(5 * mm.m - (met.r_chars + met.r_docs + met.r_en + met.r_vocab
+                        + met.r_avglen) AS BIGINT) AS borda,
+       p.pair_wins,
+       p.pair_wins = mm.m - 1 AS is_condorcet_winner,
+       CAST(5 * mm.m - (met.r_chars + met.r_docs + met.r_en + met.r_vocab
+                        + met.r_avglen) AS BIGINT)
+         = max(CAST(5 * mm.m - (met.r_chars + met.r_docs + met.r_en
+                                + met.r_vocab + met.r_avglen) AS BIGINT))
+           OVER () AS is_borda_winner
+FROM met JOIN pair p ON p.source = met.source CROSS JOIN mm
+"""
+
+
+@_register_r4("q_borda_condorcet", _BORDA_SQL)
+def q_borda_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda + Condorcet rank aggregation of five REAL per-source quality
+    criteria — total chars, doc count, English share, vocabulary size,
+    average doc length — each a full ranking of the sources (strict
+    row_number order, double-quotient criteria engine-stable with source
+    tie pins). Borda score = sum of (m - rank) points; a source is the
+    Condorcet winner iff it beats every other source on a strict
+    majority (>=3) of criteria. The committee-vote answer to 'which
+    source is best overall', with the full rank profile in-row so
+    disagreements between the two aggregation rules are visible (they
+    famously need not agree).
+
+    Scale plan: five map-side-combined per-source aggs; every window and
+    the pairwise join run on the m-row source dimension (m^2 = 400
+    pairs), never the corpus."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tot_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("en_docs"),
+    )
+    vocab = (
+        docs.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy(F.col("source").alias("vs"))
+        .agg(F.countDistinct(F.lower("tok")).cast("bigint").alias("n_vocab"))
+    )
+    met = per_src.join(vocab, F.col("vs") == F.col("source")).select(
+        "source", "n_docs", "tot_chars", "en_docs", "n_vocab",
+        F.row_number()
+        .over(Window.orderBy(F.col("tot_chars").desc(), "source"))
+        .cast("bigint")
+        .alias("r_chars"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_docs").desc(), "source"))
+        .cast("bigint")
+        .alias("r_docs"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("en_docs").cast("double") / F.col("n_docs")).desc(), "source"
+            )
+        )
+        .cast("bigint")
+        .alias("r_en"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_vocab").desc(), "source"))
+        .cast("bigint")
+        .alias("r_vocab"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("tot_chars").cast("double") / F.col("n_docs")).desc(),
+                "source",
+            )
+        )
+        .cast("bigint")
+        .alias("r_avglen"),
+    )
+    mm = met.agg(F.count("*").cast("bigint").alias("m"))
+    b = met.select(*[F.col(c).alias(f"b_{c}") for c in met.columns])
+    maj = (
+        F.when(F.col("r_chars") < F.col("b_r_chars"), 1).otherwise(0)
+        + F.when(F.col("r_docs") < F.col("b_r_docs"), 1).otherwise(0)
+        + F.when(F.col("r_en") < F.col("b_r_en"), 1).otherwise(0)
+        + F.when(F.col("r_vocab") < F.col("b_r_vocab"), 1).otherwise(0)
+        + F.when(F.col("r_avglen") < F.col("b_r_avglen"), 1).otherwise(0)
+    )
+    pair = (
+        met.join(b, F.col("b_source") != F.col("source"))
+        .groupBy(F.col("source").alias("ps"))
+        .agg(F.sum(F.when(maj >= 3, 1).otherwise(0)).cast("bigint").alias("pair_wins"))
+    )
+    borda = (
+        5 * F.col("m")
+        - (
+            F.col("r_chars") + F.col("r_docs") + F.col("r_en")
+            + F.col("r_vocab") + F.col("r_avglen")
+        )
+    )
+    w = Window.partitionBy()  # m-row frame
+    return (
+        met.join(pair, F.col("ps") == F.col("source"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "source", "n_docs", "tot_chars", "en_docs", "n_vocab",
+            "r_chars", "r_docs", "r_en", "r_vocab", "r_avglen",
+            borda.cast("bigint").alias("borda"),
+            "pair_wins",
+            (F.col("pair_wins") == F.col("m") - 1).alias("is_condorcet_winner"),
+            (borda.cast("bigint") == F.max(borda.cast("bigint")).over(w)).alias(
+                "is_borda_winner"
+            ),
+        )
+    )

@@ -291,6 +291,22 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_bh_fdr": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 64-row replica spine x one corpus scan (the "
+         "Monte-Carlo null, map-side combined to sources x 64 cells) + "
+         "1-row N/EN and m carries")
+    ],
+    "q_conformal_calibration": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 1-row carries (n_cal/k and the conformal qhat "
+         "quantile) onto the calibration rank and the test scan")
+    ],
+    "q_borda_condorcet": [
+        ("BroadcastNestedLoopJoin",
+         "m-row source-dimension pairwise join (m^2 = 400 rows) + "
+         "broadcast 1-row m carry — committee vote on the dimension only")
+    ],
     "q_cusum_changepoint": [
         ("BroadcastNestedLoopJoin",
          "event-type x day dimension grid cross (5 x ~30) — the "
