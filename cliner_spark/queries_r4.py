@@ -8652,8 +8652,8 @@ FROM s
 """
 
 
-@_register_r4("q_cusum_changepoint", _CUSUM_SQL)
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register_r4("q_cusum_page", _CUSUM_SQL)
+def q_cusum_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint ledger (Page 1954) over daily per-type event
     volumes on the zero-filled type x day grid: with target = floor
     per-type daily mean, the classic recursions S+_t = max(0, S+_{t-1} +

@@ -1,5 +1,5 @@
 """Independent-oracle replica tests for the monitoring/inference batch
-(q_cusum_changepoint / q_ks_two_sample / q_logrank_test)."""
+(q_cusum_page / q_ks_two_sample / q_logrank_test)."""
 
 from __future__ import annotations
 
@@ -25,7 +25,7 @@ def test_cusum_recursion_identity(spark):
         types.add(et)
         days.add(d)
     days = sorted(days)
-    rows = entry.queries()["q_cusum_changepoint"](spark, SF).collect()
+    rows = entry.queries()["q_cusum_page"](spark, SF).collect()
     assert len(rows) == len(types) * len(days)
     got = {(r["event_type"], r["day"]): r for r in rows}
     alarms = 0

@@ -307,7 +307,7 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "m-row source-dimension pairwise join (m^2 = 400 rows) + "
          "broadcast 1-row m carry — committee vote on the dimension only")
     ],
-    "q_cusum_changepoint": [
+    "q_cusum_page": [
         ("BroadcastNestedLoopJoin",
          "event-type x day dimension grid cross (5 x ~30) — the "
          "zero-filled CUSUM spine; all windows partition by type")
