@@ -7141,14 +7141,29 @@ _SUFFIX_ROUNDS = 4
 _SUFFIX_SQL = _suffix_sql(_SUFFIX_ROUNDS)
 
 
+# (applicationId, corpus fingerprint, rounds) -> localCheckpoint-pinned level
+# DFs. Four registered queries share the doubling chain; within one session
+# (bench sweep, driver correctness run) only the first builds it. Keyed by
+# applicationId (unique per SparkContext — checkpointed RDDs die with it)
+# and the corpus CONTENT fingerprint (the round-3 ADVICE cache rule), never
+# by path alone.
+_SUFFIX_LEVELS_CACHE: dict[tuple, list[DataFrame]] = {}
+
+
 def _suffix_levels(
     spark: SparkSession, sf_dir: str, rounds: int = _SUFFIX_ROUNDS
 ) -> list[DataFrame]:
     """Spark twin of _suffix_cte: returns [r0, .., r_rounds], each
     (doc_id, pos, r) with r = exact dense rank of the suffix's first
     2^k tokens (distributed via dist_dense_rank — no global window)."""
+    from cliner_spark.artifacts import corpus_fingerprint
     from cliner_spark.ranking import dist_dense_rank
     from cliner_spark.tokenization import tokens_col
+
+    key = (spark.sparkContext.applicationId, corpus_fingerprint(sf_dir), rounds)
+    cached = _SUFFIX_LEVELS_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     docs = load_docs(spark, sf_dir)
     s0 = docs.select(
@@ -7175,6 +7190,7 @@ def _suffix_levels(
                 "doc_id", "pos", F.col("r2").alias("r")
             )
         )
+    _SUFFIX_LEVELS_CACHE[key] = levels
     return levels
 
 
