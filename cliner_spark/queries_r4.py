@@ -9459,3 +9459,314 @@ def q_borda_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4ab: robust statistics + weighted-mass location + weighted SSSP —
+# exact order statistics (p50/p90/p99, MAD) per source via partitioned
+# ranks, the char-mass weighted median with the Hoover (Robin Hood)
+# concentration index, and 4-round multi-source Bellman-Ford over a
+# deterministic weighted graph with packed (dist, hub) tie pins — the
+# nearest-hub assignment primitive (weighted Voronoi over a graph).
+# --------------------------------------------------------------------------
+
+_ORDER_SQL = """
+WITH v AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+r AS (
+  SELECT source, x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM v
+),
+picks AS (
+  SELECT source, max(n) AS n,
+         max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS p50,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN x END) AS p90,
+         max(CASE WHEN rn = (99 * n + 99) // 100 THEN x END) AS p99
+  FROM r GROUP BY source
+),
+a AS (
+  SELECT v.source, abs(v.x - p.p50) AS ax, v.doc_id
+  FROM v JOIN picks p ON p.source = v.source
+),
+ar AS (
+  SELECT source, ax,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY ax, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM a
+),
+mad AS (
+  SELECT source, max(CASE WHEN rn = (n + 1) // 2 THEN ax END) AS mad
+  FROM ar GROUP BY source
+)
+SELECT p.source, CAST(p.n AS BIGINT) AS n, CAST(p.p50 AS BIGINT) AS p50,
+       CAST(p.p90 AS BIGINT) AS p90, CAST(p.p99 AS BIGINT) AS p99,
+       CAST(m.mad AS BIGINT) AS mad,
+       round(CAST(p.p99 AS DOUBLE) / p.p50, 6) AS tail_ratio
+FROM picks p JOIN mad m ON m.source = p.source
+"""
+
+
+@_register_r4("q_order_stats", _ORDER_SQL)
+def q_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source order statistics of doc length — p50/p90/p99 as
+    the ceil(q*n)-th smallest value (rank formulas (n+1) div 2,
+    (9n+9) div 10, (99n+99) div 100; doc_id tie pins) plus the median
+    absolute deviation (the robust spread: lower median of |x - p50|,
+    second ranked pass). No interpolation, no float percentile
+    approximation — the numbers an SLO dashboard should actually pin,
+    with tail_ratio = p99/p50 as the skew headline.
+
+    Scale plan: both passes are windows PARTITIONED by source (parallel
+    across groups; within a hot group the dist_dense_rank construction
+    swaps in unchanged); picks collapse map-side to one row per source."""
+    docs = load_docs(spark, sf_dir)
+    v = docs.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    wp = Window.partitionBy("source")
+    r = v.select(
+        "source", "x",
+        F.row_number().over(wp.orderBy("x", "doc_id")).cast("bigint").alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    picks = r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")))
+        .cast("bigint")
+        .alias("p50"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("x")))
+        .cast("bigint")
+        .alias("p90"),
+        F.max(F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("x")))
+        .cast("bigint")
+        .alias("p99"),
+    )
+    a = v.join(
+        picks.select(F.col("source").alias("ps"), "p50"),
+        F.col("ps") == F.col("source"),
+    ).select("source", F.abs(F.col("x") - F.col("p50")).alias("ax"), "doc_id")
+    ar = a.select(
+        "source", "ax",
+        F.row_number().over(wp.orderBy("ax", "doc_id")).cast("bigint").alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    mad = ar.groupBy(F.col("source").alias("ms")).agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ax")))
+        .cast("bigint")
+        .alias("mad")
+    )
+    return picks.join(mad, F.col("ms") == F.col("source")).select(
+        "source", "n", "p50", "p90", "p99", "mad",
+        F.round(F.col("p99").cast("double") / F.col("p50"), 6).alias("tail_ratio"),
+    )
+
+
+_WMED_SQL = """
+WITH v AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+c AS (
+  SELECT source, doc_id, x,
+         CAST(sum(x) OVER (PARTITION BY source ORDER BY x, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+         CAST(sum(x) OVER (PARTITION BY source) AS BIGINT) AS w_total,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM v
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(w_total) AS BIGINT) AS total_chars,
+       CAST(min(CASE WHEN 2 * cumw >= w_total THEN x END) AS BIGINT)
+         AS weighted_median,
+       CAST(sum(abs(n * x - w_total)) AS BIGINT) AS hoover_num,
+       CAST(2 * max(n) * max(w_total) AS BIGINT) AS hoover_den,
+       round(CAST(sum(abs(n * x - w_total)) AS DOUBLE)
+             / (2 * max(n) * max(w_total)), 6) AS hoover_index
+FROM c GROUP BY source
+"""
+
+
+@_register_r4("q_weighted_median", _WMED_SQL)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-mass weighted median per source — the doc length below which
+    half the source's CHARACTERS (not docs) live, i.e. the smallest x
+    with 2*cumw(x) >= W over the (x, doc_id)-ordered running mass — plus
+    the Hoover / Robin Hood index sum|n*x_i - W| / (2nW), the exact share
+    of char mass that would have to move to equalize doc sizes. The pair
+    tells a capacity planner where the bytes actually are (weighted
+    median >= plain median under right skew) and how concentrated they
+    are, complementing q_gini_concentration with the L1 inequality
+    measure.
+
+    Scale plan: one scan, all windows partitioned by source, map-side
+    combined single-row-per-source output."""
+    docs = load_docs(spark, sf_dir)
+    v = docs.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    wp = Window.partitionBy("source")
+    wc = wp.orderBy("x", "doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = v.select(
+        "source", "x",
+        F.sum("x").over(wc).cast("bigint").alias("cumw"),
+        F.sum("x").over(wp).cast("bigint").alias("w_total"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    return c.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("w_total").cast("bigint").alias("total_chars"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("w_total"), F.col("x")))
+        .cast("bigint")
+        .alias("weighted_median"),
+        F.sum(F.abs(F.col("n") * F.col("x") - F.col("w_total")))
+        .cast("bigint")
+        .alias("hoover_num"),
+        (2 * F.max("n") * F.max("w_total")).cast("bigint").alias("hoover_den"),
+        F.round(
+            F.sum(F.abs(F.col("n") * F.col("x") - F.col("w_total"))).cast("double")
+            / (2 * F.max("n") * F.max("w_total")),
+            6,
+        ).alias("hoover_index"),
+    )
+
+
+_BF_ROUNDS = 4
+_BF_PACK = 1 << 20  # pack = dist * 2^20 + hub  (lexicographic (dist, hub) min)
+
+
+def _bf_sql() -> str:
+    head = f"""
+WITH nodes AS (SELECT vec_id AS v FROM embeddings),
+ring AS (
+  SELECT a.v AS u, b.v AS t,
+         CAST(1 + (strpos('0123456789abcdef',
+                          substr(md5('bf:' || a.v::VARCHAR), 1, 1)) - 1)
+              AS BIGINT) AS wt
+  FROM nodes a JOIN nodes b ON b.v = a.v + 1
+),
+chord AS (
+  SELECT a.v AS u, b.v AS t,
+         CAST(18 + (strpos('0123456789abcdef',
+                           substr(md5('bf:' || a.v::VARCHAR), 2, 1)) - 1)
+              AS BIGINT) AS wt
+  FROM nodes a JOIN nodes b ON b.v = a.v + 7
+),
+edges AS (
+  SELECT u, t, wt FROM ring UNION ALL SELECT t, u, wt FROM ring
+  UNION ALL SELECT u, t, wt FROM chord UNION ALL SELECT t, u, wt FROM chord
+),
+d0 AS (
+  SELECT v AS node, CAST(v AS BIGINT) AS pack FROM nodes WHERE v % 100 = 0
+)"""
+    steps = []
+    for k in range(1, _BF_ROUNDS + 1):
+        steps.append(
+            f""",
+d{k} AS (
+  SELECT node, CAST(min(pack) AS BIGINT) AS pack FROM (
+    SELECT node, pack FROM d{k - 1}
+    UNION ALL
+    SELECT e.t AS node, d.pack + e.wt * {_BF_PACK} AS pack
+    FROM d{k - 1} d JOIN edges e ON e.u = d.node
+  ) rel GROUP BY node
+)"""
+        )
+    tail = f"""
+SELECT n.v AS vec_id,
+       CAST(d4.pack // {_BF_PACK} AS BIGINT) AS dist,
+       CAST(d4.pack % {_BF_PACK} AS BIGINT) AS hub,
+       CAST(CASE WHEN d1.node IS NOT NULL THEN 1
+                 WHEN d2.node IS NOT NULL THEN 2
+                 WHEN d3.node IS NOT NULL THEN 3
+                 WHEN d4.node IS NOT NULL THEN 4 END AS BIGINT)
+         AS first_round,
+       d4.node IS NOT NULL AS reached
+FROM nodes n
+LEFT JOIN d1 ON d1.node = n.v
+LEFT JOIN d2 ON d2.node = n.v
+LEFT JOIN d3 ON d3.node = n.v
+LEFT JOIN d4 ON d4.node = n.v
+"""
+    return head + "".join(steps) + tail
+
+
+_BF_SQL = _bf_sql()
+
+
+@_register_r4("q_bellman_ford_hubs", _BF_SQL)
+def q_bellman_ford_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded Bellman-Ford: every 100th vec_id is a hub with
+    distance 0, edges are the deterministic ring (weight 1..16 from an
+    md5 nibble) plus +/-7 chords (weight 18..33), and 4 relaxation rounds
+    compute each node's exact <=4-hop weighted distance to its nearest
+    hub — with ties broken by hub id via the packed key
+    dist*2^20 + hub, whose integer min IS the lexicographic (dist, hub)
+    min (the max_by-free trick from [[engine-exactness-discipline]]).
+    This is the weighted-Voronoi / nearest-facility assignment primitive
+    (shard-to-hub routing, cache-placement); first_round records when
+    each node was first reached, so the frontier expansion is auditable.
+    Unreached nodes keep honest NULLs.
+
+    Scale plan: each round is one equi-join frontier relaxation plus a
+    map-side-combinable min — the textbook distributed Bellman-Ford
+    (Pregel's hello-world); rounds are localCheckpoint-pinned like the
+    BFS/Luby loops. Edge tables never materialize strings."""
+    emb = load(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    nib = lambda pos: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bf:"), F.col("u").cast("string"))), pos, 1),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    def hop(off, base):
+        a = nodes.select(F.col("v").alias("u"))
+        b = nodes.select(F.col("v").alias("t"))
+        return a.join(b, F.col("t") == F.col("u") + off).select(
+            "u", "t", (F.lit(base) + nib(1 if off == 1 else 2)).alias("wt")
+        )
+    ring = hop(1, 1)
+    chord = hop(7, 18)
+    edges = (
+        ring.unionAll(ring.select(F.col("t").alias("u"), F.col("u").alias("t"), "wt"))
+        .unionAll(chord)
+        .unionAll(chord.select(F.col("t").alias("u"), F.col("u").alias("t"), "wt"))
+        .localCheckpoint()
+    )
+    d = nodes.filter(F.col("v") % 100 == 0).select(
+        F.col("v").alias("node"), F.col("v").cast("bigint").alias("pack")
+    ).localCheckpoint()
+    rounds = []
+    for _ in range(_BF_ROUNDS):
+        relaxed = d.join(edges, F.col("u") == F.col("node")).select(
+            F.col("t").alias("node"),
+            (F.col("pack") + F.col("wt") * _BF_PACK).alias("pack"),
+        )
+        d = (
+            d.select("node", "pack")
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("pack").cast("bigint").alias("pack"))
+            .localCheckpoint()
+        )
+        rounds.append(d)
+    out = nodes
+    for i, dk in enumerate(rounds, 1):
+        out = out.join(
+            dk.select(F.col("node").alias(f"n{i}"), F.col("pack").alias(f"p{i}")),
+            F.col(f"n{i}") == F.col("v"),
+            "left",
+        )
+    return out.select(
+        F.col("v").alias("vec_id"),
+        F.expr(f"p4 div {_BF_PACK}").cast("bigint").alias("dist"),
+        (F.col("p4") % _BF_PACK).cast("bigint").alias("hub"),
+        F.when(F.col("n1").isNotNull(), 1)
+        .when(F.col("n2").isNotNull(), 2)
+        .when(F.col("n3").isNotNull(), 3)
+        .when(F.col("n4").isNotNull(), 4)
+        .cast("bigint")
+        .alias("first_round"),
+        F.col("n4").isNotNull().alias("reached"),
+    )
