@@ -9770,3 +9770,323 @@ def q_bellman_ford_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_round"),
         F.col("n4").isNotNull().alias("reached"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4ac: analysis-governance trio — Simpson's-paradox detector over the
+# stratified treatment table (sign reversal between aggregate and strata,
+# all cross-multiplied), trimmed/winsorized means (the robust location
+# estimates between mean and median), and the Wald-Wolfowitz runs test of
+# serial randomness over daily event volumes.
+# --------------------------------------------------------------------------
+
+_SIMPSON_SQL = f"""
+WITH {_CAUSAL_USERS_SQL.strip()},
+conv AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS pos
+  FROM events
+  WHERE event_type = 'purchase' AND round(value * 100) >= 15000
+  GROUP BY user_id
+),
+cells AS (
+  SELECT u.seg,
+         CAST(sum(u.trt) AS BIGINT) AS t_n,
+         CAST(count(*) - sum(u.trt) AS BIGINT) AS c_n,
+         CAST(sum(CASE WHEN u.trt = 1 THEN coalesce(c.pos, 0) ELSE 0 END)
+              AS BIGINT) AS t_pos,
+         CAST(sum(CASE WHEN u.trt = 0 THEN coalesce(c.pos, 0) ELSE 0 END)
+              AS BIGINT) AS c_pos
+  FROM users u LEFT JOIN conv c ON c.user_id = u.user_id
+  GROUP BY u.seg
+),
+s AS (
+  SELECT seg, t_n, c_n, t_pos, c_pos,
+         CAST(sign(t_pos * c_n - c_pos * t_n) AS BIGINT) AS stratum_sign,
+         CAST(sum(t_pos) OVER () AS BIGINT) AS agg_t_pos,
+         CAST(sum(c_pos) OVER () AS BIGINT) AS agg_c_pos,
+         CAST(sum(t_n) OVER () AS BIGINT) AS agg_t_n,
+         CAST(sum(c_n) OVER () AS BIGINT) AS agg_c_n
+  FROM cells
+)
+SELECT seg, t_n, c_n, t_pos, c_pos, stratum_sign,
+       agg_t_pos, agg_c_pos, agg_t_n, agg_c_n,
+       CAST(sign(agg_t_pos * agg_c_n - agg_c_pos * agg_t_n) AS BIGINT)
+         AS agg_sign,
+       (sign(agg_t_pos * agg_c_n - agg_c_pos * agg_t_n) <> 0
+        AND max(CASE WHEN stratum_sign <> 0 THEN
+                  stratum_sign * sign(agg_t_pos * agg_c_n - agg_c_pos * agg_t_n)
+                END) OVER () = -1
+        AND min(CASE WHEN stratum_sign <> 0 THEN
+                  stratum_sign * sign(agg_t_pos * agg_c_n - agg_c_pos * agg_t_n)
+                END) OVER () = -1) AS simpson_flag
+FROM s
+"""
+
+
+@_register_r4("q_simpson_paradox", _SIMPSON_SQL)
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector over the stratified conversion table
+    (md5 treatment, conversion = any purchase >= $150, market-segment
+    strata): every association sign is the cross-multiplied
+    sign(t_pos*c_n - c_pos*t_n) — never a float rate — and simpson_flag
+    fires iff the aggregate association is nonzero while EVERY stratum
+    with a nonzero sign points the OPPOSITE way (the full reversal that
+    makes pooled dashboards lie; window min=max=-1 over the products).
+    Per-stratum cells and the aggregate carries ship in-row so the
+    reversal is auditable, not just flagged.
+
+    Scale plan: one user-keyed conversion rollup, one segment agg; the
+    sign algebra runs on the segment-dimension frame."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    trt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("trt:"), F.col("user_id").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    users = (
+        ev.select("user_id").distinct()
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .select("user_id", F.col("c_mktsegment").alias("seg"), trt.alias("trt"))
+    )
+    conv = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.round(F.col("value") * 100) >= 15000)
+        )
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.lit(1).cast("bigint").alias("pos"))
+    )
+    cells = (
+        users.join(conv, F.col("cu") == F.col("user_id"), "left")
+        .groupBy("seg")
+        .agg(
+            F.sum("trt").cast("bigint").alias("t_n"),
+            (F.count("*") - F.sum("trt")).cast("bigint").alias("c_n"),
+            F.sum(F.when(F.col("trt") == 1, F.coalesce(F.col("pos"), F.lit(0))).otherwise(0))
+            .cast("bigint")
+            .alias("t_pos"),
+            F.sum(F.when(F.col("trt") == 0, F.coalesce(F.col("pos"), F.lit(0))).otherwise(0))
+            .cast("bigint")
+            .alias("c_pos"),
+        )
+    )
+    w = Window.partitionBy()  # segment frame
+    s = cells.select(
+        "*",
+        F.signum(
+            (F.col("t_pos") * F.col("c_n") - F.col("c_pos") * F.col("t_n")).cast("double")
+        )
+        .cast("bigint")
+        .alias("stratum_sign"),
+        F.sum("t_pos").over(w).cast("bigint").alias("agg_t_pos"),
+        F.sum("c_pos").over(w).cast("bigint").alias("agg_c_pos"),
+        F.sum("t_n").over(w).cast("bigint").alias("agg_t_n"),
+        F.sum("c_n").over(w).cast("bigint").alias("agg_c_n"),
+    )
+    agg_sign = F.signum(
+        (
+            F.col("agg_t_pos") * F.col("agg_c_n")
+            - F.col("agg_c_pos") * F.col("agg_t_n")
+        ).cast("double")
+    ).cast("bigint")
+    prod = F.when(
+        F.col("stratum_sign") != 0, F.col("stratum_sign") * agg_sign
+    )
+    return s.select(
+        "seg", "t_n", "c_n", "t_pos", "c_pos", "stratum_sign",
+        "agg_t_pos", "agg_c_pos", "agg_t_n", "agg_c_n",
+        agg_sign.alias("agg_sign"),
+        (
+            (agg_sign != 0)
+            & (F.max(prod).over(w) == -1)
+            & (F.min(prod).over(w) == -1)
+        ).alias("simpson_flag"),
+    )
+
+
+_TRIM_SQL = """
+WITH v AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+r AS (
+  SELECT source, x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM v
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n) // 20 AS BIGINT) AS k,
+       CAST(sum(x) AS BIGINT) AS sum_all,
+       CAST(sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN x ELSE 0 END)
+            AS BIGINT) AS trimmed_num,
+       CAST(max(n) - 2 * (max(n) // 20) AS BIGINT) AS trimmed_den,
+       CAST(sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN x ELSE 0 END)
+            + (max(n) // 20) * max(CASE WHEN rn = n // 20 + 1 THEN x END)
+            + (max(n) // 20) * max(CASE WHEN rn = n - n // 20 THEN x END)
+            AS BIGINT) AS winsor_num,
+       CAST(max(n) AS BIGINT) AS winsor_den,
+       round(CAST(sum(x) AS DOUBLE) / max(n), 6) AS mean_x,
+       round(CAST(sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+                      THEN x ELSE 0 END) AS DOUBLE)
+             / (max(n) - 2 * (max(n) // 20)), 6) AS trimmed_mean
+FROM r GROUP BY source
+"""
+
+
+@_register_r4("q_trimmed_mean", _TRIM_SQL)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized means per source, exactly: with
+    k = n div 20, the trimmed sum drops the k smallest and k largest
+    ranked values (doc_id tie pins), and the winsorized sum clamps them
+    to the (k+1)-th and (n-k)-th order statistics instead — both shipped
+    as integer num/den rationals beside the plain mean, the estimator
+    ladder (mean -> winsorized -> trimmed -> median) every robust
+    pipeline walks when outliers poison averages.
+
+    Scale plan: one ranked pass partitioned by source, one agg; the
+    boundary order statistics come from the same window, no second
+    scan."""
+    docs = load_docs(spark, sf_dir)
+    v = docs.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+    wp = Window.partitionBy("source")
+    r = v.select(
+        "source", "x",
+        F.row_number().over(wp.orderBy("x", "doc_id")).cast("bigint").alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    core = F.when(
+        (F.col("rn") > F.expr("n div 20")) & (F.col("rn") <= F.col("n") - F.expr("n div 20")),
+        F.col("x"),
+    ).otherwise(0)
+    lo = F.max(F.when(F.col("rn") == F.expr("n div 20 + 1"), F.col("x")))
+    hi = F.max(F.when(F.col("rn") == F.col("n") - F.expr("n div 20"), F.col("x")))
+    k = F.expr("max(n) div 20")
+    return r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n"),
+        k.cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sum_all"),
+        F.sum(core).cast("bigint").alias("trimmed_num"),
+        (F.max("n") - 2 * k).cast("bigint").alias("trimmed_den"),
+        (F.sum(core) + k * lo + k * hi).cast("bigint").alias("winsor_num"),
+        F.max("n").cast("bigint").alias("winsor_den"),
+        F.round(F.sum("x").cast("double") / F.max("n"), 6).alias("mean_x"),
+        F.round(F.sum(core).cast("double") / (F.max("n") - 2 * k), 6).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, x, d,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, d)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+m AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS median_x
+  FROM med GROUP BY event_type
+),
+s AS (
+  SELECT d.event_type, d.d,
+         CASE WHEN d.x > m.median_x THEN 1 ELSE 0 END AS sgn
+  FROM daily d JOIN m ON m.event_type = d.event_type
+  WHERE d.x <> m.median_x
+),
+runs AS (
+  SELECT event_type, d, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+                OR lag(sgn) OVER (PARTITION BY event_type ORDER BY d) <> sgn
+              THEN 1 ELSE 0 END AS new_run
+  FROM s
+)
+SELECT event_type,
+       CAST(sum(sgn) AS BIGINT) AS n_above,
+       CAST(count(*) - sum(sgn) AS BIGINT) AS n_below,
+       CAST(sum(new_run) AS BIGINT) AS n_runs,
+       CAST(count(*) + 2 * sum(sgn) * (count(*) - sum(sgn)) AS BIGINT)
+         AS exp_runs_num,
+       CAST(count(*) AS BIGINT) AS exp_runs_den,
+       CAST(2 * sum(sgn) * (count(*) - sum(sgn))
+            * (2 * sum(sgn) * (count(*) - sum(sgn)) - count(*)) AS BIGINT)
+         AS var_runs_num,
+       CASE WHEN count(*) > 1
+            THEN CAST(count(*) * count(*) * (count(*) - 1) AS BIGINT) END
+         AS var_runs_den,
+       round(CAST(count(*) + 2 * sum(sgn) * (count(*) - sum(sgn)) AS DOUBLE)
+             / count(*), 6) AS exp_runs
+FROM runs GROUP BY event_type
+"""
+
+
+@_register_r4("q_runs_test", _RUNS_SQL)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of serial randomness per event type: daily
+    volumes dichotomize against the exact lower median (ties to the
+    median excluded, the standard treatment), observed runs count via a
+    lag-transition sum, and the null moments ship as exact rationals —
+    E[R] = (n + 2*n1*n2)/n and Var[R] = 2n1n2(2n1n2 - n)/(n^2(n-1)).
+    Too FEW runs means the series trends/clusters (drifting volume), too
+    MANY means oscillation (retry storms) — the one-query sanity check
+    between q_mann_kendall (monotone trend) and q_cusum_page (level
+    shifts).
+
+    Scale plan: daily rollup is map-side combined; the median rank, the
+    sign sequence, and the lag window all partition by event_type."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    wp = Window.partitionBy("event_type")
+    med = daily.select(
+        "event_type", "x", "d",
+        F.row_number().over(wp.orderBy("x", "d")).cast("bigint").alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    m = med.groupBy(F.col("event_type").alias("me")).agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x"))).alias(
+            "median_x"
+        )
+    )
+    s = (
+        daily.join(m, F.col("me") == F.col("event_type"))
+        .filter(F.col("x") != F.col("median_x"))
+        .select(
+            "event_type", "d",
+            F.when(F.col("x") > F.col("median_x"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    lag = F.lag("sgn").over(wp.orderBy("d"))
+    runs = s.select(
+        "event_type", "sgn",
+        F.when(lag.isNull() | (lag != F.col("sgn")), 1).otherwise(0).alias("new_run"),
+    )
+    n = F.count("*")
+    n1 = F.sum("sgn")
+    n2 = n - n1
+    return runs.groupBy("event_type").agg(
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        (n + 2 * n1 * n2).cast("bigint").alias("exp_runs_num"),
+        n.cast("bigint").alias("exp_runs_den"),
+        (2 * n1 * n2 * (2 * n1 * n2 - n)).cast("bigint").alias("var_runs_num"),
+        F.when(n > 1, (n * n * (n - 1)).cast("bigint")).alias("var_runs_den"),
+        F.round((n + 2 * n1 * n2).cast("double") / n, 6).alias("exp_runs"),
+    )
