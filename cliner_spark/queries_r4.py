@@ -10090,3 +10090,315 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 1, (n * n * (n - 1)).cast("bigint")).alias("var_runs_den"),
         F.round((n + 2 * n1 * n2).cast("double") / n, 6).alias("exp_runs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4ad: estimation + coverage trio — German-tank population estimation
+# from md5 samples at four sampling rates, Good-Turing
+# frequency-of-frequencies smoothing (the unseen-mass estimator), and
+# 6-round distributed greedy set cover of the vocabulary by documents (the
+# representative-subset primitive behind corpus summarization / seed-doc
+# selection).
+# --------------------------------------------------------------------------
+
+_GT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef',
+                 substr(md5('gt:' || doc_id::VARCHAR), 1, 1)) - 1) AS nib
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM documents),
+s AS (
+  SELECT t.thr, CAST(count(*) AS BIGINT) AS k,
+         CAST(max(d.doc_id) + 1 AS BIGINT) AS m1
+  FROM (VALUES (1), (2), (4), (8)) t(thr)
+  JOIN d ON d.nib < t.thr
+  GROUP BY t.thr
+)
+SELECT CAST(s.thr AS BIGINT) AS thr_nibbles, s.k, s.m1, tot.n_true,
+       CAST(s.m1 * (s.k + 1) - s.k AS BIGINT) AS est_num,
+       s.k AS est_den,
+       CAST(abs(tot.n_true * s.k - (s.m1 * (s.k + 1) - s.k)) AS BIGINT)
+         AS abs_err_num,
+       round(CAST(s.m1 * (s.k + 1) - s.k AS DOUBLE) / s.k, 6) AS est_n
+FROM s CROSS JOIN tot
+"""
+
+
+@_register_r4("q_german_tank", _GT_SQL)
+def q_german_tank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """German-tank (serial-number) population estimation: at four md5
+    sampling rates (1/16 .. 8/16) the minimum-variance unbiased estimator
+    N-hat = m(k+1)/k - 1 over the sampled maximum serial (doc_id+1)
+    ships as the exact rational (m1*(k+1) - k)/k beside the true count
+    and the cross-multiplied absolute error — the estimator a pipeline
+    uses to size an un-countable upstream table from a cheap id sample,
+    with the four-rate spine showing convergence as the sample grows.
+
+    Scale plan: one scan, four map-side-combined (count, max) pairs via
+    the broadcast 4-row threshold spine; a 1-row true-count carry closes
+    the audit."""
+    docs = load_docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("gt:"), F.col("doc_id").cast("string"))), 1, 1),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("nib"),
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n_true"))
+    thr = spark.createDataFrame([(1,), (2,), (4,), (8,)], "thr int")
+    s = (
+        F.broadcast(thr)
+        .join(d, F.col("nib") < F.col("thr"))
+        .groupBy("thr")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            (F.max("doc_id") + 1).cast("bigint").alias("m1"),
+        )
+    )
+    est = F.col("m1") * (F.col("k") + 1) - F.col("k")
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("thr").cast("bigint").alias("thr_nibbles"),
+        "k", "m1", "n_true",
+        est.cast("bigint").alias("est_num"),
+        F.col("k").alias("est_den"),
+        F.abs(F.col("n_true") * F.col("k") - est).cast("bigint").alias("abs_err_num"),
+        F.round(est.cast("double") / F.col("k"), 6).alias("est_n"),
+    )
+
+
+_GOODTURING_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tc AS (
+  SELECT lower(t.tok) AS tok, CAST(count(*) AS BIGINT) AS r
+  FROM docs, unnest(toks) AS t(tok) GROUP BY 1
+),
+nr AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY r
+),
+tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM nr),
+sel AS (
+  SELECT r, n_r FROM (
+    SELECT r, n_r, row_number() OVER (ORDER BY r) AS rk FROM nr
+  ) x WHERE rk <= 10
+),
+grid AS (
+  SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r
+  UNION ALL
+  SELECT CAST(r AS BIGINT), n_r FROM sel
+),
+nxt AS (
+  SELECT g.r, g.n_r, coalesce(nr.n_r, 0) AS next_n_r
+  FROM grid g LEFT JOIN nr ON nr.r = g.r + 1
+)
+SELECT nxt.r, nxt.n_r, nxt.next_n_r,
+       CAST(nxt.r * nxt.n_r AS BIGINT) AS mass_r,
+       CASE WHEN nxt.n_r > 0
+            THEN CAST((nxt.r + 1) * nxt.next_n_r AS BIGINT) END AS r_star_num,
+       CASE WHEN nxt.n_r > 0 THEN nxt.n_r END AS r_star_den,
+       tot.n_tokens,
+       CASE WHEN nxt.r = 0
+            THEN round(CAST(coalesce((SELECT n_r FROM nr WHERE r = 1), 0)
+                            AS DOUBLE) / tot.n_tokens, 6) END AS p_unseen
+FROM nxt CROSS JOIN tot
+"""
+
+
+@_register_r4("q_good_turing", _GOODTURING_SQL)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies ledger: N_r = number of token
+    types seen exactly r times, the smoothed count r* = (r+1)N_{r+1}/N_r
+    as an exact rational (NULL when the bucket is empty — honest, not
+    interpolated), bucket mass r*N_r, and the headline p_unseen = N_1/N
+    on the r=0 row — the probability the NEXT token is a brand-new type,
+    the estimator that prices vocabulary growth for an LM tokenizer
+    (complementing the Kneser-Ney discounts in q_kn_bigram). The spine is
+    the r = 0 unseen row plus the TEN SMALLEST OCCUPIED counts — the low
+    end of the spectrum wherever it starts (this fixture's vocabulary has
+    no hapax legomena at all, so a literal 1..10 spine would be all
+    zeros), so every emitted bucket is real.
+
+    Scale plan: token counts and the N_r rollup are two
+    map-side-combined aggs; the spine rank runs on the
+    frequency-of-frequencies table (rows = distinct count values,
+    domain-bounded, not corpus-bounded) and totals ride broadcast 1-row
+    carries."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tc = (
+        docs.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy(F.lower("tok").alias("tok"))
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    nr = tc.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    tot = nr.agg(F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"))
+    # singleton count as a total-safe 1-row carry: N_1 may be ZERO (the
+    # small-fixture vocab has no hapax legomena) and a filter->crossJoin
+    # would annihilate the grid
+    n1 = nr.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("bigint")
+        .alias("n_1")
+    )
+    sel = (
+        nr.select(
+            "r", "n_r",
+            F.row_number().over(Window.orderBy("r")).alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(F.col("r").cast("long"), F.col("n_r").cast("bigint"))
+    )
+    g = spark.createDataFrame([(0, 0)], "r long, n_r bigint").unionAll(sel)
+    nxt = g.join(
+        nr.select(F.col("r").alias("xr"), F.col("n_r").alias("next_n_r")),
+        F.col("xr") == F.col("r") + 1,
+        "left",
+    ).select("r", "n_r", F.coalesce(F.col("next_n_r"), F.lit(0)).cast("bigint").alias("next_n_r"))
+    return (
+        nxt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r", "n_r", "next_n_r",
+            (F.col("r") * F.col("n_r")).cast("bigint").alias("mass_r"),
+            F.when(F.col("n_r") > 0, ((F.col("r") + 1) * F.col("next_n_r")).cast("bigint")).alias(
+                "r_star_num"
+            ),
+            F.when(F.col("n_r") > 0, F.col("n_r")).alias("r_star_den"),
+            "n_tokens",
+            F.when(
+                F.col("r") == 0,
+                F.round(F.col("n_1").cast("double") / F.col("n_tokens"), 6),
+            ).alias("p_unseen"),
+        )
+    )
+
+
+_SETCOVER_ROUNDS = 6
+_SC_PACK = 1 << 33
+
+
+def _setcover_sql() -> str:
+    head = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+post AS (
+  SELECT DISTINCT doc_id,
+         lower(toks[CAST(t.i AS INT) + 1]) || ' '
+           || lower(toks[CAST(t.i AS INT) + 2]) AS tok
+  FROM docs, unnest(range(len(toks) - 1)) AS t(i)
+),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab FROM post),
+cov0(tok) AS (SELECT NULL::VARCHAR WHERE FALSE)"""
+    steps = []
+    for k in range(1, _SETCOVER_ROUNDS + 1):
+        steps.append(
+            f""",
+gain{k} AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM post p LEFT JOIN cov{k - 1} c ON c.tok = p.tok
+  WHERE c.tok IS NULL GROUP BY p.doc_id
+),
+pick{k} AS (
+  SELECT CAST(max(gain * {_SC_PACK} + ({_SC_PACK} - 1 - doc_id))
+              // {_SC_PACK} AS BIGINT) AS gain,
+         CAST({_SC_PACK} - 1
+              - max(gain * {_SC_PACK} + ({_SC_PACK} - 1 - doc_id))
+                % {_SC_PACK} AS BIGINT) AS doc_id
+  FROM gain{k}
+),
+cov{k}(tok) AS (
+  SELECT tok FROM cov{k - 1}
+  UNION
+  SELECT p.tok FROM post p JOIN pick{k} pk ON pk.doc_id = p.doc_id
+)"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS round, pk.doc_id, pk.gain,
+       (SELECT CAST(count(*) AS BIGINT) FROM cov{k}) AS cum_covered,
+       vocab.n_vocab
+FROM pick{k} pk CROSS JOIN vocab"""
+        for k in range(1, _SETCOVER_ROUNDS + 1)
+    )
+    return head + "".join(steps) + "\n" + rows
+
+
+_SETCOVER_SQL = _setcover_sql()
+
+
+@_register_r4("q_set_cover_greedy", _SETCOVER_SQL)
+def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy set cover of the corpus BIGRAM vocabulary by
+    documents (916 distinct bigrams on this fixture vs only 31 unigrams —
+    the unigram universe is covered by a single doc, which would make the
+    trajectory vacuous): six rounds, each picking the doc covering the
+    most still-uncovered bigram types — ties to the smallest doc_id via
+    the packed key
+    gain*2^33 + (2^33-1-doc_id), whose integer max IS the lexicographic
+    (gain, -doc_id) max — then folding its tokens into the covered set.
+    Greedy is the canonical (1 - 1/e)-approximation (Chvátal 1979); the
+    emitted (round, doc, gain, cum_covered) trajectory is the
+    representative-subset ledger behind seed-doc selection and corpus
+    summarization (gains are non-increasing — a replica invariant).
+
+    Scale plan: each round is one anti-join (uncovered postings) + one
+    map-side-combined per-doc count + a 1-row argmax; the covered set
+    grows by union and is localCheckpoint-pinned per round like the
+    BFS/Luby/BF loops."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    post = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat(lower(toks[i]), ' ', lower(toks[i + 1])))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_vocab = post.select("tok").distinct().count()
+    covered = post.select("tok").filter(F.lit(False)).localCheckpoint()
+    out_rows = []
+    for k in range(1, _SETCOVER_ROUNDS + 1):
+        gain = (
+            post.join(
+                covered.select(F.col("tok").alias("ctok")),
+                F.col("ctok") == F.col("tok"),
+                "left",
+            )
+            .filter(F.col("ctok").isNull())
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("gain"))
+        )
+        pick = gain.agg(
+            F.max(
+                F.col("gain") * _SC_PACK + (_SC_PACK - 1 - F.col("doc_id"))
+            ).alias("pk")
+        ).select(
+            F.expr(f"pk div {_SC_PACK}").cast("bigint").alias("gain"),
+            (F.lit(_SC_PACK - 1) - F.col("pk") % _SC_PACK).cast("bigint").alias("doc_id"),
+        )
+        prow = pick.collect()[0]
+        covered = (
+            covered.unionAll(
+                post.filter(F.col("doc_id") == prow["doc_id"]).select("tok")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        out_rows.append((k, prow["doc_id"], prow["gain"], covered.count(), n_vocab))
+    return spark.createDataFrame(
+        out_rows,
+        "round long, doc_id long, gain long, cum_covered long, n_vocab long",
+    )

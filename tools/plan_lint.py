@@ -291,6 +291,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_german_tank": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 4-row threshold spine theta-joined to the id sample "
+         "(nib < thr) + 1-row true-count carry — map-side combined to 4 "
+         "rows")
+    ],
+    "q_good_turing": [
+        ("BroadcastNestedLoopJoin",
+         "11-row literal r spine + broadcast 1-row total/singleton "
+         "carries over the frequency-of-frequencies rollup")
+    ],
     "q_bh_fdr": [
         ("BroadcastNestedLoopJoin",
          "broadcast 64-row replica spine x one corpus scan (the "
