@@ -10402,3 +10402,326 @@ def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "round long, doc_id long, gain long, cum_covered long, n_vocab long",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4ae: labeled-embedding evaluation trio — leave-one-out 5-NN
+# classification over exact micro-unit distances (the 'are these
+# embeddings any good' benchmark), closed-form pairwise cluster separation
+# from per-label sufficient statistics (NO pair join — the scalable
+# between-cluster distance formula), and the k-means inertia decomposition
+# total = within + between held as an exact-rational replica identity.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1e6) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, a.label AS true_label, b.vec_id AS nid,
+         b.label AS n_label,
+         CAST(list_sum(list_transform(range(64),
+              i -> (a.q[CAST(i AS INT) + 1] - b.q[CAST(i AS INT) + 1])
+                   * (a.q[CAST(i AS INT) + 1] - b.q[CAST(i AS INT) + 1])))
+              AS BIGINT) AS d2
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+),
+top AS (
+  SELECT qid, true_label, n_label
+  FROM (SELECT qid, true_label, n_label,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+        FROM pairs) r
+  WHERE rn <= {_KNN_K}
+),
+votes AS (
+  SELECT qid, true_label, n_label, CAST(count(*) AS BIGINT) AS c
+  FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, true_label, n_label AS pred_label
+  FROM (SELECT qid, true_label, n_label,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, n_label)
+                 AS rn
+        FROM votes) v
+  WHERE rn = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM pred GROUP BY true_label
+"""
+
+
+@_register_r4("q_knn_loo_eval", _KNN_SQL)
+def q_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification accuracy per label over the
+    embedding table — THE sanity benchmark for 'do these vectors encode
+    their labels': every vector is classified by the majority label of
+    its 5 exact nearest neighbors (squared distance in round(x*1e6)
+    micro-units, (d2, vec_id) rank pins, plurality ties to the smallest
+    label), itself excluded. Per-label accuracy rows expose which classes
+    smear into which. On THIS fixture the label column is independent of
+    the vectors, so accuracy sits at the 10% chance floor — the eval
+    correctly reporting "these labels are not encoded" is exactly what
+    the benchmark is for (the replica asserts the chance-level band).
+
+    Scale plan: the all-pairs join is the brute-force exact baseline BY
+    DESIGN (same contract as q_embedding_topk; the scale path swaps in
+    the IVF/LSH candidate generators already in similarity.py — the
+    ranking/voting algebra is unchanged); neighbor ranking partitions by
+    query, voting collapses map-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(cast(embedding AS array<double>), "
+            "x -> CAST(round(x * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        F.col("q").alias("qa"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("n_label"),
+        F.col("q").alias("qb"),
+    )
+    pairs = a.join(b, F.col("nid") != F.col("qid")).select(
+        "qid", "true_label", "nid", "n_label",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    top = pairs.select(
+        "qid", "true_label", "n_label",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("d2", "nid"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= _KNN_K)
+    votes = top.groupBy("qid", "true_label", "n_label").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    pred = votes.select(
+        "qid", "true_label",
+        F.col("n_label").alias("pred_label"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.col("c").desc(), "n_label"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy(F.col("true_label").cast("bigint").alias("true_label")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+_SEP_STATS_SQL = """
+e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT label, CAST(t.i AS INT) AS dim,
+         CAST(sum(q[CAST(t.i AS INT) + 1]) AS BIGINT) AS s
+  FROM e, unnest(range(64)) AS t(i)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(list_sum(list_transform(q, x -> x * x))) AS BIGINT) AS ss
+  FROM e GROUP BY 1
+)"""
+
+_SEP_SQL = f"""
+WITH {_SEP_STATS_SQL.strip()},
+dots AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM dims a JOIN dims b ON b.dim = a.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(d.la AS BIGINT) AS label_a, CAST(d.lb AS BIGINT) AS label_b,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(sb.n * sa.ss + sa.n * sb.ss - 2 * d.dot AS BIGINT) AS sum_d2,
+       CAST(CASE WHEN d.la = d.lb THEN sa.n * (sa.n - 1)
+                 ELSE sa.n * sb.n END AS BIGINT) AS n_pairs,
+       round(CAST(sb.n * sa.ss + sa.n * sb.ss - 2 * d.dot AS DOUBLE)
+             / (CASE WHEN d.la = d.lb THEN sa.n * (sa.n - 1)
+                     ELSE sa.n * sb.n END), 6) AS mean_d2
+FROM dots d
+JOIN stats sa ON sa.label = d.la
+JOIN stats sb ON sb.label = d.lb
+"""
+
+
+@_register_r4("q_cluster_separation", _SEP_SQL)
+def q_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cluster-separation matrix over the labeled embeddings,
+    computed in CLOSED FORM from per-label sufficient statistics — the
+    identity sum_{{a in A, b in B}} |a-b|^2 = n_B*SS_A + n_A*SS_B -
+    2*<S_A, S_B> turns the O(n^2 d) pair scan into one pass collecting
+    (n, SS, per-dim sums) per label plus a labels^2 x dims dot join.
+    Diagonal rows use the ordered-pairs-excluding-self denominator
+    n(n-1); off-diagonal n_a*n_b. All in exact milli-unit integers
+    (quantized once, round(x*1000)); the replica verifies against a
+    brute-force pair loop. Within-vs-between ratios read straight off
+    the matrix — the separation audit behind every clustering QA.
+
+    Scale plan: NO pair join over vectors, ever — per-label stats are
+    map-side-combined, the dot join is labels^2 x 64 rows (dimension
+    scale). This is the formulation that survives a billion vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(cast(embedding AS array<double>), "
+            "x -> CAST(round(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    dims = e.select("label", F.posexplode("q").alias("dim", "v")).groupBy(
+        "label", "dim"
+    ).agg(F.sum("v").cast("bigint").alias("s"))
+    stats = e.select(
+        "label",
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("sq"),
+    ).groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("sq").cast("bigint").alias("ss"),
+    )
+    dots = (
+        dims.select(F.col("label").alias("la"), F.col("dim").alias("da"), F.col("s").alias("sa_"))
+        .join(
+            dims.select(F.col("label").alias("lb"), F.col("dim").alias("db"), F.col("s").alias("sb_")),
+            F.col("db") == F.col("da"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa_") * F.col("sb_")).cast("bigint").alias("dot"))
+    )
+    j = (
+        dots.join(
+            stats.select(F.col("label").alias("xla"), F.col("n").alias("n_a"), F.col("ss").alias("ss_a")),
+            F.col("xla") == F.col("la"),
+        )
+        .join(
+            stats.select(F.col("label").alias("xlb"), F.col("n").alias("n_b"), F.col("ss").alias("ss_b")),
+            F.col("xlb") == F.col("lb"),
+        )
+    )
+    sum_d2 = F.col("n_b") * F.col("ss_a") + F.col("n_a") * F.col("ss_b") - 2 * F.col("dot")
+    n_pairs = F.when(
+        F.col("la") == F.col("lb"), F.col("n_a") * (F.col("n_a") - 1)
+    ).otherwise(F.col("n_a") * F.col("n_b"))
+    return j.select(
+        F.col("la").cast("bigint").alias("label_a"),
+        F.col("lb").cast("bigint").alias("label_b"),
+        "n_a", "n_b",
+        sum_d2.cast("bigint").alias("sum_d2"),
+        n_pairs.cast("bigint").alias("n_pairs"),
+        F.round(sum_d2.cast("double") / n_pairs, 6).alias("mean_d2"),
+    )
+
+
+_INERTIA_SQL = f"""
+WITH {_SEP_STATS_SQL.strip()},
+snorm AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS s_norm2 FROM dims GROUP BY 1
+),
+gtot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(ss) AS BIGINT) AS ss_all
+  FROM stats
+),
+tnorm AS (
+  SELECT CAST(sum(t * t) AS BIGINT) AS t_norm2
+  FROM (SELECT dim, sum(s) AS t FROM dims GROUP BY dim) g
+)
+SELECT CAST(st.label AS BIGINT) AS label, st.n, st.ss, sn.s_norm2,
+       CAST(st.n * st.ss - sn.s_norm2 AS BIGINT) AS within_num,
+       st.n AS within_den,
+       g.n_all, g.ss_all, t.t_norm2,
+       round(CAST(st.n * st.ss - sn.s_norm2 AS DOUBLE) / st.n, 6) AS within
+FROM stats st
+JOIN snorm sn ON sn.label = st.label
+CROSS JOIN gtot g CROSS JOIN tnorm t
+"""
+
+
+@_register_r4("q_kmeans_inertia", _INERTIA_SQL)
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-style inertia decomposition of the labeled embeddings, all
+    from one-pass sufficient statistics in exact milli-unit integers:
+    per-label within-cluster inertia sum|x - mu_l|^2 = (n*SS - |S|^2)/n,
+    plus the global carries (N, SS_tot, |T|^2) from which between-cluster
+    inertia is sum(|S_l|^2/n_l) - |T|^2/N — so the replica can hold the
+    EXACT Huygens decomposition total = within + between in Fractions,
+    the ANOVA-of-embeddings identity that certifies the stats were
+    collected correctly. The per-label within values are the elbow-plot
+    inputs every clustering eval starts from.
+
+    Scale plan: identical sufficient-stats shape as q_cluster_separation
+    — no pair joins, two map-side-combined aggs, dimension-sized
+    output with broadcast 1-row carries."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.expr(
+            "transform(cast(embedding AS array<double>), "
+            "x -> CAST(round(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    dims = e.select("label", F.posexplode("q").alias("dim", "v")).groupBy(
+        "label", "dim"
+    ).agg(F.sum("v").cast("bigint").alias("s"))
+    stats = e.select(
+        "label",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias("sq"),
+    ).groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("sq").cast("bigint").alias("ss"),
+    )
+    snorm = dims.groupBy(F.col("label").alias("sl")).agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s_norm2")
+    )
+    glob = stats.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("ss").cast("bigint").alias("ss_all"),
+    )
+    tnorm = (
+        dims.groupBy("dim")
+        .agg(F.sum("s").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t")).cast("bigint").alias("t_norm2"))
+    )
+    w_num = F.col("n") * F.col("ss") - F.col("s_norm2")
+    return (
+        stats.join(snorm, F.col("sl") == F.col("label"))
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tnorm))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n", "ss", "s_norm2",
+            w_num.cast("bigint").alias("within_num"),
+            F.col("n").alias("within_den"),
+            "n_all", "ss_all", "t_norm2",
+            F.round(w_num.cast("double") / F.col("n"), 6).alias("within"),
+        )
+    )

@@ -291,6 +291,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_knn_loo_eval": [
+        ("BroadcastNestedLoopJoin",
+         "all-pairs theta join (vec_id <>) — the brute-force exact "
+         "baseline BY DESIGN, same contract as q_embedding_topk; scale "
+         "path swaps in the IVF/LSH candidate generators")
+    ],
+    "q_kmeans_inertia": [
+        ("BroadcastNestedLoopJoin",
+         "broadcast 1-row global carries (N/SS_tot and |T|^2) onto the "
+         "label-dimension stats")
+    ],
     "q_german_tank": [
         ("BroadcastNestedLoopJoin",
          "broadcast 4-row threshold spine theta-joined to the id sample "
