@@ -10725,3 +10725,453 @@ def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(w_num.cast("double") / F.col("n"), 6).alias("within"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4af: allocation + privacy + segmentation — k-anonymity / l-diversity
+# audit of the customer quasi-identifiers, depth-2 binary changepoint
+# segmentation (recursing the round-3 CUSUM localization once), and
+# 6-round batch Gale-Shapley deferred acceptance routing docs to source
+# reviewers under capacity (McVitie-Wilson parallel proposals — the
+# task-to-annotator assignment primitive).
+# --------------------------------------------------------------------------
+
+_KANON_SQL = """
+WITH q AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(c_acctbal >= 0 AS INT) AS sens
+  FROM customer
+),
+grp AS (
+  SELECT seg, nat, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+  FROM q GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT seg || '|' || nat::VARCHAR) AS BIGINT)
+           AS n_groups,
+         CAST(min(0) AS BIGINT) AS zero
+  FROM q
+),
+lmin AS (SELECT CAST(min(l_div) AS BIGINT) AS min_l FROM grp)
+SELECT CAST(k.k AS BIGINT) AS k,
+       tot.n_rows, tot.n_groups,
+       CAST(sum(CASE WHEN g.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN g.n < k.k THEN g.n ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       lmin.min_l,
+       round(CAST(sum(CASE WHEN g.n < k.k THEN g.n ELSE 0 END) AS DOUBLE)
+             / tot.n_rows, 6) AS frac_reidentifiable
+FROM (VALUES (2), (5), (10)) k(k)
+CROSS JOIN grp g CROSS JOIN tot CROSS JOIN lmin
+GROUP BY k.k, tot.n_rows, tot.n_groups, lmin.min_l
+"""
+
+
+@_register_r4("q_kanonymity_audit", _KANON_SQL)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) of the customer table under the quasi-identifier
+    (market segment, nation): for k in {2,5,10} the share of rows living
+    in groups smaller than k is the re-identification exposure a release
+    reviewer signs off on, and min_l (distinct sensitive values — account
+    solvency — in the worst group) is the homogeneity-attack floor
+    (min_l = 1 means some group leaks its members' attribute outright).
+    Complements the DP family (q_dp_release / q_randomized_response):
+    this audits what the RAW release leaks before noise is even
+    considered.
+
+    Scale plan: one group-by over the quasi-identifier (map-side
+    combined), a 3-row k spine, 1-row total/min carries."""
+    cust = load(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_acctbal") >= 0).cast("int").alias("sens"),
+    )
+    grp = q.groupBy("seg", "nat").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("sens").cast("bigint").alias("l_div"),
+    )
+    tot = q.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct(F.concat_ws("|", "seg", "nat")).cast("bigint").alias("n_groups"),
+    )
+    lmin = grp.agg(F.min("l_div").cast("bigint").alias("min_l"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    return (
+        F.broadcast(ks)
+        .crossJoin(grp)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(lmin))
+        .groupBy("k", "n_rows", "n_groups", "min_l")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_k"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_k"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_rows", "n_groups", "groups_below_k", "rows_below_k", "min_l",
+            F.round(
+                F.col("rows_below_k").cast("double") / F.col("n_rows"), 6
+            ).alias("frac_reidentifiable"),
+        )
+    )
+
+
+_BINSEG_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+spine AS (
+  SELECT CAST(g.gs AS DATE) AS day
+  FROM b, unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g(gs)
+),
+dense AS (
+  SELECT s.day, coalesce(d.x, 0) AS x,
+         CAST(row_number() OVER (ORDER BY s.day) AS BIGINT) AS k
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+c AS (
+  SELECT day, x, k,
+         CAST(sum(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS s_k,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(x) OVER () AS BIGINT) AS t
+  FROM dense
+),
+r1 AS (
+  SELECT c.*,
+         row_number() OVER (ORDER BY abs(n * s_k - k * t) DESC, day ASC)
+           AS pr
+  FROM c
+),
+lvl1 AS (
+  SELECT day AS split_day, k AS split_k, n, t, n * s_k - k * t AS cusum_num
+  FROM r1 WHERE pr = 1
+),
+seg AS (
+  SELECT c.day, c.x, c.k, c.s_k,
+         CASE WHEN c.k <= l.split_k THEN 'left' ELSE 'right' END AS side
+  FROM c CROSS JOIN lvl1 l
+),
+segw AS (
+  SELECT side, day, x, k, s_k,
+         CAST(count(*) OVER (PARTITION BY side) AS BIGINT) AS sn,
+         CAST(sum(x) OVER (PARTITION BY side) AS BIGINT) AS st,
+         CAST(min(k) OVER (PARTITION BY side) AS BIGINT) AS firstk
+  FROM seg
+),
+seg0 AS (
+  SELECT segw.*,
+         CAST(max(CASE WHEN k = firstk THEN s_k - x END)
+                OVER (PARTITION BY side) AS BIGINT) AS s0
+  FROM segw
+),
+loc AS (
+  SELECT side, day, sn, st,
+         k - (firstk - 1) AS local_k, s_k - s0 AS local_s
+  FROM seg0
+),
+r2 AS (
+  SELECT side, day, sn, st, local_k,
+         sn * local_s - local_k * st AS cusum_num,
+         row_number() OVER (PARTITION BY side
+                            ORDER BY abs(sn * local_s - local_k * st) DESC,
+                                     day ASC) AS pr
+  FROM loc
+)
+SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
+       CAST(split_day AS VARCHAR) AS split_day,
+       CAST(split_k AS BIGINT) AS split_k,
+       CAST(cusum_num AS BIGINT) AS cusum_num, n AS seg_n, t AS seg_total
+FROM lvl1
+UNION ALL
+SELECT CAST(2 AS BIGINT), side, CAST(day AS VARCHAR),
+       CAST(local_k AS BIGINT), CAST(cusum_num AS BIGINT), sn, st
+FROM r2 WHERE pr = 1
+"""
+
+
+@_register_r4("q_binary_segmentation", _BINSEG_SQL)
+def q_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary changepoint segmentation of the daily event volume
+    (Scott-Knott / binary segmentation): level 1 localizes the global
+    changepoint by the integer CUSUM argmax |n*S_k - k*T| (earliest-day
+    tie pins, q_cusum_changepoint's statistic), then each side recurses
+    ONCE with segment-local prefix sums (local_s = S_k - S_{k0},
+    local_k = k - k0 — pure integer re-anchoring, no rescan). Three rows:
+    the split tree a monitoring pipeline turns into regime annotations.
+    Bounded depth is honest recursion, like the bounded BFS/BF loops.
+
+    Scale plan: one daily rollup; every window runs on the |days| frame
+    or its two halves (dimension, not corpus)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    b = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = b.select(
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("day")
+    )
+    dense = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    ).withColumn("k", F.row_number().over(Window.orderBy("day")).cast("bigint"))
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = dense.select(
+        "day", "x", "k", F.sum("x").over(wcum).cast("bigint").alias("s_k")
+    ).withColumn("n", F.count("*").over(wall).cast("bigint")).withColumn(
+        "t", F.sum("x").over(wall).cast("bigint")
+    )
+    lvl1 = (
+        c.withColumn(
+            "pr",
+            F.row_number().over(
+                Window.orderBy(
+                    F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("t")).desc(),
+                    F.col("day").asc(),
+                )
+            ),
+        )
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("day").alias("split_day"), F.col("k").alias("split_k"),
+            "n", "t",
+            (F.col("n") * F.col("s_k") - F.col("k") * F.col("t")).alias("cusum_num"),
+        )
+    )
+    seg = c.crossJoin(F.broadcast(lvl1.select(F.col("split_k").alias("sk")))).select(
+        "day", "x", "k", "s_k",
+        F.when(F.col("k") <= F.col("sk"), "left").otherwise("right").alias("side"),
+    )
+    ws = Window.partitionBy("side")
+    segcur = (
+        seg.withColumn("sn", F.count("*").over(ws).cast("bigint"))
+        .withColumn("st", F.sum("x").over(ws).cast("bigint"))
+        .withColumn("firstk", F.min("k").over(ws).cast("bigint"))
+        # re-anchor with the segment's FIRST row (s0 = s_k - x there): the
+        # previous k0-based lookup pointed OUTSIDE the right partition
+        .withColumn(
+            "s0",
+            F.max(
+                F.when(F.col("k") == F.col("firstk"), F.col("s_k") - F.col("x"))
+            )
+            .over(ws)
+            .cast("bigint"),
+        )
+        .select(
+            "side", "day",
+            (F.col("k") - (F.col("firstk") - 1)).alias("local_k"),
+            (F.col("s_k") - F.col("s0")).alias("local_s"),
+            "sn", "st",
+        )
+    )
+    lvl2 = (
+        segcur.withColumn(
+            "cusum_num",
+            F.col("sn") * F.col("local_s") - F.col("local_k") * F.col("st"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("side").orderBy(
+                    F.abs(F.col("cusum_num")).desc(), F.col("day").asc()
+                )
+            ),
+        )
+        .filter(F.col("pr") == 1)
+    )
+    out1 = lvl1.select(
+        F.lit(1).cast("bigint").alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("split_day").cast("string").alias("split_day"),
+        F.col("split_k").cast("bigint").alias("split_k"),
+        F.col("cusum_num").cast("bigint").alias("cusum_num"),
+        F.col("n").alias("seg_n"),
+        F.col("t").alias("seg_total"),
+    )
+    out2 = lvl2.select(
+        F.lit(2).cast("bigint").alias("level"),
+        F.col("side").alias("segment"),
+        F.col("day").cast("string").alias("split_day"),
+        F.col("local_k").cast("bigint").alias("split_k"),
+        F.col("cusum_num").cast("bigint").alias("cusum_num"),
+        F.col("sn").alias("seg_n"),
+        F.col("st").alias("seg_total"),
+    )
+    return out1.unionAll(out2)
+
+
+_GS_ROUNDS = 6
+_GS_CAP = 5
+
+
+def _gs_sql() -> str:
+    head = f"""
+WITH papers AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+),
+reviewers AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT p.doc_id, r.source,
+         md5('ps:' || p.doc_id::VARCHAR || ':' || r.source) AS pscore,
+         md5('rs:' || r.source || ':' || p.doc_id::VARCHAR) AS rscore,
+         CAST(row_number() OVER (
+                PARTITION BY p.doc_id
+                ORDER BY md5('ps:' || p.doc_id::VARCHAR || ':' || r.source),
+                         r.source) AS BIGINT) AS prank
+  FROM papers p CROSS JOIN reviewers r
+),
+nrev AS (SELECT CAST(count(*) AS BIGINT) AS m FROM reviewers),
+s0 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS ptr, FALSE AS held FROM papers
+)"""
+    steps = []
+    for k in range(1, _GS_ROUNDS + 1):
+        steps.append(
+            f""",
+p{k} AS (
+  SELECT s.doc_id, s.ptr, g.source, g.rscore
+  FROM s{k - 1} s
+  JOIN grid g ON g.doc_id = s.doc_id AND g.prank = s.ptr + 1
+  CROSS JOIN nrev
+  WHERE s.ptr < nrev.m
+),
+k{k} AS (
+  SELECT doc_id, ptr, source,
+         row_number() OVER (PARTITION BY source ORDER BY rscore, doc_id)
+           <= {_GS_CAP} AS kept
+  FROM p{k}
+),
+s{k} AS (
+  SELECT doc_id, CASE WHEN kept THEN ptr ELSE ptr + 1 END AS ptr,
+         kept AS held
+  FROM k{k}
+  UNION ALL
+  SELECT s.doc_id, s.ptr, FALSE
+  FROM s{k - 1} s CROSS JOIN nrev WHERE s.ptr >= nrev.m
+)"""
+        )
+    tail = f"""
+SELECT s.doc_id, CAST(s.ptr AS BIGINT) AS n_rejections, s.held,
+       CASE WHEN s.held THEN g.source END AS reviewer,
+       tot.n_held, tot.n_papers
+FROM s{_GS_ROUNDS} s
+LEFT JOIN grid g ON g.doc_id = s.doc_id AND g.prank = s.ptr + 1
+CROSS JOIN (SELECT CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_held,
+                   CAST(count(*) AS BIGINT) AS n_papers
+            FROM s{_GS_ROUNDS}) tot
+"""
+    return head + "".join(steps) + tail
+
+
+_GS_SQL = _gs_sql()
+
+
+@_register_r4("q_stable_matching", _GS_SQL)
+def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Gale-Shapley deferred acceptance (McVitie-Wilson parallel
+    proposals) routing every 5th doc to the 20 source 'reviewers' under
+    capacity 5 — the task-to-annotator assignment primitive. The whole
+    per-paper state is (pointer, held): a held paper SITS at preference
+    position `pointer`, so pool = everyone at pref[pointer] and one
+    reviewer-side rank (md5 score, doc tie pins, top-5 kept) updates the
+    round — bumped papers advance their pointer exactly like fresh
+    rejections, which is what makes the parallel variant converge to the
+    proposer-optimal stable matching at fixpoint. Six rounds, honest
+    partial state (held flag, rejection counts, NULL reviewer when
+    unplaced), n_held/n_papers carries; the replica replays all six
+    rounds exactly AND proves no blocking pair exists among held pairs
+    when the round-6 state is a fixpoint.
+
+    Scale plan: each round is one equi-join into the preference grid plus
+    one reviewer-partitioned rank — no global windows; the grid is
+    papers x reviewer-dimension."""
+    docs = load_docs(spark, sf_dir)
+    papers = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    reviewers = docs.select("source").distinct()
+    grid = (
+        papers.crossJoin(reviewers)
+        .select(
+            "doc_id", "source",
+            F.md5(
+                F.concat(F.lit("ps:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+            ).alias("pscore"),
+            F.md5(
+                F.concat(F.lit("rs:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+            ).alias("rscore"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("pscore", "source"))
+            .cast("bigint"),
+        )
+        .localCheckpoint()
+    )
+    m = reviewers.count()
+    s = papers.select(
+        "doc_id", F.lit(0).cast("bigint").alias("ptr"), F.lit(False).alias("held")
+    ).localCheckpoint()
+    for _ in range(_GS_ROUNDS):
+        pool = (
+            s.filter(F.col("ptr") < m)
+            .join(
+                grid.select(
+                    F.col("doc_id").alias("gd"), "source", "rscore",
+                    F.col("prank").alias("gp"),
+                ),
+                (F.col("gd") == F.col("doc_id")) & (F.col("gp") == F.col("ptr") + 1),
+            )
+            .select("doc_id", "ptr", "source", "rscore")
+        )
+        kept = pool.withColumn(
+            "kept",
+            F.row_number().over(Window.partitionBy("source").orderBy("rscore", "doc_id"))
+            <= _GS_CAP,
+        )
+        s = (
+            kept.select(
+                "doc_id",
+                F.when(F.col("kept"), F.col("ptr")).otherwise(F.col("ptr") + 1).alias("ptr"),
+                F.col("kept").alias("held"),
+            )
+            .unionAll(
+                s.filter(F.col("ptr") >= m).select(
+                    "doc_id", "ptr", F.lit(False).alias("held")
+                )
+            )
+            .localCheckpoint()
+        )
+    tot = s.agg(
+        F.sum(F.when(F.col("held"), 1).otherwise(0)).cast("bigint").alias("n_held"),
+        F.count("*").cast("bigint").alias("n_papers"),
+    )
+    return (
+        s.join(
+            grid.select(
+                F.col("doc_id").alias("gd"), F.col("source").alias("rsrc"),
+                F.col("prank").alias("gp"),
+            ),
+            (F.col("gd") == F.col("doc_id")) & (F.col("gp") == F.col("ptr") + 1),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("ptr").cast("bigint").alias("n_rejections"),
+            "held",
+            F.when(F.col("held"), F.col("rsrc")).alias("reviewer"),
+            "n_held", "n_papers",
+        )
+    )

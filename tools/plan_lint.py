@@ -291,6 +291,22 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "join) + 1-row coalition-value wide carry onto the 3-row "
          "channel spine — all dimension-scale by construction")
     ],
+    "q_kanonymity_audit": [
+        ("BroadcastNestedLoopJoin",
+         "3-row k spine x the quasi-identifier group dimension + 1-row "
+         "total/min-l carries — audit collapses map-side to 3 rows")
+    ],
+    "q_binary_segmentation": [
+        ("BroadcastNestedLoopJoin",
+         "1-row level-1 split carry onto the |days| frame — the "
+         "segment assignment for the recursion")
+    ],
+    "q_stable_matching": [
+        ("BroadcastNestedLoopJoin",
+         "papers x reviewer-DIMENSION preference grid (20 columns per "
+         "paper) + 1-row n_held/n_papers carry; every round after is "
+         "equi-joined")
+    ],
     "q_knn_loo_eval": [
         ("BroadcastNestedLoopJoin",
          "all-pairs theta join (vec_id <>) — the brute-force exact "
