@@ -11175,3 +11175,404 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_held", "n_papers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: serving/storage-infrastructure trio — prefix-cache hit audit
+# (vLLM / SGLang RadixAttention-style KV reuse), Merkle anti-entropy
+# between two table snapshots (Merkle 1987; Dynamo/Cassandra repair), and
+# rendezvous (HRW, Thaler-Ravishankar 1996) vs mod-N resharding.
+# --------------------------------------------------------------------------
+
+_PREFIX_CACHE_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+d AS (SELECT doc_id, toks, len(toks) AS nt FROM docs),
+sp AS (SELECT CAST(s.depth AS INT) AS depth
+       FROM (VALUES (1), (2), (4), (8)) AS s(depth)),
+pk AS (
+  SELECT sp.depth, array_to_string(d.toks[1:sp.depth], ' ') AS pref
+  FROM d JOIN sp ON d.nt >= sp.depth
+),
+g AS (
+  SELECT depth, pref, CAST(count(*) AS BIGINT) AS cnt
+  FROM pk GROUP BY 1, 2
+)
+SELECT depth,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT)
+         AS n_shared_docs,
+       CAST(max(cnt) AS BIGINT) AS max_group,
+       CAST(sum((cnt - 1) * depth) AS BIGINT) AS tokens_saved,
+       CAST(sum(cnt) * depth AS BIGINT) AS tokens_total,
+       round(CAST(sum((cnt - 1) * depth) AS DOUBLE)
+             / (sum(cnt) * depth), 6) AS hit_rate
+FROM g GROUP BY depth
+"""
+
+
+@_register_r4("q_prefix_cache", _PREFIX_CACHE_SQL)
+def q_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (KV-reuse) hit audit, the RadixAttention/vLLM
+    automatic-prefix-caching ledger over the document corpus treated as a
+    prompt stream: at cache depths d in {{1,2,4,8}} tokens, group prompts
+    by their exact d-token prefix and measure how much prefill compute a
+    prefix cache would deduplicate — every prompt after the first in a
+    group reuses d cached tokens, so tokens_saved = sum over groups of
+    (cnt-1)*d and hit_rate = saved / (n_docs*d). The depth ladder is the
+    capacity-planning curve: short prefixes hit often (system-prompt
+    sharing), deep prefixes decay toward zero — exactly the shape a
+    serving fleet consults before sizing KV cache memory. All counts and
+    savings are exact BIGINTs; hit_rate is one rounded division per row.
+
+    Scale plan: one corpus scan fanned by a broadcast 4-row depth spine
+    (whitelisted below), then a map-side-combinable groupBy on
+    (depth, prefix-string) — the prefix key is bounded (<= 8 tokens), and
+    the final rollup is 4 rows. No self-joins, no explode of token
+    positions."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    sp = spark.createDataFrame([(1,), (2,), (4,), (8,)], "depth int")
+    pk = docs.join(
+        F.broadcast(sp), F.size("toks") >= F.col("depth")
+    ).select(
+        "depth",
+        F.concat_ws(" ", F.slice("toks", F.lit(1), F.col("depth"))).alias("pref"),
+    )
+    g = pk.groupBy("depth", "pref").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    saved = F.sum((F.col("cnt") - 1) * F.col("depth"))
+    total = F.sum("cnt") * F.col("depth")
+    return g.groupBy("depth").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("n_shared_docs"),
+        F.max("cnt").cast("long").alias("max_group"),
+        saved.cast("long").alias("tokens_saved"),
+        total.cast("long").alias("tokens_total"),
+        F.round(saved.cast("double") / total, 6).alias("hit_rate"),
+    )
+
+
+_MERKLE_P = 2_147_483_647
+
+
+def _merkle_sql() -> str:
+    """Builds the 9-level Merkle CTE chain (leaves lv8 .. root lv0).
+
+    Snapshot A = orders as stored; snapshot B = the same table after a
+    deterministic md5-selected delta (1/16 of keys deleted, 1/16
+    price-bumped). Node combine is the left/right-distinguishing linear
+    hash (2*left + 3*right) mod P so sibling swaps and child moves change
+    the parent — the property a plain sum lacks."""
+    P = _MERKLE_P
+    parts = [
+        """
+base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         substr(md5(CAST(o_orderkey AS VARCHAR) || ':d'), 1, 1) AS dn
+  FROM orders
+),
+allr AS (
+  SELECT 'a' AS side, k, cents FROM base
+  UNION ALL
+  SELECT 'b', k, CASE WHEN dn = '1' THEN cents + 100 ELSE cents END
+  FROM base WHERE dn <> '0'
+),
+fp AS (
+  SELECT side, CAST(k % 256 AS INT) AS node,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                 || CAST(cents AS VARCHAR)), 1, 12)) AS BIGINT) AS f
+  FROM allr
+),
+leaf AS (
+  SELECT side, node, CAST((1 + sum(f)) % {P} AS BIGINT) AS v
+  FROM fp GROUP BY 1, 2
+),
+spine AS (SELECT CAST(t.i AS INT) AS node FROM unnest(range(256)) AS t(i)),
+sides AS (SELECT 'a' AS side UNION ALL SELECT 'b'),
+lv8 AS (
+  SELECT s.side, sp.node, coalesce(l.v, 0) AS v
+  FROM sides s CROSS JOIN spine sp
+  LEFT JOIN leaf l ON l.side = s.side AND l.node = sp.node
+)""".format(P=P)
+    ]
+    for lv in range(7, -1, -1):
+        parts.append(
+            f"""
+lv{lv} AS (
+  SELECT side, CAST(node // 2 AS INT) AS node,
+         CAST((2 * coalesce(max(CASE WHEN node % 2 = 0 THEN v END), 0)
+             + 3 * coalesce(max(CASE WHEN node % 2 = 1 THEN v END), 0))
+             % {P} AS BIGINT) AS v
+  FROM lv{lv + 1} GROUP BY 1, 2
+)"""
+        )
+    tree_union = "\n  UNION ALL ".join(
+        f"SELECT {lv} AS level, side, node, v FROM lv{lv}" for lv in range(9)
+    )
+    parts.append(
+        f"""
+tree AS (
+  {tree_union}
+),
+cmp AS (
+  SELECT level, node,
+         max(CASE WHEN side = 'a' THEN v END) AS va,
+         max(CASE WHEN side = 'b' THEN v END) AS vb
+  FROM tree GROUP BY 1, 2
+),
+delta AS (
+  SELECT CAST(count(CASE WHEN dn = '0' THEN 1 END) AS BIGINT) AS n_deleted,
+         CAST(count(CASE WHEN dn = '1' THEN 1 END) AS BIGINT) AS n_modified,
+         CAST(count(*) AS BIGINT) AS n_rows_a
+  FROM base
+)"""
+    )
+    body = (
+        "WITH " + ",".join(parts) + """
+SELECT CAST(cmp.level AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(CASE WHEN cmp.va <> cmp.vb THEN 1 END) AS BIGINT)
+         AS n_diff,
+       d.n_rows_a, d.n_deleted, d.n_modified
+FROM cmp CROSS JOIN delta d
+GROUP BY 1, 4, 5, 6
+"""
+    )
+    return body
+
+
+@_register_r4("q_merkle_diff", _merkle_sql())
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle anti-entropy audit (Merkle 1987; the Dynamo/Cassandra
+    repair protocol): two snapshots of the orders table — A as stored, B
+    after a deterministic md5-selected delta (1/16 of keys deleted, 1/16
+    price-bumped by $1) — are summarized as 9-level binary hash trees
+    over 256 key-range leaves (leaf = order-insensitive sum of 48-bit row
+    fingerprints, parent = (2*left + 3*right) mod 2^31-1 so left/right
+    swaps change the parent). The per-level diff count is the sync
+    workload ledger: a replica pair exchanges O(diff-paths * depth)
+    hashes instead of the full table, and dirty leaves at level 8 bound
+    the rows that must ship. Root disagreement (level 0, n_diff = 1) is
+    the one-hash liveness check. n_deleted/n_modified carries make the
+    expected dirty-leaf ceiling auditable in-row.
+
+    Scale plan: row fingerprints and leaf sums are one map-side-combined
+    groupBy per side (the 256-leaf spine is a broadcast dimension); the
+    8 combine levels operate on <= 512-row frames — tree size is fixed
+    regardless of table size, THE Merkle property. 48-bit fingerprints
+    keep the per-leaf sum under 2^63 up to ~10^14 rows/leaf."""
+    orders = load(spark, sf_dir, "orders")
+    P = F.lit(_MERKLE_P)
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":d"))), 1, 1
+        ).alias("dn"),
+    )
+    allr = base.select(F.lit("a").alias("side"), "k", "cents").unionAll(
+        base.filter(F.col("dn") != "0").select(
+            F.lit("b").alias("side"),
+            "k",
+            F.when(F.col("dn") == "1", F.col("cents") + 100)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    fp = allr.select(
+        "side",
+        (F.col("k") % 256).cast("int").alias("node"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long").alias("f"),
+    )
+    leaf = fp.groupBy("side", "node").agg(
+        ((F.sum("f") + 1) % P).cast("long").alias("v")
+    )
+    spine = spark.range(256).select(F.col("id").cast("int").alias("node"))
+    sides = spark.createDataFrame([("a",), ("b",)], "side string")
+    lv = (
+        sides.crossJoin(spine)
+        .join(F.broadcast(leaf), ["side", "node"], "left")
+        .select("side", "node", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    frames = [lv.select(F.lit(8).alias("level"), "side", "node", "v")]
+    for level in range(7, -1, -1):
+        lv = lv.groupBy("side", F.shiftright("node", 1).alias("node")).agg(
+            (
+                (
+                    2 * F.coalesce(
+                        F.max(F.when(F.col("node") % 2 == 0, F.col("v"))), F.lit(0)
+                    )
+                    + 3 * F.coalesce(
+                        F.max(F.when(F.col("node") % 2 == 1, F.col("v"))), F.lit(0)
+                    )
+                )
+                % P
+            ).cast("long").alias("v")
+        )
+        frames.append(lv.select(F.lit(level).alias("level"), "side", "node", "v"))
+    tree = frames[0]
+    for fr in frames[1:]:
+        tree = tree.unionAll(fr)
+    cmp = tree.groupBy("level", "node").agg(
+        F.max(F.when(F.col("side") == "a", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("side") == "b", F.col("v"))).alias("vb"),
+    )
+    delta = base.agg(
+        F.count(F.when(F.col("dn") == "0", 1)).cast("long").alias("n_deleted"),
+        F.count(F.when(F.col("dn") == "1", 1)).cast("long").alias("n_modified"),
+        F.count(F.lit(1)).cast("long").alias("n_rows_a"),
+    )
+    return (
+        cmp.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.count(F.when(F.col("va") != F.col("vb"), 1))
+            .cast("long")
+            .alias("n_diff"),
+        )
+        .crossJoin(F.broadcast(delta))
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_nodes", "n_diff", "n_rows_a", "n_deleted", "n_modified",
+        )
+    )
+
+
+_HRW_SQL = """
+WITH nodes AS (SELECT CAST(t.i AS INT) AS node FROM unnest(range(10)) AS t(i)),
+j AS (
+  SELECT o.o_orderkey AS k, n.node,
+         md5(CAST(o.o_orderkey AS VARCHAR) || '#' || CAST(n.node AS VARCHAR)) AS h
+  FROM orders o CROSS JOIN nodes n
+),
+own AS (
+  SELECT k,
+         arg_max(CASE WHEN node < 8 THEN node END,
+                 CASE WHEN node < 8 THEN h END) AS n8,
+         arg_max(node, h) AS n10
+  FROM j GROUP BY k
+),
+both_s AS (
+  SELECT 'hrw' AS scheme, k, n8, n10 FROM own
+  UNION ALL
+  SELECT 'mod', o_orderkey, CAST(o_orderkey % 8 AS INT),
+         CAST(o_orderkey % 10 AS INT)
+  FROM orders
+),
+l10 AS (
+  SELECT scheme, n10 AS node, CAST(count(*) AS BIGINT) AS c
+  FROM both_s GROUP BY 1, 2
+),
+lb AS (
+  SELECT scheme, CAST(max(c) AS BIGINT) AS max_load10,
+         CAST(min(c) AS BIGINT) AS min_load10,
+         CAST(count(*) AS BIGINT) AS n_nodes10
+  FROM l10 GROUP BY 1
+),
+mv AS (
+  SELECT scheme, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(CASE WHEN n8 <> n10 THEN 1 END) AS BIGINT) AS n_moved,
+         CAST(count(CASE WHEN n8 <> n10 AND n10 >= 8 THEN 1 END) AS BIGINT)
+           AS n_to_new,
+         CAST(count(CASE WHEN n8 <> n10 AND n10 < 8 THEN 1 END) AS BIGINT)
+           AS n_cross_old
+  FROM both_s GROUP BY 1
+)
+SELECT mv.scheme, mv.n_keys, mv.n_moved, mv.n_to_new, mv.n_cross_old,
+       round(CAST(mv.n_moved AS DOUBLE) / mv.n_keys, 6) AS remap_pct,
+       lb.max_load10, lb.min_load10, lb.n_nodes10
+FROM mv JOIN lb USING (scheme)
+"""
+
+
+@_register_r4("q_rendezvous_hashing", _HRW_SQL)
+def q_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing audit (Thaler &
+    Ravishankar 1996), the ringless alternative to q_consistent_hashing:
+    each order key is owned by argmax over nodes of md5(key#node), first
+    under 8 nodes then under 10, and the audit measures the resharding
+    bill — HRW moves only the ~2/10 of keys whose new-node weight wins
+    (all of them TO the new nodes, n_cross_old = 0 is the defining
+    invariant, an exact assert surface in-row) while the mod-N strawman
+    reshuffles ~80% of keys, the classic cache-stampede mistake. Load
+    bounds under the 10-node config sit beside the movement ledger
+    because HRW's other selling point is per-key independence (balance
+    without vnode tuning). md5-weight comparison is plain string order,
+    identical on both engines; no ties (md5 injective on this domain).
+
+    Scale plan: the node table is a 10-row broadcast spine (whitelisted);
+    ownership is a per-key max-by collapsed map-side into one groupBy —
+    no corpus self-join, one pass, constant output."""
+    orders = load(spark, sf_dir, "orders")
+    nodes = spark.range(10).select(F.col("id").cast("int").alias("node"))
+    j = orders.crossJoin(F.broadcast(nodes)).select(
+        F.col("o_orderkey").alias("k"),
+        "node",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("node").cast("string"),
+            )
+        ).alias("h"),
+    )
+    own = j.groupBy("k").agg(
+        F.max_by(
+            F.when(F.col("node") < 8, F.col("node")),
+            F.when(F.col("node") < 8, F.col("h")),
+        ).alias("n8"),
+        F.max_by("node", "h").alias("n10"),
+    )
+    both_s = own.select(F.lit("hrw").alias("scheme"), "k", "n8", "n10").unionAll(
+        orders.select(
+            F.lit("mod").alias("scheme"),
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 8).cast("int").alias("n8"),
+            (F.col("o_orderkey") % 10).cast("int").alias("n10"),
+        )
+    )
+    l10 = both_s.groupBy("scheme", "n10").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lb = l10.groupBy("scheme").agg(
+        F.max("c").cast("long").alias("max_load10"),
+        F.min("c").cast("long").alias("min_load10"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes10"),
+    )
+    moved = F.count(F.when(F.col("n8") != F.col("n10"), 1))
+    mv = both_s.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        moved.cast("long").alias("n_moved"),
+        F.count(F.when((F.col("n8") != F.col("n10")) & (F.col("n10") >= 8), 1))
+        .cast("long")
+        .alias("n_to_new"),
+        F.count(F.when((F.col("n8") != F.col("n10")) & (F.col("n10") < 8), 1))
+        .cast("long")
+        .alias("n_cross_old"),
+        F.round(moved.cast("double") / F.count(F.lit(1)), 6).alias("remap_pct"),
+    )
+    return mv.join(F.broadcast(lb), "scheme").select(
+        "scheme", "n_keys", "n_moved", "n_to_new", "n_cross_old",
+        "remap_pct", "max_load10", "min_load10", "n_nodes10",
+    )

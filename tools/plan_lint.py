@@ -386,6 +386,23 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "2-row broadcast {pre,post} period spine x the user dimension — "
          "the zero-filled panel; cells collapse map-side to 4 rows")
     ],
+    "q_prefix_cache": [
+        ("BroadcastNestedLoopJoin",
+         "4-row broadcast depth spine x corpus with a >= length predicate "
+         "— a bounded fanout collapsed map-side by the (depth, prefix) "
+         "groupBy")
+    ],
+    "q_merkle_diff": [
+        ("BroadcastNestedLoopJoin",
+         "2x256-row broadcast (side, leaf) spine crossJoin + a 1-row "
+         "delta-counts carry — the zero-filled leaf frame is fixed-size "
+         "regardless of table rows")
+    ],
+    "q_rendezvous_hashing": [
+        ("BroadcastNestedLoopJoin",
+         "10-row broadcast node spine x keys — the HRW weight fanout, "
+         "collapsed map-side by the per-key max_by groupBy")
+    ],
 }
 
 
