@@ -11576,3 +11576,440 @@ def q_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scheme", "n_keys", "n_moved", "n_to_new", "n_cross_old",
         "remap_pct", "max_load10", "min_load10", "n_nodes10",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: storage-layout advisor trio — columnar encoding advisor
+# (plain/dict/RLE byte model, parquet-style per-page runs), space-filling
+# curve file layout (Hilbert vs Z-order vs row-major zonemap quality), and
+# a roaring-bitmap container advisor (array/bitmap/run per 4096-rid chunk).
+# --------------------------------------------------------------------------
+
+_ENC_COLS = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+    ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"),
+    ("l_suppkey", "CAST(l_suppkey AS VARCHAR)"),
+]
+
+_ENC_UNION = "\n  UNION ALL ".join(
+    f"SELECT '{n}' AS colname, {e} AS val, l_orderkey, l_linenumber,"
+    f" CAST(l_orderkey // 2048 AS BIGINT) AS page FROM lineitem"
+    for n, e in _ENC_COLS
+)
+
+_ENCODING_SIZE_SQL = f"""
+WITH cols AS (
+  {_ENC_UNION}
+),
+runs AS (
+  SELECT colname, val,
+         CASE WHEN lag(val) OVER (PARTITION BY colname, page
+                ORDER BY l_orderkey, l_linenumber, val) IS DISTINCT FROM val
+              THEN 1 ELSE 0 END AS is_run_start
+  FROM cols
+),
+dict AS (
+  SELECT colname, CAST(count(*) AS BIGINT) AS card,
+         CAST(sum(len(val) + 4) AS BIGINT) AS dict_table_bytes
+  FROM (SELECT DISTINCT colname, val FROM cols) GROUP BY 1
+),
+agg AS (
+  SELECT colname, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(len(val) + 4) AS BIGINT) AS plain_bytes,
+         CAST(sum(is_run_start) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+),
+sized AS (
+  SELECT a.colname, a.n_rows, d.card, a.n_runs, a.plain_bytes,
+         CASE WHEN d.card <= 256 THEN 1
+              WHEN d.card <= 65536 THEN 2 ELSE 4 END AS code_bytes,
+         d.dict_table_bytes
+  FROM agg a JOIN dict d USING (colname)
+),
+model AS (
+  SELECT colname, n_rows, card, n_runs, plain_bytes,
+         CAST(dict_table_bytes + n_rows * code_bytes AS BIGINT) AS dict_bytes,
+         CAST(dict_table_bytes + n_runs * (code_bytes + 4) AS BIGINT)
+           AS rle_bytes
+  FROM sized
+)
+SELECT colname, n_rows, card, n_runs, plain_bytes, dict_bytes, rle_bytes,
+       CASE WHEN plain_bytes <= dict_bytes AND plain_bytes <= rle_bytes
+            THEN 'plain'
+            WHEN dict_bytes <= rle_bytes THEN 'dict' ELSE 'rle'
+       END AS best_encoding,
+       round(CAST(least(plain_bytes, dict_bytes, rle_bytes) AS DOUBLE)
+             / plain_bytes, 6) AS best_ratio
+FROM model
+"""
+
+
+@_register_r4("q_encoding_size", _ENCODING_SIZE_SQL)
+def q_encoding_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor — the exact byte model a writer consults
+    when choosing parquet column encodings: for five lineitem columns
+    rendered as strings, plain = sum(len+4), dictionary = dict table +
+    n * byte-aligned code width (1/2/4 bytes by cardinality), and RLE =
+    dict table + runs * (code + 4-byte length), with runs counted
+    PER 2048-key page in the (l_orderkey, l_linenumber) layout order —
+    parquet RLE resets per page, which is also what keeps the run count
+    embarrassingly parallel. The layout order carries a trailing val
+    tiebreak because (l_orderkey, l_linenumber) is NOT unique in this
+    fixture — residual ties then hold equal values, which cannot move a
+    run boundary, so the count is total-order invariant. best_encoding
+    uses the deterministic tie order plain < dict < rle. Low-cardinality flags should pick dict/rle
+    and the near-unique suppkey should stay plain — the advisor's sanity
+    shape, asserted by the replica.
+
+    Scale plan: the 5-column fanout is a projection-side explode (no
+    spine join); runs come from one lag window per (column, page)
+    partition — page-local, so no global sort and no single-partition
+    window; everything else is map-side-combined groupBys."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_returnflag", F.col("l_returnflag")),
+        ("l_linestatus", F.col("l_linestatus")),
+        ("l_quantity", F.col("l_quantity").cast("long").cast("string")),
+        ("l_shipdate", F.col("l_shipdate").cast("date").cast("string")),
+        ("l_suppkey", F.col("l_suppkey").cast("string")),
+    ]
+    cols = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") / 2048).cast("long").alias("page"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("colname"), e.alias("val"))
+                    for n, e in pairs
+                ]
+            )
+        ).alias("cv"),
+    ).select("l_orderkey", "l_linenumber", "page", "cv.colname", "cv.val")
+    w = Window.partitionBy("colname", "page").orderBy(
+        "l_orderkey", "l_linenumber", "val"
+    )
+    runs = cols.select(
+        "colname",
+        "val",
+        F.when(
+            ~F.lag("val").over(w).eqNullSafe(F.col("val")), 1
+        ).otherwise(0).alias("is_run_start"),
+    )
+    dict_t = (
+        cols.select("colname", "val")
+        .distinct()
+        .groupBy("colname")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("card"),
+            F.sum(F.length("val") + 4).cast("long").alias("dict_table_bytes"),
+        )
+    )
+    agg = runs.groupBy("colname").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("val") + 4).cast("long").alias("plain_bytes"),
+        F.sum("is_run_start").cast("long").alias("n_runs"),
+    )
+    code_bytes = (
+        F.when(F.col("card") <= 256, 1)
+        .when(F.col("card") <= 65536, 2)
+        .otherwise(4)
+    )
+    m = agg.join(F.broadcast(dict_t), "colname").select(
+        "colname", "n_rows", "card", "n_runs", "plain_bytes",
+        (F.col("dict_table_bytes") + F.col("n_rows") * code_bytes)
+        .cast("long")
+        .alias("dict_bytes"),
+        (F.col("dict_table_bytes") + F.col("n_runs") * (code_bytes + 4))
+        .cast("long")
+        .alias("rle_bytes"),
+    )
+    return m.select(
+        "colname", "n_rows", "card", "n_runs", "plain_bytes", "dict_bytes",
+        "rle_bytes",
+        F.when(
+            (F.col("plain_bytes") <= F.col("dict_bytes"))
+            & (F.col("plain_bytes") <= F.col("rle_bytes")),
+            "plain",
+        )
+        .when(F.col("dict_bytes") <= F.col("rle_bytes"), "dict")
+        .otherwise("rle")
+        .alias("best_encoding"),
+        F.round(
+            F.least("plain_bytes", "dict_bytes", "rle_bytes").cast("double")
+            / F.col("plain_bytes"),
+            6,
+        ).alias("best_ratio"),
+    )
+
+
+def _hilbert_sql_steps() -> str:
+    """Chained CTEs h3..h0 applying the order-4 Hilbert xy2d recursion
+    (s = 8,4,2,1) to columns (x, y, d). Pure integer arithmetic; the
+    rotation cases mirror the classic rot() exactly."""
+    out = []
+    prev = "cells"
+    for i, s in enumerate((8, 4, 2, 1)):
+        out.append(
+            f"""
+h{i} AS (
+  SELECT o_orderkey, x0, y0,
+         CASE WHEN (y // {s}) % 2 = 1 THEN x
+              WHEN (x // {s}) % 2 = 1 THEN 15 - y ELSE y END AS x,
+         CASE WHEN (y // {s}) % 2 = 1 THEN y
+              WHEN (x // {s}) % 2 = 1 THEN 15 - x ELSE x END AS y,
+         d + {s * s} * (CASE WHEN (x // {s}) % 2 = 1
+                             THEN 3 - (y // {s}) % 2
+                             ELSE (y // {s}) % 2 END) AS d
+  FROM {prev}
+)"""
+        )
+        prev = f"h{i}"
+    return ",".join(out)
+
+
+_HILBERT_SQL = f"""
+WITH cells AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 16 AS BIGINT) AS x0,
+         CAST((dayofyear(o_orderdate) - 1) // 23 AS BIGINT) AS y0,
+         CAST(o_custkey % 16 AS BIGINT) AS x,
+         CAST((dayofyear(o_orderdate) - 1) // 23 AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM orders
+),{_hilbert_sql_steps()},
+keyed AS (
+  SELECT x0 AS x, y0 AS y, d,
+         CAST((x0 % 2) + 2 * (y0 % 2) + 4 * ((x0 // 2) % 2)
+              + 8 * ((y0 // 2) % 2) + 16 * ((x0 // 4) % 2)
+              + 32 * ((y0 // 4) % 2) + 64 * ((x0 // 8) % 2)
+              + 128 * ((y0 // 8) % 2) AS BIGINT) AS z
+  FROM h3
+),
+assign AS (
+  SELECT 'rowmajor' AS layout, CAST(y AS BIGINT) AS file, x, y FROM keyed
+  UNION ALL
+  SELECT 'zorder', CAST(z // 16 AS BIGINT), x, y FROM keyed
+  UNION ALL
+  SELECT 'hilbert', CAST(d // 16 AS BIGINT), x, y FROM keyed
+),
+boxes AS (
+  SELECT layout, file,
+         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM assign GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum((max_x - min_x + 1) * (max_y - min_y + 1)) AS BIGINT)
+         AS sum_bbox_area,
+       CAST(max((max_x - min_x + 1) * (max_y - min_y + 1)) AS BIGINT)
+         AS max_bbox_area,
+       CAST(count(CASE WHEN max_x >= 4 AND min_x <= 7 THEN 1 END) AS BIGINT)
+         AS files_hit_x47,
+       CAST(count(CASE WHEN max_y >= 4 AND min_y <= 7 THEN 1 END) AS BIGINT)
+         AS files_hit_y47
+FROM boxes GROUP BY layout
+"""
+
+
+@_register_r4("q_hilbert_layout", _HILBERT_SQL)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve file-layout advisor: orders are mapped onto a
+    16x16 (customer-bucket, day-of-year-bucket) grid and bin-packed into
+    16 files under three layouts — row-major (sort by y), bit-interleaved
+    Z-order, and an order-4 Hilbert curve (the exact xy2d recursion,
+    s = 8,4,2,1 with the n-bound rotation 15-x so coordinates never go
+    negative — integer division/modulo sign semantics differ between
+    engines below zero — unrolled into integer CASE arithmetic; verified
+    a true bijection with unit steps by the replica). Per file the (x, y)
+    bounding box is the zonemap a reader prunes with, so sum/max bbox
+    area and the file-hit counts for the range predicates x in [4,7] and
+    y in [4,7] rank the layouts: row-major prunes only y, the curves
+    prune BOTH dimensions with Hilbert's boxes tighter than Z-order's —
+    the multi-dimensional clustering argument for Hilbert compaction at
+    100 TB, in exact integers.
+
+    Scale plan: curve indices are pure per-row projections (whole-stage
+    codegen, no joins); the layout fanout is a 3-way projection union;
+    zonemaps come from one map-side-combinable groupBy per (layout, file)
+    and a 48-row rollup."""
+    orders = load(spark, sf_dir, "orders")
+    x0 = (F.col("o_custkey") % 16).cast("long")
+    y0 = ((F.dayofyear("o_orderdate") - 1) / 23).cast("long")
+    cells = orders.select(
+        x0.alias("x0"), y0.alias("y0"),
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("long").alias("d"),
+    )
+    for s in (8, 4, 2, 1):
+        rx = ((F.col("x") / s).cast("long") % 2)
+        ry = ((F.col("y") / s).cast("long") % 2)
+        cells = cells.select(
+            "x0",
+            "y0",
+            F.when(ry == 1, F.col("x"))
+            .when(rx == 1, 15 - F.col("y"))
+            .otherwise(F.col("y"))
+            .alias("x"),
+            F.when(ry == 1, F.col("y"))
+            .when(rx == 1, 15 - F.col("x"))
+            .otherwise(F.col("x"))
+            .alias("y"),
+            (
+                F.col("d")
+                + s * s * F.when(rx == 1, 3 - ry).otherwise(ry)
+            ).alias("d"),
+        )
+    zbits = None
+    for i in range(4):
+        xb = ((F.col("x0") / (2**i)).cast("long") % 2) * (4**i)
+        yb = ((F.col("y0") / (2**i)).cast("long") % 2) * (2 * 4**i)
+        zbits = xb + yb if zbits is None else zbits + xb + yb
+    keyed = cells.select(
+        F.col("x0").alias("x"), F.col("y0").alias("y"), "d",
+        zbits.cast("long").alias("z"),
+    )
+    assign = (
+        keyed.select(F.lit("rowmajor").alias("layout"),
+                     F.col("y").cast("long").alias("file"), "x", "y")
+        .unionAll(
+            keyed.select(F.lit("zorder").alias("layout"),
+                         (F.col("z") / 16).cast("long").alias("file"), "x", "y")
+        )
+        .unionAll(
+            keyed.select(F.lit("hilbert").alias("layout"),
+                         (F.col("d") / 16).cast("long").alias("file"), "x", "y")
+        )
+    )
+    boxes = assign.groupBy("layout", "file").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    area = (F.col("max_x") - F.col("min_x") + 1) * (
+        F.col("max_y") - F.col("min_y") + 1
+    )
+    return boxes.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(area).cast("long").alias("sum_bbox_area"),
+        F.max(area).cast("long").alias("max_bbox_area"),
+        F.count(F.when((F.col("max_x") >= 4) & (F.col("min_x") <= 7), 1))
+        .cast("long")
+        .alias("files_hit_x47"),
+        F.count(F.when((F.col("max_y") >= 4) & (F.col("min_y") <= 7), 1))
+        .cast("long")
+        .alias("files_hit_y47"),
+    )
+
+
+_BITMAP_SQL = """
+WITH rids AS (
+  SELECT o_orderpriority AS val, o_orderkey AS rid,
+         CAST(o_orderkey // 4096 AS BIGINT) AS chunk
+  FROM orders
+),
+runs AS (
+  SELECT val, chunk, rid,
+         CASE WHEN lag(rid) OVER (PARTITION BY val, chunk ORDER BY rid)
+                   = rid - 1 THEN 0 ELSE 1 END AS is_run_start
+  FROM rids
+),
+per_chunk AS (
+  SELECT val, chunk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_run_start) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1, 2
+),
+sized AS (
+  SELECT val, chunk, n, n_runs,
+         2 + 2 * n AS b_array, CAST(512 AS BIGINT) AS b_bitmap,
+         2 + 4 * n_runs AS b_run
+  FROM per_chunk
+),
+chosen AS (
+  SELECT val, chunk, n, n_runs, b_array, b_bitmap, b_run,
+         CASE WHEN b_array <= b_bitmap AND b_array <= b_run THEN 'array'
+              WHEN b_bitmap <= b_run THEN 'bitmap' ELSE 'run' END AS cont,
+         least(b_array, b_bitmap, b_run) AS b_chosen
+  FROM sized
+)
+SELECT val AS value,
+       CAST(sum(n) AS BIGINT) AS n_rids,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(CASE WHEN cont = 'array' THEN 1 END) AS BIGINT) AS n_array,
+       CAST(count(CASE WHEN cont = 'bitmap' THEN 1 END) AS BIGINT) AS n_bitmap,
+       CAST(count(CASE WHEN cont = 'run' THEN 1 END) AS BIGINT) AS n_run,
+       CAST(sum(b_chosen) AS BIGINT) AS bytes_chosen,
+       CAST(sum(n) * 8 AS BIGINT) AS bytes_plain,
+       round(CAST(sum(b_chosen) AS DOUBLE) / (sum(n) * 8), 6)
+         AS compression_ratio
+FROM chosen GROUP BY 1
+"""
+
+
+@_register_r4("q_bitmap_index", _BITMAP_SQL)
+def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap container advisor (Chambi/Lemire 2016, scaled to
+    4096-rid chunks): for each o_orderpriority posting list, every chunk
+    picks the cheapest of the three roaring containers — sorted array
+    (2 + 2n bytes), fixed bitmap (512 bytes), run container
+    (2 + 4*runs) — with the deterministic tie order array < bitmap <
+    run; runs are maximal consecutive-rid intervals within the chunk.
+    The per-value rollup (container mix, chosen bytes vs the 8-byte/rid
+    plain list) is the index-sizing ledger a 100 TB store consults before
+    materializing a secondary index: 1/5-selectivity postings should land
+    mostly in array containers well under the plain size.
+
+    Scale plan: run detection is one lag window per (value, chunk)
+    partition — chunk-local, parallel by construction; container choice
+    is pure projection; two map-side-combinable groupBys end in 5 rows."""
+    orders = load(spark, sf_dir, "orders")
+    rids = orders.select(
+        F.col("o_orderpriority").alias("val"),
+        F.col("o_orderkey").alias("rid"),
+        (F.col("o_orderkey") / 4096).cast("long").alias("chunk"),
+    )
+    w = Window.partitionBy("val", "chunk").orderBy("rid")
+    runs = rids.select(
+        "val", "chunk", "rid",
+        F.when(F.lag("rid").over(w) == F.col("rid") - 1, 0)
+        .otherwise(1)
+        .alias("is_run_start"),
+    )
+    per_chunk = runs.groupBy("val", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_run_start").cast("long").alias("n_runs"),
+    )
+    sized = per_chunk.select(
+        "val", "n", "n_runs",
+        (2 + 2 * F.col("n")).alias("b_array"),
+        F.lit(512).cast("long").alias("b_bitmap"),
+        (2 + 4 * F.col("n_runs")).alias("b_run"),
+    )
+    chosen = sized.select(
+        "val", "n",
+        F.when(
+            (F.col("b_array") <= F.col("b_bitmap"))
+            & (F.col("b_array") <= F.col("b_run")),
+            "array",
+        )
+        .when(F.col("b_bitmap") <= F.col("b_run"), "bitmap")
+        .otherwise("run")
+        .alias("cont"),
+        F.least("b_array", "b_bitmap", "b_run").alias("b_chosen"),
+    )
+    return chosen.groupBy(F.col("val").alias("value")).agg(
+        F.sum("n").cast("long").alias("n_rids"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("cont") == "array", 1)).cast("long").alias("n_array"),
+        F.count(F.when(F.col("cont") == "bitmap", 1)).cast("long").alias("n_bitmap"),
+        F.count(F.when(F.col("cont") == "run", 1)).cast("long").alias("n_run"),
+        F.sum("b_chosen").cast("long").alias("bytes_chosen"),
+        (F.sum("n") * 8).cast("long").alias("bytes_plain"),
+        F.round(
+            F.sum("b_chosen").cast("double") / (F.sum("n") * 8), 6
+        ).alias("compression_ratio"),
+    )
