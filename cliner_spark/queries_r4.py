@@ -12013,3 +12013,384 @@ def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b_chosen").cast("double") / (F.sum("n") * 8), 6
         ).alias("compression_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: nonparametric trend/rank trio — Theil-Sen robust slope (the
+# estimator to q_mann_kendall's test), Kruskal-Wallis k-group rank-sum
+# ledger with tie correction, and the exact-rational autocorrelation
+# function with PACF(2) — the serial-structure probe after q_runs_test.
+# --------------------------------------------------------------------------
+
+_THEILSEN_SQL = """
+WITH days AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         b.c - a.c AS num, b.d - a.d AS den
+  FROM days a JOIN days b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, num, den,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(num AS DOUBLE) / den, num, den, d1, d2
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+),
+meta AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM days GROUP BY 1
+),
+med AS (
+  SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+         max(CASE WHEN rn = (m + 1) // 2 THEN num END) AS lo_num,
+         max(CASE WHEN rn = (m + 1) // 2 THEN den END) AS lo_den,
+         max(CASE WHEN rn = m // 2 + 1 THEN num END) AS hi_num,
+         max(CASE WHEN rn = m // 2 + 1 THEN den END) AS hi_den
+  FROM ranked GROUP BY event_type
+)
+SELECT m.event_type, t.n_days, m.n_pairs,
+       CAST(m.lo_num AS BIGINT) AS slope_lo_num,
+       CAST(m.lo_den AS BIGINT) AS slope_lo_den,
+       CAST(m.hi_num AS BIGINT) AS slope_hi_num,
+       CAST(m.hi_den AS BIGINT) AS slope_hi_den,
+       round((CAST(m.lo_num AS DOUBLE) / m.lo_den
+              + CAST(m.hi_num AS DOUBLE) / m.hi_den) / 2, 6) AS slope
+FROM med m JOIN meta t USING (event_type)
+"""
+
+
+@_register_r4("q_theil_sen", _THEILSEN_SQL)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950 / Sen 1968) per event
+    type — the slope companion to q_mann_kendall's monotonic-trend TEST:
+    over the observed (day, daily-count) series, every day pair
+    contributes slope (c2-c1)/(d2-d1) and the estimate is the median,
+    29%-breakdown-robust where OLS folds to one outlier day. Pair order
+    is the IEEE double of the ratio (identical in both engines) with the
+    exact (num, den, d1, d2) pin breaking equal-value ties, so the lower
+    and upper medians ship as EXACT rationals beside the rounded
+    midpoint; even pair counts keep both medians visible instead of
+    hiding an average.
+
+    Scale plan: the daily rollup is one map-side-combined groupBy; the
+    pair join is an equi-join on event_type whose per-key frame is
+    day-domain bounded (one row per day — quadratic in DAYS, not rows,
+    the standard Theil-Sen envelope); one ranked window per type
+    partition, then a 1-row-per-type rollup."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = days.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = days.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type", "d1", "d2",
+        (F.col("c2") - F.col("c1")).alias("num"),
+        (F.col("d2") - F.col("d1")).alias("den"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("num").cast("double") / F.col("den"), "num", "den", "d1", "d2"
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type", "num", "den",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("m") + 1) / 2), F.col("num"))
+        ).cast("long").alias("slope_lo_num"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("m") + 1) / 2), F.col("den"))
+        ).cast("long").alias("slope_lo_den"),
+        F.max(
+            F.when(F.col("rn") == F.floor(F.col("m") / 2) + 1, F.col("num"))
+        ).cast("long").alias("slope_hi_num"),
+        F.max(
+            F.when(F.col("rn") == F.floor(F.col("m") / 2) + 1, F.col("den"))
+        ).cast("long").alias("slope_hi_den"),
+    )
+    meta = days.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return med.join(meta, "event_type").select(
+        "event_type", "n_days", "n_pairs",
+        "slope_lo_num", "slope_lo_den", "slope_hi_num", "slope_hi_den",
+        F.round(
+            (
+                F.col("slope_lo_num").cast("double") / F.col("slope_lo_den")
+                + F.col("slope_hi_num").cast("double") / F.col("slope_hi_den")
+            )
+            / 2,
+            6,
+        ).alias("slope"),
+    )
+
+
+_KRUSKAL_SQL = """
+WITH d AS (
+  SELECT source, n_chars FROM documents
+),
+ranked AS (
+  SELECT source, n_chars,
+         2 * rank() OVER (ORDER BY n_chars)
+           + count(*) OVER (PARTITION BY n_chars) - 1 AS r2
+  FROM d
+),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY n_chars)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM d
+),
+grp AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(r2) AS BIGINT) AS r2_sum
+  FROM ranked GROUP BY 1
+)
+SELECT g.source, g.n_g, g.r2_sum,
+       round(CAST(g.r2_sum AS DOUBLE) / (2 * g.n_g), 6) AS mean_rank,
+       CAST(g.r2_sum - g.n_g * (t.n_total + 1) AS BIGINT) AS dev_num,
+       CAST(2 * g.n_g AS BIGINT) AS dev_den,
+       round(3.0 * g.r2_sum * g.r2_sum
+             / (CAST(t.n_total AS DOUBLE) * (t.n_total + 1) * g.n_g), 6)
+         AS h_contrib,
+       t.n_total, ti.tie_sum,
+       CAST(t.n_total * t.n_total * t.n_total - t.n_total AS BIGINT)
+         AS n3_minus_n
+FROM grp g CROSS JOIN tot t CROSS JOIN ties ti
+"""
+
+
+@_register_r4("q_kruskal_wallis", _KRUSKAL_SQL)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis k-group rank-sum ledger (1952) over document length
+    by source — the k-group generalization of q_auc_ranksum's
+    Mann-Whitney: mid-rank sums per source in EXACT half-integer units
+    (r2 = 2*rank + tiecount - 1, so the doubled rank is a BIGINT and the
+    classic identity sum(r2) = N(N+1) is an integer assert surface), the
+    per-group deviation from the null mean rank (N+1)/2 as an exact
+    rational (r2_sum - n(N+1)) / 2n, and the per-group H contribution
+    3*R2^2/(N(N+1)n) as one double division per row — H itself is the
+    sum of contributions minus 3(N+1), left to the replica because a
+    cross-group double sum has engine-ordered rounding while every
+    in-row value here is exact or a single division. The tie ledger
+    sum(t^3 - t) and N^3 - N carry the correction factor's exact parts.
+
+    Scale plan: one global rank window (the order-statistics pattern the
+    repo already uses for q_order_stats — at production scale this
+    window becomes the dist_dense_rank primitive), one tie groupBy on the
+    value domain, one group rollup; 1-row carries are broadcast."""
+    docs = load_docs(spark, sf_dir).select("source", "n_chars")
+    wv = Window.partitionBy("n_chars")
+    ranked = docs.select(
+        "source",
+        (
+            2 * F.rank().over(Window.orderBy("n_chars"))
+            + F.count(F.lit(1)).over(wv)
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    ties = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grp = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("r2").cast("long").alias("r2_sum"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "source", "n_g", "r2_sum",
+            F.round(F.col("r2_sum").cast("double") / (2 * F.col("n_g")), 6)
+            .alias("mean_rank"),
+            (F.col("r2_sum") - F.col("n_g") * (F.col("n_total") + 1))
+            .cast("long")
+            .alias("dev_num"),
+            (2 * F.col("n_g")).cast("long").alias("dev_den"),
+            F.round(
+                3.0 * F.col("r2_sum") * F.col("r2_sum")
+                / (
+                    F.col("n_total").cast("double")
+                    * (F.col("n_total") + 1)
+                    * F.col("n_g")
+                ),
+                6,
+            ).alias("h_contrib"),
+            "n_total",
+            "tie_sum",
+            (
+                F.col("n_total") * F.col("n_total") * F.col("n_total")
+                - F.col("n_total")
+            ).cast("long").alias("n3_minus_n"),
+        )
+    )
+
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM daily
+),
+spine AS (
+  SELECT CAST(b.d0 + t.i AS BIGINT) AS d
+  FROM bounds b, unnest(range(CAST(b.d1 - b.d0 + 1 AS BIGINT))) AS t(i)
+),
+series AS (
+  SELECT s.d - (SELECT d0 FROM bounds) AS t, coalesce(dy.c, 0) AS x
+  FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM series
+),
+lags AS (SELECT CAST(t.i AS BIGINT) AS lg FROM unnest(range(6)) AS t(i)),
+terms AS (
+  SELECT l.lg,
+         CAST(sum((st.n * a.x - st.s) * (st.n * b.x - st.s)) AS BIGINT) AS acov
+  FROM lags l
+  JOIN series a ON true
+  JOIN series b ON b.t = a.t + l.lg
+  CROSS JOIN stats st
+  GROUP BY l.lg
+),
+wide AS (
+  SELECT t.lg, t.acov,
+         (SELECT acov FROM terms WHERE lg = 0) AS a0,
+         (SELECT acov FROM terms WHERE lg = 1) AS a1
+  FROM terms t
+)
+SELECT w.lg AS lag, st.n AS n_days, w.acov AS acf_num, w.a0 AS acf_den,
+       round(CAST(w.acov AS DOUBLE) / w.a0, 6) AS acf,
+       CASE WHEN w.lg = 2 THEN
+         round((CAST(w.acov AS DOUBLE) / w.a0
+                - (CAST(w.a1 AS DOUBLE) / w.a0) * (CAST(w.a1 AS DOUBLE) / w.a0))
+               / (1 - (CAST(w.a1 AS DOUBLE) / w.a0)
+                      * (CAST(w.a1 AS DOUBLE) / w.a0)), 6)
+       END AS pacf2,
+       round(CAST(st.n AS DOUBLE) * (st.n + 2)
+             * (CAST(w.acov AS DOUBLE) / w.a0) * (CAST(w.acov AS DOUBLE) / w.a0)
+             / (st.n - w.lg), 6) AS ljung_box_term
+FROM wide w CROSS JOIN stats st
+WHERE w.lg > 0
+"""
+
+
+@_register_r4("q_acf", _ACF_SQL)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1..5 of the zero-filled daily
+    event volume, in EXACT integers: with S = sum(x) and n days, the
+    lag-k autocovariance scaled by n^2 is A_k = sum (n*x_t - S)
+    (n*x_{t+k} - S), a BIGINT, so acf_k = A_k / A_0 ships as an exact
+    rational beside the rounded double. PACF(2) = (r2 - r1^2)/(1 - r1^2)
+    and the per-lag Ljung-Box term n(n+2) r_k^2 / (n-k) are single
+    deterministic double expressions over those exact ratios (identical
+    IEEE evaluation on both engines — no cross-row double sums
+    anywhere). This is the serial-structure probe between q_runs_test
+    (randomness) and q_leadlag_xcorr (cross-series): it tells a forecast
+    pipeline how much yesterday explains today, with the lag-k decay
+    curve as the fingerprint.
+
+    Scale plan: the series is value-domain bounded (one row per day), so
+    the spine join and the 6-lag fanout are checkpoint-frame sized; the
+    corpus touch is one map-side-combined daily groupBy. 1-row carries
+    broadcast (whitelisted)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        F.col("d0"),
+    )
+    series = (
+        spine.join(F.broadcast(daily), "d", "left")
+        .select(
+            (F.col("d") - F.col("d0")).alias("t"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    lags = spark.range(6).select(F.col("id").cast("long").alias("lg"))
+    a = series.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = series.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    terms = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lg"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("lg")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            ).cast("long").alias("acov")
+        )
+    )
+    a0 = terms.filter(F.col("lg") == 0).select(F.col("acov").alias("a0"))
+    a1 = terms.filter(F.col("lg") == 1).select(F.col("acov").alias("a1"))
+    r_k = F.col("acov").cast("double") / F.col("a0")
+    r_1 = F.col("a1").cast("double") / F.col("a0")
+    return (
+        terms.filter(F.col("lg") > 0)
+        .crossJoin(F.broadcast(a0))
+        .crossJoin(F.broadcast(a1))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("lg").alias("lag"),
+            F.col("n").alias("n_days"),
+            F.col("acov").alias("acf_num"),
+            F.col("a0").alias("acf_den"),
+            F.round(r_k, 6).alias("acf"),
+            F.when(
+                F.col("lg") == 2,
+                F.round((r_k - r_1 * r_1) / (F.lit(1) - r_1 * r_1), 6),
+            ).alias("pacf2"),
+            F.round(
+                F.col("n").cast("double") * (F.col("n") + 2) * r_k * r_k
+                / (F.col("n") - F.col("lg")),
+                6,
+            ).alias("ljung_box_term"),
+        )
+    )

@@ -403,6 +403,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "10-row broadcast node spine x keys — the HRW weight fanout, "
          "collapsed map-side by the per-key max_by groupBy")
     ],
+    "q_kruskal_wallis": [
+        ("BroadcastNestedLoopJoin",
+         "1-row broadcast carries (n_total + tie ledger) crossJoined onto "
+         "the per-source rollup — constant attaches, not products")
+    ],
+    "q_acf": [
+        ("BroadcastNestedLoopJoin",
+         "6-row broadcast lag spine x the day-domain-bounded series plus "
+         "1-row n/S and A0/A1 carries — checkpoint-frame sized by "
+         "construction")
+    ],
 }
 
 
