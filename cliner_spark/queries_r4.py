@@ -12394,3 +12394,354 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ljung_box_term"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: experiment-design trio — two-proportion power/sample-size
+# planning, O'Brien-Fleming group-sequential monitoring, and an
+# effect-size ladder (Cohen's d / Hedges' g / EXACT Cliff's delta via the
+# cdf trick, no pair join).
+# --------------------------------------------------------------------------
+
+_POWER_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(count(CASE WHEN c_acctbal >= 0 THEN 1 END) AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1
+),
+mde AS (SELECT CAST(m.d AS DOUBLE) AS delta
+       FROM (VALUES (0.01), (0.02), (0.05)) AS m(d)),
+calc AS (
+  SELECT s.segment, s.k, s.n, m.delta,
+         CAST(s.k AS DOUBLE) / s.n AS p1,
+         CAST(s.k AS DOUBLE) / s.n + m.delta AS p2
+  FROM seg s CROSS JOIN mde m
+)
+SELECT segment, k, n AS n_avail, delta,
+       round(p1, 6) AS p1,
+       CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * (p1 * (1 - p1) + p2 * (1 - p2))
+                 / (delta * delta)) AS BIGINT) AS n_per_arm,
+       CASE WHEN n >= 2 * CAST(ceil((1.959964 + 0.841621)
+                 * (1.959964 + 0.841621)
+                 * (p1 * (1 - p1) + p2 * (1 - p2))
+                 / (delta * delta)) AS BIGINT)
+            THEN 1 ELSE 0 END AS feasible
+FROM calc
+"""
+
+
+@_register_r4("q_power_analysis", _POWER_SQL)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis (the pre-experiment sample-size
+    planner): per customer segment, the observed conversion p1 = share
+    with non-negative balance (exact k/n BIGINTs shipped in-row) and for
+    minimum-detectable-effects delta in {0.01, 0.02, 0.05} the per-arm n
+    from the classic normal-approximation formula (z_a/2 + z_b)^2 *
+    (p1 q1 + p2 q2) / delta^2 at alpha = 0.05 two-sided, power 0.8 — the
+    z constants 1.959964 / 0.841621 are hardcoded planning constants, so
+    the whole expression is one deterministic IEEE chain over exact
+    integers (identical on both engines), and feasible says whether the
+    segment's own population could even host the experiment. The
+    delta-ladder is the dashboard a growth team reads before burning two
+    weeks on an underpowered test.
+
+    Scale plan: one map-side-combined groupBy to 5 rows, a 3-row
+    broadcast MDE spine (whitelisted), projection arithmetic after."""
+    cust = load(spark, sf_dir, "customer")
+    seg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.when(F.col("c_acctbal") >= 0, 1)).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mde = spark.createDataFrame([(0.01,), (0.02,), (0.05,)], "delta double")
+    p1 = F.col("k").cast("double") / F.col("n")
+    p2 = p1 + F.col("delta")
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    n_req = F.ceil(
+        zsum * zsum * (p1 * (1 - p1) + p2 * (1 - p2))
+        / (F.col("delta") * F.col("delta"))
+    ).cast("long")
+    return seg.crossJoin(F.broadcast(mde)).select(
+        "segment", "k", F.col("n").alias("n_avail"), "delta",
+        F.round(p1, 6).alias("p1"),
+        n_req.alias("n_per_arm"),
+        F.when(F.col("n") >= 2 * n_req, 1).otherwise(0).alias("feasible"),
+    )
+
+
+# O'Brien-Fleming two-sided z bounds for K=5 equally-spaced looks at
+# overall alpha = 0.05 (classic table values, hardcoded design constants).
+_OBF_BOUNDS = [(1, 4.562), (2, 3.226), (3, 2.634), (4, 2.281), (5, 2.040)]
+
+_GROUPSEQ_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN substr(md5('arm:' || CAST(event_id AS VARCHAR)), 1, 1)
+                   < '8' THEN 1 ELSE 0 END AS trt,
+         CASE WHEN substr(md5('s:' || CAST(event_id AS VARCHAR)), 1, 1)
+                   < CASE WHEN substr(md5('arm:' || CAST(event_id AS VARCHAR)),
+                                      1, 1) < '8'
+                          THEN 'a' ELSE '8' END THEN 1 ELSE 0 END AS succ,
+         ntile(5) OVER (ORDER BY ts, event_id) AS seg5,
+         ts
+  FROM events
+),
+looks AS (SELECT b.k AS look, CAST(b.z AS DOUBLE) AS obf_z
+          FROM (VALUES {", ".join(f"({k}, {z})" for k, z in _OBF_BOUNDS)})
+               AS b(k, z)),
+cum AS (
+  SELECT l.look, l.obf_z,
+         CAST(sum(e.trt) AS BIGINT) AS nt,
+         CAST(sum(e.trt * e.succ) AS BIGINT) AS st,
+         CAST(sum(1 - e.trt) AS BIGINT) AS nc,
+         CAST(sum((1 - e.trt) * e.succ) AS BIGINT) AS sc
+  FROM looks l JOIN ev e ON e.seg5 <= l.look
+  GROUP BY 1, 2
+)
+SELECT look, nt, st, nc, sc,
+       CAST(st * nc - sc * nt AS BIGINT) AS diff_num,
+       round(CAST(st * nc - sc * nt AS DOUBLE)
+             * (st * nc - sc * nt) * (nt + nc)
+             / (CAST(nt AS DOUBLE) * nc * (st + sc)
+                * (nt + nc - st - sc)), 6) AS z2,
+       obf_z,
+       CASE WHEN CAST(st * nc - sc * nt AS DOUBLE)
+                 * (st * nc - sc * nt) * (nt + nc)
+                 / (CAST(nt AS DOUBLE) * nc * (st + sc)
+                    * (nt + nc - st - sc)) > obf_z * obf_z
+            THEN 1 ELSE 0 END AS reject
+FROM cum
+"""
+
+
+@_register_r4("q_group_sequential", _GROUPSEQ_SQL)
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring (1979) of a synthetic
+    A/B stream: events split into 5 equal chronological looks (ntile over
+    the total (ts, event_id) order), arm and outcome drawn from md5 bits
+    with a REAL planted effect (success nibble 10/16 in treatment vs
+    8/16 in control — big enough to cross even at the smallest fixture), and at each look the pooled two-proportion z^2 =
+    diff^2 * N / (nt * nc * S * (N - S)) is compared to the classic OBF
+    bound ladder 4.562 .. 2.040 (hardcoded design constants) — the
+    spend-alpha-late shape that lets a pipeline peek 5 times without
+    blowing the 0.05 budget. Counts and the cross-multiplied diff_num
+    are exact BIGINTs; z^2 is one deterministic IEEE expression over
+    them. With the planted 2/16 lift the late looks must reject — the
+    replica asserts the crossing.
+
+    Scale plan: arm/outcome/look are projections (the ntile is one total
+    order — at production scale the look id would come from event-time
+    ranges instead, same semantics); the cumulative-look fanout is a
+    5-row broadcast spine (whitelisted) collapsed map-side."""
+    ev = load(spark, sf_dir, "events")
+    arm_hex = F.substring(
+        F.md5(F.concat(F.lit("arm:"), F.col("event_id").cast("string"))), 1, 1
+    )
+    suc_hex = F.substring(
+        F.md5(F.concat(F.lit("s:"), F.col("event_id").cast("string"))), 1, 1
+    )
+    base = ev.select(
+        F.when(arm_hex < "8", 1).otherwise(0).alias("trt"),
+        F.when(
+            suc_hex < F.when(arm_hex < "8", F.lit("a")).otherwise(F.lit("8")), 1
+        )
+        .otherwise(0)
+        .alias("succ"),
+        F.ntile(5).over(Window.orderBy("ts", "event_id")).alias("seg5"),
+    )
+    looks = spark.createDataFrame(_OBF_BOUNDS, "look int, obf_z double")
+    cum = (
+        F.broadcast(looks)
+        .join(base, F.col("seg5") <= F.col("look"))
+        .groupBy("look", "obf_z")
+        .agg(
+            F.sum("trt").cast("long").alias("nt"),
+            F.sum(F.col("trt") * F.col("succ")).cast("long").alias("st"),
+            F.sum(1 - F.col("trt")).cast("long").alias("nc"),
+            F.sum((1 - F.col("trt")) * F.col("succ")).cast("long").alias("sc"),
+        )
+    )
+    diff = F.col("st") * F.col("nc") - F.col("sc") * F.col("nt")
+    n_all = F.col("nt") + F.col("nc")
+    s_all = F.col("st") + F.col("sc")
+    z2 = (
+        diff.cast("double") * diff * n_all
+        / (
+            F.col("nt").cast("double") * F.col("nc") * s_all * (n_all - s_all)
+        )
+    )
+    return cum.select(
+        "look", "nt", "st", "nc", "sc",
+        diff.cast("long").alias("diff_num"),
+        F.round(z2, 6).alias("z2"),
+        "obf_z",
+        F.when(z2 > F.col("obf_z") * F.col("obf_z"), 1).otherwise(0).alias("reject"),
+    )
+
+
+_COHEN_SQL = """
+WITH c AS (
+  SELECT c_mktsegment AS segment,
+         CAST(floor(c_acctbal) AS BIGINT) AS v
+  FROM customer
+),
+vals AS (
+  SELECT segment, v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2
+),
+gv AS (
+  SELECT v, CAST(sum(cnt) AS BIGINT) AS gcnt FROM vals GROUP BY 1
+),
+gcum AS (
+  SELECT v, gcnt,
+         CAST(coalesce(sum(gcnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS g_below
+  FROM gv
+),
+scum AS (
+  SELECT segment, v, cnt,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY segment ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS a_below
+  FROM vals
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(v) AS BIGINT) AS s_all,
+         CAST(sum(v * v) AS BIGINT) AS ss_all
+  FROM c
+),
+seg AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(v) AS BIGINT) AS s_g,
+         CAST(sum(v * v) AS BIGINT) AS ss_g
+  FROM c GROUP BY 1
+),
+cliff AS (
+  SELECT s.segment,
+         CAST(sum(s.cnt * (g.g_below - s.a_below)) AS BIGINT) AS n_gt,
+         CAST(sum(s.cnt * (g.gcnt - s.cnt)) AS BIGINT) AS n_eq
+  FROM scum s JOIN gcum g USING (v)
+  GROUP BY 1
+)
+SELECT sg.segment, sg.n_g, sg.s_g,
+       round(CAST(sg.s_g AS DOUBLE) / sg.n_g, 6) AS mean_dollars,
+       round((CAST(sg.s_g AS DOUBLE) / sg.n_g
+              - CAST(t.s_all - sg.s_g AS DOUBLE) / (t.n_all - sg.n_g))
+             / sqrt(((sg.ss_g - CAST(sg.s_g AS DOUBLE) * sg.s_g / sg.n_g)
+                     + ((t.ss_all - sg.ss_g)
+                        - CAST(t.s_all - sg.s_g AS DOUBLE)
+                          * (t.s_all - sg.s_g) / (t.n_all - sg.n_g)))
+                    / (t.n_all - 2)), 6) AS cohens_d,
+       round((1 - 3.0 / (4 * (t.n_all - 2) - 1))
+             * (CAST(sg.s_g AS DOUBLE) / sg.n_g
+                - CAST(t.s_all - sg.s_g AS DOUBLE) / (t.n_all - sg.n_g))
+             / sqrt(((sg.ss_g - CAST(sg.s_g AS DOUBLE) * sg.s_g / sg.n_g)
+                     + ((t.ss_all - sg.ss_g)
+                        - CAST(t.s_all - sg.s_g AS DOUBLE)
+                          * (t.s_all - sg.s_g) / (t.n_all - sg.n_g)))
+                    / (t.n_all - 2)), 6) AS hedges_g,
+       CAST(2 * cl.n_gt + cl.n_eq - sg.n_g * (t.n_all - sg.n_g) AS BIGINT)
+         AS cliff_num,
+       CAST(sg.n_g * (t.n_all - sg.n_g) AS BIGINT) AS cliff_den,
+       round(CAST(2 * cl.n_gt + cl.n_eq - sg.n_g * (t.n_all - sg.n_g)
+                  AS DOUBLE) / (sg.n_g * (t.n_all - sg.n_g)), 6) AS cliffs_delta
+FROM seg sg JOIN cliff cl USING (segment) CROSS JOIN tot t
+"""
+
+
+@_register_r4("q_cohens_effects", _COHEN_SQL)
+def q_cohens_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size ladder per customer segment vs the rest of the
+    population over whole-dollar balances: Cohen's d with the pooled SD
+    (one deterministic IEEE chain over exact BIGINT sufficient stats —
+    sqrt is correctly-rounded, so both engines agree bit-for-bit),
+    Hedges' small-sample correction g = d * (1 - 3/(4*df - 1)), and
+    Cliff's delta computed EXACTLY with no pair join: #(a > b) =
+    sum over segment values of cnt_A(v) * (#all below v - #A below v)
+    via two cumulative windows on the value domain, giving delta =
+    (2*gt + eq - n_A n_B) / (n_A n_B) as an exact integer ratio (the
+    gt - lt identity with ties counted once). d says how big in SD
+    units; Cliff's delta says how often one side wins — the pair every
+    honest A/B readout ships together.
+
+    Scale plan: sufficient stats are map-side-combined groupBys; the
+    Cliff windows run on the (segment, value) and value frames — value-
+    domain bounded, never row-quadratic; one 1-row global carry
+    (whitelisted)."""
+    cust = load(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor("c_acctbal").cast("long").alias("v"),
+    )
+    vals = c.groupBy("segment", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    gv = vals.groupBy("v").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    gcum = gv.select(
+        "v", "gcnt",
+        F.coalesce(F.sum("gcnt").over(wg), F.lit(0)).cast("long").alias("g_below"),
+    )
+    ws = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scum = vals.select(
+        "segment", "v", "cnt",
+        F.coalesce(F.sum("cnt").over(ws), F.lit(0)).cast("long").alias("a_below"),
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("v").cast("long").alias("s_all"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss_all"),
+    )
+    seg = c.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss_g"),
+    )
+    cliff = (
+        scum.join(gcum, "v")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("g_below") - F.col("a_below")))
+            .cast("long")
+            .alias("n_gt"),
+            F.sum(F.col("cnt") * (F.col("gcnt") - F.col("cnt")))
+            .cast("long")
+            .alias("n_eq"),
+        )
+    )
+    n_b = F.col("n_all") - F.col("n_g")
+    mean_a = F.col("s_g").cast("double") / F.col("n_g")
+    mean_b = (F.col("s_all") - F.col("s_g")).cast("double") / n_b
+    ss_within = (
+        F.col("ss_g") - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    ) + (
+        (F.col("ss_all") - F.col("ss_g"))
+        - (F.col("s_all") - F.col("s_g")).cast("double")
+        * (F.col("s_all") - F.col("s_g"))
+        / n_b
+    )
+    d = (mean_a - mean_b) / F.sqrt(ss_within / (F.col("n_all") - 2))
+    cliff_num = (
+        2 * F.col("n_gt") + F.col("n_eq") - F.col("n_g") * n_b
+    )
+    return (
+        seg.join(cliff, "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment", "n_g", "s_g",
+            F.round(mean_a, 6).alias("mean_dollars"),
+            F.round(d, 6).alias("cohens_d"),
+            F.round(
+                (1 - 3.0 / (4 * (F.col("n_all") - 2) - 1)) * d, 6
+            ).alias("hedges_g"),
+            cliff_num.cast("long").alias("cliff_num"),
+            (F.col("n_g") * n_b).cast("long").alias("cliff_den"),
+            F.round(
+                cliff_num.cast("double") / (F.col("n_g") * n_b), 6
+            ).alias("cliffs_delta"),
+        )
+    )

@@ -414,6 +414,21 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row n/S and A0/A1 carries — checkpoint-frame sized by "
          "construction")
     ],
+    "q_power_analysis": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast MDE spine x the 5-row segment rollup — a "
+         "15-cell planning grid")
+    ],
+    "q_group_sequential": [
+        ("BroadcastNestedLoopJoin",
+         "5-row broadcast look spine x events with a <= predicate — the "
+         "cumulative-look fanout, collapsed map-side to 5 rows")
+    ],
+    "q_cohens_effects": [
+        ("BroadcastNestedLoopJoin",
+         "1-row global sufficient-stats carry onto the 5-row segment "
+         "ledger")
+    ],
 }
 
 
