@@ -526,3 +526,114 @@ def extract_features_arrow(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInArrow(
         run, schema=_FEATURE_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Audio: real WAV (RIFF/PCM16) synth + decode, the audio twin of
+# synth_image_table/decode_media. Payloads are genuine WAV files (written
+# by the stdlib wave module — any external player opens them); decode
+# re-parses them with the same stdlib reader and emits exact integer
+# sample stats so a DuckDB oracle can recompute them analytically from the
+# md5 stream without ever touching a codec.
+# --------------------------------------------------------------------------
+
+
+def _doc_samples(doc_id: int, text: str) -> tuple[int, int, bytes]:
+    """Deterministic fixture PCM: n = 64 + doc_id%64 int16 LE samples whose
+    byte j is md5(text).digest()[j % 16]; rate = 8000 + 100*(doc_id%8)."""
+    import hashlib
+
+    n = 64 + doc_id % 64
+    rate = 8000 + 100 * (doc_id % 8)
+    digest = hashlib.md5((text or "").encode("utf-8")).digest()
+    raw = bytes(digest[j % 16] for j in range(2 * n))
+    return n, rate, raw
+
+
+def synth_audio_table(docs: DataFrame) -> DataFrame:
+    """documents -> real mono PCM16 WAV payloads via the stdlib wave
+    writer. One mapInPandas, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            ids, payloads, rates = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                _n, rate, raw = _doc_samples(did, text)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(raw)
+                ids.append(did)
+                payloads.append(buf.getvalue())
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "declared_rate": pd.Series(rates, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="media_id bigint, payload binary, declared_rate bigint"
+    )
+
+
+_AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate bigint, n_samples bigint, sum_s bigint, "
+    "sum_sq bigint, peak bigint, zero_cross bigint"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real distributed WAV decode: parse the RIFF header + PCM16 frames
+    with the stdlib wave reader and emit exact integer sample statistics
+    (DC sum, energy, peak magnitude, strict zero crossings). Any header/
+    endianness/sign bug shows up as a hash mismatch against the analytic
+    oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "sample_rate", "n_samples", "sum_s",
+                    "sum_sq", "peak", "zero_cross",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if samples[i - 1] * samples[i] < 0
+                )
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["sum_s"].append(sum(samples))
+                out["sum_sq"].append(sum(s * s for s in samples))
+                out["peak"].append(max(abs(s) for s in samples))
+                out["zero_cross"].append(zc)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=_AUDIO_SCHEMA
+    )

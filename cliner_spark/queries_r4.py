@@ -12745,3 +12745,398 @@ def q_cohens_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cliffs_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: graph/IR/audio trio — iterated independent-set graph coloring
+# (the Luby-peeling variant of Jones-Plassmann), an integer-weight WAND
+# pruning audit (Broder 2003 max-score document skipping), and real WAV
+# PCM16 decode with exact sample statistics (the audio twin of
+# q_media_decode).
+# --------------------------------------------------------------------------
+
+
+def _coloring_sql() -> str:
+    blocks = []
+    prev = "unc0"
+    for r in range(1, 7):
+        blocks.append(
+            f"""
+cpr{r} AS (
+  SELECT node, md5('c{r}:' || node::VARCHAR) || '#'
+         || lpad(node::VARCHAR, 12, '0') AS k
+  FROM {prev}
+),
+cea{r} AS (
+  SELECT a.node AS u, pb.k AS kv
+  FROM adj
+  JOIN cpr{r} a ON a.node = adj.u
+  JOIN cpr{r} pb ON pb.node = adj.v
+),
+cmn{r} AS (SELECT u AS node, min(kv) AS min_nb FROM cea{r} GROUP BY 1),
+csel{r} AS (
+  SELECT p.node FROM cpr{r} p LEFT JOIN cmn{r} m ON m.node = p.node
+  WHERE m.min_nb IS NULL OR p.k < m.min_nb
+),
+unc{r} AS (
+  SELECT node FROM {prev}
+  WHERE node NOT IN (SELECT node FROM csel{r})
+)""".strip()
+        )
+        prev = f"unc{r}"
+    return ",\n".join(blocks)
+
+
+_COLORING_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+nodes AS (SELECT lo AS node FROM ge UNION SELECT hi FROM ge),
+adj AS (SELECT lo AS u, hi AS v FROM ge UNION ALL SELECT hi, lo FROM ge),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM adj GROUP BY 1),
+unc0 AS (SELECT node FROM nodes),
+{_coloring_sql()}
+SELECT n.node, d.degree,
+       CAST(CASE WHEN n.node IN (SELECT node FROM csel1) THEN 1
+                 WHEN n.node IN (SELECT node FROM csel2) THEN 2
+                 WHEN n.node IN (SELECT node FROM csel3) THEN 3
+                 WHEN n.node IN (SELECT node FROM csel4) THEN 4
+                 WHEN n.node IN (SELECT node FROM csel5) THEN 5
+                 WHEN n.node IN (SELECT node FROM csel6) THEN 6
+                 ELSE -1 END AS INT) AS color
+FROM nodes n JOIN deg d ON d.node = n.node
+"""
+
+
+@_register_r4("q_graph_coloring", _COLORING_SQL)
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed graph coloring by iterated independent-set peeling —
+    the Luby-round variant of Jones-Plassmann (1993), the scheduling
+    primitive that turns a conflict graph into parallel execution waves:
+    in round r every UNCOLORED node draws the md5 priority
+    md5(cr:node)#node (strict total order) and takes color r iff it
+    beats every uncolored neighbor; winners leave, losers redraw. Each
+    color class is independent BY CONSTRUCTION (two adjacent winners in
+    one round are impossible), so any edge with equal colors is a bug —
+    the replica asserts propriety over every edge plus the wave-size
+    decay. Six rounds; the honest residue ships as color -1 with the
+    node's degree beside it (high-degree nodes are exactly the ones that
+    keep losing). Applied to dedup, the waves are batches of pairwise-
+    dissimilar docs safe to process concurrently.
+
+    Scale plan: per round one adjacency equi-join against the uncolored
+    frame, a min-per-node map-side combine, and an anti-join — the
+    Pregel coloring shape, rounds localCheckpoint-pinned; priorities are
+    stateless md5 projections any shard can regenerate."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ge = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    nodes = (
+        ge.select(F.col("lo").alias("node"))
+        .union(ge.select(F.col("hi").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = ge.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+        ge.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    ).localCheckpoint()
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+    def key(r: int, col: str):
+        return F.concat(
+            F.md5(F.concat(F.lit(f"c{r}:"), F.col(col).cast("string"))),
+            F.lit("#"),
+            F.lpad(F.col(col).cast("string"), 12, "0"),
+        )
+
+    unc = nodes
+    colored = None
+    for r in range(1, 7):
+        pr = unc.select("node", key(r, "node").alias("k"))
+        ea = (
+            adj.join(pr.select(F.col("node").alias("u")), "u")
+            .join(
+                pr.select(F.col("node").alias("v"), F.col("k").alias("kv")),
+                "v",
+            )
+            .select("u", "kv")
+        )
+        mn = ea.groupBy(F.col("u").alias("node")).agg(F.min("kv").alias("min_nb"))
+        sel = (
+            pr.join(mn, "node", "left")
+            .filter(F.col("min_nb").isNull() | (F.col("k") < F.col("min_nb")))
+            .select("node")
+            .localCheckpoint()
+        )
+        unc = unc.join(sel, "node", "left_anti").localCheckpoint()
+        tagged = sel.withColumn("color", F.lit(r))
+        colored = tagged if colored is None else colored.unionAll(tagged)
+    return (
+        nodes.join(colored, "node", "left")
+        .join(deg, "node")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("color"), F.lit(-1)).cast("int").alias("color"),
+        )
+    )
+
+
+_WAND_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+ti AS (
+  SELECT d.doc_id, lower(t.tok) AS tok, CAST(count(*) AS BIGINT) AS tf
+  FROM docs d, unnest(toks) AS t(tok) GROUP BY 1, 2
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dft AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf
+  FROM ti GROUP BY 1
+),
+wt AS (
+  SELECT d.tok, d.df, CAST(nn.n // d.df AS BIGINT) AS w
+  FROM dft d CROSS JOIN nn
+),
+qt AS (
+  SELECT tok, w,
+         CAST((row_number() OVER (ORDER BY cf DESC, tok) - 1) // 2 + 1
+              AS BIGINT) AS qid,
+         row_number() OVER (ORDER BY cf DESC, tok) AS rn
+  FROM dft JOIN wt USING (tok)
+  QUALIFY rn <= 10
+),
+cand AS (
+  SELECT q.qid, t.doc_id, q.tok, t.tf * q.w AS part
+  FROM qt q JOIN ti t USING (tok)
+),
+scores AS (
+  SELECT qid, doc_id, CAST(sum(part) AS BIGINT) AS score
+  FROM cand GROUP BY 1, 2
+),
+theta AS (
+  SELECT qid, score AS th FROM (
+    SELECT qid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM scores
+  ) WHERE rk = 3
+),
+ubt AS (
+  SELECT c.qid, c.tok, CAST(max(c.part) AS BIGINT) AS u
+  FROM cand c GROUP BY 1, 2
+),
+ubd AS (
+  SELECT c.qid, c.doc_id, CAST(sum(u.u) AS BIGINT) AS ub
+  FROM (SELECT DISTINCT qid, doc_id, tok FROM cand) c
+  JOIN ubt u ON u.qid = c.qid AND u.tok = c.tok
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT s.qid, s.doc_id, s.score, u.ub, t.th
+  FROM scores s JOIN ubd u USING (qid, doc_id) JOIN theta t USING (qid)
+),
+terms AS (
+  SELECT qid, min(tok) AS term_a, max(tok) AS term_b FROM qt GROUP BY 1
+)
+SELECT j.qid, tm.term_a, tm.term_b,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(max(j.th) AS BIGINT) AS theta,
+       CAST(count(CASE WHEN j.ub < j.th THEN 1 END) AS BIGINT) AS n_prunable,
+       round(CAST(count(CASE WHEN j.ub < j.th THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS prune_rate,
+       CAST(max(j.ub) AS BIGINT) AS max_ub,
+       CAST(count(CASE WHEN j.ub < j.th AND j.score >= j.th THEN 1 END)
+            AS BIGINT) AS n_violations
+FROM j JOIN terms tm USING (qid)
+GROUP BY 1, 2, 3
+"""
+
+
+@_register_r4("q_wand_pruning", _WAND_SQL)
+def q_wand_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND max-score pruning audit (Broder et al. 2003), the
+    document-skipping arithmetic behind every web-scale top-k retrieval
+    engine, in exact integers: term weights are the integer idf
+    surrogate w = N div df (the WAND MECHANICS under audit, not BM25
+    calibration — the repo's float BM25 lives in q_bm25_search), five
+    2-term queries are drawn from the collection-frequency top-10, and
+    for each query theta = the 3rd-best full score, U_t = the max
+    single-document contribution of term t, and a candidate is prunable
+    iff its upper bound sum U_t < theta — i.e. the engine could skip
+    scoring it entirely. n_violations counts prunable docs whose true
+    score still reached theta: ZERO by the score <= UB invariant, and
+    shipped in-row so the audit proves its own safety. prune_rate is the
+    fraction of postings traversal WAND saves at k=3.
+
+    Scale plan: one inverted-index build (map-side-combined), broadcast
+    10-row query spine, per-query theta via a bounded window; no
+    corpus self-joins. 1-row N carry whitelisted."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    ti = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+        )
+        .select("doc_id", F.lower("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dft = ti.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    wt = dft.crossJoin(F.broadcast(nn)).select(
+        "tok", "df", "cf", F.floor(F.col("n") / F.col("df")).cast("long").alias("w")
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("tok")))
+    qt = (
+        wt.select("tok", "w", rn.alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "tok", "w",
+            (F.floor((F.col("rn") - 1) / 2) + 1).cast("long").alias("qid"),
+        )
+    )
+    cand = F.broadcast(qt).join(ti, "tok").select(
+        "qid", "doc_id", "tok", (F.col("tf") * F.col("w")).alias("part")
+    )
+    scores = cand.groupBy("qid", "doc_id").agg(
+        F.sum("part").cast("long").alias("score")
+    )
+    theta = (
+        scores.select(
+            "qid", "score",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 3)
+        .select("qid", F.col("score").alias("th"))
+    )
+    ubt = cand.groupBy("qid", "tok").agg(F.max("part").cast("long").alias("u"))
+    ubd = (
+        cand.select("qid", "doc_id", "tok")
+        .distinct()
+        .join(F.broadcast(ubt), ["qid", "tok"])
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("u").cast("long").alias("ub"))
+    )
+    j = scores.join(ubd, ["qid", "doc_id"]).join(F.broadcast(theta), "qid")
+    terms = qt.groupBy("qid").agg(
+        F.min("tok").alias("term_a"), F.max("tok").alias("term_b")
+    )
+    return (
+        j.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.max("th").cast("long").alias("theta"),
+            F.count(F.when(F.col("ub") < F.col("th"), 1))
+            .cast("long")
+            .alias("n_prunable"),
+            F.round(
+                F.count(F.when(F.col("ub") < F.col("th"), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("prune_rate"),
+            F.max("ub").cast("long").alias("max_ub"),
+            F.count(
+                F.when(
+                    (F.col("ub") < F.col("th")) & (F.col("score") >= F.col("th")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .join(F.broadcast(terms), "qid")
+        .select(
+            "qid", "term_a", "term_b", "n_candidates", "theta", "n_prunable",
+            "prune_rate", "max_ub", "n_violations",
+        )
+    )
+
+
+_AUDIO_SQL = """
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n, 8000 + 100 * (doc_id % 8) AS rate,
+         md5(coalesce(text, '')) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate, CAST(t.i AS BIGINT) AS i,
+         (strpos('0123456789abcdef',
+                 substr(hx, CAST(((2 * t.i) % 16) * 2 + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(hx, CAST(((2 * t.i) % 16) * 2 + 2 AS INT), 1)) - 1)
+           AS b0,
+         (strpos('0123456789abcdef',
+                 substr(hx, CAST(((2 * t.i + 1) % 16) * 2 + 1 AS INT), 1)) - 1)
+           * 16
+         + (strpos('0123456789abcdef',
+                   substr(hx, CAST(((2 * t.i + 1) % 16) * 2 + 2 AS INT), 1)) - 1)
+           AS b1
+  FROM d, unnest(range(n)) AS t(i)
+),
+v AS (
+  SELECT doc_id, n, rate, i,
+         CASE WHEN b0 + 256 * b1 >= 32768 THEN b0 + 256 * b1 - 65536
+              ELSE b0 + 256 * b1 END AS smp
+  FROM s
+),
+z AS (
+  SELECT doc_id, n, rate, smp,
+         CASE WHEN lag(smp) OVER (PARTITION BY doc_id ORDER BY i) * smp < 0
+              THEN 1 ELSE 0 END AS zc
+  FROM v
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(max(rate) AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(smp) AS BIGINT) AS sum_s,
+       CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+       CAST(max(abs(smp)) AS BIGINT) AS peak,
+       CAST(sum(zc) AS BIGINT) AS zero_cross,
+       round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / max(n)), 6) AS rms
+FROM z GROUP BY doc_id
+"""
+
+
+@_register_r4("q_audio_features", _AUDIO_SQL)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV audio decode + exact feature extraction, the audio twin
+    of q_media_decode: every document becomes a genuine RIFF/PCM16 WAV
+    payload (stdlib wave writer, md5-stream samples, per-doc rate — any
+    external player opens them), then a SECOND stdlib wave reader parses
+    header + frames distributed in one mapInPandas pass and emits exact
+    integer stats: DC sum, energy sum, peak magnitude, strict zero
+    crossings, plus the one rounded RMS. The DuckDB oracle never touches
+    a codec — it recomputes every statistic analytically from the same
+    md5 byte stream, so a header-offset, endianness, or sign-extension
+    bug in EITHER direction breaks the hash. This is the multimodal
+    contract from the brief made real for audio: binary payloads through
+    Arrow, typed metadata, exact replay.
+
+    Scale plan: synth and decode are two zero-shuffle mapInPandas passes
+    (Arrow-batched, no per-row Python); stats are per-row, the output is
+    corpus-sized. A real fleet swaps _doc_samples for object-store reads
+    and keeps every other line."""
+    from cliner_spark.multimodal import decode_audio, synth_audio_table
+
+    docs = load_docs(spark, sf_dir)
+    feats = decode_audio(synth_audio_table(docs))
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "sum_s", "sum_sq", "peak",
+        "zero_cross",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+    )

@@ -429,6 +429,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row global sufficient-stats carry onto the 5-row segment "
          "ledger")
     ],
+    "q_wand_pruning": [
+        ("BroadcastNestedLoopJoin",
+         "1-row corpus-count N carry into the integer idf weight "
+         "N div df")
+    ],
 }
 
 
