@@ -13140,3 +13140,414 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
         ).alias("rms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: bipartite-graph / LLM-serving / parametric-trend trio —
+# butterfly counting (the bipartite clustering census), a nucleus /
+# top-k sampling mass audit over exact bigram successor distributions,
+# and OLS with exact rational coefficients + an integer residual-sign
+# serial-correlation diagnostic.
+# --------------------------------------------------------------------------
+
+_BUTTERFLY_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+bt AS (
+  SELECT DISTINCT d.doc_id, lower(t.tok) AS tok
+  FROM docs d, unnest(toks) AS t(tok)
+),
+dfk AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM bt GROUP BY 1
+),
+kept AS (
+  SELECT b.doc_id, b.tok FROM bt b JOIN dfk USING (tok) WHERE dfk.df <= 50
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, CAST(count(*) AS BIGINT) AS c
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+wstat AS (
+  SELECT CAST(sum((df * (df - 1)) // 2) AS BIGINT) AS wedges,
+         CAST(count(*) AS BIGINT) AS n_tokens_used,
+         CAST(sum(df) AS BIGINT) AS n_edges
+  FROM dfk WHERE df <= 50
+),
+bstat AS (
+  SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT) AS butterflies,
+         CAST(count(*) AS BIGINT) AS n_doc_pairs,
+         CAST(coalesce(max(c), 0) AS BIGINT) AS max_common
+  FROM pairs
+)
+SELECT w.n_edges, w.n_tokens_used, w.wedges, b.n_doc_pairs, b.max_common,
+       b.butterflies,
+       round(CAST(b.butterflies AS DOUBLE) / w.wedges, 6) AS butterfly_density
+FROM wstat w CROSS JOIN bstat b
+"""
+
+
+@_register_r4("q_butterfly_count", _BUTTERFLY_SQL)
+def q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly census of the bipartite doc-token graph (Sanei-Mehri et
+    al. 2018) — the bipartite analog of q_triangles' clustering census:
+    a butterfly is a (2 docs x 2 shared tokens) 4-cycle, counted exactly
+    as sum over doc pairs of C(common, 2) from the inverted-index pair
+    frame, beside the wedge count sum over tokens of C(df, 2) (two docs
+    through one token) — their ratio is the bipartite clustering density
+    that says how often co-occurrence REPEATS, the cohesion signal dense
+    template corpora light up. Tokens with df > 50 are excluded (the
+    same df-cut contract as jaccard_pairs: stopword-grade tokens create
+    quadratic wedge mass and butterflies among them measure the
+    vocabulary, not the corpus; production uses degree-ordered counting
+    with the identical cut).
+
+    Scale plan: one inverted-index self-join bounded by the df-cut (per-
+    token fanout <= C(50,2)), map-side-combined pair counts, two
+    constant-size stat frames crossJoined (1-row carries,
+    whitelisted)."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    bt = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .select("doc_id", F.lower("t").alias("tok"))
+        .distinct()
+    )
+    dfk = bt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    kept = bt.join(dfk.filter(F.col("df") <= 50), "tok").select("doc_id", "tok")
+    a = kept.select(F.col("tok"), F.col("doc_id").alias("u"))
+    b = kept.select(F.col("tok"), F.col("doc_id").alias("v"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wstat = dfk.filter(F.col("df") <= 50).agg(
+        F.sum(((F.col("df") * (F.col("df") - 1)) / 2).cast("long")).alias("wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_used"),
+        F.sum("df").cast("long").alias("n_edges"),
+    )
+    bstat = pairs.agg(
+        F.coalesce(F.sum(((F.col("c") * (F.col("c") - 1)) / 2).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("butterflies"),
+        F.count(F.lit(1)).cast("long").alias("n_doc_pairs"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_common"),
+    )
+    return wstat.crossJoin(F.broadcast(bstat)).select(
+        "n_edges", "n_tokens_used", "wedges", "n_doc_pairs", "max_common",
+        "butterflies",
+        F.round(
+            F.col("butterflies").cast("double") / F.col("wedges"), 6
+        ).alias("butterfly_density"),
+    )
+
+
+_NUCLEUS_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tk AS (
+  SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos, lower(d.toks[t.i + 1]) AS tok
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+ctx AS (
+  SELECT tok AS context, n,
+         row_number() OVER (ORDER BY n DESC, tok) AS rn
+  FROM uni QUALIFY rn <= 8
+),
+big AS (
+  SELECT a.tok AS context, b.tok AS nxt, CAST(count(*) AS BIGINT) AS c
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok IN (SELECT context FROM ctx)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT context, nxt, c,
+         row_number() OVER (PARTITION BY context ORDER BY c DESC, nxt) AS rk,
+         sum(c) OVER (PARTITION BY context ORDER BY c DESC, nxt
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY context) AS tot
+  FROM big
+),
+nuc AS (
+  SELECT context, CAST(min(rk) AS BIGINT) AS nucleus_size_p90
+  FROM ranked WHERE 10 * cum >= 9 * tot GROUP BY 1
+),
+agg AS (
+  SELECT context, CAST(max(tot) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_successors,
+         CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS greedy_count,
+         max(CASE WHEN rk = 1 THEN nxt END) AS greedy_token,
+         CAST(coalesce(sum(CASE WHEN rk <= 5 THEN c END), 0) AS BIGINT)
+           AS top5_mass
+  FROM ranked GROUP BY 1
+)
+SELECT a.context, a.n_successors, a.total, a.greedy_token, a.greedy_count,
+       n.nucleus_size_p90, a.top5_mass,
+       round(CAST(a.top5_mass AS DOUBLE) / a.total, 6) AS top5_rate,
+       round(CAST(a.greedy_count AS DOUBLE) / a.total, 6) AS greedy_rate
+FROM agg a JOIN nuc n USING (context)
+"""
+
+
+@_register_r4("q_nucleus_audit", _NUCLEUS_SQL)
+def q_nucleus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus / top-k sampling mass audit (Holtzman 2020's top-p over
+    exact corpus bigram distributions) — the decoding-parameter ledger an
+    inference fleet consults before fixing top_p/top_k defaults: for the
+    8 most frequent context tokens, successors rank by exact bigram
+    count (token tie pins), and nucleus_size_p90 is the SMALLEST prefix
+    whose cumulative mass reaches 90%, decided by the cross-multiplied
+    integer test 10*cum >= 9*total — no division anywhere near the
+    decision. top5_mass (the top-k=5 truncation mass) and the greedy
+    argmax token sit beside it: a flat distribution (large nucleus, low
+    greedy rate) needs temperature; a peaked one saturates at k=5. All
+    counts exact BIGINTs; the two rates are single rounded divisions.
+
+    Scale plan: bigrams come from one positional self-join per doc
+    (adjacent positions, equi on doc_id), pre-filtered to the 8-row
+    broadcast context set; ranking windows run per-context on
+    vocabulary-bounded frames."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "t"),
+    ).select("doc_id", "pos", F.lower("t").alias("tok"))
+    uni = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ctx = (
+        uni.select(
+            F.col("tok").alias("context"),
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))).alias("rn"),
+        )
+        .filter(F.col("rn") <= 8)
+        .select("context")
+    )
+    a = tk.select("doc_id", "pos", F.col("tok").alias("context")).join(
+        F.broadcast(ctx), "context"
+    )
+    b = tk.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+        F.col("tok").alias("nxt"),
+    )
+    big = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .groupBy("context", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wo = Window.partitionBy("context").orderBy(F.desc("c"), F.asc("nxt"))
+    wp = Window.partitionBy("context")
+    ranked = big.select(
+        "context", "nxt", "c",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(wp).alias("tot"),
+    )
+    nuc = (
+        ranked.filter(10 * F.col("cum") >= 9 * F.col("tot"))
+        .groupBy("context")
+        .agg(F.min("rk").cast("long").alias("nucleus_size_p90"))
+    )
+    agg = ranked.groupBy("context").agg(
+        F.max("tot").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_successors"),
+        F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("long").alias("greedy_count"),
+        F.max(F.when(F.col("rk") == 1, F.col("nxt"))).alias("greedy_token"),
+        F.coalesce(F.sum(F.when(F.col("rk") <= 5, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("top5_mass"),
+    )
+    return agg.join(nuc, "context").select(
+        "context", "n_successors", "total", "greedy_token", "greedy_count",
+        "nucleus_size_p90", "top5_mass",
+        F.round(F.col("top5_mass").cast("double") / F.col("total"), 6).alias(
+            "top5_rate"
+        ),
+        F.round(F.col("greedy_count").cast("double") / F.col("total"), 6).alias(
+            "greedy_rate"
+        ),
+    )
+
+
+_OLS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(t.i AS BIGINT) AS t, b.d0 + t.i AS d
+  FROM bounds b, unnest(range(CAST(b.d1 - b.d0 + 1 AS BIGINT))) AS t(i)
+),
+series AS (
+  SELECT s.event_type, s.t, coalesce(dy.c, 0) AS x
+  FROM spine s LEFT JOIN daily dy
+    ON dy.event_type = s.event_type AND dy.d = s.d
+),
+suff AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(t * x) AS BIGINT) AS stx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM series GROUP BY 1
+),
+coefs AS (
+  SELECT event_type, n, st, sx, stt, stx, sxx,
+         CAST(n * stx - st * sx AS BIGINT) AS b_num,
+         CAST(n * stt - st * st AS BIGINT) AS b_den
+  FROM suff
+),
+resid AS (
+  SELECT s.event_type,
+         s.t,
+         c.b_den * s.x * c.n - (c.sx * c.b_den - c.b_num * c.st)
+           - c.n * c.b_num * s.t AS r_scaled
+  FROM series s JOIN coefs c USING (event_type)
+),
+signs AS (
+  SELECT event_type,
+         CASE WHEN r_scaled > 0 THEN 1 WHEN r_scaled < 0 THEN -1 ELSE 0 END
+           AS sg,
+         lag(CASE WHEN r_scaled > 0 THEN 1 WHEN r_scaled < 0 THEN -1
+                  ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY t) AS sg_prev
+  FROM resid
+),
+ser AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN sg * sg_prev = 1 THEN 1 END) AS BIGINT)
+           AS n_same_sign,
+         CAST(count(CASE WHEN sg * sg_prev = -1 THEN 1 END) AS BIGINT)
+           AS n_flip_sign
+  FROM signs WHERE sg_prev IS NOT NULL GROUP BY 1
+)
+SELECT c.event_type, c.n AS n_days, c.b_num AS slope_num,
+       c.b_den AS slope_den,
+       CAST(c.sx * c.b_den - c.b_num * c.st AS BIGINT) AS icept_num,
+       CAST(c.n * c.b_den AS BIGINT) AS icept_den,
+       round(CAST(c.b_num AS DOUBLE) / c.b_den, 6) AS slope,
+       round(CAST(c.sx * c.b_den - c.b_num * c.st AS DOUBLE)
+             / (c.n * c.b_den), 6) AS intercept,
+       round(CAST(c.b_num AS DOUBLE) * c.b_num
+             / (CAST(c.b_den AS DOUBLE)
+                * (c.n * c.sxx - c.sx * c.sx)), 6) AS r2,
+       s.n_same_sign, s.n_flip_sign
+FROM coefs c JOIN ser s USING (event_type)
+"""
+
+
+@_register_r4("q_ols_trend", _OLS_SQL)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend over the zero-filled daily series — the
+    parametric baseline bracketed by q_theil_sen (robust slope) and
+    q_mann_kendall (distribution-free test): slope and intercept ship as
+    EXACT rationals from integer sufficient statistics (b = (nStx -
+    StSx)/(nStt - St^2), a = (Sx*b_den - b_num*St)/(n*b_den)), R^2 as
+    one deterministic double chain over them. Serial correlation of the
+    residuals — what Durbin-Watson measures, whose exact square sums
+    overflow BIGINT — is audited instead through the INTEGER residual
+    sign sequence: r_scaled = n*b_den*x_t - (icept-scale) - n*b_num*t is
+    an exact integer with the same sign as the true residual, and
+    n_same_sign vs n_flip_sign of adjacent days is the runs-style
+    positive/negative autocorrelation verdict (same >> flip = sticky
+    residuals = understated OLS standard errors).
+
+    Scale plan: one daily rollup, per-type spine explode (no NLJ), one
+    sufficient-stats groupBy, one equi-join back for residual signs with
+    a per-type lag window on day-domain-bounded frames."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.posexplode(
+            F.sequence(F.col("d0"), F.col("d1"))
+        ).alias("t", "d"),
+    ).select("event_type", F.col("t").cast("long").alias("t"), "d")
+    series = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "t", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    suff = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("x")).cast("long").alias("stx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    coefs = suff.select(
+        "*",
+        (F.col("n") * F.col("stx") - F.col("st") * F.col("sx"))
+        .cast("long")
+        .alias("b_num"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        .cast("long")
+        .alias("b_den"),
+    )
+    resid = series.join(F.broadcast(coefs), "event_type").select(
+        "event_type", "t",
+        (
+            F.col("b_den") * F.col("x") * F.col("n")
+            - (F.col("sx") * F.col("b_den") - F.col("b_num") * F.col("st"))
+            - F.col("n") * F.col("b_num") * F.col("t")
+        ).alias("r_scaled"),
+    )
+    sg = (
+        F.when(F.col("r_scaled") > 0, 1)
+        .when(F.col("r_scaled") < 0, -1)
+        .otherwise(0)
+    )
+    wt = Window.partitionBy("event_type").orderBy("t")
+    signs = resid.select(
+        "event_type", sg.alias("sg"), F.lag(sg).over(wt).alias("sg_prev")
+    ).filter(F.col("sg_prev").isNotNull())
+    ser = signs.groupBy("event_type").agg(
+        F.count(F.when(F.col("sg") * F.col("sg_prev") == 1, 1))
+        .cast("long")
+        .alias("n_same_sign"),
+        F.count(F.when(F.col("sg") * F.col("sg_prev") == -1, 1))
+        .cast("long")
+        .alias("n_flip_sign"),
+    )
+    icept_num = F.col("sx") * F.col("b_den") - F.col("b_num") * F.col("st")
+    return coefs.join(ser, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("b_num").alias("slope_num"),
+        F.col("b_den").alias("slope_den"),
+        icept_num.cast("long").alias("icept_num"),
+        (F.col("n") * F.col("b_den")).cast("long").alias("icept_den"),
+        F.round(F.col("b_num").cast("double") / F.col("b_den"), 6).alias("slope"),
+        F.round(
+            icept_num.cast("double") / (F.col("n") * F.col("b_den")), 6
+        ).alias("intercept"),
+        F.round(
+            F.col("b_num").cast("double") * F.col("b_num")
+            / (
+                F.col("b_den").cast("double")
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ),
+            6,
+        ).alias("r2"),
+        "n_same_sign",
+        "n_flip_sign",
+    )

@@ -434,6 +434,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row corpus-count N carry into the integer idf weight "
          "N div df")
     ],
+    "q_butterfly_count": [
+        ("BroadcastNestedLoopJoin",
+         "1-row wedge-stats x 1-row butterfly-stats carry — two constant "
+         "frames attached")
+    ],
 }
 
 
