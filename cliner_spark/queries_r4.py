@@ -13551,3 +13551,370 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_same_sign",
         "n_flip_sign",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: interval/sketch/seasonality trio — range join via day
+# bucketing (the scalable interval-overlap shape), the AMS +/-1
+# second-moment sketch audited against exact F2, and the day-of-week
+# seasonality ledger.
+# --------------------------------------------------------------------------
+
+_INTERVAL_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(ts) AS a_start, max(ts) AS a_end
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(min(CAST(ts AS DATE)) AS TIMESTAMP) AS t0,
+         datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS nd
+  FROM events
+),
+wins AS (
+  SELECT CAST(t.i AS BIGINT) AS win_id,
+         b.t0 + INTERVAL 12 HOUR + t.i * (INTERVAL 7 DAY) AS w_start,
+         b.t0 + INTERVAL 48 HOUR + t.i * (INTERVAL 7 DAY) AS w_end
+  FROM bounds b, unnest(range(CAST(b.nd // 7 + 1 AS BIGINT))) AS t(i)
+),
+wdays AS (
+  SELECT w.win_id, w.w_start, w.w_end, CAST(d.d AS DATE) AS day
+  FROM wins w, unnest(generate_series(CAST(w.w_start AS DATE),
+                                      CAST(w.w_end AS DATE),
+                                      INTERVAL 1 DAY)) AS d(d)
+),
+cand AS (
+  SELECT DISTINCT wd.win_id, wd.w_start, wd.w_end,
+         iv.user_id, iv.day, iv.a_start, iv.a_end
+  FROM wdays wd JOIN iv ON iv.day = wd.day
+),
+ol AS (
+  SELECT win_id, w_start, w_end, user_id,
+         CASE WHEN a_start <= w_end AND w_start <= a_end
+              THEN greatest(0, datediff('second',
+                     greatest(a_start, w_start), least(a_end, w_end)))
+              ELSE 0 END AS ov_s,
+         CASE WHEN a_start >= w_start AND a_end <= w_end THEN 1 ELSE 0 END
+           AS contained
+  FROM cand
+)
+SELECT win_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(CASE WHEN ov_s > 0 THEN 1 END) AS BIGINT) AS n_overlapping,
+       CAST(sum(ov_s) AS BIGINT) AS overlap_seconds,
+       CAST(sum(contained) AS BIGINT) AS n_contained,
+       CAST(max(ov_s) AS BIGINT) AS max_overlap_s
+FROM ol GROUP BY 1
+"""
+
+
+@_register_r4("q_interval_overlap", _INTERVAL_SQL)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join via day bucketing — THE shape that
+    keeps an interval join off the nested-loop path at scale: user
+    activity intervals (per user-day [first_ts, last_ts]) meet a weekly
+    36-hour maintenance-window calendar (noon + 36h every 7 days,
+    derived from the corpus time origin) by exploding each window into
+    its covered DAY buckets and equi-joining on day — candidates are
+    bucket-local, then the exact predicate a_start <= w_end AND w_start
+    <= a_end filters, so no pair is ever formed outside a shared bucket.
+    Overlap durations are exact integer SECONDS via timestamp
+    differences (differences are timezone-free on both engines — never
+    raw epochs), with the containment count and the candidate count
+    beside them so the join's bucket selectivity is itself audited.
+    This is the outage-impact question — which user sessions does the
+    window touch, for how long — in the formulation that survives 10^12
+    rows.
+
+    Scale plan: intervals and windows are groupBy/sequence frames; the
+    only join is equi on day with bucket-bounded fanout; dedup before
+    the predicate keeps multi-day windows from double counting.
+    1-row bounds carry whitelisted."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("dmin"),
+        F.max(F.col("ts").cast("date")).alias("dmax"),
+    ).select(
+        F.col("dmin").cast("timestamp").alias("t0"),
+        F.datediff("dmax", "dmin").alias("nd"),
+    )
+    wins = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), (F.col("nd") / 7).cast("long"))).alias(
+                "win_id"
+            ),
+            "t0",
+        )
+        .select(
+            "win_id",
+            (
+                F.date_add(
+                    F.col("t0").cast("date"), (F.col("win_id") * 7).cast("int")
+                ).cast("timestamp")
+                + F.expr("INTERVAL 12 HOURS")
+            ).alias("w_start"),
+            (
+                F.date_add(
+                    F.col("t0").cast("date"), (F.col("win_id") * 7).cast("int")
+                ).cast("timestamp")
+                + F.expr("INTERVAL 48 HOURS")
+            ).alias("w_end"),
+        )
+    )
+    wdays = wins.select(
+        "win_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.col("w_start").cast("date"), F.col("w_end").cast("date")
+            )
+        ).alias("day"),
+    )
+    cand = (
+        F.broadcast(wdays)
+        .join(iv, "day")
+        .select(
+            "win_id", "w_start", "w_end", "user_id",
+            F.col("day"), "a_start", "a_end",
+        )
+        .distinct()
+    )
+    sec = F.unix_timestamp(
+        F.least("a_end", "w_end")
+    ) - F.unix_timestamp(F.greatest("a_start", "w_start"))
+    ov = cand.select(
+        "win_id",
+        F.when(
+            (F.col("a_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("a_end")),
+            F.greatest(F.lit(0).cast("long"), sec),
+        )
+        .otherwise(0)
+        .alias("ov_s"),
+        F.when(
+            (F.col("a_start") >= F.col("w_start"))
+            & (F.col("a_end") <= F.col("w_end")),
+            1,
+        )
+        .otherwise(0)
+        .alias("contained"),
+    )
+    return ov.groupBy("win_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("ov_s") > 0, 1)).cast("long").alias("n_overlapping"),
+        F.sum("ov_s").cast("long").alias("overlap_seconds"),
+        F.sum("contained").cast("long").alias("n_contained"),
+        F.max("ov_s").cast("long").alias("max_overlap_s"),
+    )
+
+
+_AMS_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tk AS (
+  SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos, lower(d.toks[t.i + 1]) AS tok
+  FROM docs d, unnest(range(len(d.toks))) AS t(i)
+),
+bg AS (
+  SELECT a.tok || ' ' || b.tok AS gram, CAST(count(*) AS BIGINT) AS f
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1
+),
+f2t AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2 FROM bg),
+est AS (SELECT CAST(t.i + 1 AS BIGINT) AS j FROM unnest(range(16)) AS t(i)),
+sk AS (
+  SELECT e.j,
+         CAST(sum(CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(e.j AS VARCHAR) || '#' || b.gram), 1, 1))
+                    <= 8 THEN b.f ELSE -b.f END) AS BIGINT) AS y
+  FROM est e CROSS JOIN bg b
+  GROUP BY 1
+),
+xs AS (
+  SELECT j, y, CAST(y * y AS BIGINT) AS x,
+         row_number() OVER (ORDER BY y * y, j) AS rk
+  FROM sk
+),
+med AS (SELECT CAST(x AS BIGINT) AS med_x FROM xs WHERE rk = 8)
+SELECT xs.j, xs.y, xs.x, f2t.f2,
+       CAST(abs(xs.x - f2t.f2) AS BIGINT) AS abs_err,
+       round(CAST(abs(xs.x - f2t.f2) AS DOUBLE) / f2t.f2, 6) AS rel_err,
+       med.med_x,
+       round(CAST(abs(med.med_x - f2t.f2) AS DOUBLE) / f2t.f2, 6)
+         AS med_rel_err
+FROM xs CROSS JOIN f2t CROSS JOIN med
+"""
+
+
+@_register_r4("q_ams_f2", _AMS_SQL)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (Alon-Matias-Szegedy 1996, the Godel-
+    prize streaming estimator) over the bigram frequency vector, audited
+    against EXACT F2 = sum f^2 (the corpus self-join size / repeat-mass
+    statistic that drives skew planning): 16 independent estimators each
+    fold the whole vector through a +/-1 md5 sign (nibble <= 8) into one
+    BIGINT counter y_j, and y_j^2 is an unbiased F2 estimate; the lower
+    median of the 16 (rank 8, (x, j) pin) is the variance-tamed headline
+    beside per-estimator exact absolute errors. Everything is integer
+    except the two rounded relative errors — the sketch's whole state is
+    16 numbers regardless of corpus size, THE point.
+
+    Scale plan: bigram counts are one positional equi-join + groupBy;
+    the 16-way fanout is a broadcast estimator spine folded map-side
+    into 16 counters; median on a 16-row frame. 1-row F2/median carries
+    whitelisted."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    ).select("doc_id", "pos", F.lower("t").alias("tok"))
+    b = tk.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    bg = (
+        tk.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .select(F.concat_ws(" ", "tok", "tok_b").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    f2t = bg.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2"))
+    est = spark.range(1, 17).select(F.col("id").cast("long").alias("j"))
+    sign_pos = F.substring(
+        F.md5(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("gram"))), 1, 1
+    ) < "8"
+    sk = (
+        F.broadcast(est)
+        .crossJoin(bg)
+        .groupBy("j")
+        .agg(
+            F.sum(F.when(sign_pos, F.col("f")).otherwise(-F.col("f")))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    xs = sk.select(
+        "j", "y", (F.col("y") * F.col("y")).cast("long").alias("x")
+    ).withColumn("rk", F.row_number().over(Window.orderBy("x", "j")))
+    med = xs.filter(F.col("rk") == 8).select(F.col("x").alias("med_x"))
+    return (
+        xs.crossJoin(F.broadcast(f2t))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "j", "y", "x", "f2",
+            F.abs(F.col("x") - F.col("f2")).cast("long").alias("abs_err"),
+            F.round(
+                F.abs(F.col("x") - F.col("f2")).cast("double") / F.col("f2"), 6
+            ).alias("rel_err"),
+            "med_x",
+            F.round(
+                F.abs(F.col("med_x") - F.col("f2")).cast("double") / F.col("f2"),
+                6,
+            ).alias("med_rel_err"),
+        )
+    )
+
+
+_DOW_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT CAST(d.d AS DATE) AS day
+  FROM bounds b, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS d(d)
+),
+series AS (
+  SELECT s.day, dayofweek(s.day) + 1 AS dow, coalesce(dy.c, 0) AS x
+  FROM spine s LEFT JOIN daily dy USING (day)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(x) AS BIGINT) AS s_all
+  FROM series
+),
+grp AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_d, CAST(sum(x) AS BIGINT) AS s_d
+  FROM series GROUP BY 1
+),
+rk AS (
+  SELECT dow, n_d, s_d,
+         row_number() OVER (ORDER BY CAST(s_d AS DOUBLE) / n_d DESC, dow)
+           AS peak_rank
+  FROM grp
+)
+SELECT CAST(r.dow AS INT) AS dow, r.n_d, r.s_d,
+       round(CAST(r.s_d AS DOUBLE) / r.n_d, 6) AS mean_count,
+       CAST(r.s_d * t.n_all - t.s_all * r.n_d AS BIGINT) AS dev_num,
+       CAST(r.n_d * t.n_all AS BIGINT) AS dev_den,
+       CAST(r.peak_rank AS BIGINT) AS peak_rank,
+       t.n_all, t.s_all
+FROM rk r CROSS JOIN tot t
+"""
+
+
+@_register_r4("q_dow_seasonality", _DOW_SQL)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality ledger over the zero-filled daily event
+    volume — the weekly-profile companion to q_acf (which sees weekly
+    structure as a lag-7 echo; this names the days): per weekday the
+    exact (n_days, sum) sufficient pair, the mean as one rounded
+    division, the deviation from the global mean as the EXACT
+    cross-multiplied rational (s_d * N - S * n_d) / (n_d * N), and the
+    peak_rank ordering weekdays by exact-fraction means (double order
+    with dow pin — equal fractions give equal doubles). Global carries
+    ship in-row so the replica can rebuild the full between/within
+    variance decomposition; the between-share itself stays out of the
+    query because it is a cross-group double sum (the repo's standing
+    rule). The zero-filled spine matters: missing Mondays count as
+    zero-volume Mondays, not absent ones.
+
+    Scale plan: one daily rollup, a date-sequence spine join, a 7-row
+    groupBy; 1-row global carry (whitelisted)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    series = spine.join(F.broadcast(daily), "day", "left").select(
+        F.dayofweek("day").alias("dow"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("x"),
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("x").cast("long").alias("s_all"),
+    )
+    grp = series.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("s_d"),
+    )
+    rk = grp.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.col("s_d").cast("double") / F.col("n_d")), F.asc("dow")
+            )
+        )
+        .alias("peak_rank"),
+    )
+    return rk.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_d", "s_d",
+        F.round(F.col("s_d").cast("double") / F.col("n_d"), 6).alias("mean_count"),
+        (F.col("s_d") * F.col("n_all") - F.col("s_all") * F.col("n_d"))
+        .cast("long")
+        .alias("dev_num"),
+        (F.col("n_d") * F.col("n_all")).cast("long").alias("dev_den"),
+        F.col("peak_rank").cast("long").alias("peak_rank"),
+        "n_all", "s_all",
+    )

@@ -439,6 +439,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row wedge-stats x 1-row butterfly-stats carry — two constant "
          "frames attached")
     ],
+    "q_ams_f2": [
+        ("BroadcastNestedLoopJoin",
+         "16-row broadcast estimator spine x the bigram vector (folded "
+         "map-side to 16 counters — the sketch fanout) + 1-row F2/median "
+         "carries")
+    ],
+    "q_dow_seasonality": [
+        ("BroadcastNestedLoopJoin",
+         "1-row global (N, S) carry onto the 7-row weekday ledger")
+    ],
 }
 
 
