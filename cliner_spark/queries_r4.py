@@ -13918,3 +13918,291 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak_rank").cast("long").alias("peak_rank"),
         "n_all", "s_all",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: distributed-data-systems trio — CDC log apply (Debezium-style
+# last-writer-wins fold with tombstones), an at-least-once delivery
+# gap/duplicate ledger, and G-counter CRDT hypercube-gossip convergence.
+# --------------------------------------------------------------------------
+
+_CDC_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         substr(md5('u:' || CAST(o_orderkey AS VARCHAR)), 1, 1) AS uh,
+         substr(md5('d:' || CAST(o_orderkey AS VARCHAR)), 1, 1) AS dh
+  FROM orders
+),
+log AS (
+  SELECT k, status, 1 AS seq, 'insert' AS op, cents AS val FROM base
+  UNION ALL
+  SELECT k, status, 2, 'update', cents + 100 FROM base WHERE uh < '6'
+  UNION ALL
+  SELECT k, status, 3, 'delete', NULL FROM base WHERE dh < '2'
+),
+last AS (
+  SELECT k, status,
+         arg_max(op, seq) AS last_op,
+         arg_max(val, seq) AS last_val,
+         CAST(count(*) AS BIGINT) AS n_ops
+  FROM log GROUP BY 1, 2
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_ops) AS BIGINT) AS n_ops,
+       CAST(count(CASE WHEN last_op <> 'delete' THEN 1 END) AS BIGINT)
+         AS n_live,
+       CAST(count(CASE WHEN last_op = 'delete' THEN 1 END) AS BIGINT)
+         AS n_tombstoned,
+       CAST(sum(n_ops) - count(*) AS BIGINT) AS n_superseded,
+       CAST(sum(CASE WHEN last_op <> 'delete' THEN last_val END) AS BIGINT)
+         AS live_cents,
+       CAST(count(CASE WHEN last_op = 'update' THEN 1 END) AS BIGINT)
+         AS n_live_updated
+FROM last GROUP BY 1
+"""
+
+
+@_register_r4("q_cdc_apply", _CDC_SQL)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log apply — the Debezium-to-lakehouse merge in its exact
+    form: every order key emits a deterministic change stream (insert at
+    seq 1; md5-selected 6/16 get a +$1 update at seq 2; 2/16 a delete at
+    seq 3) and the fold is last-writer-wins by max seq (arg_max /
+    max_by, the single-pass formulation — no window, no sort), with
+    deletes becoming tombstones that drop the key from the live set.
+    The per-status rollup ships the full conservation ledger: n_ops =
+    n_keys + updates + deletes, n_superseded = ops the fold discarded,
+    and live_cents = the exact post-merge balance — what a MERGE INTO
+    audit compares against the source system after every sync.
+
+    Scale plan: the log is a projection union (no joins); the fold is
+    ONE map-side-combinable groupBy on the key — the shape that absorbs
+    10^12-row change streams; the rollup is 3 rows."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.substring(
+            F.md5(F.concat(F.lit("u:"), F.col("o_orderkey").cast("string"))), 1, 1
+        ).alias("uh"),
+        F.substring(
+            F.md5(F.concat(F.lit("d:"), F.col("o_orderkey").cast("string"))), 1, 1
+        ).alias("dh"),
+    )
+    log = (
+        base.select(
+            "k", "status", F.lit(1).alias("seq"), F.lit("insert").alias("op"),
+            F.col("cents").alias("val"),
+        )
+        .unionAll(
+            base.filter(F.col("uh") < "6").select(
+                "k", "status", F.lit(2).alias("seq"),
+                F.lit("update").alias("op"),
+                (F.col("cents") + 100).alias("val"),
+            )
+        )
+        .unionAll(
+            base.filter(F.col("dh") < "2").select(
+                "k", "status", F.lit(3).alias("seq"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("long").alias("val"),
+            )
+        )
+    )
+    last = log.groupBy("k", "status").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("val", "seq").alias("last_val"),
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+    )
+    return last.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_ops").cast("long").alias("n_ops"),
+        F.count(F.when(F.col("last_op") != "delete", 1)).cast("long").alias("n_live"),
+        F.count(F.when(F.col("last_op") == "delete", 1))
+        .cast("long")
+        .alias("n_tombstoned"),
+        (F.sum("n_ops") - F.count(F.lit(1))).cast("long").alias("n_superseded"),
+        F.sum(F.when(F.col("last_op") != "delete", F.col("last_val")))
+        .cast("long")
+        .alias("live_cents"),
+        F.count(F.when(F.col("last_op") == "update", 1))
+        .cast("long")
+        .alias("n_live_updated"),
+    )
+
+
+_DELIVERY_SQL = """
+WITH msg AS (
+  SELECT CAST(event_id % 16 AS BIGINT) AS producer,
+         CAST(event_id // 16 AS BIGINT) AS seq,
+         substr(md5('dlv:' || CAST(event_id AS VARCHAR)), 1, 1) AS h
+  FROM events
+),
+delivered AS (
+  SELECT producer, seq FROM msg WHERE h <> '0'
+  UNION ALL
+  SELECT producer, seq FROM msg WHERE h = '1'
+)
+SELECT producer,
+       CAST(count(*) AS BIGINT) AS n_received,
+       CAST(count(DISTINCT seq) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT seq) AS BIGINT) AS n_dupes,
+       CAST(min(seq) AS BIGINT) AS lo_seq,
+       CAST(max(seq) AS BIGINT) AS hi_seq,
+       CAST(max(seq) - min(seq) + 1 - count(DISTINCT seq) AS BIGINT)
+         AS n_missing,
+       round(CAST(count(DISTINCT seq) AS DOUBLE)
+             / (max(seq) - min(seq) + 1), 6) AS delivery_rate
+FROM delivered GROUP BY 1
+"""
+
+
+@_register_r4("q_delivery_audit", _DELIVERY_SQL)
+def q_delivery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery audit — the Kafka-consumer ledger that
+    separates 'we got everything' from 'we got everything once': events
+    become (producer = id%16, seq = id//16) messages with a
+    deterministic md5 fault model (1/16 of messages dropped, another
+    1/16 redelivered), and per producer the audit counts receipts,
+    distinct sequences, duplicates (received - distinct), and the
+    sequence-range gap count (hi - lo + 1 - distinct) — the exact
+    arithmetic a consumer group runs against its committed offsets to
+    decide between replay and dedup. All integers; the delivery rate is
+    one rounded division.
+
+    Scale plan: projection + one map-side-combinable groupBy per
+    producer with a distinct-count — the canonical high-cardinality
+    dedup-ledger shape; no joins at all."""
+    ev = load(spark, sf_dir, "events")
+    msg = ev.select(
+        (F.col("event_id") % 16).cast("long").alias("producer"),
+        F.floor(F.col("event_id") / 16).cast("long").alias("seq"),
+        F.substring(
+            F.md5(F.concat(F.lit("dlv:"), F.col("event_id").cast("string"))), 1, 1
+        ).alias("h"),
+    )
+    delivered = msg.filter(F.col("h") != "0").select("producer", "seq").unionAll(
+        msg.filter(F.col("h") == "1").select("producer", "seq")
+    )
+    span = F.max("seq") - F.min("seq") + 1
+    return delivered.groupBy("producer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_received"),
+        F.countDistinct("seq").cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("seq"))
+        .cast("long")
+        .alias("n_dupes"),
+        F.min("seq").cast("long").alias("lo_seq"),
+        F.max("seq").cast("long").alias("hi_seq"),
+        (span - F.countDistinct("seq")).cast("long").alias("n_missing"),
+        F.round(F.countDistinct("seq").cast("double") / span, 6).alias(
+            "delivery_rate"
+        ),
+    )
+
+
+def _gossip_sql() -> str:
+    blocks = []
+    prev = "st0"
+    for g, mask in ((1, 1), (2, 2), (3, 4)):
+        blocks.append(
+            f"""
+st{g} AS (
+  SELECT replica, owner, key, cnt FROM {prev}
+  UNION
+  SELECT xor(replica, {mask}), owner, key, cnt FROM {prev}
+)""".strip()
+        )
+        prev = f"st{g}"
+    return ",\n".join(blocks)
+
+
+_GOSSIP_SQL = f"""
+WITH inc AS (
+  SELECT CAST(event_id % 8 AS BIGINT) AS owner, event_type AS key,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st0 AS (SELECT owner AS replica, owner, key, cnt FROM inc),
+{_gossip_sql()},
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM inc),
+rounds AS (
+  SELECT 0 AS round, replica, owner, key, cnt FROM st0
+  UNION ALL SELECT 1, replica, owner, key, cnt FROM st1
+  UNION ALL SELECT 2, replica, owner, key, cnt FROM st2
+  UNION ALL SELECT 3, replica, owner, key, cnt FROM st3
+)
+SELECT r.round, r.replica,
+       CAST(count(DISTINCT r.owner) AS BIGINT) AS n_owners_known,
+       CAST(sum(r.cnt) AS BIGINT) AS known_count,
+       t.total,
+       CAST(t.total - sum(r.cnt) AS BIGINT) AS deviation,
+       CASE WHEN count(DISTINCT r.owner) = 8 THEN 1 ELSE 0 END AS converged
+FROM rounds r CROSS JOIN tot t
+GROUP BY 1, 2, 5
+"""
+
+
+@_register_r4("q_crdt_gossip", _GOSSIP_SQL)
+def q_crdt_gossip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-counter CRDT convergence under hypercube gossip (Shapiro 2011
+    state-based CRDTs; the dimension-exchange schedule): 8 replicas each
+    start knowing only their OWN per-event-type increment counts
+    (owner = event_id % 8), and in gossip round g every replica merges
+    states with its partner replica XOR 2^(g-1) — the join-semilattice
+    union, which for a G-counter is just set union of per-owner vectors
+    (idempotent, commutative, associative, so redelivery and reordering
+    cannot corrupt it). After exactly log2(8) = 3 rounds every replica
+    holds the full vector: the ledger shows n_owners_known and the
+    deviation from the true total shrinking to ZERO per replica per
+    round — eventual consistency with a provable round bound, the
+    arithmetic behind every gossip-replicated counter. All counts exact
+    BIGINTs.
+
+    Scale plan: state frames are (replicas x owners x key-domain) sized
+    — tiny and bounded; each round is one projection + union-distinct;
+    the corpus is touched once by the increment groupBy. 1-row total
+    carry whitelisted."""
+    ev = load(spark, sf_dir, "events")
+    inc = ev.groupBy(
+        (F.col("event_id") % 8).cast("long").alias("owner"),
+        F.col("event_type").alias("key"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    st = inc.select(F.col("owner").alias("replica"), "owner", "key", "cnt")
+    frames = [st.withColumn("round", F.lit(0))]
+    for g, mask in ((1, 1), (2, 2), (3, 4)):
+        st = (
+            st.select("replica", "owner", "key", "cnt")
+            .union(
+                st.select(
+                    F.col("replica").bitwiseXOR(mask).alias("replica"),
+                    "owner", "key", "cnt",
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        frames.append(st.withColumn("round", F.lit(g)))
+    rounds = frames[0]
+    for fr in frames[1:]:
+        rounds = rounds.unionAll(fr)
+    tot = inc.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        rounds.groupBy("round", "replica")
+        .agg(
+            F.countDistinct("owner").cast("long").alias("n_owners_known"),
+            F.sum("cnt").cast("long").alias("known_count"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("round").cast("int").alias("round"),
+            "replica",
+            "n_owners_known",
+            "known_count",
+            "total",
+            (F.col("total") - F.col("known_count")).cast("long").alias("deviation"),
+            F.when(F.col("n_owners_known") == 8, 1).otherwise(0).alias("converged"),
+        )
+    )

@@ -449,6 +449,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row global (N, S) carry onto the 7-row weekday ledger")
     ],
+    "q_crdt_gossip": [
+        ("BroadcastNestedLoopJoin",
+         "1-row true-total carry onto the 32-row (round x replica) "
+         "convergence ledger")
+    ],
 }
 
 
