@@ -14206,3 +14206,285 @@ def q_crdt_gossip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_owners_known") == 8, 1).otherwise(0).alias("converged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: LLM training-infra trio — GRPO group-relative advantages,
+# MoE top-2 routing with capacity-factor overflow drops, and checkpoint
+# parameter sharding (zigzag vs round-robin balance audit).
+# --------------------------------------------------------------------------
+
+_GRPO_SQL = """
+WITH ro AS (
+  SELECT doc_id, CAST(doc_id // 8 AS BIGINT) AS pid,
+         CAST(('0x' || substr(md5('rw:' || CAST(doc_id AS VARCHAR)), 1, 2))
+              AS BIGINT) AS reward
+  FROM documents
+),
+grp AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS n, CAST(sum(reward) AS BIGINT) AS s,
+         CAST(sum(reward * reward) AS BIGINT) AS ss
+  FROM ro GROUP BY 1
+)
+SELECT r.doc_id, r.pid, r.reward, g.n, g.s, g.ss,
+       CAST(g.n * r.reward - g.s AS BIGINT) AS adv_num,
+       CASE WHEN g.n * g.ss > g.s * g.s THEN
+         round((g.n * r.reward - g.s)
+               / (g.n * sqrt((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n) / g.n)),
+               6)
+       END AS advantage
+FROM ro r JOIN grp g USING (pid)
+"""
+
+
+@_register_r4("q_grpo_advantage", _GRPO_SQL)
+def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage computation (the GRPO/RLOO whitening
+    step of modern RLHF, Shao 2024): documents form 8-rollout groups per
+    prompt (pid = doc_id div 8) with deterministic md5 byte rewards, and
+    each rollout's advantage is (r - mean)/std within ITS OWN group —
+    the critic-free baseline that makes the estimator zero-mean by
+    construction: adv_num = n*r - S is the EXACT integer numerator and
+    sums to zero per group (the replica holds the identity), while the
+    normalized advantage is one deterministic chain over exact
+    sufficient stats through a correctly-rounded sqrt. Degenerate
+    all-equal groups get an honest NULL (the n*SS > S^2 guard) instead
+    of an engine-dependent inf — the whitening a trainer feeds to the
+    policy update, with the audit trail in-row.
+
+    Scale plan: one map-side groupBy for the sufficient stats, one
+    equi-join back on pid — rollout groups are the join key, so the
+    shuffle is the group id, never the corpus pairwise."""
+    docs = load_docs(spark, sf_dir)
+    ro = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 8).cast("long").alias("pid"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rw:"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long").alias("reward"),
+    )
+    grp = ro.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("reward").cast("long").alias("s"),
+        F.sum(F.col("reward") * F.col("reward")).cast("long").alias("ss"),
+    )
+    std = F.sqrt(
+        (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.col("n")
+    )
+    return ro.join(grp, "pid").select(
+        "doc_id", "pid", "reward", "n", "s", "ss",
+        (F.col("n") * F.col("reward") - F.col("s")).cast("long").alias("adv_num"),
+        F.when(
+            F.col("n") * F.col("ss") > F.col("s") * F.col("s"),
+            F.round(
+                (F.col("n") * F.col("reward") - F.col("s"))
+                / (F.col("n") * std),
+                6,
+            ),
+        ).alias("advantage"),
+    )
+
+
+_MOE_SQL = """
+WITH tok AS (SELECT event_id AS t FROM events),
+ex AS (SELECT CAST(e.i AS BIGINT) AS expert FROM unnest(range(8)) AS e(i)),
+gate AS (
+  SELECT t.t, ex.expert,
+         md5('g:' || CAST(t.t AS VARCHAR) || ':'
+             || CAST(ex.expert AS VARCHAR)) AS g
+  FROM tok t CROSS JOIN ex
+),
+pick AS (
+  SELECT t, expert, g,
+         row_number() OVER (PARTITION BY t ORDER BY g DESC, expert) AS choice
+  FROM gate QUALIFY choice <= 2
+),
+cap AS (
+  SELECT CAST(ceil(2 * count(*) * 1.25 / 8) AS BIGINT) AS capacity,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tok
+),
+ranked AS (
+  SELECT p.t, p.expert, p.choice,
+         row_number() OVER (PARTITION BY p.expert ORDER BY p.g DESC, p.t)
+           AS slot
+  FROM pick p
+)
+SELECT r.expert,
+       CAST(count(*) AS BIGINT) AS n_routed,
+       CAST(count(CASE WHEN r.slot <= c.capacity THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(count(CASE WHEN r.slot > c.capacity THEN 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(count(CASE WHEN r.choice = 1 THEN 1 END) AS BIGINT) AS n_top1,
+       c.capacity, c.n_tokens,
+       round(CAST(count(*) AS DOUBLE) / (2 * c.n_tokens), 6) AS load_share
+FROM ranked r CROSS JOIN cap c
+GROUP BY 1, 6, 7
+"""
+
+
+@_register_r4("q_moe_routing", _MOE_SQL)
+def q_moe_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts routing audit (Shazeer 2017 top-k gating with
+    the Switch/GShard capacity factor): every token picks its top-2 of 8
+    experts by md5 gate score (strict order, expert tie pin), expert
+    capacity is ceil(2N * 1.25 / 8), and tokens beyond an expert's
+    capacity — ranked by gate score within the expert, token tie pin —
+    are DROPPED, exactly the overflow semantics that make capacity
+    factor a quality/cost dial. The per-expert ledger (routed / kept /
+    dropped / top-1 share / exact load share of the 2N assignment mass)
+    is the balance audit that decides whether the router needs an
+    auxiliary loss: md5 gates are near-uniform, so loads should sit near
+    1/8 with few drops — the replica checks the global drop arithmetic
+    and that every expert's load lands inside the uniform band.
+
+    Scale plan: the 8-expert fanout is a broadcast spine collapsed by a
+    per-token top-2 window (8-row frames); capacity ranking is one
+    window per expert partition; the rest is a 1-row capacity carry
+    (whitelisted)."""
+    ev = load(spark, sf_dir, "events")
+    tok = ev.select(F.col("event_id").alias("t"))
+    ex = spark.range(8).select(F.col("id").cast("long").alias("expert"))
+    gate = tok.crossJoin(F.broadcast(ex)).select(
+        "t", "expert",
+        F.md5(
+            F.concat(
+                F.lit("g:"), F.col("t").cast("string"), F.lit(":"),
+                F.col("expert").cast("string"),
+            )
+        ).alias("g"),
+    )
+    wt = Window.partitionBy("t").orderBy(F.desc("g"), F.asc("expert"))
+    pick = gate.select(
+        "t", "expert", "g", F.row_number().over(wt).alias("choice")
+    ).filter(F.col("choice") <= 2)
+    cap = tok.agg(
+        F.ceil(2 * F.count(F.lit(1)) * 1.25 / 8).cast("long").alias("capacity"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    we = Window.partitionBy("expert").orderBy(F.desc("g"), F.asc("t"))
+    ranked = pick.select(
+        "t", "expert", "choice", F.row_number().over(we).alias("slot")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .groupBy("expert", "capacity", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_routed"),
+            F.count(F.when(F.col("slot") <= F.col("capacity"), 1))
+            .cast("long")
+            .alias("n_kept"),
+            F.count(F.when(F.col("slot") > F.col("capacity"), 1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.count(F.when(F.col("choice") == 1, 1)).cast("long").alias("n_top1"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / (2 * F.col("n_tokens")), 6
+            ).alias("load_share"),
+        )
+        .select(
+            "expert", "n_routed", "n_kept", "n_dropped", "n_top1",
+            "capacity", "n_tokens", "load_share",
+        )
+    )
+
+
+_SHARD_SQL = """
+WITH tensors AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents
+),
+ranked AS (
+  SELECT doc_id, bytes,
+         row_number() OVER (ORDER BY bytes DESC, doc_id) - 1 AS rk
+  FROM tensors
+),
+assigned AS (
+  SELECT 'round_robin' AS strategy, CAST(rk % 8 AS BIGINT) AS shard,
+         doc_id, bytes
+  FROM ranked
+  UNION ALL
+  SELECT 'zigzag',
+         CAST(CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - rk % 16 END
+              AS BIGINT),
+         doc_id, bytes
+  FROM ranked
+),
+tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total FROM tensors),
+per AS (
+  SELECT strategy, shard, CAST(count(*) AS BIGINT) AS n_tensors,
+         CAST(sum(bytes) AS BIGINT) AS shard_bytes
+  FROM assigned GROUP BY 1, 2
+)
+SELECT p.strategy, p.shard, p.n_tensors, p.shard_bytes, t.total,
+       CAST(8 * p.shard_bytes - t.total AS BIGINT) AS dev_num,
+       round(CAST(8 * p.shard_bytes - t.total AS DOUBLE) / t.total, 6)
+         AS dev_frac,
+       CAST(max(p.shard_bytes) OVER (PARTITION BY p.strategy)
+            - min(p.shard_bytes) OVER (PARTITION BY p.strategy) AS BIGINT)
+         AS spread
+FROM per p CROSS JOIN tot t
+"""
+
+
+@_register_r4("q_checkpoint_shards", _SHARD_SQL)
+def q_checkpoint_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint parameter-sharding balance audit (the ZeRO/FSDP
+    question: which of 8 shards gets which tensor): tensors (documents,
+    bytes = n_chars) rank by size descending with id pins, then two
+    deterministic placements compete — plain round-robin rk % 8 vs
+    ZIGZAG (boustrophedon: 0..7 then 7..0), the standard trick that
+    pairs a big tensor with a small one in each sweep so shard sizes
+    stay balanced even when sizes are skewed. Per (strategy, shard) the
+    ledger ships exact bytes, the deviation 8*bytes - total as a
+    cross-multiplied integer against the ideal, and the strategy-level
+    max-min spread as a window carry — the replica asserts zigzag's
+    spread never exceeds round-robin's on the sorted sequence.
+
+    Scale plan: one global size rank (the dist_dense_rank shape at
+    production scale), projection placement, one groupBy; the window
+    spread runs on the 16-row ledger. 1-row total carry whitelisted."""
+    docs = load_docs(spark, sf_dir)
+    tensors = docs.select("doc_id", F.col("n_chars").cast("long").alias("bytes"))
+    ranked = tensors.select(
+        "doc_id", "bytes",
+        (
+            F.row_number().over(Window.orderBy(F.desc("bytes"), F.asc("doc_id")))
+            - 1
+        ).alias("rk"),
+    )
+    rr = ranked.select(
+        F.lit("round_robin").alias("strategy"),
+        (F.col("rk") % 8).cast("long").alias("shard"),
+        "doc_id", "bytes",
+    )
+    fold = F.col("rk") % 16
+    zz = ranked.select(
+        F.lit("zigzag").alias("strategy"),
+        F.when(fold < 8, fold).otherwise(15 - fold).cast("long").alias("shard"),
+        "doc_id", "bytes",
+    )
+    assigned = rr.unionAll(zz)
+    tot = tensors.agg(F.sum("bytes").cast("long").alias("total"))
+    per = assigned.groupBy("strategy", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tensors"),
+        F.sum("bytes").cast("long").alias("shard_bytes"),
+    )
+    ws = Window.partitionBy("strategy")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "strategy", "shard", "n_tensors", "shard_bytes", "total",
+        (8 * F.col("shard_bytes") - F.col("total")).cast("long").alias("dev_num"),
+        F.round(
+            (8 * F.col("shard_bytes") - F.col("total")).cast("double")
+            / F.col("total"),
+            6,
+        ).alias("dev_frac"),
+        (F.max("shard_bytes").over(ws) - F.min("shard_bytes").over(ws))
+        .cast("long")
+        .alias("spread"),
+    )

@@ -454,6 +454,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row true-total carry onto the 32-row (round x replica) "
          "convergence ledger")
     ],
+    "q_moe_routing": [
+        ("BroadcastNestedLoopJoin",
+         "8-row broadcast expert spine x tokens (the gate fanout, "
+         "collapsed by the per-token top-2 window) + 1-row capacity "
+         "carry")
+    ],
+    "q_checkpoint_shards": [
+        ("BroadcastNestedLoopJoin",
+         "1-row total-bytes carry onto the 16-row shard ledger")
+    ],
 }
 
 
