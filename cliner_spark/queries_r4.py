@@ -14488,3 +14488,338 @@ def q_checkpoint_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spread"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: query-optimizer trio — System-R cardinality estimation audit
+# (q-error), left-deep join-order costing with actual-vs-estimated
+# regret, and a partition-key layout advisor.
+# --------------------------------------------------------------------------
+
+_JOINCARD_SQL = """
+WITH m AS (
+  SELECT 'orders_customer' AS join_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_right,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS d_left,
+         (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+           AS d_right,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+           AS actual
+  UNION ALL
+  SELECT 'lineitem_orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'lineitem_part',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM part),
+         (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part),
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+)
+SELECT join_name, n_left, n_right, d_left, d_right,
+       CAST(n_left * n_right AS BIGINT) AS est_num,
+       CAST(greatest(d_left, d_right) AS BIGINT) AS est_den,
+       round(CAST(n_left AS DOUBLE) * n_right / greatest(d_left, d_right), 4)
+         AS est_rows,
+       actual,
+       round(greatest(
+         (CAST(n_left AS DOUBLE) * n_right / greatest(d_left, d_right))
+           / actual,
+         actual / (CAST(n_left AS DOUBLE) * n_right
+                   / greatest(d_left, d_right))), 6) AS q_error
+FROM m
+"""
+
+
+@_register_r4("q_join_cardinality", _JOINCARD_SQL)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-R cardinality estimation audit (Selinger 1979): for the
+    three canonical TPC-H join edges, the uniformity-assumption estimate
+    |A||B| / max(d_A, d_B) ships as an exact integer RATIONAL
+    (est_num / est_den) beside the true join size, and the verdict is
+    the q-error max(est/actual, actual/est) — the metric the learned-
+    cardinality literature standardized on. On FK joins the containment
+    assumption is exact, so q-error should sit at ~1.0: this query is
+    the regression gate a cost model runs after every stats refresh,
+    and the place a 100 TB planner discovers its distinct counts are
+    stale before a broadcast decision burns the cluster.
+
+    Scale plan: six count/distinct aggregates (map-side combined; at
+    production scale the distinct counts come from the HLL sketches the
+    repo already audits in q_hll_audit) + three equi-join counts —
+    everything collapses to a 3-row ledger."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+
+    def edge(name, a, b, ka, kb):
+        na = a.count()
+        nb = b.count()
+        da = a.select(ka).distinct().count()
+        db = b.select(kb).distinct().count()
+        actual = a.join(b, a[ka] == b[kb]).count()
+        return (name, na, nb, da, db, actual)
+
+    rows = [
+        edge("orders_customer", o, c, "o_custkey", "c_custkey"),
+        edge("lineitem_orders", li, o, "l_orderkey", "o_orderkey"),
+        edge("lineitem_part", li, p, "l_partkey", "p_partkey"),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "join_name string, n_left long, n_right long, d_left long, "
+        "d_right long, actual long",
+    )
+    est = F.col("n_left").cast("double") * F.col("n_right") / F.greatest(
+        "d_left", "d_right"
+    )
+    return m.select(
+        "join_name", "n_left", "n_right", "d_left", "d_right",
+        (F.col("n_left") * F.col("n_right")).cast("long").alias("est_num"),
+        F.greatest("d_left", "d_right").cast("long").alias("est_den"),
+        F.round(est, 4).alias("est_rows"),
+        "actual",
+        F.round(
+            F.greatest(est / F.col("actual"), F.col("actual") / est), 6
+        ).alias("q_error"),
+    )
+
+
+_JOINORDER_SQL = """
+WITH stats AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_c,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F')
+      AS n_of,
+    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS d_cc,
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS d_oc,
+    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS d_ok,
+    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS d_lk
+),
+act AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey) AS a_co,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS a_ol,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+     JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS a_col,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+     WHERE o.o_orderstatus = 'F') AS a_ofl,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+     WHERE o.o_orderstatus = 'F') AS a_ofcl
+),
+plans AS (
+  SELECT 'co_then_l' AS plan,
+         CAST(s.n_c AS DOUBLE) * s.n_o / greatest(s.d_cc, s.d_oc)
+         + (CAST(s.n_c AS DOUBLE) * s.n_o / greatest(s.d_cc, s.d_oc))
+           * s.n_l / greatest(s.d_ok, s.d_lk) AS est_cost,
+         a.a_co + a.a_col AS actual_cost
+  FROM stats s CROSS JOIN act a
+  UNION ALL
+  SELECT 'ol_then_c',
+         CAST(s.n_o AS DOUBLE) * s.n_l / greatest(s.d_ok, s.d_lk)
+         + (CAST(s.n_o AS DOUBLE) * s.n_l / greatest(s.d_ok, s.d_lk))
+           * s.n_c / greatest(s.d_oc, s.d_cc),
+         a.a_ol + a.a_col
+  FROM stats s CROSS JOIN act a
+  UNION ALL
+  SELECT 'filtered_ofl_then_c',
+         CAST(s.n_of AS DOUBLE) * s.n_l / greatest(s.d_ok, s.d_lk)
+         + (CAST(s.n_of AS DOUBLE) * s.n_l / greatest(s.d_ok, s.d_lk))
+           * s.n_c / greatest(s.d_oc, s.d_cc),
+         a.a_ofl + a.a_ofcl
+  FROM stats s CROSS JOIN act a
+),
+best AS (
+  SELECT min(actual_cost) AS best_actual FROM plans
+),
+pick AS (
+  SELECT plan AS picked FROM (
+    SELECT plan, row_number() OVER (ORDER BY est_cost, plan) AS rn FROM plans
+  ) WHERE rn = 1
+)
+SELECT p.plan, round(p.est_cost, 4) AS est_cost, p.actual_cost,
+       CASE WHEN p.plan = pk.picked THEN 1 ELSE 0 END AS picked,
+       b.best_actual,
+       round(CAST(p.actual_cost AS DOUBLE) / b.best_actual, 6)
+         AS cost_vs_best
+FROM plans p CROSS JOIN best b CROSS JOIN pick pk
+"""
+
+
+@_register_r4("q_join_order_cost", _JOINORDER_SQL)
+def q_join_order_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-deep join-order mini-optimizer over customer-orders-lineitem
+    (the Selinger enumeration in miniature): three valid left-deep plans
+    — (C JOIN O) then L, (O JOIN L) then C, and the predicate-pushed
+    sigma_F(O) JOIN L then C — are each costed by the materialization
+    model (sum of estimated intermediate sizes under the System-R
+    uniformity estimate) and by the TRUE intermediate sizes, and the
+    picked = argmin-estimate plan carries its regret cost_vs_best
+    against the actual optimum. The filtered plan demonstrates WHY
+    pushdown wins (the selectivity multiplies through both
+    intermediates); a regret near 1.0 is the certificate that the
+    estimate ordering matches the true ordering — the property a
+    planner actually needs, not accurate absolute numbers.
+
+    Scale plan: the costing inputs are count/distinct aggregates and
+    three join counts (stats-table lookups in production); the plan
+    frame is 3 rows. Estimate ties pinned by plan name."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n_c, n_o, n_l = c.count(), o.count(), li.count()
+    n_of = o.filter(F.col("o_orderstatus") == "F").count()
+    d_cc = c.select("c_custkey").distinct().count()
+    d_oc = o.select("o_custkey").distinct().count()
+    d_ok = o.select("o_orderkey").distinct().count()
+    d_lk = li.select("l_orderkey").distinct().count()
+    a_co = c.join(o, c["c_custkey"] == o["o_custkey"]).count()
+    a_ol = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    col3 = c.join(o, c["c_custkey"] == o["o_custkey"]).join(
+        li, F.col("o_orderkey") == li["l_orderkey"]
+    )
+    a_col = col3.count()
+    of = o.filter(F.col("o_orderstatus") == "F")
+    a_ofl = of.join(li, of["o_orderkey"] == li["l_orderkey"]).count()
+    a_ofcl = (
+        c.join(of, c["c_custkey"] == of["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .count()
+    )
+    e_co = n_c * n_o / max(d_cc, d_oc)
+    e_ol = n_o * n_l / max(d_ok, d_lk)
+    e_ofl = n_of * n_l / max(d_ok, d_lk)
+    plans = [
+        ("co_then_l", e_co + e_co * n_l / max(d_ok, d_lk), a_co + a_col),
+        ("ol_then_c", e_ol + e_ol * n_c / max(d_oc, d_cc), a_ol + a_col),
+        (
+            "filtered_ofl_then_c",
+            e_ofl + e_ofl * n_c / max(d_oc, d_cc),
+            a_ofl + a_ofcl,
+        ),
+    ]
+    best_actual = min(a for _p, _e, a in plans)
+    picked = min(plans, key=lambda pea: (pea[1], pea[0]))[0]
+    df = spark.createDataFrame(
+        plans, "plan string, est_cost_raw double, actual_cost long"
+    )
+    return df.select(
+        "plan",
+        F.round("est_cost_raw", 4).alias("est_cost"),
+        "actual_cost",
+        F.when(F.col("plan") == picked, 1).otherwise(0).alias("picked"),
+        F.lit(best_actual).cast("long").alias("best_actual"),
+        F.round(F.col("actual_cost").cast("double") / best_actual, 6).alias(
+            "cost_vs_best"
+        ),
+    )
+
+
+_PARTADV_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(user_id % 64 AS BIGINT) AS user_bucket,
+         date_trunc('hour', ts) AS hr
+  FROM events
+),
+cand AS (
+  SELECT 'event_type' AS cand, CAST(event_type AS VARCHAR) AS pk FROM base
+  UNION ALL SELECT 'day', CAST(day AS VARCHAR) FROM base
+  UNION ALL SELECT 'user_bucket', CAST(user_bucket AS VARCHAR) FROM base
+  UNION ALL SELECT 'hour', CAST(hr AS VARCHAR) FROM base
+),
+per AS (
+  SELECT cand, pk, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY 1, 2
+)
+SELECT cand,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(min(n) AS BIGINT) AS min_rows,
+       CAST(count(CASE WHEN n < 64 THEN 1 END) AS BIGINT) AS n_small,
+       CAST(max(n) * count(*) AS BIGINT) AS skew_num,
+       CAST(sum(n) AS BIGINT) AS skew_den,
+       round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_ratio,
+       CASE WHEN sum(n) // count(*) BETWEEN 64 AND 8192 THEN 1 ELSE 0 END
+         AS avg_in_band
+FROM per GROUP BY cand
+"""
+
+
+@_register_r4("q_partition_advisor", _PARTADV_SQL)
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key layout advisor — the decision every lakehouse table
+    makes once and lives with: four candidate partition schemes for the
+    event stream (event_type, day, user_id%64, hour) each report exact
+    partition counts, max/min partition sizes, the small-partition count
+    (< 64 rows — the small-files problem), and the skew ratio max*P/N as
+    a cross-multiplied exact rational (1.0 = perfectly even) with an
+    avg-rows-in-band verdict. Too few partitions starve parallelism,
+    too many drown the metadata layer, and a hot key serializes one
+    task — the three failure modes this table makes visible side by
+    side before anyone writes a CREATE TABLE ... PARTITIONED BY.
+
+    Scale plan: the 4-way candidate fanout is a projection union; one
+    map-side-combinable groupBy per (candidate, key) then a 4-row
+    rollup. No joins."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 64).cast("long").alias("user_bucket"),
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    cand = (
+        base.select(
+            F.lit("event_type").alias("cand"),
+            F.col("event_type").cast("string").alias("pk"),
+        )
+        .unionAll(
+            base.select(F.lit("day").alias("cand"), F.col("day").cast("string"))
+        )
+        .unionAll(
+            base.select(
+                F.lit("user_bucket").alias("cand"),
+                F.col("user_bucket").cast("string"),
+            )
+        )
+        .unionAll(
+            base.select(F.lit("hour").alias("cand"), F.col("hr").cast("string"))
+        )
+    )
+    per = cand.groupBy("cand", "pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return per.groupBy("cand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.count(F.when(F.col("n") < 64, 1)).cast("long").alias("n_small"),
+        (F.max("n") * F.count(F.lit(1))).cast("long").alias("skew_num"),
+        F.sum("n").cast("long").alias("skew_den"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 6
+        ).alias("skew_ratio"),
+        F.when(
+            F.floor(F.sum("n") / F.count(F.lit(1))).between(64, 8192), 1
+        )
+        .otherwise(0)
+        .alias("avg_in_band"),
+    )
