@@ -14823,3 +14823,265 @@ def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("avg_in_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: governance/infra trio — sliding-log rate-limit audit (RANGE
+# window frames), orphan-file GC arithmetic (the Iceberg
+# remove_orphan_files ledger), and the histogram-intersection kernel
+# matrix across sources.
+# --------------------------------------------------------------------------
+
+_RATELIMIT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+win AS (
+  SELECT user_id, event_id, sec,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_60s
+  FROM ev
+),
+per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(CASE WHEN n_60s >= 5 THEN 1 END) AS BIGINT)
+           AS n_violations,
+         CAST(max(n_60s) AS BIGINT) AS peak_rate_60s
+  FROM win GROUP BY 1
+)
+SELECT CAST(user_id % 16 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(n_violations) AS BIGINT) AS n_violations,
+       CAST(count(CASE WHEN n_violations > 0 THEN 1 END) AS BIGINT)
+         AS n_users_violating,
+       CAST(max(peak_rate_60s) AS BIGINT) AS peak_rate_60s,
+       round(CAST(sum(n_violations) AS DOUBLE) / sum(n_events), 6)
+         AS violation_rate
+FROM per_user GROUP BY 1
+"""
+
+
+@_register_r4("q_rate_limit_audit", _RATELIMIT_SQL)
+def q_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-log rate-limit audit — the exact arithmetic of the
+    limiter every API gateway runs, replayed over the event stream: an
+    event violates the 5-per-60s policy iff the RANGE window frame
+    [ts-60s, ts] over its user's events (whole-second epochs; the
+    session pins UTC so frame offsets are timezone-free) holds >= 5
+    events including itself. RANGE frames — not ROWS — are the point:
+    the frame is defined by VALUE distance, so bursts and quiet gaps are
+    handled exactly, which a row-count frame cannot do. The per-bucket
+    rollup ships violation counts, violating-user counts, and the peak
+    observed 60s rate — what capacity planning reads to size the real
+    limiter before abuse finds it.
+
+    Scale plan: one RANGE window per user partition (the stream's
+    natural key), then two map-side-combinable rollups; no joins."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-60, 0)
+    )
+    win = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("long").alias("n_60s")
+    )
+    per_user = win.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("n_60s") >= 5, 1)).cast("long").alias("n_violations"),
+        F.max("n_60s").cast("long").alias("peak_rate_60s"),
+    )
+    return per_user.groupBy(
+        (F.col("user_id") % 16).cast("long").alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_violations").cast("long").alias("n_violations"),
+        F.count(F.when(F.col("n_violations") > 0, 1))
+        .cast("long")
+        .alias("n_users_violating"),
+        F.max("peak_rate_60s").cast("long").alias("peak_rate_60s"),
+        F.round(
+            F.sum("n_violations").cast("double") / F.sum("n_events"), 6
+        ).alias("violation_rate"),
+    )
+
+
+_GC_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+files AS (
+  SELECT day, n_rows, 1 AS gen,
+         substr(md5('rw:' || CAST(day AS VARCHAR)), 1, 1) < '8' AS rewritten
+  FROM days
+  UNION ALL
+  SELECT day, n_rows, 2, TRUE
+  FROM days WHERE substr(md5('rw:' || CAST(day AS VARCHAR)), 1, 1) < '8'
+),
+live AS (
+  SELECT day, gen, n_rows,
+         CASE WHEN gen = 2 THEN 1
+              WHEN gen = 1 AND NOT rewritten THEN 1 ELSE 0 END AS is_live
+  FROM files
+)
+SELECT CAST(gen AS INT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(CASE WHEN is_live = 1 THEN 1 END) AS BIGINT) AS n_live,
+       CAST(count(CASE WHEN is_live = 0 THEN 1 END) AS BIGINT) AS n_orphans,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN is_live = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_reclaimable,
+       round(CAST(sum(CASE WHEN is_live = 0 THEN n_rows ELSE 0 END) AS DOUBLE)
+             / sum(n_rows), 6) AS reclaim_frac
+FROM live GROUP BY 1
+"""
+
+
+@_register_r4("q_gc_orphans", _GC_SQL)
+def q_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC arithmetic — the Iceberg remove_orphan_files /
+    Delta VACUUM ledger in its exact form: day-partition files exist in
+    two generations (gen-1 originals for every day; a compaction pass
+    rewrote the md5-selected half of days into gen-2 files), snapshot
+    retention has expired everything before the compaction commit, so
+    the live manifest references gen-2 where it exists and gen-1
+    elsewhere — making the gen-1 files of rewritten days ORPHANS: on
+    disk, unreferenced, billable. The per-generation ledger counts
+    files, live references, orphans, and reclaimable row mass (the byte
+    proxy) — the number a storage bill argues about. The invariant the
+    replica holds: every orphan is a gen-1 rewritten day, gen-2 has
+    zero orphans, and live file count == day count (each day served by
+    exactly one live file).
+
+    Scale plan: one daily rollup, a projection union for the file
+    inventory, one groupBy — manifests are metadata-sized, never
+    corpus-sized."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    rewritten = (
+        F.substring(
+            F.md5(F.concat(F.lit("rw:"), F.col("day").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    files = days.select(
+        "day", "n_rows", F.lit(1).alias("gen"), rewritten.alias("rewritten")
+    ).unionAll(
+        days.filter(rewritten).select(
+            "day", "n_rows", F.lit(2).alias("gen"), F.lit(True).alias("rewritten")
+        )
+    )
+    live = files.select(
+        "gen", "n_rows",
+        F.when(F.col("gen") == 2, 1)
+        .when((F.col("gen") == 1) & (~F.col("rewritten")), 1)
+        .otherwise(0)
+        .alias("is_live"),
+    )
+    return live.groupBy(F.col("gen").cast("int").alias("gen")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.count(F.when(F.col("is_live") == 1, 1)).cast("long").alias("n_live"),
+        F.count(F.when(F.col("is_live") == 0, 1)).cast("long").alias("n_orphans"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(F.col("is_live") == 0, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_reclaimable"),
+        F.round(
+            F.sum(F.when(F.col("is_live") == 0, F.col("n_rows")).otherwise(0))
+            .cast("double")
+            / F.sum("n_rows"),
+            6,
+        ).alias("reclaim_frac"),
+    )
+
+
+_HISTKERNEL_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+tk AS (
+  SELECT d.doc_id, lower(t.tok) AS tok
+  FROM docs d, unnest(toks) AS t(tok)
+),
+src AS (
+  SELECT s.source, tk.tok, CAST(count(*) AS BIGINT) AS c
+  FROM tk JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM src GROUP BY 1
+),
+pair AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS raw_overlap
+  FROM src a JOIN src b ON a.tok = b.tok AND a.source <= b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.raw_overlap, ta.n AS n_a, tb.n AS n_b,
+       CAST(least(ta.n, tb.n) AS BIGINT) AS kernel_den,
+       round(CAST(p.raw_overlap AS DOUBLE) / least(ta.n, tb.n), 6)
+         AS intersection_sim
+FROM pair p JOIN tot ta ON ta.source = p.src_a
+JOIN tot tb ON tb.source = p.src_b
+"""
+
+
+@_register_r4("q_histogram_intersection", _HISTKERNEL_SQL)
+def q_histogram_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-intersection kernel matrix (Swain-Ballard 1991) across
+    sources over token frequency histograms: K(a, b) = sum over the
+    vocabulary of min(count_a, count_b), normalized by min(|a|, |b|) —
+    the raw overlap is an exact BIGINT because min of two integers needs
+    no division, which is what makes this kernel the exact-arithmetic
+    cousin of cosine similarity for comparing corpus slices before a
+    mixture decision (q_source_overlap counts shared TYPES; this weighs
+    shared MASS). The upper-triangle pair frame includes the diagonal,
+    where K(a,a)/|a| = 1 exactly — the replica's calibration check — and
+    symmetry is free by construction.
+
+    Scale plan: one inverted histogram per source (map-side combined),
+    a vocabulary equi-join of the 5-source histograms (fanout bounded by
+    sources^2, never docs^2), totals broadcast back."""
+    from cliner_spark.tokenization import tokens_col
+
+    docs = load_docs(spark, sf_dir)
+    tk = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("t")
+    ).select("source", F.lower("t").alias("tok"))
+    src = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = src.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = src.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    b = src.select(
+        F.col("source").alias("src_b"), F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    pair = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("src_a") <= F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("raw_overlap"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "raw_overlap", "n_a", "n_b",
+            F.least("n_a", "n_b").cast("long").alias("kernel_den"),
+            F.round(
+                F.col("raw_overlap").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("intersection_sim"),
+        )
+    )
