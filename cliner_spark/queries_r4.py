@@ -15085,3 +15085,334 @@ def q_histogram_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersection_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: relational/scheduling/stat trio — the skyline (Pareto-front)
+# operator via RANGE-frame running maxima, critical-path method over a
+# layered task DAG (max-plus relaxation), and the exact-integer
+# Cramér-von Mises two-sample statistic.
+# --------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+m AS (
+  SELECT p_partkey, cents, size,
+         max(size) OVER (ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict,
+         max(size) OVER (ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_incl
+  FROM p
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p)
+SELECT m.p_partkey, m.cents, m.size, t.n_total
+FROM m CROSS JOIN tot t
+WHERE (m.m_strict IS NULL OR m.m_strict < m.size) AND m.m_incl <= m.size
+"""
+
+
+@_register_r4("q_skyline", _SKYLINE_SQL)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front operator (Borzsony-Kossmann-Stocker 2001)
+    over parts, minimizing price and maximizing size — the
+    multi-objective SELECT that relational engines never got as a
+    keyword: a part is dominated iff some part is strictly cheaper with
+    at least equal size, or at most equal price with strictly larger
+    size, and BOTH conditions collapse into two RANGE-frame running
+    maxima over the price axis (max size strictly below this price; max
+    size at-or-below it) — one sort, one window pass, no pair join, the
+    formulation that makes 2-D skylines linear after sort at any scale.
+    Equal (price, size) twins survive together (neither dominates).
+    Exact integer cents; the replica cross-checks with the O(n^2)
+    dominance scan and verifies the front is an antichain.
+
+    Scale plan: one global sort window (dist_dense_rank shape at
+    production scale); the RANGE frames are value-based so price ties
+    are handled exactly; output is front-sized. 1-row count carry."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_strict = (
+        Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, 0)
+    m = p.select(
+        "p_partkey", "cents", "size",
+        F.max("size").over(w_strict).alias("m_strict"),
+        F.max("size").over(w_incl).alias("m_incl"),
+    )
+    tot = p.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        m.filter(
+            (F.col("m_strict").isNull() | (F.col("m_strict") < F.col("size")))
+            & (F.col("m_incl") <= F.col("size"))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("p_partkey", "cents", "size", "n_total")
+    )
+
+
+def _cpm_sql() -> str:
+    """7 unrolled max-plus rounds: es_{t+1}(j) = max(es_t(j),
+    max over edges i->j of es_t(i) + dur_i)."""
+    blocks = []
+    prev = "es0"
+    for r in range(1, 8):
+        blocks.append(
+            f"""
+es{r} AS (
+  SELECT n.task, n.dur,
+         CAST(greatest(n.es, coalesce(mx.cand, 0)) AS BIGINT) AS es
+  FROM {prev} n
+  LEFT JOIN (
+    SELECT e.dst AS task, max(p.es + p.dur) AS cand
+    FROM edges e JOIN {prev} p ON p.task = e.src
+    GROUP BY 1
+  ) mx ON mx.task = n.task
+)""".strip()
+        )
+        prev = f"es{r}"
+    return ",\n".join(blocks)
+
+
+_CPM_SQL = f"""
+WITH tasks AS (
+  SELECT CAST(t.i AS BIGINT) AS task,
+         CAST(1 + ('0x' || substr(md5('dur:' || CAST(t.i AS VARCHAR)), 1, 1))
+              ::BIGINT AS BIGINT) AS dur
+  FROM unnest(range(64)) AS t(i)
+),
+edges AS (
+  SELECT a.task AS src, b.task AS dst
+  FROM tasks a JOIN tasks b
+    ON b.task // 8 = a.task // 8 + 1
+  WHERE substr(md5('e:' || CAST(a.task AS VARCHAR) || '-'
+               || CAST(b.task AS VARCHAR)), 1, 1) < '6'
+),
+es0 AS (SELECT task, dur, CAST(0 AS BIGINT) AS es FROM tasks),
+{_cpm_sql()},
+fin AS (
+  SELECT task, dur, es, es + dur AS ef,
+         CAST(task // 8 AS BIGINT) AS layer
+  FROM es7
+),
+mk AS (SELECT CAST(max(ef) AS BIGINT) AS makespan FROM fin),
+indeg AS (
+  SELECT dst AS task, CAST(count(*) AS BIGINT) AS n_preds
+  FROM edges GROUP BY 1
+)
+SELECT f.task, f.layer, f.dur, f.es, f.ef,
+       coalesce(i.n_preds, 0) AS n_preds,
+       m.makespan,
+       CASE WHEN f.ef = m.makespan THEN 1 ELSE 0 END AS on_critical_end
+FROM fin f LEFT JOIN indeg i USING (task) CROSS JOIN mk m
+"""
+
+
+@_register_r4("q_critical_path", _CPM_SQL)
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path method (CPM, Kelley-Walker 1959) over a layered
+    64-task DAG (md5 durations 1..16; edges only cross adjacent 8-task
+    layers, so the longest path is <= 7 hops BY CONSTRUCTION and 7
+    unrolled max-plus relaxation rounds es(j) = max(es(j), max over
+    preds es(i) + dur(i)) reach the exact fixpoint — the tropical-
+    semiring twin of q_bellman_ford_hubs' min-plus). Earliest start /
+    finish per task, the makespan, and the tasks whose finish IS the
+    makespan (the critical chain ends) are the schedule a DAG
+    orchestrator derives before assigning workers; every number is an
+    exact BIGINT and the replica verifies the fixpoint against a
+    recursive longest-path computation plus the es >= preds' ef
+    feasibility invariant on every edge.
+
+    Scale plan: each round is one equi-join edges-to-states + max
+    groupBy (the Pregel relaxation shape); frames are DAG-sized
+    (metadata, not corpus). 1-row makespan carry."""
+    tasks = spark.range(64).select(
+        F.col("id").cast("long").alias("task"),
+        (
+            1
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dur:"), F.col("id").cast("string"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("dur"),
+    )
+    a = tasks.select(F.col("task").alias("src"))
+    b = tasks.select(F.col("task").alias("dst"))
+    edges = (
+        a.crossJoin(b)
+        .filter(
+            F.floor(F.col("dst") / 8) == F.floor(F.col("src") / 8) + 1
+        )
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("e:"), F.col("src").cast("string"), F.lit("-"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "6"
+        )
+        .localCheckpoint()
+    )
+    es = tasks.select("task", "dur", F.lit(0).cast("long").alias("es"))
+    for _r in range(7):
+        cand = (
+            edges.join(
+                es.select(
+                    F.col("task").alias("src"), F.col("es").alias("p_es"),
+                    F.col("dur").alias("p_dur"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("task"))
+            .agg(F.max(F.col("p_es") + F.col("p_dur")).alias("cand"))
+        )
+        es = (
+            es.join(cand, "task", "left")
+            .select(
+                "task", "dur",
+                F.greatest("es", F.coalesce("cand", F.lit(0)))
+                .cast("long")
+                .alias("es"),
+            )
+            .localCheckpoint()
+        )
+    fin = es.select(
+        "task", "dur", "es",
+        (F.col("es") + F.col("dur")).alias("ef"),
+        F.floor(F.col("task") / 8).cast("long").alias("layer"),
+    )
+    mk = fin.agg(F.max("ef").cast("long").alias("makespan"))
+    indeg = edges.groupBy(F.col("dst").alias("task")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_preds")
+    )
+    return (
+        fin.join(indeg, "task", "left")
+        .crossJoin(F.broadcast(mk))
+        .select(
+            "task", "layer", "dur", "es", "ef",
+            F.coalesce("n_preds", F.lit(0)).cast("long").alias("n_preds"),
+            "makespan",
+            F.when(F.col("ef") == F.col("makespan"), 1)
+            .otherwise(0)
+            .alias("on_critical_end"),
+        )
+    )
+
+
+_CVM_SQL = """
+WITH s AS (
+  SELECT n_chars AS x,
+         CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp
+  FROM documents
+),
+nn AS (
+  SELECT CAST(count(CASE WHEN grp = 'a' THEN 1 END) AS BIGINT) AS n1,
+         CAST(count(CASE WHEN grp = 'b' THEN 1 END) AS BIGINT) AS n2
+  FROM s
+),
+vals AS (
+  SELECT x,
+         CAST(count(CASE WHEN grp = 'a' THEN 1 END) AS BIGINT) AS c1,
+         CAST(count(CASE WHEN grp = 'b' THEN 1 END) AS BIGINT) AS c2
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT x, c1, c2,
+         CAST(sum(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+  FROM vals
+)
+SELECT n1, n2, n_distinct_vals, t_num, ks_num,
+       round(CAST(t_num AS DOUBLE) * n1 * n2
+             / (CAST(n1 AS DOUBLE) * n1 * n2 * n2
+                * (n1 + n2) * (n1 + n2)), 6) AS t_stat
+FROM (
+  SELECT nn.n1, nn.n2,
+         CAST(count(*) AS BIGINT) AS n_distinct_vals,
+         CAST(sum((nn.n2 * cum.f1 - nn.n1 * cum.f2)
+                  * (nn.n2 * cum.f1 - nn.n1 * cum.f2)
+                  * (cum.c1 + cum.c2)) AS BIGINT) AS t_num,
+         CAST(max(abs(nn.n2 * cum.f1 - nn.n1 * cum.f2)) AS BIGINT) AS ks_num
+  FROM cum CROSS JOIN nn
+  GROUP BY nn.n1, nn.n2
+)
+"""
+
+
+@_register_r4("q_cramer_von_mises", _CVM_SQL)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic in exact integers — the
+    whole-distribution companion to q_ks_drift's max-gap: over English
+    vs non-English document lengths, T = (n1 n2)/(n1+n2)^2 * sum over
+    pooled points of (F1 - F2)^2, and the cross-multiplied core
+    sum (n2 F1cnt - n1 F2cnt)^2 * weight is a BIGINT because the ECDF
+    counts are integers — KS asks 'is there one bad gap', CvM asks 'is
+    the whole curve off', and a drift monitor wants both (a slow
+    uniform shift hides from KS but accumulates in CvM). The per-value
+    weight (c1 + c2) counts pooled multiplicity so ties are exact. The
+    KS numerator ships beside it from the same pass as a cross-check
+    against the standalone q_ks_drift.
+
+    Scale plan: one value-domain groupBy, one cumulative window over the
+    distinct-value frame (value-domain bounded), a 1-row rollup.
+    BIGINT envelope: (n2 F1)^2 * n <= n^5 — safe through ~5e3 docs per
+    side; t_stat derives from the exact BIGINT t_num in one
+    post-projection division — no cross-row double sums anywhere."""
+    docs = load_docs(spark, sf_dir)
+    s = docs.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("grp"),
+    )
+    nn = s.agg(
+        F.count(F.when(F.col("grp") == "a", 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("grp") == "b", 1)).cast("long").alias("n2"),
+    )
+    vals = s.groupBy("x").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("grp") == "b", 1)).cast("long").alias("c2"),
+    )
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "x", "c1", "c2",
+        F.sum("c1").over(wv).cast("long").alias("f1"),
+        F.sum("c2").over(wv).cast("long").alias("f2"),
+    )
+    j = cum.crossJoin(F.broadcast(nn))
+    core = F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2")
+    agg = j.groupBy("n1", "n2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_vals"),
+        F.sum(core * core * (F.col("c1") + F.col("c2")))
+        .cast("long")
+        .alias("t_num"),
+        F.max(F.abs(core)).cast("long").alias("ks_num"),
+    )
+    return agg.select(
+        "n1", "n2", "n_distinct_vals", "t_num", "ks_num",
+        F.round(
+            F.col("t_num").cast("double") * F.col("n1") * F.col("n2")
+            / (
+                F.col("n1").cast("double")
+                * F.col("n1")
+                * F.col("n2")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("t_stat"),
+    )

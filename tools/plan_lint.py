@@ -464,6 +464,20 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row total-bytes carry onto the 16-row shard ledger")
     ],
+    "q_skyline": [
+        ("BroadcastNestedLoopJoin",
+         "1-row part-count carry onto the front-sized skyline output")
+    ],
+    "q_critical_path": [
+        ("BroadcastNestedLoopJoin",
+         "64-task synthetic DAG crossJoin at build time (metadata-sized, "
+         "layer-filtered) + 1-row makespan carry")
+    ],
+    "q_cramer_von_mises": [
+        ("BroadcastNestedLoopJoin",
+         "1-row (n1, n2) sample-size carry onto the distinct-value ECDF "
+         "frame")
+    ],
 }
 
 
