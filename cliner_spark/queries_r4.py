@@ -15416,3 +15416,291 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: experiment/streaming governance trio — sample-ratio-mismatch
+# guardrail, the Bonferroni/Holm/BH multiple-testing nesting ledger
+# (sharing q_bh_fdr's Monte-Carlo p-value CTEs verbatim), and streaming
+# state-store sizing over the zero-filled minute grid.
+# --------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN substr(md5('arm:' || CAST(event_id AS VARCHAR)), 1, 1)
+                   < '8' THEN 1 ELSE 0 END AS trt
+  FROM events
+),
+daily AS (
+  SELECT day, CAST(sum(trt) AS BIGINT) AS nt,
+         CAST(sum(1 - trt) AS BIGINT) AS nc
+  FROM ev GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(nt) AS BIGINT) AS t_nt, CAST(sum(nc) AS BIGINT) AS t_nc
+  FROM daily
+)
+SELECT CAST(d.day AS VARCHAR) AS day, d.nt, d.nc,
+       CAST(d.nt - d.nc AS BIGINT) AS diff,
+       round(CAST((d.nt - d.nc) * (d.nt - d.nc) AS DOUBLE) / (d.nt + d.nc),
+             6) AS chi2,
+       CASE WHEN 1000 * (d.nt - d.nc) * (d.nt - d.nc)
+                 > 3841 * (d.nt + d.nc) THEN 1 ELSE 0 END AS srm_flag,
+       t.t_nt, t.t_nc,
+       CASE WHEN 1000 * (t.t_nt - t.t_nc) * (t.t_nt - t.t_nc)
+                 > 3841 * (t.t_nt + t.t_nc) THEN 1 ELSE 0 END AS overall_flag
+FROM daily d CROSS JOIN tot t
+"""
+
+
+@_register_r4("q_abtest_srm", _SRM_SQL)
+def q_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the #1 experiment-invalidity
+    check, Fabijan 2019): the md5 arm assignment promises 50/50, so each
+    day's chi-square (nt-nc)^2/(nt+nc) against the chi2_1 0.05 critical
+    value 3.841 is decided by the EXACT cross-multiplied integer test
+    1000*(nt-nc)^2 > 3841*(nt+nc) — no division near the verdict. A
+    firing day means the assignment channel itself broke (bot filtering,
+    logging loss, redirect bias) and every downstream metric that day is
+    garbage; the overall row catches slow drifts the daily slices
+    dilute. Exact counts in-row; chi2 is one rounded division for the
+    dashboard.
+
+    Scale plan: one daily map-side-combined groupBy over the projection,
+    a 1-row overall carry (whitelisted)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("event_id").cast("string"))),
+                1, 1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("trt"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum("trt").cast("long").alias("nt"),
+        F.sum(1 - F.col("trt")).cast("long").alias("nc"),
+    )
+    tot = daily.agg(
+        F.sum("nt").cast("long").alias("t_nt"),
+        F.sum("nc").cast("long").alias("t_nc"),
+    )
+    diff = F.col("nt") - F.col("nc")
+    tdiff = F.col("t_nt") - F.col("t_nc")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        F.col("day").cast("string").alias("day"), "nt", "nc",
+        diff.cast("long").alias("diff"),
+        F.round(
+            (diff * diff).cast("double") / (F.col("nt") + F.col("nc")), 6
+        ).alias("chi2"),
+        F.when(
+            1000 * diff * diff > 3841 * (F.col("nt") + F.col("nc")), 1
+        )
+        .otherwise(0)
+        .alias("srm_flag"),
+        "t_nt", "t_nc",
+        F.when(
+            1000 * tdiff * tdiff > 3841 * (F.col("t_nt") + F.col("t_nc")), 1
+        )
+        .otherwise(0)
+        .alias("overall_flag"),
+    )
+
+
+# Reuse q_bh_fdr's Monte-Carlo p-value pipeline verbatim: everything up to
+# the rk CTE (p_num/p_den per source + the p-ordered rank + m).
+_MT_PREFIX = _BH_SQL.split(",\nistar AS")[0]
+
+_MT_SQL = (
+    _MT_PREFIX
+    + f""",
+fail AS (
+  SELECT coalesce(min(CASE WHEN {_BH_ALPHA_DEN} * (m - bh_rank + 1) * p_num
+                             > p_den * {_BH_ALPHA_NUM} THEN bh_rank END),
+                  9223372036854775807) AS first_fail
+  FROM rk
+),
+istar AS (
+  SELECT CAST(coalesce(max(CASE WHEN p_num * m * {_BH_ALPHA_DEN}
+                                 <= bh_rank * p_den * {_BH_ALPHA_NUM}
+                           THEN bh_rank END), 0) AS BIGINT) AS i_star
+  FROM rk
+)
+SELECT rk.source, rk.p_num, rk.p_den,
+       round(CAST(rk.p_num AS DOUBLE) / rk.p_den, 6) AS p_value,
+       rk.bh_rank AS p_rank, rk.m,
+       CASE WHEN {_BH_ALPHA_DEN} * rk.m * rk.p_num <= rk.p_den
+                 * {_BH_ALPHA_NUM} THEN 1 ELSE 0 END AS bonf_rejected,
+       CASE WHEN rk.bh_rank < f.first_fail THEN 1 ELSE 0 END AS holm_rejected,
+       CASE WHEN rk.bh_rank <= i.i_star THEN 1 ELSE 0 END AS bh_rejected
+FROM rk CROSS JOIN fail f CROSS JOIN istar i
+"""
+)
+
+
+@_register_r4("q_multiple_testing", _MT_SQL)
+def q_multiple_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiple-testing procedure ladder on ONE p-value set —
+    Bonferroni (p <= alpha/m), Holm step-down (reject while p_(i) <=
+    alpha/(m-i+1); stop at the first failure), and Benjamini-Hochberg
+    step-up (ranks <= i*) — sharing q_bh_fdr's Monte-Carlo p-value CTEs
+    verbatim so the three verdicts are about PROCEDURE, not data. Every
+    decision is a cross-multiplied integer comparison (add-one p-values
+    have exact rational form k/65), and the textbook nesting Bonferroni
+    subset-of Holm subset-of BH is a structural invariant the replica
+    proves — the table a metrics platform shows when someone asks why
+    their alert fired under FDR but not FWER.
+
+    Scale plan: identical to q_bh_fdr (64 broadcast replicas folded
+    map-side into per-source counters) plus two 1-row threshold carries;
+    the ledger is m rows."""
+    bh = REGISTRY["q_bh_fdr"].spark_fn(spark, sf_dir).select(
+        "source", "p_num", "p_den", "bh_rank", "i_star"
+    )
+    m_df = bh.agg(F.max("bh_rank").cast("long").alias("m"))
+    j = bh.crossJoin(F.broadcast(m_df))
+    fail = j.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    10 * (F.col("m") - F.col("bh_rank") + 1) * F.col("p_num")
+                    > F.col("p_den"),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(2**63 - 1),
+        ).alias("first_fail")
+    )
+    return (
+        j.crossJoin(F.broadcast(fail))
+        .select(
+            "source", "p_num", "p_den",
+            F.round(F.col("p_num").cast("double") / F.col("p_den"), 6).alias(
+                "p_value"
+            ),
+            F.col("bh_rank").alias("p_rank"),
+            "m",
+            F.when(
+                10 * F.col("m") * F.col("p_num") <= F.col("p_den"), 1
+            )
+            .otherwise(0)
+            .alias("bonf_rejected"),
+            F.when(F.col("bh_rank") < F.col("first_fail"), 1)
+            .otherwise(0)
+            .alias("holm_rejected"),
+            F.when(F.col("bh_rank") <= F.col("i_star"), 1)
+            .otherwise(0)
+            .alias("bh_rejected"),
+        )
+    )
+
+
+_STREAMSTATE_SQL = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m FROM events
+),
+bounds AS (SELECT min(m) AS m0, max(m) AS m1 FROM ev),
+grid AS (
+  SELECT CAST(b.m0 + t.i AS BIGINT) AS m
+  FROM bounds b, unnest(range(CAST(b.m1 - b.m0 + 1 AS BIGINT))) AS t(i)
+),
+cnt AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+series AS (
+  SELECT g.m, coalesce(c.c, 0) AS c FROM grid g LEFT JOIN cnt c USING (m)
+),
+delays AS (SELECT CAST(d.d AS BIGINT) AS delay_min
+           FROM (VALUES (60), (360), (1440)) AS d(d)),
+state AS (
+  SELECT d.delay_min, s.m,
+         CAST(sum(s.c) OVER (PARTITION BY d.delay_min ORDER BY s.m
+           RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS st60,
+         CAST(sum(s.c) OVER (PARTITION BY d.delay_min ORDER BY s.m
+           RANGE BETWEEN 359 PRECEDING AND CURRENT ROW) AS BIGINT) AS st360,
+         CAST(sum(s.c) OVER (PARTITION BY d.delay_min ORDER BY s.m
+           RANGE BETWEEN 1439 PRECEDING AND CURRENT ROW) AS BIGINT) AS st1440
+  FROM series s CROSS JOIN delays d
+),
+picked AS (
+  SELECT delay_min, m,
+         CASE delay_min WHEN 60 THEN st60 WHEN 360 THEN st360
+              ELSE st1440 END AS st
+  FROM state
+)
+SELECT delay_min,
+       CAST(count(*) AS BIGINT) AS n_minutes,
+       CAST(max(st) AS BIGINT) AS peak_state,
+       CAST(min(CASE WHEN st = (SELECT max(st) FROM picked p2
+                                WHERE p2.delay_min = picked.delay_min)
+                     THEN m END) AS BIGINT) AS peak_minute,
+       CAST(sum(st) AS BIGINT) AS state_row_minutes,
+       round(CAST(sum(st) AS DOUBLE) / count(*), 6) AS avg_state
+FROM picked GROUP BY delay_min
+"""
+
+
+@_register_r4("q_stream_state_audit", _STREAMSTATE_SQL)
+def q_stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store sizing audit — the capacity question behind
+    every stream-stream join and watermark setting: with watermark delay
+    d, the state store holds exactly the events of the last d minutes,
+    so over the ZERO-FILLED minute grid the sliding RANGE sum gives the
+    exact state-row count at every minute, and the ledger per delay in
+    {1h, 6h, 24h} ships peak state (with the earliest peak minute as an
+    exact tie-pinned locator), total state-row-minutes (the integral a
+    memory bill is proportional to), and the average. Tripling the
+    delay should roughly triple average state but moves the peak by the
+    burstiness, not the mean — exactly the curve that decides whether a
+    24h watermark fits in executor memory. Epochs are whole minutes
+    under the session's pinned UTC; frames are value-distance RANGE so
+    quiet gaps decay state exactly.
+
+    Scale plan: one minute-level map-side rollup, a day-domain-bounded
+    spine, three RANGE windows over the grid partitioned per delay; the
+    corpus is touched once. Broadcast delay spine whitelisted."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("m")
+    )
+    bounds = ev.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("m0"), F.col("m1"))).alias("m")
+    )
+    cnt = ev.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    series = grid.join(F.broadcast(cnt), "m", "left").select(
+        "m", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    delays = spark.createDataFrame([(60,), (360,), (1440,)], "delay_min long")
+    st = series.crossJoin(F.broadcast(delays))
+    out = []
+    for d in (60, 360, 1440):
+        w = (
+            Window.partitionBy("delay_min")
+            .orderBy("m")
+            .rangeBetween(-(d - 1), 0)
+        )
+        out.append(
+            st.filter(F.col("delay_min") == d).select(
+                "delay_min", "m", F.sum("c").over(w).cast("long").alias("st")
+            )
+        )
+    picked = out[0].unionAll(out[1]).unionAll(out[2])
+    peaks = picked.groupBy("delay_min").agg(F.max("st").alias("mx"))
+    return (
+        picked.join(F.broadcast(peaks), "delay_min")
+        .groupBy("delay_min")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_minutes"),
+            F.max("st").cast("long").alias("peak_state"),
+            F.min(F.when(F.col("st") == F.col("mx"), F.col("m")))
+            .cast("long")
+            .alias("peak_minute"),
+            F.sum("st").cast("long").alias("state_row_minutes"),
+            F.round(F.sum("st").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_state"
+            ),
+        )
+    )

@@ -478,6 +478,20 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row (n1, n2) sample-size carry onto the distinct-value ECDF "
          "frame")
     ],
+    "q_abtest_srm": [
+        ("BroadcastNestedLoopJoin",
+         "1-row overall-count carry onto the daily SRM ledger")
+    ],
+    "q_multiple_testing": [
+        ("BroadcastNestedLoopJoin",
+         "q_bh_fdr's audited replica-spine carries + 1-row m and "
+         "first-fail threshold carries onto the m-row ledger")
+    ],
+    "q_stream_state_audit": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast delay spine x the minute grid (day-domain "
+         "bounded) + 1-row per-delay peak carry")
+    ],
 }
 
 
