@@ -492,6 +492,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "3-row broadcast delay spine x the minute grid (day-domain "
          "bounded) + 1-row per-delay peak carry")
     ],
+    "q_transe_eval": [
+        ("BroadcastNestedLoopJoin",
+         "65-row broadcast candidate spine x the edge frame + 1-row "
+         "entity-universe carry — the KGE filtered-ranking fanout, "
+         "collapsed by 65-row windows")
+    ],
 }
 
 
