@@ -16058,3 +16058,324 @@ def q_bottomk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("match"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: SRE/capacity trio — max-min fair-share water filling, hedged-
+# request tail arithmetic (Dean-Barroso 2013), and the retry-budget
+# amplification ledger.
+# --------------------------------------------------------------------------
+
+_FAIRSHARE_SQL = """
+WITH dem AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS d
+  FROM events GROUP BY 1
+),
+cap AS (
+  SELECT CAST(sum(d) // 2 AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS total_demand
+  FROM dem
+),
+sorted AS (
+  SELECT d,
+         row_number() OVER (ORDER BY d, user_id) AS j,
+         CAST(coalesce(sum(d) OVER (ORDER BY d, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS p_prev
+  FROM dem
+),
+crossing AS (
+  SELECT min(s.j) AS j_star
+  FROM sorted s CROSS JOIN cap
+  WHERE s.d * (cap.n - s.j + 1) >= cap.c - s.p_prev
+),
+theta AS (
+  SELECT CAST(cap.c - s.p_prev AS BIGINT) AS t_num,
+         CAST(cap.n - s.j + 1 AS BIGINT) AS t_den
+  FROM sorted s JOIN crossing x ON s.j = x.j_star CROSS JOIN cap
+),
+alloc AS (
+  SELECT CAST(count(CASE WHEN d.d * t.t_den < t.t_num THEN 1 END) AS BIGINT)
+           AS n_full,
+         CAST(count(CASE WHEN d.d * t.t_den >= t.t_num THEN 1 END) AS BIGINT)
+           AS n_capped,
+         CAST(sum(CASE WHEN d.d * t.t_den < t.t_num THEN d.d ELSE 0 END)
+              AS BIGINT) AS full_mass
+  FROM dem d CROSS JOIN theta t
+)
+SELECT cap.n AS n_users, cap.total_demand, cap.c AS capacity,
+       t.t_num AS theta_num, t.t_den AS theta_den,
+       round(CAST(t.t_num AS DOUBLE) / t.t_den, 6) AS theta,
+       a.n_full, a.n_capped, a.full_mass,
+       CASE WHEN a.full_mass * t.t_den + a.n_capped * t.t_num
+                 = cap.c * t.t_den THEN 1 ELSE 0 END AS conserves_capacity
+FROM cap CROSS JOIN theta t CROSS JOIN alloc a
+"""
+
+
+@_register_r4("q_maxmin_fairshare", _FAIRSHARE_SQL)
+def q_maxmin_fairshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair-share allocation by water filling — the scheduler
+    arithmetic behind YARN/Kubernetes fair queues: with capacity C =
+    half the total demand, users sorted by demand get min(d, theta)
+    where the water level theta = (C - P_{j*-1}) / (n - j* + 1) at the
+    FIRST sorted index whose demand reaches its own provisional level
+    (decided by the cross-multiplied integer test d_j*(n-j+1) >=
+    C - P_{j-1}) — small demands are fully satisfied, the rest split
+    the remainder EQUALLY, and no allocation beats theta, the max-min
+    optimality property. theta ships as an exact rational and the
+    conservation identity full_mass + n_capped * theta == C is an
+    in-row integer verdict (the replica re-derives theta by scanning
+    levels and checks the water never over- or under-fills).
+
+    Scale plan: one demand rollup, one sorted prefix-sum window (the
+    dist_cumsum shape at production scale), three 1-row carries
+    (whitelisted); no joins over the corpus."""
+    ev = load(spark, sf_dir, "events")
+    dem = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cap = dem.agg(
+        F.floor(F.sum("d") / 2).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("total_demand"),
+    )
+    ws = Window.orderBy("d", "user_id")
+    sorted_d = dem.select(
+        "d",
+        F.row_number().over(ws).alias("j"),
+        F.coalesce(
+            F.sum("d").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("p_prev"),
+    )
+    sc = sorted_d.crossJoin(F.broadcast(cap))
+    crossing = sc.filter(
+        F.col("d") * (F.col("n") - F.col("j") + 1) >= F.col("c") - F.col("p_prev")
+    ).agg(F.min("j").alias("j_star"))
+    theta = (
+        sc.join(F.broadcast(crossing), F.col("j") == F.col("j_star"))
+        .select(
+            (F.col("c") - F.col("p_prev")).cast("long").alias("t_num"),
+            (F.col("n") - F.col("j") + 1).cast("long").alias("t_den"),
+        )
+    )
+    alloc = dem.crossJoin(F.broadcast(theta)).agg(
+        F.count(F.when(F.col("d") * F.col("t_den") < F.col("t_num"), 1))
+        .cast("long")
+        .alias("n_full"),
+        F.count(F.when(F.col("d") * F.col("t_den") >= F.col("t_num"), 1))
+        .cast("long")
+        .alias("n_capped"),
+        F.sum(
+            F.when(F.col("d") * F.col("t_den") < F.col("t_num"), F.col("d"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("full_mass"),
+    )
+    return (
+        cap.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(alloc))
+        .select(
+            F.col("n").alias("n_users"), "total_demand",
+            F.col("c").alias("capacity"),
+            F.col("t_num").alias("theta_num"),
+            F.col("t_den").alias("theta_den"),
+            F.round(F.col("t_num").cast("double") / F.col("t_den"), 6).alias(
+                "theta"
+            ),
+            "n_full", "n_capped", "full_mass",
+            F.when(
+                F.col("full_mass") * F.col("t_den")
+                + F.col("n_capped") * F.col("t_num")
+                == F.col("c") * F.col("t_den"),
+                1,
+            )
+            .otherwise(0)
+            .alias("conserves_capacity"),
+        )
+    )
+
+
+_HEDGED_SQL = """
+WITH lat AS (
+  SELECT CAST(floor(abs(value) * 1000) AS BIGINT) AS ms FROM events
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+grid AS (
+  SELECT ms, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY 1
+),
+surv AS (
+  SELECT ms,
+         CAST(nn.n - sum(c) OVER (ORDER BY ms) AS BIGINT) AS s, nn.n
+  FROM grid CROSS JOIN nn
+),
+qs AS (SELECT CAST(q.q AS BIGINT) AS q FROM (VALUES (50), (90), (99)) AS q(q)),
+single AS (
+  SELECT 'single' AS mode, qs.q,
+         min(CASE WHEN 100 * surv.s <= (100 - qs.q) * surv.n
+                  THEN surv.ms END) AS latency_ms
+  FROM surv CROSS JOIN qs GROUP BY 2
+),
+hedged AS (
+  SELECT 'hedged' AS mode, qs.q,
+         min(CASE WHEN 100 * surv.s * surv.s <= (100 - qs.q) * surv.n * surv.n
+                  THEN surv.ms END) AS latency_ms
+  FROM surv CROSS JOIN qs GROUP BY 2
+),
+modes AS (SELECT * FROM single UNION ALL SELECT * FROM hedged)
+SELECT m.mode, m.q, CAST(m.latency_ms AS BIGINT) AS latency_ms,
+       (SELECT CAST(min(s) AS BIGINT) FROM surv
+        WHERE surv.ms <= m.latency_ms) AS survivors_at,
+       nn.n,
+       CASE WHEN m.mode = 'hedged' THEN 2.0 ELSE 1.0 END AS request_load
+FROM modes m CROSS JOIN nn
+"""
+
+
+@_register_r4("q_hedged_requests", _HEDGED_SQL)
+def q_hedged_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hedged-request tail arithmetic (Dean & Barroso, 'The Tail at
+    Scale' 2013): if a client fires the same request at two independent
+    replicas and takes the first answer, the latency survival function
+    SQUARES — so the hedged p-quantiles come from the exact
+    cross-multiplied test 100*s^2 <= (100-q)*n^2 over the integer-ms
+    survival grid, beside the single-request 100*s <= (100-q)*n. The
+    ledger shows what every tail-latency meeting rediscovers: hedging
+    buys its p99 near the single p90 for 2x request load (the
+    request_load column prices it). Grid, survivors, and every decision
+    are exact integers; the replica recomputes both survival curves and
+    asserts hedged <= single at every quantile.
+
+    Scale plan: one value-domain groupBy, one cumulative window on the
+    distinct-ms frame, a 3-row quantile spine (whitelisted); the corpus
+    is scanned once."""
+    ev = load(spark, sf_dir, "events")
+    lat = ev.select(
+        F.floor(F.abs(F.col("value")) * 1000).cast("long").alias("ms")
+    )
+    nn = lat.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = lat.groupBy("ms").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("ms").rowsBetween(Window.unboundedPreceding, 0)
+    surv = grid.crossJoin(F.broadcast(nn)).select(
+        "ms", (F.col("n") - F.sum("c").over(wv)).cast("long").alias("s"), "n"
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    sq = surv.crossJoin(F.broadcast(qs))
+    single = sq.filter(
+        100 * F.col("s") <= (100 - F.col("q")) * F.col("n")
+    ).groupBy("q").agg(F.min("ms").alias("latency_ms")).withColumn(
+        "mode", F.lit("single")
+    )
+    hedged = sq.filter(
+        100 * F.col("s") * F.col("s")
+        <= (100 - F.col("q")) * F.col("n") * F.col("n")
+    ).groupBy("q").agg(F.min("ms").alias("latency_ms")).withColumn(
+        "mode", F.lit("hedged")
+    )
+    modes = single.unionByName(hedged)
+    sat = surv.select(F.col("ms").alias("s_ms"), F.col("s"))
+    return (
+        modes.join(
+            F.broadcast(sat), F.col("s_ms") == F.col("latency_ms"), "left"
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "mode", "q",
+            F.col("latency_ms").cast("long").alias("latency_ms"),
+            F.col("s").cast("long").alias("survivors_at"),
+            "n",
+            F.when(F.col("mode") == "hedged", 2.0).otherwise(1.0).alias(
+                "request_load"
+            ),
+        )
+    )
+
+
+_RETRY_SQL = """
+WITH t AS (
+  SELECT event_type, event_id,
+         substr(md5('try:' || CAST(event_id AS VARCHAR) || ':1'), 1, 1) < 'c'
+           AS a1,
+         substr(md5('try:' || CAST(event_id AS VARCHAR) || ':2'), 1, 1) < 'c'
+           AS a2,
+         substr(md5('try:' || CAST(event_id AS VARCHAR) || ':3'), 1, 1) < 'c'
+           AS a3
+  FROM events
+),
+o AS (
+  SELECT event_type,
+         CASE WHEN a1 THEN 1 WHEN a2 THEN 2 ELSE 3 END AS attempts,
+         CASE WHEN a1 OR a2 OR a3 THEN 1 ELSE 0 END AS ok,
+         CASE WHEN a1 THEN 1 ELSE 0 END AS ok1,
+         CASE WHEN a1 OR a2 THEN 1 ELSE 0 END AS ok2
+  FROM t
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(ok1) AS BIGINT) AS ok_by_1,
+       CAST(sum(ok2) AS BIGINT) AS ok_by_2,
+       CAST(sum(ok) AS BIGINT) AS ok_by_3,
+       CAST(count(*) - sum(ok) AS BIGINT) AS exhausted,
+       CAST(sum(attempts) AS BIGINT) AS total_attempts,
+       round(CAST(sum(attempts) AS DOUBLE) / count(*), 6) AS amplification,
+       round(1 - CAST(sum(ok) AS DOUBLE) / count(*), 6) AS failure_rate
+FROM o GROUP BY 1
+"""
+
+
+@_register_r4("q_retry_budget", _RETRY_SQL)
+def q_retry_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-budget amplification ledger — the SRE arithmetic that
+    separates 'retries fix errors' from 'retries melt the backend':
+    each request gets up to 3 attempts with independent md5 success
+    coins at p = 12/16, stopping at the first success, and the per-type
+    rollup ships success-by-attempt counts, the exhausted residue
+    (p_fail^3 ~ 1.6%), total attempts, and the amplification factor
+    sum(attempts)/n — the load multiplier a retry policy silently
+    imposes (E[attempts] = (1-p^3)... = 1 + q + q^2 ~ 1.3125 at
+    q = 1/4, which the replica checks the observed ratio against).
+    Everything integer except two rounded divisions; stop-at-success
+    semantics mean attempt coins 2 and 3 are only CONSULTED when
+    earlier ones failed — but being stateless md5 draws they can be
+    computed unconditionally and masked, which is what makes the whole
+    simulation one projection.
+
+    Scale plan: pure projection + one map-side-combinable groupBy; no
+    joins, no windows."""
+    ev = load(spark, sf_dir, "events")
+
+    def coin(k):
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("try:"), F.col("event_id").cast("string"),
+                        F.lit(f":{k}"),
+                    )
+                ),
+                1, 1,
+            )
+            < "c"
+        )
+
+    o = ev.select(
+        "event_type",
+        F.when(coin(1), 1).when(coin(2), 2).otherwise(3).alias("attempts"),
+        F.when(coin(1) | coin(2) | coin(3), 1).otherwise(0).alias("ok"),
+        F.when(coin(1), 1).otherwise(0).alias("ok1"),
+        F.when(coin(1) | coin(2), 1).otherwise(0).alias("ok2"),
+    )
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_requests"),
+        F.sum("ok1").cast("long").alias("ok_by_1"),
+        F.sum("ok2").cast("long").alias("ok_by_2"),
+        F.sum("ok").cast("long").alias("ok_by_3"),
+        (F.count(F.lit(1)) - F.sum("ok")).cast("long").alias("exhausted"),
+        F.sum("attempts").cast("long").alias("total_attempts"),
+        F.round(
+            F.sum("attempts").cast("double") / F.count(F.lit(1)), 6
+        ).alias("amplification"),
+        F.round(
+            1 - F.sum("ok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("failure_rate"),
+    )

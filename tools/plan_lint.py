@@ -498,6 +498,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "entity-universe carry — the KGE filtered-ranking fanout, "
          "collapsed by 65-row windows")
     ],
+    "q_maxmin_fairshare": [
+        ("BroadcastNestedLoopJoin",
+         "1-row capacity / water-level / allocation carries over the "
+         "user-demand frame — three constant attaches")
+    ],
+    "q_hedged_requests": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast quantile spine x the distinct-ms survival "
+         "grid + 1-row n carry")
+    ],
 }
 
 
