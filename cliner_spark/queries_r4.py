@@ -16379,3 +16379,354 @@ def q_retry_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.sum("ok").cast("double") / F.count(F.lit(1)), 6
         ).alias("failure_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: two-sample/CI/sampling trio — exact energy-distance
+# components, the distribution-free order-statistic median CI, and
+# Duffield-Lund-Thorup priority sampling with exact-rational subset-sum
+# estimation.
+# --------------------------------------------------------------------------
+
+_ENERGY_SQL = """
+WITH s AS (
+  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp
+  FROM documents
+),
+nn AS (
+  SELECT CAST(count(CASE WHEN grp = 'a' THEN 1 END) AS BIGINT) AS n1,
+         CAST(count(CASE WHEN grp = 'b' THEN 1 END) AS BIGINT) AS n2
+  FROM s
+),
+vals AS (
+  SELECT x,
+         CAST(count(CASE WHEN grp = 'a' THEN 1 END) AS BIGINT) AS c1,
+         CAST(count(CASE WHEN grp = 'b' THEN 1 END) AS BIGINT) AS c2
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT x, c1, c2,
+         CAST(sum(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS f2,
+         lead(x) OVER (ORDER BY x) AS x_next
+  FROM vals
+),
+gaps AS (
+  SELECT (x_next - x) AS w, f1, f2 FROM cum WHERE x_next IS NOT NULL
+),
+comp AS (
+  SELECT nn.n1, nn.n2,
+         CAST(sum(g.w * (g.f1 * (nn.n2 - g.f2) + g.f2 * (nn.n1 - g.f1)))
+              AS BIGINT) AS a_xy,
+         CAST(sum(g.w * g.f1 * (nn.n1 - g.f1)) AS BIGINT) AS b_xx,
+         CAST(sum(g.w * g.f2 * (nn.n2 - g.f2)) AS BIGINT) AS c_yy
+  FROM gaps g CROSS JOIN nn
+  GROUP BY 1, 2
+)
+SELECT n1, n2, a_xy, b_xx, c_yy,
+       round(2.0 * a_xy / (CAST(n1 AS DOUBLE) * n2)
+             - 2.0 * b_xx / (CAST(n1 AS DOUBLE) * n1)
+             - 2.0 * c_yy / (CAST(n2 AS DOUBLE) * n2), 6) AS energy_distance
+FROM comp
+"""
+
+
+@_register_r4("q_energy_distance", _ENERGY_SQL)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample energy distance (Székely-Rizzo 2004) in exact
+    integers — the third classic two-sample metric after q_ks_drift's
+    max gap and q_cramer_von_mises' curve integral: E = 2E|X-Y| -
+    E|X-X'| - E|Y-Y'| >= 0 with equality iff the distributions match,
+    and every pairwise-L1 expectation collapses to the gap identity
+    sum_pairs |x - y| = sum over consecutive grid gaps of width *
+    (F1 * (n2 - F2) + F2 * (n1 - F1)) — cumulative counts, never a pair
+    join, so the three components ship as exact BIGINTs (a_xy, b_xx,
+    c_yy with denominators n1n2, n1^2, n2^2) and the headline distance
+    is one deterministic double chain over them. The within-sample terms
+    use sum |x-x'| = 2 * the same gap sum, which the 2.0 factors carry.
+
+    Scale plan: one value-domain groupBy, one cumulative + lead window
+    on the distinct-value frame, a 1-row rollup; BIGINT envelope
+    width * F * n <= range * n^2 — safe far past this fixture."""
+    docs = load_docs(spark, sf_dir)
+    s = docs.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("grp"),
+    )
+    nn = s.agg(
+        F.count(F.when(F.col("grp") == "a", 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("grp") == "b", 1)).cast("long").alias("n2"),
+    )
+    vals = s.groupBy("x").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("grp") == "b", 1)).cast("long").alias("c2"),
+    )
+    wv = Window.orderBy("x")
+    cum = vals.select(
+        "x",
+        F.sum("c1").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("f1"),
+        F.sum("c2").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("f2"),
+        F.lead("x").over(wv).alias("x_next"),
+    )
+    gaps = cum.filter(F.col("x_next").isNotNull()).select(
+        (F.col("x_next") - F.col("x")).alias("w"), "f1", "f2"
+    )
+    comp = gaps.crossJoin(F.broadcast(nn)).groupBy("n1", "n2").agg(
+        F.sum(
+            F.col("w")
+            * (
+                F.col("f1") * (F.col("n2") - F.col("f2"))
+                + F.col("f2") * (F.col("n1") - F.col("f1"))
+            )
+        )
+        .cast("long")
+        .alias("a_xy"),
+        F.sum(F.col("w") * F.col("f1") * (F.col("n1") - F.col("f1")))
+        .cast("long")
+        .alias("b_xx"),
+        F.sum(F.col("w") * F.col("f2") * (F.col("n2") - F.col("f2")))
+        .cast("long")
+        .alias("c_yy"),
+    )
+    return comp.select(
+        "n1", "n2", "a_xy", "b_xx", "c_yy",
+        F.round(
+            2.0 * F.col("a_xy") / (F.col("n1").cast("double") * F.col("n2"))
+            - 2.0 * F.col("b_xx") / (F.col("n1").cast("double") * F.col("n1"))
+            - 2.0 * F.col("c_yy") / (F.col("n2").cast("double") * F.col("n2")),
+            6,
+        ).alias("energy_distance"),
+    )
+
+
+_MEDIANCI_SQL = """
+WITH s AS (
+  SELECT source, n_chars AS x FROM documents
+),
+grp AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+ranked AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x) AS rk
+  FROM s
+),
+bounds AS (
+  SELECT source, n,
+         CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+           AS lo_rank,
+         CAST(ceil(1 + (n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)
+              AS BIGINT) AS hi_rank,
+         CAST((n + 1) // 2 AS BIGINT) AS med_rank
+  FROM grp
+)
+SELECT b.source, b.n, b.lo_rank, b.med_rank, b.hi_rank,
+       max(CASE WHEN r.rk = greatest(b.lo_rank, 1) THEN r.x END) AS ci_lo,
+       max(CASE WHEN r.rk = b.med_rank THEN r.x END) AS median,
+       max(CASE WHEN r.rk = least(b.hi_rank, b.n) THEN r.x END) AS ci_hi
+FROM bounds b JOIN ranked r USING (source)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@_register_r4("q_median_ci", _MEDIANCI_SQL)
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free median confidence interval per source — the
+    order-statistic CI (binomial/normal-approximation ranks, the
+    textbook nonparametric interval): the 95% CI for the median is
+    [x_(lo), x_(hi)] with lo = floor((n - z sqrt(n))/2) and hi =
+    ceil(1 + (n + z sqrt(n))/2), z = 1.959964 hardcoded — NO
+    distributional assumption on document lengths, just binomial
+    symmetry of signs around the median, which is why this interval is
+    the one a dashboard should draw around a median latency. Ranks are
+    exact integers from one per-source window (doc ties resolved by
+    value order — equal values give equal quantiles); the rank formulas
+    are deterministic IEEE chains over n, clamped honestly to [1, n].
+
+    Scale plan: one per-source rank window (source is the partition
+    key), a 5-row bounds frame joined back, conditional-max collapse;
+    no corpus self-joins."""
+    docs = load_docs(spark, sf_dir)
+    s = docs.select("source", F.col("n_chars").alias("x"))
+    grp = s.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.partitionBy("source").orderBy("x")
+    ranked = s.select("source", "x", F.row_number().over(wr).alias("rk"))
+    z = F.lit(1.959964)
+    bounds = grp.select(
+        "source", "n",
+        F.floor((F.col("n") - z * F.sqrt(F.col("n").cast("double"))) / 2)
+        .cast("long")
+        .alias("lo_rank"),
+        F.ceil(1 + (F.col("n") + z * F.sqrt(F.col("n").cast("double"))) / 2)
+        .cast("long")
+        .alias("hi_rank"),
+        F.floor((F.col("n") + 1) / 2).cast("long").alias("med_rank"),
+    )
+    return (
+        F.broadcast(bounds)
+        .join(ranked, "source")
+        .groupBy("source", "n", "lo_rank", "med_rank", "hi_rank")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == F.greatest("lo_rank", F.lit(1).cast("long")), F.col("x"))
+            ).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == F.col("med_rank"), F.col("x"))).alias(
+                "median"
+            ),
+            F.max(
+                F.when(F.col("rk") == F.least("hi_rank", "n"), F.col("x"))
+            ).alias("ci_hi"),
+        )
+    )
+
+
+_PRIOSAMPLE_SQL = """
+WITH w AS (
+  SELECT user_id AS k, event_type,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT k, event_type, wt,
+         CAST(('0x' || substr(md5('ps:' || CAST(k AS VARCHAR) || ':'
+               || event_type), 1, 12)) AS BIGINT) AS h
+  FROM w
+),
+ranked AS (
+  SELECT k, event_type, wt, h,
+         row_number() OVER (
+           ORDER BY CAST(wt AS DOUBLE) * 281474976710656 / h DESC, wt DESC,
+                    h, k
+         ) AS prk,
+         count(*) OVER () AS n_items
+  FROM keyed
+),
+tau AS (
+  SELECT CAST(wt AS BIGINT) AS tau_w, CAST(h AS BIGINT) AS tau_h
+  FROM ranked WHERE prk = 65
+),
+sampled AS (
+  SELECT r.event_type, r.wt, r.prk
+  FROM ranked r WHERE r.prk <= 64
+),
+est AS (
+  SELECT s.event_type,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(CASE WHEN s.wt * t.tau_h >= t.tau_w * 281474976710656
+                       THEN s.wt ELSE 0 END) AS BIGINT) AS big_mass,
+         CAST(count(CASE WHEN s.wt * t.tau_h < t.tau_w * 281474976710656
+                         THEN 1 END) AS BIGINT) AS n_small
+  FROM sampled s CROSS JOIN tau t
+  GROUP BY 1
+),
+truth AS (
+  SELECT event_type, CAST(sum(wt) AS BIGINT) AS true_mass FROM w GROUP BY 1
+)
+SELECT tr.event_type, tr.true_mass,
+       coalesce(e.n_sampled, 0) AS n_sampled,
+       coalesce(e.big_mass, 0) AS big_mass,
+       coalesce(e.n_small, 0) AS n_small,
+       t.tau_w, t.tau_h,
+       round(coalesce(e.big_mass, 0)
+             + coalesce(e.n_small, 0) * CAST(t.tau_w AS DOUBLE)
+               * 281474976710656 / t.tau_h, 4) AS est_mass,
+       round((coalesce(e.big_mass, 0)
+              + coalesce(e.n_small, 0) * CAST(t.tau_w AS DOUBLE)
+                * 281474976710656 / t.tau_h) / tr.true_mass, 6) AS est_ratio
+FROM truth tr LEFT JOIN est e USING (event_type) CROSS JOIN tau t
+"""
+
+
+@_register_r4("q_priority_sampling", _PRIOSAMPLE_SQL)
+def q_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007) — the
+    weight-sensitive sample that answers arbitrary subset-sum queries
+    with near-optimal variance from k items: each (user, event_type)
+    weight draws priority w/u with u = 48-bit md5 uniform (ordered by
+    the IEEE double of w * 2^48 / h with exact (wt, h, k) tie pins),
+    the top-64 survive, tau is the 65th priority, and the DLT estimator
+    gives every sampled item weight max(w, tau) — decided here by the
+    EXACT cross-multiplied test w * tau_h >= tau_w * 2^48, so big_mass
+    and n_small are BIGINTs and only the final tau multiplication is a
+    deterministic double. Per event type the estimate rides next to the
+    true subset sum with its ratio — the accuracy a flow-monitoring
+    system gets from 64 counters instead of the full key table.
+
+    Scale plan: weights are one groupBy; the top-65 selection is a
+    global priority rank (TakeOrdered shape at production scale);
+    estimation touches only the 64-row sample plus a 1-row tau carry
+    (whitelisted)."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(F.col("user_id").alias("k"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("wt")
+    )
+    keyed = w.select(
+        "k", "event_type", "wt",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ps:"), F.col("k").cast("string"), F.lit(":"),
+                        F.col("event_type"),
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    two48 = F.lit(281474976710656).cast("long")
+    pr = F.col("wt").cast("double") * 281474976710656.0 / F.col("h")
+    ranked = keyed.select(
+        "k", "event_type", "wt", "h",
+        F.row_number()
+        .over(Window.orderBy(F.desc(pr), F.desc("wt"), F.asc("h"), F.asc("k")))
+        .alias("prk"),
+    )
+    tau = ranked.filter(F.col("prk") == 65).select(
+        F.col("wt").alias("tau_w"), F.col("h").alias("tau_h")
+    )
+    sampled = ranked.filter(F.col("prk") <= 64)
+    est = (
+        sampled.crossJoin(F.broadcast(tau))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum(
+                F.when(
+                    F.col("wt") * F.col("tau_h") >= F.col("tau_w") * two48,
+                    F.col("wt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("big_mass"),
+            F.count(
+                F.when(F.col("wt") * F.col("tau_h") < F.col("tau_w") * two48, 1)
+            )
+            .cast("long")
+            .alias("n_small"),
+        )
+    )
+    truth = w.groupBy("event_type").agg(F.sum("wt").cast("long").alias("true_mass"))
+    est_mass = (
+        F.coalesce(F.col("big_mass"), F.lit(0))
+        + F.coalesce(F.col("n_small"), F.lit(0))
+        * F.col("tau_w").cast("double")
+        * 281474976710656.0
+        / F.col("tau_h")
+    )
+    return (
+        truth.join(est, "event_type", "left")
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "event_type", "true_mass",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("big_mass", F.lit(0)).cast("long").alias("big_mass"),
+            F.coalesce("n_small", F.lit(0)).cast("long").alias("n_small"),
+            "tau_w", "tau_h",
+            F.round(est_mass, 4).alias("est_mass"),
+            F.round(est_mass / F.col("true_mass"), 6).alias("est_ratio"),
+        )
+    )

@@ -508,6 +508,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "3-row broadcast quantile spine x the distinct-ms survival "
          "grid + 1-row n carry")
     ],
+    "q_energy_distance": [
+        ("BroadcastNestedLoopJoin",
+         "1-row (n1, n2) sample-size carry onto the distinct-value gap "
+         "frame")
+    ],
+    "q_priority_sampling": [
+        ("BroadcastNestedLoopJoin",
+         "1-row tau (65th-priority) carry onto the 64-row sample and "
+         "the per-type truth frame")
+    ],
 }
 
 
