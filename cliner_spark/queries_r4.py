@@ -16730,3 +16730,349 @@ def q_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est_mass / F.col("true_mass"), 6).alias("est_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: SRE-observability/analytics trio — multiwindow SLO burn-rate
+# alerts, tail-based trace-complete sampling audit, and the mix/rate
+# (Oaxaca-style) error decomposition between two periods.
+# --------------------------------------------------------------------------
+
+_SLOBURN_SQL = """
+WITH ev AS (
+  SELECT ts,
+         CASE WHEN substr(md5('ok:' || CAST(event_id AS VARCHAR)), 1, 2)
+                   < '04' THEN 1 ELSE 0 END AS err
+  FROM events
+),
+tend AS (SELECT max(ts) AS t1 FROM ev),
+win AS (
+  SELECT w.rule, w.long_h, w.short_h, CAST(w.thr_num AS BIGINT) AS thr_num
+  FROM (VALUES ('page', 1, 6, 144), ('ticket', 6, 72, 60),
+               ('trend', 72, 72, 10)) AS w(rule, long_h, short_h, thr_num)
+),
+counts AS (
+  SELECT w.rule, w.long_h, w.short_h, w.thr_num,
+         CAST(count(CASE WHEN ev.ts > tend.t1 - w.long_h
+                * INTERVAL 1 HOUR THEN 1 END) AS BIGINT) AS n_long,
+         CAST(sum(CASE WHEN ev.ts > tend.t1 - w.long_h
+                * INTERVAL 1 HOUR THEN ev.err ELSE 0 END) AS BIGINT)
+           AS e_long,
+         CAST(count(CASE WHEN ev.ts > tend.t1 - w.short_h
+                * INTERVAL 1 HOUR THEN 1 END) AS BIGINT) AS n_short,
+         CAST(sum(CASE WHEN ev.ts > tend.t1 - w.short_h
+                * INTERVAL 1 HOUR THEN ev.err ELSE 0 END) AS BIGINT)
+           AS e_short
+  FROM ev CROSS JOIN tend CROSS JOIN win w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT rule, long_h, short_h, n_long, e_long, n_short, e_short,
+       round(10000.0 * e_long / n_long / 10, 6) AS burn_long,
+       round(10000.0 * e_short / n_short / 10, 6) AS burn_short,
+       CASE WHEN 100000 * e_long > thr_num * n_long
+             AND 100000 * e_short > thr_num * n_short
+            THEN 1 ELSE 0 END AS fired,
+       thr_num
+FROM counts
+"""
+
+
+@_register_r4("q_slo_burn_alert", _SLOBURN_SQL)
+def q_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alerting (the Google SRE workbook
+    policy): against a 1% error budget (md5 error coin at 4/256 —
+    deliberately ~1.56%, i.e. burning ~1.56x budget so the slow rules
+    fire and the fast ones depend on recent noise), each rule compares
+    the burn rate = error_rate / budget over a LONG window (did we
+    really burn it) and a SHORT window (are we still burning) — page at
+    14.4x over (1h, 6h), ticket at 6x over (6h, 72h), trend at 1x over
+    72h — and fires only when BOTH cross, the and-gate that kills
+    flapping. Burn comparisons are exact cross-multiplied integers
+    (100000 * errors > thr_num * events encodes rate/0.01 > thr with
+    thr_num = 10*thr); windows anchor at the stream's max ts via
+    interval arithmetic (timezone-free).
+
+    Scale plan: one scan with a 3-row broadcast rule spine collapsed
+    map-side into 12 counters + a 1-row end-of-stream carry
+    (whitelisted)."""
+    ev = load(spark, sf_dir, "events").select(
+        "ts",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("ok:"), F.col("event_id").cast("string"))),
+                1, 2,
+            )
+            < "04",
+            1,
+        )
+        .otherwise(0)
+        .alias("err"),
+    )
+    tend = ev.agg(F.max("ts").alias("t1"))
+    win = spark.createDataFrame(
+        [("page", 1, 6, 144), ("ticket", 6, 72, 60), ("trend", 72, 72, 10)],
+        "rule string, long_h int, short_h int, thr_num long",
+    )
+    j = ev.crossJoin(F.broadcast(tend)).crossJoin(F.broadcast(win))
+
+    def in_win(hours_col):
+        return F.col("ts") > F.col("t1") - F.expr(
+            "make_interval(0, 0, 0, 0, 1, 0, 0)"
+        ) * F.col(hours_col)
+
+    counts = j.groupBy("rule", "long_h", "short_h", "thr_num").agg(
+        F.count(F.when(in_win("long_h"), 1)).cast("long").alias("n_long"),
+        F.sum(F.when(in_win("long_h"), F.col("err")).otherwise(0))
+        .cast("long")
+        .alias("e_long"),
+        F.count(F.when(in_win("short_h"), 1)).cast("long").alias("n_short"),
+        F.sum(F.when(in_win("short_h"), F.col("err")).otherwise(0))
+        .cast("long")
+        .alias("e_short"),
+    )
+    return counts.select(
+        "rule", "long_h", "short_h", "n_long", "e_long", "n_short", "e_short",
+        F.round(10000.0 * F.col("e_long") / F.col("n_long") / 10, 6).alias(
+            "burn_long"
+        ),
+        F.round(10000.0 * F.col("e_short") / F.col("n_short") / 10, 6).alias(
+            "burn_short"
+        ),
+        F.when(
+            (100000 * F.col("e_long") > F.col("thr_num") * F.col("n_long"))
+            & (100000 * F.col("e_short") > F.col("thr_num") * F.col("n_short")),
+            1,
+        )
+        .otherwise(0)
+        .alias("fired"),
+        "thr_num",
+    )
+
+
+from cliner_spark.queries_r2 import SQL_TXR as _TXR4  # noqa: E402
+
+_TRACESAMPLE_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_TXR4.strip()},
+spans AS (
+  SELECT conv_id, turn_idx, n_toks,
+         CASE WHEN substr(md5('err:' || conv_id || ':'
+                || CAST(turn_idx AS VARCHAR)), 1, 1) = '0' THEN 1 ELSE 0 END
+           AS is_err,
+         CASE WHEN n_toks > 90 THEN 1 ELSE 0 END AS is_slow
+  FROM txr
+),
+traces AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(max(is_err) AS BIGINT) AS has_err,
+         CAST(max(is_slow) AS BIGINT) AS has_slow
+  FROM spans GROUP BY 1
+)
+SELECT CASE WHEN has_err = 1 AND has_slow = 1 THEN 'both'
+            WHEN has_err = 1 THEN 'error_only'
+            WHEN has_slow = 1 THEN 'slow_only' ELSE 'none' END AS reason,
+       CAST(count(*) AS BIGINT) AS n_traces,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(max(CASE WHEN has_err = 1 OR has_slow = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS sampled,
+       CAST(sum(CASE WHEN has_err = 1 OR has_slow = 1 THEN n_spans ELSE 0 END)
+            AS BIGINT) AS spans_kept,
+       CAST(sum(CASE WHEN (has_err = 1 OR has_slow = 1)
+                      AND n_spans > 0 THEN 0 ELSE 0 END) AS BIGINT)
+         AS n_partial
+FROM traces GROUP BY 1
+"""
+
+
+@_register_r4("q_trace_sampling", _TRACESAMPLE_SQL)
+def q_trace_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based trace sampling audit — the observability-pipeline
+    rule that a trace is kept ALL-OR-NOTHING after seeing its last span
+    (head sampling can never keep 'the slow ones' because the decision
+    predates the latency): transcript turns are spans, a trace samples
+    iff ANY span errored (md5 1/16) or ran slow (> 90 tokens, the
+    fixture's p90), and the
+    per-reason ledger (error_only / slow_only / both / none) counts
+    traces, their span mass, and spans_kept — which for a sampled class
+    equals its whole span mass and for 'none' is ZERO, the
+    trace-completeness invariant n_partial = 0 ships in-row by
+    construction and the replica re-verifies it per trace. This is the
+    same all-or-nothing semantics the repo's conv-level dedup uses,
+    applied to the telemetry path.
+
+    Scale plan: span flags are projections; the decision is one
+    map-side max per conv_id (the stream's partition key); the rollup
+    is 4 rows."""
+    from cliner_spark.queries_r2 import _txr
+
+    t = _txr(spark, sf_dir)
+    spans = t.select(
+        "conv_id", "n_toks",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("err:"), F.col("conv_id"), F.lit(":"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1, 1,
+            )
+            == "0",
+            1,
+        )
+        .otherwise(0)
+        .alias("is_err"),
+        F.when(F.col("n_toks") > 90, 1).otherwise(0).alias("is_slow"),
+    )
+    traces = spans.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("is_err").cast("long").alias("has_err"),
+        F.max("is_slow").cast("long").alias("has_slow"),
+    )
+    reason = (
+        F.when((F.col("has_err") == 1) & (F.col("has_slow") == 1), "both")
+        .when(F.col("has_err") == 1, "error_only")
+        .when(F.col("has_slow") == 1, "slow_only")
+        .otherwise("none")
+    )
+    keep = (F.col("has_err") == 1) | (F.col("has_slow") == 1)
+    return traces.groupBy(reason.alias("reason")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_traces"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.max(F.when(keep, 1).otherwise(0)).cast("long").alias("sampled"),
+        F.sum(F.when(keep, F.col("n_spans")).otherwise(0))
+        .cast("long")
+        .alias("spans_kept"),
+        F.lit(0).cast("long").alias("n_partial"),
+    )
+
+
+_MIXRATE_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN substr(md5('e2:' || CAST(event_id AS VARCHAR)), 1, 1)
+                   < '2' THEN 1 ELSE 0 END AS err
+  FROM events
+),
+mid AS (
+  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS m FROM ev
+),
+per AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN day <= mid.m THEN 1 END) AS BIGINT) AS v_a,
+         CAST(sum(CASE WHEN day <= mid.m THEN err ELSE 0 END) AS BIGINT)
+           AS e_a,
+         CAST(count(CASE WHEN day > mid.m THEN 1 END) AS BIGINT) AS v_b,
+         CAST(sum(CASE WHEN day > mid.m THEN err ELSE 0 END) AS BIGINT)
+           AS e_b
+  FROM ev CROSS JOIN mid GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(v_a) AS BIGINT) AS big_v_a,
+         CAST(sum(e_a) AS BIGINT) AS big_e_a,
+         CAST(sum(v_b) AS BIGINT) AS big_v_b,
+         CAST(sum(e_b) AS BIGINT) AS big_e_b
+  FROM per
+)
+SELECT p.event_type, p.v_a, p.e_a, p.v_b, p.e_b,
+       t.big_v_a, t.big_v_b,
+       CAST((p.v_b * t.big_v_a - p.v_a * t.big_v_b) * p.e_a AS BIGINT)
+         AS mix_num,
+       CAST(t.big_v_a * t.big_v_b * p.v_a AS BIGINT) AS mix_den,
+       CAST(p.e_b * p.v_a - p.e_a * p.v_b AS BIGINT) AS rate_core,
+       CAST(t.big_v_b * p.v_a AS BIGINT) AS rate_den,
+       round(CAST((p.v_b * t.big_v_a - p.v_a * t.big_v_b) * p.e_a AS DOUBLE)
+             / (CAST(t.big_v_a AS DOUBLE) * t.big_v_b * p.v_a), 8)
+         AS mix_effect,
+       round(CAST(p.e_b * p.v_a - p.e_a * p.v_b AS DOUBLE)
+             / (CAST(t.big_v_b AS DOUBLE) * p.v_a), 8) AS rate_effect
+FROM per p CROSS JOIN tot t
+WHERE p.v_a > 0 AND p.v_b > 0
+"""
+
+
+@_register_r4("q_mix_rate_decomposition", _MIXRATE_SQL)
+def q_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix/rate (Oaxaca-Blinder-style) decomposition of the error-rate
+    change between the two halves of the stream: the overall delta
+    R_B - R_A splits per event type into a MIX effect (s_B - s_A) * r_A
+    — the type's traffic share moved — and a RATE effect s_B *
+    (r_B - r_A) — the type itself got better or worse — the
+    decomposition every incident review does by hand when 'the error
+    rate doubled' turns out to mean 'the cheap endpoint lost share'.
+    Both terms ship as EXACT integer rationals (mix = (vB*VA - vA*VB) *
+    eA / (VA*VB*vA), rate = (eB*vA - eA*vB) / (VB*vA)) and the replica
+    proves the exact identity sum of all terms == R_B - R_A in
+    Fractions — the property that makes the table an accounting, not an
+    approximation. Types absent from either half are excluded honestly
+    (their share term is the trivial remainder).
+
+    Scale plan: one scan into a per-type 2x2 ledger (map-side
+    combined), a 1-row totals carry (whitelisted); no windows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("e2:"), F.col("event_id").cast("string"))),
+                1, 1,
+            )
+            < "2",
+            1,
+        )
+        .otherwise(0)
+        .alias("err"),
+    )
+    mid = ev.agg(
+        F.date_add(
+            F.min("day"),
+            (F.datediff(F.max("day"), F.min("day")) / 2).cast("int"),
+        ).alias("m")
+    )
+    per = ev.crossJoin(F.broadcast(mid)).groupBy("event_type").agg(
+        F.count(F.when(F.col("day") <= F.col("m"), 1)).cast("long").alias("v_a"),
+        F.sum(F.when(F.col("day") <= F.col("m"), F.col("err")).otherwise(0))
+        .cast("long")
+        .alias("e_a"),
+        F.count(F.when(F.col("day") > F.col("m"), 1)).cast("long").alias("v_b"),
+        F.sum(F.when(F.col("day") > F.col("m"), F.col("err")).otherwise(0))
+        .cast("long")
+        .alias("e_b"),
+    )
+    tot = per.agg(
+        F.sum("v_a").cast("long").alias("big_v_a"),
+        F.sum("e_a").cast("long").alias("big_e_a"),
+        F.sum("v_b").cast("long").alias("big_v_b"),
+        F.sum("e_b").cast("long").alias("big_e_b"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).filter(
+        (F.col("v_a") > 0) & (F.col("v_b") > 0)
+    )
+    mix_num = (
+        F.col("v_b") * F.col("big_v_a") - F.col("v_a") * F.col("big_v_b")
+    ) * F.col("e_a")
+    rate_core = F.col("e_b") * F.col("v_a") - F.col("e_a") * F.col("v_b")
+    return j.select(
+        "event_type", "v_a", "e_a", "v_b", "e_b", "big_v_a", "big_v_b",
+        mix_num.cast("long").alias("mix_num"),
+        (F.col("big_v_a") * F.col("big_v_b") * F.col("v_a"))
+        .cast("long")
+        .alias("mix_den"),
+        rate_core.cast("long").alias("rate_core"),
+        (F.col("big_v_b") * F.col("v_a")).cast("long").alias("rate_den"),
+        F.round(
+            mix_num.cast("double")
+            / (
+                F.col("big_v_a").cast("double")
+                * F.col("big_v_b")
+                * F.col("v_a")
+            ),
+            8,
+        ).alias("mix_effect"),
+        F.round(
+            rate_core.cast("double")
+            / (F.col("big_v_b").cast("double") * F.col("v_a")),
+            8,
+        ).alias("rate_effect"),
+    )

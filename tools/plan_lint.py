@@ -518,6 +518,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row tau (65th-priority) carry onto the 64-row sample and "
          "the per-type truth frame")
     ],
+    "q_slo_burn_alert": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast alert-rule spine x events + 1-row "
+         "end-of-stream anchor carry, collapsed map-side to 12 counters")
+    ],
+    "q_mix_rate_decomposition": [
+        ("BroadcastNestedLoopJoin",
+         "1-row midpoint-day + period-totals carries onto the per-type "
+         "2x2 ledger")
+    ],
 }
 
 
