@@ -17076,3 +17076,373 @@ def q_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("rate_effect"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: reliability/assignment trio — ring-topology percolation with
+# closed-form arc components, distributed maximal matching by priority
+# rounds, and per-minute load-shedding fairness.
+# --------------------------------------------------------------------------
+
+_RING_SQL = """
+WITH nodes AS (SELECT CAST(t.i AS BIGINT) AS pos FROM unnest(range(256)) AS t(i)),
+rates AS (SELECT CAST(r.r AS BIGINT) AS thr FROM (VALUES (1), (2), (4), (8))
+          AS r(r)),
+links AS (
+  SELECT rt.thr, n.pos,
+         CASE WHEN ('0x' || substr(md5('lnk:' || CAST(rt.thr AS VARCHAR)
+                || ':' || CAST(n.pos AS VARCHAR)), 1, 1))::BIGINT < rt.thr
+              THEN 1 ELSE 0 END AS failed
+  FROM nodes n CROSS JOIN rates rt
+),
+fails AS (
+  SELECT thr, pos,
+         row_number() OVER (PARTITION BY thr ORDER BY pos) AS fk,
+         count(*) OVER (PARTITION BY thr) AS n_failed,
+         lead(pos) OVER (PARTITION BY thr ORDER BY pos) AS next_pos,
+         min(pos) OVER (PARTITION BY thr) AS first_pos
+  FROM links WHERE failed = 1
+),
+segs AS (
+  SELECT thr, n_failed,
+         CASE WHEN next_pos IS NOT NULL THEN next_pos - pos - 1
+              ELSE 256 - pos - 1 + first_pos END AS seg_len
+  FROM fails
+)
+SELECT s.thr,
+       round(CAST(s.thr AS DOUBLE) / 16, 4) AS fail_rate,
+       CAST(max(s.n_failed) AS BIGINT) AS n_failed_links,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(s.seg_len) AS BIGINT) AS largest_segment,
+       CAST(count(CASE WHEN s.seg_len = 0 THEN 1 END) AS BIGINT)
+         AS n_isolated,
+       CAST(sum(s.seg_len) AS BIGINT) AS nodes_alive,
+       round(CAST(sum(s.seg_len) AS DOUBLE) / count(*), 6) AS mean_segment
+FROM segs s
+GROUP BY s.thr
+"""
+
+
+@_register_r4("q_ring_reliability", _RING_SQL)
+def q_ring_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-topology percolation (the SONET / chain-replication failure
+    analysis): 256 nodes on a ring where link i (between node i and
+    i+1 mod 256) fails independently at md5 rates 1/16 .. 8/16, and the
+    CLOSED FORM does all the work — k failed links cut the ring into
+    exactly k arcs, so components need NO iterative label propagation:
+    one lead() window over the failed positions gives every arc length
+    (the wrap-around arc closes via the circular first-failure carry),
+    the largest surviving segment is the availability headline,
+    zero-length arcs are nodes isolated by BOTH adjacent links failing,
+    and sum(seg_len) + n_failed = 256 conserves nodes (arcs here count
+    interior nodes strictly between failures). The rate ladder shows
+    the reliability curve collapse: mean segment ~ 16/rate - 1.
+
+    Scale plan: the whole computation is a per-rate window over the
+    FAILED positions only (rate x 256 frame); the 4-row rate spine is
+    broadcast (whitelisted). No graph iteration anywhere — topology
+    knowledge replaced O(diameter) rounds with one window."""
+    nodes = spark.range(256).select(F.col("id").cast("long").alias("pos"))
+    rates = spark.createDataFrame([(1,), (2,), (4,), (8,)], "thr long")
+    links = nodes.crossJoin(F.broadcast(rates)).select(
+        "thr", "pos",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lnk:"), F.col("thr").cast("string"),
+                            F.lit(":"), F.col("pos").cast("string"),
+                        )
+                    ),
+                    1, 1,
+                ),
+                16, 10,
+            ).cast("long")
+            < F.col("thr"),
+            1,
+        )
+        .otherwise(0)
+        .alias("failed"),
+    )
+    wp = Window.partitionBy("thr").orderBy("pos")
+    wa = Window.partitionBy("thr")
+    fails = links.filter(F.col("failed") == 1).select(
+        "thr", "pos",
+        F.count(F.lit(1)).over(wa).alias("n_failed"),
+        F.lead("pos").over(wp).alias("next_pos"),
+        F.min("pos").over(wa).alias("first_pos"),
+    )
+    segs = fails.select(
+        "thr", "n_failed",
+        F.when(
+            F.col("next_pos").isNotNull(), F.col("next_pos") - F.col("pos") - 1
+        )
+        .otherwise(256 - F.col("pos") - 1 + F.col("first_pos"))
+        .alias("seg_len"),
+    )
+    return segs.groupBy("thr").agg(
+        F.round(F.col("thr").cast("double") / 16, 4).alias("fail_rate"),
+        F.max("n_failed").cast("long").alias("n_failed_links"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("seg_len").cast("long").alias("largest_segment"),
+        F.count(F.when(F.col("seg_len") == 0, 1)).cast("long").alias("n_isolated"),
+        F.sum("seg_len").cast("long").alias("nodes_alive"),
+        F.round(F.sum("seg_len").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_segment"
+        ),
+    ).select(
+        "thr", "fail_rate", "n_failed_links", "n_segments", "largest_segment",
+        "n_isolated", "nodes_alive", "mean_segment",
+    )
+
+
+def _matching_sql() -> str:
+    blocks = []
+    prev_free = "free0"
+    prev_alive = "ealive0"
+    for r in (1, 2, 3):
+        blocks.append(
+            f"""
+ep{r} AS (
+  SELECT e.lo, e.hi,
+         md5('m{r}:' || CAST(e.lo AS VARCHAR) || '-' || CAST(e.hi AS VARCHAR))
+           || '#' || lpad(CAST(e.lo AS VARCHAR), 12, '0') AS k
+  FROM {prev_alive} e
+),
+ep{r}m AS MATERIALIZED (SELECT * FROM ep{r}),
+inc{r} AS MATERIALIZED (
+  SELECT lo AS node, lo, hi, k FROM ep{r}m
+  UNION ALL SELECT hi, lo, hi, k FROM ep{r}m
+),
+rk{r} AS (
+  SELECT node, k, row_number() OVER (PARTITION BY node ORDER BY k) AS nrk
+  FROM inc{r}
+),
+emin{r} AS MATERIALIZED (
+  SELECT node,
+         min(CASE WHEN nrk = 1 THEN k END) AS k1,
+         min(CASE WHEN nrk = 2 THEN k END) AS k2
+  FROM rk{r} GROUP BY node
+),
+othr{r} AS (
+  SELECT i.lo, i.hi, i.k,
+         CASE WHEN i.k = m.k1 THEN m.k2 ELSE m.k1 END AS min_other
+  FROM inc{r} i JOIN emin{r} m USING (node)
+),
+sel{r} AS MATERIALIZED (
+  SELECT lo, hi FROM othr{r}
+  GROUP BY lo, hi, k
+  HAVING min(coalesce(min_other, 'zz')) > k
+),
+free{r} AS MATERIALIZED (
+  SELECT node FROM {prev_free}
+  WHERE node NOT IN (SELECT lo FROM sel{r})
+    AND node NOT IN (SELECT hi FROM sel{r})
+),
+ealive{r} AS MATERIALIZED (
+  SELECT e.lo, e.hi FROM {prev_alive} e
+  WHERE e.lo IN (SELECT node FROM free{r})
+    AND e.hi IN (SELECT node FROM free{r})
+)""".strip()
+        )
+        prev_free = f"free{r}"
+        prev_alive = f"ealive{r}"
+    return ",\n".join(blocks)
+
+
+_MATCHING_SQL = f"""
+WITH {SQL_DOCS_TOKS.strip()},
+{_DPG4.strip()},
+nodes AS (SELECT lo AS node FROM ge UNION SELECT hi FROM ge),
+free0 AS (SELECT node FROM nodes),
+ealive0 AS (SELECT lo, hi FROM ge),
+{_matching_sql()},
+matched AS (
+  SELECT lo, hi, 1 AS rnd FROM sel1
+  UNION ALL SELECT lo, hi, 2 FROM sel2
+  UNION ALL SELECT lo, hi, 3 FROM sel3
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_matched_edges,
+         CAST(count(DISTINCT lo) + count(DISTINCT hi) AS BIGINT) AS _x
+  FROM matched
+)
+SELECT m.rnd,
+       CAST(count(*) AS BIGINT) AS n_edges_matched,
+       CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM ge) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM free3) AS BIGINT) AS n_free_after,
+       CAST((SELECT count(*) FROM ealive3) AS BIGINT) AS n_edges_left
+FROM matched m GROUP BY m.rnd
+"""
+
+
+@_register_r4("q_greedy_matching", _MATCHING_SQL)
+def q_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed maximal matching by priority rounds (the Israeli-Itai
+    shape: MIS on the line graph) over the doc-similarity graph — the
+    assignment primitive behind conflict-free pairwise work (A/B doc
+    comparisons, buddy review): each round every surviving edge draws a
+    strict md5 priority and joins the matching iff it beats every edge
+    sharing an endpoint; matched endpoints leave, edges touching them
+    die, three rounds run. Per-round matched-edge counts ship with the
+    residual frontier (free nodes, surviving edges) — a valid matching
+    BY CONSTRUCTION (two adjacent edges cannot both win a round, and
+    later rounds only see both-endpoints-free edges), which the replica
+    proves by replaying all rounds and checking no node is matched
+    twice plus the frontier-shrink shape.
+
+    Scale plan: the conflict test is an endpoint self-join of the ALIVE
+    edge frame (shrinks geometrically per round), min-combine map-side;
+    rounds are localCheckpoint-pinned — the Pregel matching shape."""
+    from cliner_spark.queries_r2 import _docpair_edges
+
+    ge = _docpair_edges(spark, sf_dir).select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    ).localCheckpoint()
+    nodes = (
+        ge.select(F.col("lo").alias("node"))
+        .union(ge.select(F.col("hi").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    n_edges = ge.count()
+    alive = ge
+    free = nodes
+    matched_frames = []
+    for r in (1, 2, 3):
+        ep = alive.select(
+            "lo", "hi",
+            F.concat(
+                F.md5(
+                    F.concat(
+                        F.lit(f"m{r}:"), F.col("lo").cast("string"), F.lit("-"),
+                        F.col("hi").cast("string"),
+                    )
+                ),
+                F.lit("#"),
+                F.lpad(F.col("lo").cast("string"), 12, "0"),
+            ).alias("k"),
+        ).localCheckpoint()
+        inc = ep.select(F.col("lo").alias("node"), "lo", "hi", "k").unionAll(
+            ep.select(F.col("hi").alias("node"), "lo", "hi", "k")
+        )
+        wn = Window.partitionBy("node").orderBy("k")
+        rk = inc.select("node", "k", F.row_number().over(wn).alias("nrk"))
+        emin = rk.groupBy("node").agg(
+            F.min(F.when(F.col("nrk") == 1, F.col("k"))).alias("k1"),
+            F.min(F.when(F.col("nrk") == 2, F.col("k"))).alias("k2"),
+        )
+        othr = inc.join(emin, "node").select(
+            "lo", "hi", "k",
+            F.when(F.col("k") == F.col("k1"), F.col("k2"))
+            .otherwise(F.col("k1"))
+            .alias("min_other"),
+        )
+        sel = (
+            othr.groupBy("lo", "hi", "k")
+            .agg(F.min(F.coalesce("min_other", F.lit("zz"))).alias("mo"))
+            .filter(F.col("mo") > F.col("k"))
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+        matched_frames.append(sel.withColumn("rnd", F.lit(r)))
+        sel_nodes = sel.select(F.col("lo").alias("node")).union(
+            sel.select(F.col("hi").alias("node"))
+        )
+        free = free.join(sel_nodes, "node", "left_anti").localCheckpoint()
+        alive = (
+            alive.join(free.select(F.col("node").alias("lo")), "lo", "left_semi")
+            .join(free.select(F.col("node").alias("hi")), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+    n_free_after = free.count()
+    n_edges_left = alive.count()
+    matched = matched_frames[0].unionAll(matched_frames[1]).unionAll(
+        matched_frames[2]
+    )
+    return matched.groupBy("rnd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges_matched"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_free_after).cast("long").alias("n_free_after"),
+        F.lit(n_edges_left).cast("long").alias("n_edges_left"),
+    )
+
+
+_LOADSHED_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+         md5('pri:' || CAST(event_id AS VARCHAR)) AS pri
+  FROM events
+),
+ranked AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY m ORDER BY pri DESC, event_id)
+           AS slot
+  FROM ev
+),
+flags AS (
+  SELECT event_type, m, CASE WHEN slot <= 32 THEN 0 ELSE 1 END AS shed
+  FROM ranked
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(shed) AS BIGINT) AS n_shed,
+       round(CAST(sum(shed) AS DOUBLE) / count(*), 6) AS shed_rate,
+       CAST(count(DISTINCT CASE WHEN shed = 1 THEN m END) AS BIGINT)
+         AS n_minutes_shedding,
+       CAST(max(CASE WHEN shed = 1 THEN m END)
+            - min(CASE WHEN shed = 1 THEN m END) AS BIGINT) AS shed_span_min
+FROM flags GROUP BY 1
+"""
+
+
+@_register_r4("q_load_shed_priority", _LOADSHED_SQL)
+def q_load_shed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority load-shedding fairness audit — what an overloaded
+    ingestion tier actually does when a minute exceeds capacity: each
+    minute keeps its top-32 events by md5 priority (event-id tie pins)
+    and sheds the rest, and the per-type ledger answers the fairness
+    question — with priorities INDEPENDENT of type, shed rates must be
+    near-equal across types (any skew means the priority channel leaks
+    the type, the bias every shedding postmortem hunts for), which the
+    replica asserts as a max/min shed-rate band. Shedding minutes and
+    their span locate the overload window in time. All counts exact;
+    whole-minute epochs under the session's pinned UTC.
+
+    Scale plan: one rank window per minute partition (the stream's
+    natural shard at ingestion), one map-side rollup per type; no
+    joins."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("m"),
+        F.md5(F.concat(F.lit("pri:"), F.col("event_id").cast("string"))).alias(
+            "pri"
+        ),
+    )
+    w = Window.partitionBy("m").orderBy(F.desc("pri"), F.asc("event_id"))
+    flags = ev.select(
+        "event_type", "m",
+        F.when(F.row_number().over(w) <= 32, 0).otherwise(1).alias("shed"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("shed").cast("long").alias("n_shed"),
+        F.round(F.sum("shed").cast("double") / F.count(F.lit(1)), 6).alias(
+            "shed_rate"
+        ),
+        F.countDistinct(F.when(F.col("shed") == 1, F.col("m")))
+        .cast("long")
+        .alias("n_minutes_shedding"),
+        (
+            F.max(F.when(F.col("shed") == 1, F.col("m")))
+            - F.min(F.when(F.col("shed") == 1, F.col("m")))
+        )
+        .cast("long")
+        .alias("shed_span_min"),
+    )

@@ -528,6 +528,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row midpoint-day + period-totals carries onto the per-type "
          "2x2 ledger")
     ],
+    "q_ring_reliability": [
+        ("BroadcastNestedLoopJoin",
+         "4-row broadcast failure-rate spine x the synthetic 256-node "
+         "ring — a 1024-row build frame")
+    ],
 }
 
 
