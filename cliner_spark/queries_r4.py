@@ -17446,3 +17446,318 @@ def q_load_shed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shed_span_min"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: LLM-infra/caching/privacy trio — model-router cascade
+# economics, frequency-admission cache hit rates under tumbling refresh,
+# and the secure-aggregation mask-cancellation certificate.
+# --------------------------------------------------------------------------
+
+_ROUTER_SQL = """
+WITH req AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5('cf:' || CAST(event_id AS VARCHAR)), 1, 2))
+              AS BIGINT) AS conf,
+         CAST(('0x' || substr(md5('c:' || CAST(event_id AS VARCHAR)), 1, 2))
+              AS BIGINT) AS coin
+  FROM events
+),
+taus AS (SELECT CAST(t.t AS BIGINT) AS tau
+         FROM (VALUES (64), (128), (192)) AS t(t)),
+routed AS (
+  SELECT t.tau, r.event_id,
+         CASE WHEN r.conf < t.tau THEN 1 ELSE 0 END AS escalated,
+         CASE WHEN r.conf < t.tau THEN 1
+              WHEN r.coin < r.conf THEN 1 ELSE 0 END AS correct
+  FROM req r CROSS JOIN taus t
+)
+SELECT tau,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(escalated) AS BIGINT) AS n_escalated,
+       CAST(sum(correct) AS BIGINT) AS n_correct,
+       round(CAST(sum(escalated) AS DOUBLE) / count(*), 6) AS escalation_rate,
+       round(CAST(sum(correct) AS DOUBLE) / count(*), 6) AS accuracy,
+       CAST(count(*) + 9 * sum(escalated) AS BIGINT) AS cost_units,
+       round(CAST(sum(correct) AS DOUBLE)
+             / (count(*) + 9 * sum(escalated)), 6) AS accuracy_per_cost
+FROM routed GROUP BY 1
+"""
+
+
+@_register_r4("q_router_cascade", _ROUTER_SQL)
+def q_router_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-router cascade economics — the threshold dial every
+    LLM-serving stack tunes: requests carry an md5 confidence byte, the
+    small model answers when confidence >= tau (and is correct with
+    probability confidence/256 — the coin < conf test plants the REAL
+    calibration correlation a router exploits), below tau the request
+    escalates to the big model (always correct, 10x the cost: 1 unit
+    base + 9 on escalation). The tau ladder {64, 128, 192} ships exact
+    escalation counts, accuracy, total cost units, and accuracy-per-
+    cost — the frontier where raising tau buys accuracy linearly but
+    costs superlinearly once the escalated tail dominates. The replica
+    replays every routing decision and asserts accuracy rises
+    monotonically with tau while accuracy-per-cost falls — the shape
+    that makes the middle threshold the production pick.
+
+    Scale plan: one scan fanned by a 3-row broadcast tau spine
+    (whitelisted), collapsed map-side into 3 rows; everything integer
+    but the three rounded ratios."""
+    ev = load(spark, sf_dir, "events")
+    req = ev.select(
+        "event_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cf:"), F.col("event_id").cast("string"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long").alias("conf"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("c:"), F.col("event_id").cast("string"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long").alias("coin"),
+    )
+    taus = spark.createDataFrame([(64,), (128,), (192,)], "tau long")
+    routed = req.crossJoin(F.broadcast(taus)).select(
+        "tau",
+        F.when(F.col("conf") < F.col("tau"), 1).otherwise(0).alias("escalated"),
+        F.when(F.col("conf") < F.col("tau"), 1)
+        .when(F.col("coin") < F.col("conf"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+    return routed.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_requests"),
+        F.sum("escalated").cast("long").alias("n_escalated"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.round(F.sum("escalated").cast("double") / F.count(F.lit(1)), 6).alias(
+            "escalation_rate"
+        ),
+        F.round(F.sum("correct").cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+        (F.count(F.lit(1)) + 9 * F.sum("escalated"))
+        .cast("long")
+        .alias("cost_units"),
+        F.round(
+            F.sum("correct").cast("double")
+            / (F.count(F.lit(1)) + 9 * F.sum("escalated")),
+            6,
+        ).alias("accuracy_per_cost"),
+    )
+
+
+_LFU_SQL = """
+WITH acc AS (
+  SELECT user_id AS k, event_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+per_hour AS (
+  SELECT h, k, CAST(count(*) AS BIGINT) AS c FROM acc GROUP BY 1, 2
+),
+ranked AS (
+  SELECT h, k,
+         row_number() OVER (PARTITION BY h ORDER BY c DESC, k) AS rk
+  FROM per_hour
+),
+cache AS (
+  SELECT h + 1 AS h_valid, k FROM ranked WHERE rk <= 32
+),
+hits AS (
+  SELECT a.h, a.k,
+         CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM acc a LEFT JOIN cache c ON c.h_valid = a.h AND c.k = a.k
+),
+warm AS (SELECT min(h) AS h0 FROM acc)
+SELECT CAST(hits.k % 8 AS BIGINT) AS key_bucket,
+       CAST(count(*) AS BIGINT) AS n_accesses,
+       CAST(sum(CASE WHEN hits.h > w.h0 THEN hit ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(count(CASE WHEN hits.h > w.h0 THEN 1 END) AS BIGINT)
+         AS n_eligible,
+       round(CAST(sum(CASE WHEN hits.h > w.h0 THEN hit ELSE 0 END) AS DOUBLE)
+             / count(CASE WHEN hits.h > w.h0 THEN 1 END), 6) AS hit_rate
+FROM hits CROSS JOIN warm w
+GROUP BY 1
+"""
+
+
+@_register_r4("q_lfu_hit_rate", _LFU_SQL)
+def q_lfu_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-admission cache hit-rate replay (the LFU/TinyLFU policy
+    under a TUMBLING refresh — the shape production caches actually run,
+    because a per-access sliding top-k is unpayable): the cache valid
+    during hour h holds the 32 hottest keys of hour h-1 (exact counts,
+    key tie pins), an access hits iff its key is cached, and the
+    first (cold) hour is excluded from the denominator honestly. The
+    per-key-bucket ledger shows what frequency admission buys on this
+    access pattern — and the replica computes the hit rate the offline
+    way to confirm the refresh boundary (an hour-h access must never
+    see hour h's own counts: that is the look-ahead leak this audit
+    would catch in a buggy cache simulator).
+
+    Scale plan: per-hour counts are one map-side groupBy; ranking is
+    per-hour partitions; the hit join is equi on (hour, key). No dense
+    key x time grid anywhere — the tumbling refresh is what keeps the
+    state sparse."""
+    ev = load(spark, sf_dir, "events")
+    acc = ev.select(
+        F.col("user_id").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    )
+    per_hour = acc.groupBy("h", "k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = Window.partitionBy("h").orderBy(F.desc("c"), F.asc("k"))
+    cache = (
+        per_hour.select("h", "k", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= 32)
+        .select((F.col("h") + 1).alias("h_valid"), F.col("k").alias("ck"))
+    )
+    hits = acc.join(
+        cache,
+        (F.col("h") == F.col("h_valid")) & (F.col("k") == F.col("ck")),
+        "left",
+    ).select(
+        "k", "h", F.when(F.col("ck").isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    warm = acc.agg(F.min("h").alias("h0"))
+    elig = F.col("h") > F.col("h0")
+    return (
+        hits.crossJoin(F.broadcast(warm))
+        .groupBy((F.col("k") % 8).cast("long").alias("key_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_accesses"),
+            F.sum(F.when(elig, F.col("hit")).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.count(F.when(elig, 1)).cast("long").alias("n_eligible"),
+            F.round(
+                F.sum(F.when(elig, F.col("hit")).otherwise(0)).cast("double")
+                / F.count(F.when(elig, 1)),
+                6,
+            ).alias("hit_rate"),
+        )
+    )
+
+
+_SECAGG_SQL = """
+WITH clients AS (SELECT CAST(t.i AS BIGINT) AS cid FROM unnest(range(8)) AS t(i)),
+x AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS xv
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.cid AS i, b.cid AS j,
+         CAST(('0x' || substr(md5('mask:' || CAST(least(a.cid, b.cid)
+                AS VARCHAR) || '-' || CAST(greatest(a.cid, b.cid)
+                AS VARCHAR)), 1, 7)) AS BIGINT) AS m
+  FROM clients a JOIN clients b ON a.cid <> b.cid
+),
+masked AS (
+  SELECT x.cid, x.xv,
+         CAST(x.xv + coalesce(sum(CASE WHEN p.i < p.j THEN p.m
+                                       ELSE -p.m END), 0) AS BIGINT) AS upload
+  FROM x LEFT JOIN pairs p ON p.i = x.cid
+  GROUP BY x.cid, x.xv
+),
+tot AS (
+  SELECT CAST(sum(xv) AS BIGINT) AS true_sum,
+         CAST(sum(upload) AS BIGINT) AS recovered_sum,
+         CAST(count(*) AS BIGINT) AS n_clients,
+         CAST(min(abs(upload - xv)) AS BIGINT) AS min_mask_offset
+  FROM masked
+)
+SELECT m.cid, m.xv AS private_value, m.upload,
+       CAST(abs(m.upload - m.xv) AS BIGINT) AS mask_magnitude,
+       t.true_sum, t.recovered_sum, t.n_clients,
+       CASE WHEN t.true_sum = t.recovered_sum THEN 1 ELSE 0 END
+         AS masks_cancel,
+       CASE WHEN abs(m.upload - m.xv) > 1000000 THEN 1 ELSE 0 END
+         AS value_hidden
+FROM masked m CROSS JOIN tot t
+"""
+
+
+@_register_r4("q_secure_agg", _SECAGG_SQL)
+def q_secure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secure-aggregation mask-cancellation certificate (Bonawitz 2017,
+    the federated-learning SecAgg core): 8 clients hold private per-
+    client event counts, every unordered pair shares an md5 28-bit mask,
+    client i uploads x_i + sum of +m_ij (for j > i) - m_ij (for j < i),
+    and the server's SUM of uploads equals the true sum EXACTLY because
+    every mask appears once positive and once negative — the
+    masks_cancel verdict ships in-row, while each individual upload
+    sits megaparsecs from its private value (value_hidden per client:
+    the server learns the aggregate, never the addend). The replica
+    re-derives all 28 pairwise masks, every upload, and the
+    cancellation — plus that no PROPER SUBSET of uploads reconstructs
+    its partial sum (the dropout-resilience boundary real SecAgg adds
+    recovery shares for).
+
+    Scale plan: 8 clients x 7 masks is a constant frame; the only
+    corpus touch is the per-client groupBy; exact BIGINT arithmetic
+    throughout (28-bit masks x 7 stay far under 2^63)."""
+    ev = load(spark, sf_dir, "events")
+    clients = spark.range(8).select(F.col("id").cast("long").alias("cid"))
+    x = ev.groupBy((F.col("user_id") % 8).cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).cast("long").alias("xv")
+    )
+    a = clients.select(F.col("cid").alias("i"))
+    b = clients.select(F.col("cid").alias("j"))
+    pairs = a.crossJoin(b).filter(F.col("i") != F.col("j")).select(
+        "i", "j",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mask:"),
+                        F.least("i", "j").cast("string"),
+                        F.lit("-"),
+                        F.greatest("i", "j").cast("string"),
+                    )
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long").alias("m"),
+    )
+    masked = (
+        x.join(pairs, x["cid"] == pairs["i"], "left")
+        .groupBy("cid", "xv")
+        .agg(
+            (
+                F.first("xv")
+                + F.coalesce(
+                    F.sum(
+                        F.when(F.col("i") < F.col("j"), F.col("m")).otherwise(
+                            -F.col("m")
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long").alias("upload")
+        )
+    )
+    tot = masked.agg(
+        F.sum("xv").cast("long").alias("true_sum"),
+        F.sum("upload").cast("long").alias("recovered_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_clients"),
+    )
+    return masked.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        F.col("xv").alias("private_value"),
+        "upload",
+        F.abs(F.col("upload") - F.col("xv")).cast("long").alias("mask_magnitude"),
+        "true_sum", "recovered_sum", "n_clients",
+        F.when(F.col("true_sum") == F.col("recovered_sum"), 1)
+        .otherwise(0)
+        .alias("masks_cancel"),
+        F.when(F.abs(F.col("upload") - F.col("xv")) > 1000000, 1)
+        .otherwise(0)
+        .alias("value_hidden"),
+    )

@@ -533,6 +533,20 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "4-row broadcast failure-rate spine x the synthetic 256-node "
          "ring — a 1024-row build frame")
     ],
+    "q_router_cascade": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast tau spine x requests, collapsed map-side to "
+         "3 rows")
+    ],
+    "q_lfu_hit_rate": [
+        ("BroadcastNestedLoopJoin",
+         "1-row cold-hour (warm-up) carry onto the access frame")
+    ],
+    "q_secure_agg": [
+        ("BroadcastNestedLoopJoin",
+         "8x8 client mask grid (constant frame) + 1-row sum-certificate "
+         "carry")
+    ],
 }
 
 
