@@ -17761,3 +17761,279 @@ def q_secure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("value_hidden"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: training/experimentation/storage-cost trio — gradient-clipping
+# bias ledger, 2x2 factorial interaction contrast, and the LSM
+# leveled-vs-tiered compaction cost model.
+# --------------------------------------------------------------------------
+
+_CLIP_SQL = """
+WITH v AS (
+  SELECT CAST(floor(abs(value) * 1000) AS BIGINT) AS x FROM events
+),
+cs AS (SELECT CAST(c.c AS BIGINT) AS clip
+       FROM (VALUES (1000), (4000), (16000)) AS c(c))
+SELECT cs.clip,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN v.x > cs.clip THEN 1 END) AS BIGINT) AS n_clipped,
+       CAST(sum(v.x) AS BIGINT) AS sum_raw,
+       CAST(sum(least(v.x, cs.clip)) AS BIGINT) AS sum_clipped,
+       CAST(sum(least(v.x, cs.clip)) - sum(v.x) AS BIGINT) AS bias_num,
+       round(CAST(sum(least(v.x, cs.clip)) - sum(v.x) AS DOUBLE) / count(*),
+             6) AS mean_bias,
+       round(CAST(count(CASE WHEN v.x > cs.clip THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS clip_frac
+FROM v CROSS JOIN cs GROUP BY 1
+"""
+
+
+@_register_r4("q_clip_bias", _CLIP_SQL)
+def q_clip_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-clipping bias ledger (the DP-SGD pre-flight, Abadi
+    2016's clip-then-noise step): clipping per-example magnitudes at C
+    trades variance for a DETERMINISTIC downward bias, and this audit
+    prices it exactly at three clip norms — bias_num = sum(min(x, C)) -
+    sum(x) is an exact nonpositive BIGINT, beside the clipped fraction
+    that drives the privacy accountant's sensitivity. The C ladder is
+    the tuning curve: too low and the bias swamps the signal, too high
+    and the noise scaled to C does; the replica holds the monotone
+    identities (bias shrinks toward zero and clip_frac falls as C
+    grows) and the exact sums. At scale this is one pass of
+    map-side-combined conditional sums — the cheapest audit a training
+    pipeline ever runs before spending a privacy budget.
+
+    Scale plan: one scan x a 3-row broadcast clip spine (whitelisted),
+    collapsed map-side to 3 rows."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(F.floor(F.abs(F.col("value")) * 1000).cast("long").alias("x"))
+    cs = spark.createDataFrame([(1000,), (4000,), (16000,)], "clip long")
+    j = v.crossJoin(F.broadcast(cs))
+    clipped = F.least("x", "clip")
+    return j.groupBy("clip").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("x") > F.col("clip"), 1))
+        .cast("long")
+        .alias("n_clipped"),
+        F.sum("x").cast("long").alias("sum_raw"),
+        F.sum(clipped).cast("long").alias("sum_clipped"),
+        (F.sum(clipped) - F.sum("x")).cast("long").alias("bias_num"),
+        F.round(
+            (F.sum(clipped) - F.sum("x")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_bias"),
+        F.round(
+            F.count(F.when(F.col("x") > F.col("clip"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("clip_frac"),
+    )
+
+
+_FACTORIAL_SQL = """
+WITH r AS (
+  SELECT CASE WHEN substr(md5('fa:' || CAST(event_id AS VARCHAR)), 1, 1)
+                   < '8' THEN 1 ELSE 0 END AS a,
+         CASE WHEN substr(md5('fb:' || CAST(event_id AS VARCHAR)), 1, 1)
+                   < '8' THEN 1 ELSE 0 END AS b,
+         CAST(('0x' || substr(md5('fo:' || CAST(event_id AS VARCHAR)), 1, 2))
+              AS BIGINT) AS coin
+  FROM events
+),
+cells AS (
+  SELECT a, b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN coin < 16 * (8 + 2 * a + 2 * b + 3 * a * b)
+                    THEN 1 END) AS BIGINT) AS s
+  FROM r GROUP BY 1, 2
+),
+wide AS (
+  SELECT max(CASE WHEN a = 0 AND b = 0 THEN n END) AS n00,
+         max(CASE WHEN a = 0 AND b = 0 THEN s END) AS s00,
+         max(CASE WHEN a = 1 AND b = 0 THEN n END) AS n10,
+         max(CASE WHEN a = 1 AND b = 0 THEN s END) AS s10,
+         max(CASE WHEN a = 0 AND b = 1 THEN n END) AS n01,
+         max(CASE WHEN a = 0 AND b = 1 THEN s END) AS s01,
+         max(CASE WHEN a = 1 AND b = 1 THEN n END) AS n11,
+         max(CASE WHEN a = 1 AND b = 1 THEN s END) AS s11
+  FROM cells
+)
+SELECT c.a, c.b, c.n, c.s,
+       round(CAST(c.s AS DOUBLE) / c.n, 6) AS rate,
+       CAST((w.s11 * w.n10 - w.s10 * w.n11) * w.n01 * w.n00
+            - (w.s01 * w.n00 - w.s00 * w.n01) * w.n11 * w.n10 AS BIGINT)
+         AS interaction_num,
+       CAST(w.n11 * w.n10 * w.n01 * w.n00 AS BIGINT) AS interaction_den,
+       round((CAST(w.s11 AS DOUBLE) / w.n11 - CAST(w.s10 AS DOUBLE) / w.n10)
+             - (CAST(w.s01 AS DOUBLE) / w.n01
+                - CAST(w.s00 AS DOUBLE) / w.n00), 6) AS interaction
+FROM cells c CROSS JOIN wide w
+"""
+
+
+@_register_r4("q_ab_interaction", _FACTORIAL_SQL)
+def q_ab_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 factorial interaction contrast — the question a platform
+    running two overlapping experiments must answer before shipping
+    both: with md5 factors A and B and a planted SUPER-ADDITIVE outcome
+    (success byte < 16*(8 + 2A + 2B + 3AB): each factor adds 2/16, the
+    combination adds 3/16 MORE than additivity predicts), the
+    interaction contrast (r11 - r10) - (r01 - r00) ships as an exact
+    cross-multiplied integer rational over the four cell denominators —
+    positive means the features synergize, negative means they fight
+    (the cannibalization case that makes naive one-at-a-time rollouts
+    overcount wins). Cell counts/successes are exact; rates and the
+    double contrast are single divisions. The replica rebuilds the four
+    cells, checks the rational against Fractions, and asserts the
+    planted synergy shows through (interaction ~ +3/16).
+
+    Scale plan: one scan into a 4-cell map-side rollup, a 1-row wide
+    carry (whitelisted); den envelope (n/4)^4 stays in BIGINT through
+    ~50M events."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("fa:"), F.col("event_id").cast("string"))),
+                1, 1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("a"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("fb:"), F.col("event_id").cast("string"))),
+                1, 1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fo:"), F.col("event_id").cast("string"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long").alias("coin"),
+    )
+    thr = 16 * (8 + 2 * F.col("a") + 2 * F.col("b") + 3 * F.col("a") * F.col("b"))
+    cells = r.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("coin") < thr, 1)).cast("long").alias("s"),
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when((F.col("a") == ai) & (F.col("b") == bi), F.col(col))
+            ).alias(f"{col}{ai}{bi}")
+            for ai in (0, 1)
+            for bi in (0, 1)
+            for col in ("n", "s")
+        ]
+    )
+    inter_num = (
+        (F.col("s11") * F.col("n10") - F.col("s10") * F.col("n11"))
+        * F.col("n01")
+        * F.col("n00")
+        - (F.col("s01") * F.col("n00") - F.col("s00") * F.col("n01"))
+        * F.col("n11")
+        * F.col("n10")
+    )
+    return cells.crossJoin(F.broadcast(wide)).select(
+        "a", "b", "n", "s",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("rate"),
+        inter_num.cast("long").alias("interaction_num"),
+        (F.col("n11") * F.col("n10") * F.col("n01") * F.col("n00"))
+        .cast("long")
+        .alias("interaction_den"),
+        F.round(
+            (
+                F.col("s11").cast("double") / F.col("n11")
+                - F.col("s10").cast("double") / F.col("n10")
+            )
+            - (
+                F.col("s01").cast("double") / F.col("n01")
+                - F.col("s00").cast("double") / F.col("n00")
+            ),
+            6,
+        ).alias("interaction"),
+    )
+
+
+_LSM_SQL = """
+WITH ing AS (
+  SELECT CAST(count(*) * 100 AS BIGINT) AS total_bytes FROM events
+),
+fans AS (SELECT CAST(f.f AS BIGINT) AS fanout
+         FROM (VALUES (4), (8), (16)) AS f(f)),
+lv AS (SELECT CAST(t.i + 1 AS BIGINT) AS l FROM unnest(range(12)) AS t(i)),
+pw AS (
+  SELECT f.fanout, lv.l,
+         1048576 * power(f.fanout, lv.l) AS cap
+  FROM fans f CROSS JOIN lv
+),
+need AS (
+  SELECT pw.fanout, CAST(min(pw.l) AS BIGINT) AS levels
+  FROM pw CROSS JOIN ing
+  WHERE pw.cap >= ing.total_bytes
+  GROUP BY 1
+)
+SELECT n.fanout, i.total_bytes, n.levels,
+       CAST(n.levels * n.fanout AS BIGINT) AS wa_leveled,
+       n.levels AS wa_tiered,
+       n.levels AS ra_leveled,
+       CAST(n.levels * n.fanout AS BIGINT) AS ra_tiered,
+       round(CAST(n.levels * n.fanout AS DOUBLE) / n.levels, 4)
+         AS leveled_write_penalty
+FROM need n CROSS JOIN ing i
+"""
+
+
+@_register_r4("q_lsm_cost_model", _LSM_SQL)
+def q_lsm_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM-tree compaction cost model (O'Neil 1996; the RocksDB tuning
+    table): with a 1 MiB memtable and the event stream's byte mass
+    (100 B/row proxy), the level count is the SMALLEST L with
+    memtable * fanout^L >= total — found by an integer comparison over
+    a 12-row level spine, no logarithms — and the classic duality ships
+    in-row: leveled compaction pays write amplification ~ L * fanout
+    for read amplification ~ L, tiered pays the transpose. The fanout
+    ladder {4, 8, 16} is the actual knob: bigger fanout means fewer
+    levels but each leveled rewrite costs more — the replica recomputes
+    L by direct exponentiation and holds the monotone trade (levels
+    fall, leveled WA need not). cap stays a DOUBLE comparison column —
+    fanout^12 * 2^20 overflows BIGINT at fanout 16, and both engines
+    evaluate the identical power() double, so the crossing filter
+    agrees bit-for-bit.
+
+    Scale plan: one count aggregate + constant spines; the model frame
+    is 3 rows. Broadcast spines whitelisted."""
+    ev = load(spark, sf_dir, "events")
+    ing = ev.agg((F.count(F.lit(1)) * 100).cast("long").alias("total_bytes"))
+    fans = spark.createDataFrame([(4,), (8,), (16,)], "fanout long")
+    lv = spark.range(1, 13).select(F.col("id").cast("long").alias("l"))
+    pw = fans.crossJoin(F.broadcast(lv)).select(
+        "fanout", "l",
+        (1048576 * F.pow(F.col("fanout"), F.col("l"))).alias("cap"),
+    )
+    need = (
+        pw.crossJoin(F.broadcast(ing))
+        .filter(F.col("cap") >= F.col("total_bytes"))
+        .groupBy("fanout")
+        .agg(F.min("l").cast("long").alias("levels"))
+    )
+    return need.crossJoin(F.broadcast(ing)).select(
+        "fanout", "total_bytes", "levels",
+        (F.col("levels") * F.col("fanout")).cast("long").alias("wa_leveled"),
+        F.col("levels").alias("wa_tiered"),
+        F.col("levels").alias("ra_leveled"),
+        (F.col("levels") * F.col("fanout")).cast("long").alias("ra_tiered"),
+        F.round(
+            (F.col("levels") * F.col("fanout")).cast("double") / F.col("levels"),
+            4,
+        ).alias("leveled_write_penalty"),
+    )

@@ -547,6 +547,20 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "8x8 client mask grid (constant frame) + 1-row sum-certificate "
          "carry")
     ],
+    "q_clip_bias": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast clip spine x the value scan, collapsed "
+         "map-side to 3 rows")
+    ],
+    "q_ab_interaction": [
+        ("BroadcastNestedLoopJoin",
+         "1-row wide-cell carry onto the 4-row factorial table")
+    ],
+    "q_lsm_cost_model": [
+        ("BroadcastNestedLoopJoin",
+         "constant fanout x level spines + 1-row ingest-bytes carry — a "
+         "36-row model frame")
+    ],
 }
 
 
