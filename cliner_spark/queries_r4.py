@@ -18037,3 +18037,303 @@ def q_lsm_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("leveled_write_penalty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: distributed-consistency trio — optimistic-concurrency conflict
+# arithmetic, quorum-read latency order statistics, and the minimal-move
+# shard rebalance ledger.
+# --------------------------------------------------------------------------
+
+_OCC_SQL = """
+WITH txn AS (
+  SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS epoch,
+         CAST(user_id % 64 AS BIGINT) AS key
+  FROM events
+),
+cell AS (
+  SELECT epoch, key, CAST(count(*) AS BIGINT) AS c
+  FROM txn GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_txn_all,
+         CAST(sum(c - 1) AS BIGINT) AS n_aborts_all
+  FROM cell
+)
+SELECT CAST(cell.key % 8 AS BIGINT) AS key_bucket,
+       CAST(sum(cell.c) AS BIGINT) AS n_txn,
+       CAST(sum(cell.c - 1) AS BIGINT) AS n_aborts,
+       CAST(max(cell.c) AS BIGINT) AS max_collision,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(CAST(sum(cell.c - 1) AS DOUBLE) / sum(cell.c), 6) AS abort_rate,
+       t.n_txn_all, t.n_aborts_all
+FROM cell CROSS JOIN tot t
+GROUP BY 1, 7, 8
+"""
+
+
+@_register_r4("q_occ_conflicts", _OCC_SQL)
+def q_occ_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency conflict arithmetic (Kung-Robinson 1981
+    under first-committer-wins): transactions are events writing key =
+    user % 64 within 5-minute validation epochs, and every (epoch, key)
+    cell with c writers commits exactly ONE — c-1 abort, the count that
+    decides OCC vs locking: abort_rate well under the retry budget
+    means validation beats lock overhead, a hot cell's max_collision
+    says how deep the retry storm goes. The per-key-bucket ledger with
+    global carries is exact end to end (aborts = sum(c-1) needs no
+    simulation — FCW's outcome is a pure count), which is what makes
+    this the capacity formula, not a Monte Carlo.
+
+    Scale plan: one (epoch, key) map-side-combined groupBy — the
+    natural shuffle key of a validation queue — then an 8-row rollup;
+    1-row totals carry (whitelisted)."""
+    ev = load(spark, sf_dir, "events")
+    txn = ev.select(
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("epoch"),
+        (F.col("user_id") % 64).cast("long").alias("key"),
+    )
+    cell = txn.groupBy("epoch", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cell.agg(
+        F.sum("c").cast("long").alias("n_txn_all"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_aborts_all"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.col("key") % 8).cast("long").alias("key_bucket"),
+            "n_txn_all", "n_aborts_all",
+        )
+        .agg(
+            F.sum("c").cast("long").alias("n_txn"),
+            F.sum(F.col("c") - 1).cast("long").alias("n_aborts"),
+            F.max("c").cast("long").alias("max_collision"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(
+                F.sum(F.col("c") - 1).cast("double") / F.sum("c"), 6
+            ).alias("abort_rate"),
+        )
+        .select(
+            "key_bucket", "n_txn", "n_aborts", "max_collision", "n_cells",
+            "abort_rate", "n_txn_all", "n_aborts_all",
+        )
+    )
+
+
+_QUORUM_SQL = """
+WITH req AS (
+  SELECT event_id,
+         50 + CAST(('0x' || substr(md5('l:' || CAST(event_id AS VARCHAR)
+              || ':1'), 1, 3)) AS BIGINT) % 400 AS l1,
+         50 + CAST(('0x' || substr(md5('l:' || CAST(event_id AS VARCHAR)
+              || ':2'), 1, 3)) AS BIGINT) % 400 AS l2,
+         50 + CAST(('0x' || substr(md5('l:' || CAST(event_id AS VARCHAR)
+              || ':3'), 1, 3)) AS BIGINT) % 400 AS l3
+  FROM events
+),
+modes AS (
+  SELECT 'single' AS mode, l1 AS lat FROM req
+  UNION ALL
+  SELECT 'quorum2', l1 + l2 + l3 - greatest(l1, l2, l3)
+         - least(l1, l2, l3) FROM req
+  UNION ALL
+  SELECT 'all3', greatest(l1, l2, l3) FROM req
+),
+nn AS (SELECT mode, CAST(count(*) AS BIGINT) AS n, CAST(sum(lat) AS BIGINT)
+         AS s FROM modes GROUP BY 1),
+grid AS (
+  SELECT mode, lat, CAST(count(*) AS BIGINT) AS c FROM modes GROUP BY 1, 2
+),
+cum AS (
+  SELECT mode, lat,
+         CAST(sum(c) OVER (PARTITION BY mode ORDER BY lat) AS BIGINT) AS f
+  FROM grid
+)
+SELECT nn.mode, nn.n, nn.s,
+       round(CAST(nn.s AS DOUBLE) / nn.n, 6) AS mean_lat,
+       CAST(min(CASE WHEN 2 * cum.f >= nn.n THEN cum.lat END) AS BIGINT)
+         AS p50,
+       CAST(min(CASE WHEN 100 * cum.f >= 99 * nn.n THEN cum.lat END)
+            AS BIGINT) AS p99
+FROM cum JOIN nn USING (mode)
+GROUP BY nn.mode, nn.n, nn.s
+"""
+
+
+@_register_r4("q_quorum_latency", _QUORUM_SQL)
+def q_quorum_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quorum-read latency order statistics (the Dynamo R=2-of-3
+    arithmetic, the sibling of q_hedged_requests' duplicate-and-race):
+    each request draws three independent md5 replica latencies in
+    [50, 450) ms, and the three service disciplines are pure order
+    statistics per request — single = replica 1, quorum2 = the MEDIAN
+    (sum minus max minus min, exact integers), all3 = the max — so the
+    mode ladder's mean and exact cross-multiplied p50/p99 (smallest
+    grid value with 100F >= 99n) show the quorum sweet spot: its tail
+    sits far below all3's because one straggler is free, while strong
+    reads (all3) pay the full max-order-statistic tax. The replica
+    recomputes all three curves and asserts the pointwise dominance
+    single-min <= quorum2 <= all3 on every percentile shipped.
+
+    Scale plan: latencies are projections; the mode fanout is a 3-way
+    union; quantiles come from one cumulative window per mode on the
+    value-domain grid (400 points). 1-row per-mode carries via the
+    grouped join."""
+    ev = load(spark, sf_dir, "events")
+
+    def lat(i):
+        return 50 + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("l:"), F.col("event_id").cast("string"),
+                        F.lit(f":{i}"),
+                    )
+                ),
+                1, 3,
+            ),
+            16, 10,
+        ).cast("long") % 400
+
+    req = ev.select(
+        lat(1).alias("l1"), lat(2).alias("l2"), lat(3).alias("l3")
+    )
+    modes = (
+        req.select(F.lit("single").alias("mode"), F.col("l1").alias("lat"))
+        .unionAll(
+            req.select(
+                F.lit("quorum2").alias("mode"),
+                (
+                    F.col("l1") + F.col("l2") + F.col("l3")
+                    - F.greatest("l1", "l2", "l3")
+                    - F.least("l1", "l2", "l3")
+                ).alias("lat"),
+            )
+        )
+        .unionAll(
+            req.select(
+                F.lit("all3").alias("mode"),
+                F.greatest("l1", "l2", "l3").alias("lat"),
+            )
+        )
+    )
+    nn = modes.groupBy("mode").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lat").cast("long").alias("s"),
+    )
+    grid = modes.groupBy("mode", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wm = Window.partitionBy("mode").orderBy("lat").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "mode", "lat", F.sum("c").over(wm).cast("long").alias("f")
+    )
+    return (
+        cum.join(nn, "mode")
+        .groupBy("mode", "n", "s")
+        .agg(
+            F.min(
+                F.when(2 * F.col("f") >= F.col("n"), F.col("lat"))
+            ).cast("long").alias("p50"),
+            F.min(
+                F.when(100 * F.col("f") >= 99 * F.col("n"), F.col("lat"))
+            ).cast("long").alias("p99"),
+        )
+        .select(
+            "mode", "n", "s",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_lat"),
+            "p50", "p99",
+        )
+    )
+
+
+_REBALANCE_SQL = """
+WITH loads AS (
+  SELECT CAST(user_id % 16 AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS load
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(load) AS BIGINT) AS n FROM loads),
+banded AS (
+  SELECT l.shard, l.load, t.n,
+         CAST((9 * t.n) // 160 AS BIGINT) AS band_lo,
+         CAST((11 * t.n + 159) // 160 AS BIGINT) AS band_hi
+  FROM loads l CROSS JOIN tot t
+),
+plan AS (
+  SELECT shard, load, n, band_lo, band_hi,
+         CAST(greatest(load - band_hi, 0) AS BIGINT) AS surplus,
+         CAST(greatest(band_lo - load, 0) AS BIGINT) AS deficit,
+         CASE WHEN load BETWEEN band_lo AND band_hi THEN 1 ELSE 0 END
+           AS in_band
+  FROM banded
+),
+mv AS (
+  SELECT CAST(greatest(sum(surplus), sum(deficit)) AS BIGINT) AS moves_min
+  FROM plan
+)
+SELECT p.shard, p.load, p.band_lo, p.band_hi, p.surplus, p.deficit,
+       p.in_band, m.moves_min, p.n AS total_rows,
+       round(CAST(m.moves_min AS DOUBLE) / p.n, 6) AS move_frac
+FROM plan p CROSS JOIN mv m
+"""
+
+
+@_register_r4("q_rebalance_plan", _REBALANCE_SQL)
+def q_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-move shard rebalance ledger — the question a resharding
+    job answers before touching a byte: with 16 shards and a +/-10%
+    tolerance band around the mean (exact integer band: lo = 9N div
+    160, hi = ceil(11N/160)), each shard's surplus above the ceiling
+    and deficit below the floor are exact BIGINTs, and the minimal rows
+    that must MOVE is max(sum surplus, sum deficit) — the matching
+    lower bound, achievable because any surplus can route to any
+    deficit. move_frac against the table size is the cost a rebalance
+    proposal quotes; in_band counts how many shards need no touch at
+    all. Contrast with q_rendezvous_hashing (which minimizes movement
+    under TOPOLOGY change): this is movement under LOAD change, the
+    other half of the resharding story.
+
+    Scale plan: one per-shard groupBy, 1-row total + moves carries
+    (whitelisted); the plan frame is 16 rows."""
+    ev = load(spark, sf_dir, "events")
+    loads = ev.groupBy((F.col("user_id") % 16).cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("load")
+    )
+    tot = loads.agg(F.sum("load").cast("long").alias("n"))
+    banded = loads.crossJoin(F.broadcast(tot)).select(
+        "shard", "load", "n",
+        F.floor(9 * F.col("n") / 160).cast("long").alias("band_lo"),
+        F.floor((11 * F.col("n") + 159) / 160).cast("long").alias("band_hi"),
+    )
+    plan = banded.select(
+        "shard", "load", "n", "band_lo", "band_hi",
+        F.greatest(F.col("load") - F.col("band_hi"), F.lit(0))
+        .cast("long")
+        .alias("surplus"),
+        F.greatest(F.col("band_lo") - F.col("load"), F.lit(0))
+        .cast("long")
+        .alias("deficit"),
+        F.when(
+            F.col("load").between(F.col("band_lo"), F.col("band_hi")), 1
+        )
+        .otherwise(0)
+        .alias("in_band"),
+    )
+    mv = plan.agg(
+        F.greatest(F.sum("surplus"), F.sum("deficit"))
+        .cast("long")
+        .alias("moves_min")
+    )
+    return plan.crossJoin(F.broadcast(mv)).select(
+        "shard", "load", "band_lo", "band_hi", "surplus", "deficit",
+        "in_band", "moves_min",
+        F.col("n").alias("total_rows"),
+        F.round(F.col("moves_min").cast("double") / F.col("n"), 6).alias(
+            "move_frac"
+        ),
+    )

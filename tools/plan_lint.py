@@ -561,6 +561,14 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "constant fanout x level spines + 1-row ingest-bytes carry — a "
          "36-row model frame")
     ],
+    "q_occ_conflicts": [
+        ("BroadcastNestedLoopJoin",
+         "1-row global abort-totals carry onto the 8-bucket ledger")
+    ],
+    "q_rebalance_plan": [
+        ("BroadcastNestedLoopJoin",
+         "1-row total + minimal-moves carries onto the 16-shard plan")
+    ],
 }
 
 
