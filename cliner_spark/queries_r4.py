@@ -18337,3 +18337,354 @@ def q_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "move_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: failure-domain trio — dependency-cascade blast radius,
+# TTL-jitter stampede flattening, and the read-your-writes staleness
+# ledger.
+# --------------------------------------------------------------------------
+
+
+def _cascade_sql() -> str:
+    blocks = []
+    prev = "st0c"
+    for r in range(1, 8):
+        blocks.append(
+            f"""
+agg{r} AS MATERIALIZED (
+  SELECT e.dst AS task,
+         CAST(count(*) AS BIGINT) AS n_preds,
+         CAST(sum(CASE WHEN p.failed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fp
+  FROM cedges e JOIN {prev} p ON p.task = e.src
+  GROUP BY 1
+),
+st{r}c AS MATERIALIZED (
+  SELECT s.task,
+         CAST(CASE WHEN s.failed = 1 THEN 1
+              WHEN coalesce(a.n_preds, 0) > 0
+                   AND 2 * coalesce(a.n_fp, 0) >= a.n_preds THEN 1
+              ELSE 0 END AS BIGINT) AS failed,
+         CASE WHEN s.failed = 1 THEN s.fail_round
+              WHEN coalesce(a.n_preds, 0) > 0
+                   AND 2 * coalesce(a.n_fp, 0) >= a.n_preds THEN {r}
+              ELSE NULL END AS fail_round
+  FROM {prev} s LEFT JOIN agg{r} a USING (task)
+)""".strip()
+        )
+        prev = f"st{r}c"
+    return ",\n".join(blocks)
+
+
+_CASCADE_SQL = f"""
+WITH ctasks AS (
+  SELECT CAST(t.i AS BIGINT) AS task FROM unnest(range(64)) AS t(i)
+),
+cedges AS MATERIALIZED (
+  SELECT a.task AS src, b.task AS dst
+  FROM ctasks a JOIN ctasks b ON b.task // 8 = a.task // 8 + 1
+  WHERE substr(md5('e:' || CAST(a.task AS VARCHAR) || '-'
+               || CAST(b.task AS VARCHAR)), 1, 1) < '6'
+),
+st0c AS (
+  SELECT task,
+         CAST(CASE WHEN task < 8 AND substr(md5('f0:'
+                || CAST(task AS VARCHAR)), 1, 1) < '4' THEN 1 ELSE 0 END
+              AS BIGINT) AS failed,
+         CASE WHEN task < 8 AND substr(md5('f0:'
+                || CAST(task AS VARCHAR)), 1, 1) < '4' THEN 0 END
+           AS fail_round
+  FROM ctasks
+),
+{_cascade_sql()},
+fin AS (
+  SELECT s.task, CAST(s.task // 8 AS BIGINT) AS layer, s.failed,
+         CAST(s.fail_round AS BIGINT) AS fail_round
+  FROM st7c s
+),
+tot AS (
+  SELECT CAST(sum(failed) AS BIGINT) AS n_failed,
+         CAST(count(*) AS BIGINT) AS n_tasks
+  FROM fin
+)
+SELECT f.task, f.layer, f.failed, f.fail_round,
+       t.n_failed, t.n_tasks,
+       round(CAST(t.n_failed AS DOUBLE) / t.n_tasks, 6) AS blast_radius
+FROM fin f CROSS JOIN tot t
+"""
+
+
+@_register_r4("q_cascade_failure", _CASCADE_SQL)
+def q_cascade_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-cascade blast radius over q_critical_path's layered
+    64-task DAG — the incident-model question 'if a quarter of the
+    sources go down, how much of the pipeline follows': md5 seeds fail
+    25% of layer-0 tasks, and each propagation round a task fails iff a
+    MAJORITY of its predecessors have failed (2*failed_preds >= n_preds
+    — the threshold-cascade model of Watts 2002; strictly weaker than
+    any-pred failure, so survivors with one healthy majority input
+    firewall the cascade). Seven unrolled rounds reach the fixpoint by
+    the layer bound; each task ships its layer, final state, and FIRST
+    failure round (seeds at round 0, honest NULL for survivors), with
+    the blast-radius fraction carried in-row. The replica replays the
+    cascade and asserts monotonicity (failures only grow) and that the
+    round number equals the earliest majority round.
+
+    Scale plan: each round is one edge equi-join + majority groupBy on
+    a metadata-sized frame (the Pregel threshold-propagation shape);
+    DuckDB rounds AS MATERIALIZED against per-reference CTE
+    re-evaluation — the q_greedy_matching lesson applied up front."""
+    tasks = spark.range(64).select(F.col("id").cast("long").alias("task"))
+    a = tasks.select(F.col("task").alias("src"))
+    b = tasks.select(F.col("task").alias("dst"))
+    edges = (
+        a.crossJoin(b)
+        .filter(F.floor(F.col("dst") / 8) == F.floor(F.col("src") / 8) + 1)
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("e:"), F.col("src").cast("string"), F.lit("-"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1, 1,
+            )
+            < "6"
+        )
+        .localCheckpoint()
+    )
+    seed = (F.col("task") < 8) & (
+        F.substring(
+            F.md5(F.concat(F.lit("f0:"), F.col("task").cast("string"))), 1, 1
+        )
+        < "4"
+    )
+    st = tasks.select(
+        "task",
+        F.when(seed, 1).otherwise(0).cast("long").alias("failed"),
+        F.when(seed, 0).cast("long").alias("fail_round"),
+    )
+    for r in range(1, 8):
+        agg = (
+            edges.join(
+                st.select(F.col("task").alias("src"), F.col("failed").alias("pf")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("task"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_preds"),
+                F.sum("pf").cast("long").alias("n_fp"),
+            )
+        )
+        newly = (F.coalesce(F.col("n_preds"), F.lit(0)) > 0) & (
+            2 * F.coalesce(F.col("n_fp"), F.lit(0)) >= F.col("n_preds")
+        )
+        st = (
+            st.join(agg, "task", "left")
+            .select(
+                "task",
+                F.when(F.col("failed") == 1, 1)
+                .when(newly, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("failed"),
+                F.when(F.col("failed") == 1, F.col("fail_round"))
+                .when(newly, F.lit(r))
+                .cast("long")
+                .alias("fail_round"),
+            )
+            .localCheckpoint()
+        )
+    fin = st.select(
+        "task", F.floor(F.col("task") / 8).cast("long").alias("layer"),
+        "failed", "fail_round",
+    )
+    tot = fin.agg(
+        F.sum("failed").cast("long").alias("n_failed"),
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+    )
+    return fin.crossJoin(F.broadcast(tot)).select(
+        "task", "layer", "failed", "fail_round", "n_failed", "n_tasks",
+        F.round(
+            F.col("n_failed").cast("double") / F.col("n_tasks"), 6
+        ).alias("blast_radius"),
+    )
+
+
+_TTLJITTER_SQL = """
+WITH ent AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS born,
+         CAST(('0x' || substr(md5('j:' || CAST(event_id AS VARCHAR)), 1, 3))
+              AS BIGINT) % 600 AS jit
+  FROM events
+),
+exp AS (
+  SELECT 'fixed' AS policy, CAST((born + 3600) // 60 AS BIGINT) AS exp_min
+  FROM ent
+  UNION ALL
+  SELECT 'jittered', CAST((born + 3600 + jit) // 60 AS BIGINT) FROM ent
+),
+hist AS (
+  SELECT policy, exp_min, CAST(count(*) AS BIGINT) AS c
+  FROM exp GROUP BY 1, 2
+),
+nn AS (SELECT policy, CAST(count(*) AS BIGINT) AS n_minutes,
+              CAST(sum(c) AS BIGINT) AS n_entries FROM hist GROUP BY 1),
+cum AS (
+  SELECT policy, c,
+         CAST(sum(cnt_c) OVER (PARTITION BY policy ORDER BY c) AS BIGINT)
+           AS f
+  FROM (SELECT policy, c, CAST(count(*) AS BIGINT) AS cnt_c
+        FROM hist GROUP BY 1, 2)
+)
+SELECT nn.policy, nn.n_entries, nn.n_minutes,
+       (SELECT CAST(max(c) AS BIGINT) FROM hist h
+        WHERE h.policy = nn.policy) AS max_per_min,
+       (SELECT CAST(min(cum.c) AS BIGINT) FROM cum
+        WHERE cum.policy = nn.policy
+          AND 100 * cum.f >= 99 * nn.n_minutes) AS p99_per_min,
+       round(CAST(nn.n_entries AS DOUBLE) / nn.n_minutes, 6) AS mean_per_min
+FROM nn
+"""
+
+
+@_register_r4("q_ttl_jitter", _TTLJITTER_SQL)
+def q_ttl_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-jitter stampede flattening — the thundering-herd fix
+    quantified: cache entries born at the event stream's timestamps
+    expire at a fixed 3600 s TTL (so the expiry histogram per minute
+    REPLAYS the insert burst an hour later — correlated expiries are
+    the stampede) versus a 0-600 s md5 jitter that spreads each burst
+    over ten minutes. Per policy the per-minute expiry histogram's max,
+    exact cross-multiplied p99 (over MINUTES: the smallest count whose
+    cumulative minute mass reaches 99%), and mean ship side by side —
+    jitter leaves the mean untouched (same entries, more minutes) while
+    pulling the max toward it, which is the whole argument. Whole-
+    second epochs under pinned UTC; every count exact.
+
+    Scale plan: one scan, a 2-way projection union, two map-side
+    groupBys and a count-of-counts window on the value domain."""
+    ev = load(spark, sf_dir, "events")
+    ent = ev.select(
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("born"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("j:"), F.col("event_id").cast("string"))),
+                    1, 3,
+                ),
+                16, 10,
+            ).cast("long")
+            % 600
+        ).alias("jit"),
+    )
+    exp = ent.select(
+        F.lit("fixed").alias("policy"),
+        F.floor((F.col("born") + 3600) / 60).cast("long").alias("exp_min"),
+    ).unionAll(
+        ent.select(
+            F.lit("jittered").alias("policy"),
+            F.floor((F.col("born") + 3600 + F.col("jit")) / 60)
+            .cast("long")
+            .alias("exp_min"),
+        )
+    )
+    hist = exp.groupBy("policy", "exp_min").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nn = hist.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.sum("c").cast("long").alias("n_entries"),
+        F.max("c").cast("long").alias("max_per_min"),
+    )
+    coc = hist.groupBy("policy", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_c")
+    )
+    wv = Window.partitionBy("policy").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = coc.select(
+        "policy", "c", F.sum("cnt_c").over(wv).cast("long").alias("f")
+    )
+    p99 = (
+        cum.join(nn.select("policy", "n_minutes"), "policy")
+        .filter(100 * F.col("f") >= 99 * F.col("n_minutes"))
+        .groupBy("policy")
+        .agg(F.min("c").cast("long").alias("p99_per_min"))
+    )
+    return nn.join(p99, "policy").select(
+        "policy", "n_entries", "n_minutes", "max_per_min", "p99_per_min",
+        F.round(
+            F.col("n_entries").cast("double") / F.col("n_minutes"), 6
+        ).alias("mean_per_min"),
+    )
+
+
+_RYW_SQL = """
+WITH ops AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS gap_s
+  FROM ops
+),
+lags AS (SELECT CAST(l.l AS BIGINT) AS replica_lag_s
+         FROM (VALUES (1), (10), (60)) AS l(l))
+SELECT lg.replica_lag_s,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(CASE WHEN g.gap_s < lg.replica_lag_s THEN 1 END) AS BIGINT)
+         AS n_violations,
+       round(CAST(count(CASE WHEN g.gap_s < lg.replica_lag_s THEN 1 END)
+                  AS DOUBLE) / count(*), 6) AS violation_rate,
+       CAST(count(DISTINCT CASE WHEN g.gap_s < lg.replica_lag_s
+                           THEN g.user_id END) AS BIGINT) AS n_users_affected
+FROM gaps g CROSS JOIN lags lg
+WHERE g.gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_register_r4("q_read_your_writes", _RYW_SQL)
+def q_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-your-writes staleness ledger — the session-guarantee
+    arithmetic (Terry 1994) behind 'why did my update disappear': if a
+    user's next operation lands within gap seconds of the previous one
+    and the replica serving it lags more than that gap, the session
+    guarantee breaks — so per candidate replica lag {1, 10, 60} s the
+    audit counts exactly the consecutive same-user pairs with gap <
+    lag, the violation rate, and the distinct users who would hit it.
+    This is the table that decides between sticky routing (pin the
+    session to the write region) and bounded-staleness SLAs: at 1 s
+    almost nobody notices, at 60 s the rapid-fire users all do — the
+    replica replays every gap and holds the monotone-in-lag growth.
+
+    Scale plan: one lag window per user partition (the stream's key),
+    then a 3-row broadcast lag spine (whitelisted) collapsed to 3
+    rows; second-level epochs under pinned UTC, differences only."""
+    ev = load(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ops.select(
+        "user_id", (F.col("sec") - F.lag("sec").over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    lags = spark.createDataFrame([(1,), (10,), (60,)], "replica_lag_s long")
+    viol = F.col("gap_s") < F.col("replica_lag_s")
+    return gaps.crossJoin(F.broadcast(lags)).groupBy("replica_lag_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.when(viol, 1)).cast("long").alias("n_violations"),
+        F.round(
+            F.count(F.when(viol, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("violation_rate"),
+        F.countDistinct(F.when(viol, F.col("user_id")))
+        .cast("long")
+        .alias("n_users_affected"),
+    )

@@ -569,6 +569,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "1-row total + minimal-moves carries onto the 16-shard plan")
     ],
+    "q_cascade_failure": [
+        ("BroadcastNestedLoopJoin",
+         "64-task synthetic DAG crossJoin at build time (metadata-sized, "
+         "layer-filtered) + 1-row blast-radius carry — same build shape "
+         "as q_critical_path")
+    ],
+    "q_read_your_writes": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast replica-lag spine x the per-user gap frame, "
+         "collapsed map-side to 3 rows")
+    ],
 }
 
 
