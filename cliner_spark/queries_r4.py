@@ -18688,3 +18688,260 @@ def q_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users_affected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: operations-health trio — heartbeat flap/outage ledger via the
+# gap trick, Jain's fairness index in exact rationals, and gray-failure
+# detection with its own confusion matrix.
+# --------------------------------------------------------------------------
+
+_HEARTBEAT_SQL = """
+WITH hb AS (
+  SELECT DISTINCT CAST(user_id % 16 AS BIGINT) AS node,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS m
+  FROM events
+),
+gaps AS (
+  SELECT node, m,
+         m - lag(m) OVER (PARTITION BY node ORDER BY m) AS gap
+  FROM hb
+)
+SELECT node,
+       CAST(count(*) AS BIGINT) AS up_minutes,
+       CAST(max(m) - min(m) + 1 AS BIGINT) AS span_minutes,
+       CAST(count(CASE WHEN gap > 1 THEN 1 END) AS BIGINT) AS n_outages,
+       CAST(max(CASE WHEN gap > 1 THEN gap - 1 END) AS BIGINT)
+         AS longest_outage_min,
+       CAST(max(m) - min(m) + 1 - count(*) AS BIGINT) AS down_minutes,
+       round(CAST(count(*) AS DOUBLE) / (max(m) - min(m) + 1), 6)
+         AS availability
+FROM gaps GROUP BY 1
+"""
+
+
+@_register_r4("q_heartbeat_flaps", _HEARTBEAT_SQL)
+def q_heartbeat_flaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat flap/outage ledger via the GAP TRICK — liveness
+    accounting with no dense time grid: a node (user bucket) is up in
+    any minute it emitted an event, and every fact a status page needs
+    falls out of the lag() gaps between CONSECUTIVE up-minutes: an
+    outage is a gap > 1 (length gap-1), the outage count is the flap
+    count, down_minutes = span - up_minutes conserves the calendar, and
+    availability is one division of exact integers. The dense-grid
+    formulation (q_stream_state_audit's spine) costs O(nodes x minutes);
+    this costs O(heartbeats) — the difference between a metrics query
+    and a metrics bill at fleet scale. Honest NULL longest-outage for
+    never-down nodes.
+
+    Scale plan: one distinct projection, one lag window per node
+    partition, one rollup; no spines, no joins."""
+    ev = load(spark, sf_dir, "events")
+    hb = ev.select(
+        (F.col("user_id") % 16).cast("long").alias("node"),
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("m"),
+    ).distinct()
+    w = Window.partitionBy("node").orderBy("m")
+    gaps = hb.select("node", "m", (F.col("m") - F.lag("m").over(w)).alias("gap"))
+    return gaps.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("up_minutes"),
+        (F.max("m") - F.min("m") + 1).cast("long").alias("span_minutes"),
+        F.count(F.when(F.col("gap") > 1, 1)).cast("long").alias("n_outages"),
+        F.max(F.when(F.col("gap") > 1, F.col("gap") - 1))
+        .cast("long")
+        .alias("longest_outage_min"),
+        (F.max("m") - F.min("m") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("down_minutes"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / (F.max("m") - F.min("m") + 1), 6
+        ).alias("availability"),
+    )
+
+
+_JAIN_SQL = """
+WITH loads AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(x) * sum(x) AS BIGINT) AS jain_num,
+       CAST(count(*) * sum(x * x) AS BIGINT) AS jain_den,
+       round(CAST(sum(x) AS DOUBLE) * sum(x) / (count(*) * sum(x * x)), 6)
+         AS jain_index
+FROM loads GROUP BY 1
+"""
+
+
+@_register_r4("q_jain_fairness", _JAIN_SQL)
+def q_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index (Jain-Chiu-Hawe 1984) of per-user load
+    within each event type — THE allocation-fairness scalar networking
+    standardized on, in exact rationals: J = (sum x)^2 / (n * sum x^2)
+    lives in [1/n, 1] with 1 = perfectly even and 1/n = one user owns
+    everything, and both the numerator and denominator are BIGINTs (a
+    corpus of 10^5 events keeps (sum x)^2 at 10^10 — the envelope holds
+    to ~3*10^9 events per type). Where q_maxmin_fairshare PRESCRIBES an
+    allocation and q_key_skew flags the hot keys, Jain GRADES the
+    distribution in one comparable number per type — the k-anonymity of
+    load balancing dashboards. The replica recomputes J in Fractions
+    and holds the [1/n, 1] bounds plus the scale-invariance sanity
+    (doubling every load leaves J exactly unchanged).
+
+    Scale plan: one (type, user) map-side groupBy, one rollup; no
+    joins, no windows."""
+    ev = load(spark, sf_dir, "events")
+    loads = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return loads.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        (F.sum("x") * F.sum("x")).cast("long").alias("jain_num"),
+        (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x")))
+        .cast("long")
+        .alias("jain_den"),
+        F.round(
+            F.sum("x").cast("double") * F.sum("x")
+            / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))),
+            6,
+        ).alias("jain_index"),
+    )
+
+
+_GRAY_SQL = """
+WITH req AS (
+  SELECT CAST(user_id % 16 AS BIGINT) AS node, event_id,
+         substr(md5('gray:' || CAST(user_id % 16 AS VARCHAR)), 1, 1) < '4'
+           AS is_gray,
+         CAST(('0x' || substr(md5('sv:' || CAST(event_id AS VARCHAR)), 1, 2))
+              AS BIGINT) AS s_coin,
+         CAST(('0x' || substr(md5('cl:' || CAST(event_id AS VARCHAR)), 1, 2))
+              AS BIGINT) AS c_coin
+  FROM events
+),
+per AS (
+  SELECT node, CAST(max(CASE WHEN is_gray THEN 1 ELSE 0 END) AS BIGINT)
+           AS truth_gray,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN s_coin < 248 THEN 1 END) AS BIGINT) AS s_ok,
+         CAST(count(CASE WHEN c_coin < (CASE WHEN is_gray THEN 200
+                                        ELSE 245 END) THEN 1 END) AS BIGINT)
+           AS c_ok
+  FROM req GROUP BY 1
+),
+det AS (
+  SELECT *, CASE WHEN 20 * (s_ok - c_ok) > n THEN 1 ELSE 0 END AS detected
+  FROM per
+),
+conf AS (
+  SELECT CAST(count(CASE WHEN detected = 1 AND truth_gray = 1 THEN 1 END)
+              AS BIGINT) AS tp,
+         CAST(count(CASE WHEN detected = 1 AND truth_gray = 0 THEN 1 END)
+              AS BIGINT) AS fp,
+         CAST(count(CASE WHEN detected = 0 AND truth_gray = 1 THEN 1 END)
+              AS BIGINT) AS fn,
+         CAST(count(CASE WHEN detected = 0 AND truth_gray = 0 THEN 1 END)
+              AS BIGINT) AS tn
+  FROM det
+)
+SELECT d.node, d.truth_gray, d.n, d.s_ok, d.c_ok, d.detected,
+       round(CAST(d.s_ok - d.c_ok AS DOUBLE) / d.n, 6) AS rate_gap,
+       c.tp, c.fp, c.fn, c.tn
+FROM det d CROSS JOIN conf c
+"""
+
+
+@_register_r4("q_gray_failure", _GRAY_SQL)
+def q_gray_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-failure detection by differential observability (Huang
+    2017's 'the Achilles heel of cloud-scale systems'): a gray node
+    reports HEALTHY server-side (every node's server success sits at
+    248/256) while its CLIENTS quietly suffer (md5-planted client
+    success 200/256 on the 4/16 gray nodes vs 245/256 on healthy
+    ones) — so the detector is the cross-multiplied differential test
+    20*(s_ok - c_ok) > n, i.e. a >5pp server-minus-client gap, and
+    because the ground truth is planted the query ships ITS OWN
+    confusion matrix (tp/fp/fn/tn as in-row carries). The replica
+    replays every coin and asserts PERFECT RECALL at this effect size
+    (the planted 17.6pp gap dwarfs the 5pp threshold); false positives
+    are bounded but not zero at the smallest fixture, where a healthy
+    node's ~60 requests put ~4pp of sampling noise under a 5pp
+    threshold — exactly the n-dependent false-alarm rate a production
+    rollout would tune with this same table. The insight this
+    operator encodes: neither side's health alone detects gray; only
+    the DIFFERENCE does.
+
+    Scale plan: one scan into per-node conditional counts (map-side
+    combined), a 1-row confusion carry (whitelisted); 16 rows out."""
+    ev = load(spark, sf_dir, "events")
+    node = (F.col("user_id") % 16).cast("long")
+    is_gray = (
+        F.substring(
+            F.md5(F.concat(F.lit("gray:"), node.cast("string"))), 1, 1
+        )
+        < "4"
+    )
+    req = ev.select(
+        node.alias("node"),
+        is_gray.alias("is_gray"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sv:"), F.col("event_id").cast("string"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long").alias("s_coin"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cl:"), F.col("event_id").cast("string"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long").alias("c_coin"),
+    )
+    per = req.groupBy("node").agg(
+        F.max(F.when(F.col("is_gray"), 1).otherwise(0))
+        .cast("long")
+        .alias("truth_gray"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("s_coin") < 248, 1)).cast("long").alias("s_ok"),
+        F.count(
+            F.when(
+                F.col("c_coin")
+                < F.when(F.col("is_gray"), 200).otherwise(245),
+                1,
+            )
+        ).cast("long").alias("c_ok"),
+    )
+    det = per.select(
+        "*",
+        F.when(20 * (F.col("s_ok") - F.col("c_ok")) > F.col("n"), 1)
+        .otherwise(0)
+        .alias("detected"),
+    )
+    conf = det.agg(
+        F.count(F.when((F.col("detected") == 1) & (F.col("truth_gray") == 1), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when((F.col("detected") == 1) & (F.col("truth_gray") == 0), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when((F.col("detected") == 0) & (F.col("truth_gray") == 1), 1))
+        .cast("long")
+        .alias("fn"),
+        F.count(F.when((F.col("detected") == 0) & (F.col("truth_gray") == 0), 1))
+        .cast("long")
+        .alias("tn"),
+    )
+    return det.crossJoin(F.broadcast(conf)).select(
+        "node", "truth_gray", "n", "s_ok", "c_ok", "detected",
+        F.round(
+            (F.col("s_ok") - F.col("c_ok")).cast("double") / F.col("n"), 6
+        ).alias("rate_gap"),
+        "tp", "fp", "fn", "tn",
+    )

@@ -580,6 +580,11 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "3-row broadcast replica-lag spine x the per-user gap frame, "
          "collapsed map-side to 3 rows")
     ],
+    "q_gray_failure": [
+        ("BroadcastNestedLoopJoin",
+         "1-row confusion-matrix carry onto the 16-node detection "
+         "ledger")
+    ],
 }
 
 
