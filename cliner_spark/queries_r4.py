@@ -18945,3 +18945,301 @@ def q_gray_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_gap"),
         "tp", "fp", "fn", "tn",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: interaction-dynamics trio — directed-graph dyad census /
+# reciprocity, Goh-Barabási burstiness + memory of inter-event times,
+# and the WAL group-commit batching ladder.
+# --------------------------------------------------------------------------
+
+_RECIP_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(user_id) OVER (ORDER BY ts, event_id) AS prev_user,
+         CAST(floor(epoch(lag(ts) OVER (ORDER BY ts, event_id))) AS BIGINT)
+           AS prev_sec
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT prev_user AS src, user_id AS dst
+  FROM seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND sec - prev_sec <= 60
+),
+nodes AS (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM (
+    SELECT src AS u FROM edges UNION SELECT dst FROM edges
+  )
+),
+recip AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(CASE WHEN r.src IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_recip_edges
+  FROM edges e
+  LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+)
+SELECT n.n AS n_nodes, r.n_edges, r.n_recip_edges,
+       CAST(r.n_recip_edges // 2 AS BIGINT) AS n_mutual_pairs,
+       CAST(r.n_edges - r.n_recip_edges AS BIGINT) AS n_asym_pairs,
+       CAST(n.n * (n.n - 1) // 2 - r.n_recip_edges // 2
+            - (r.n_edges - r.n_recip_edges) AS BIGINT) AS n_null_dyads,
+       round(CAST(r.n_recip_edges AS DOUBLE) / r.n_edges, 6) AS reciprocity
+FROM nodes n CROSS JOIN recip r
+"""
+
+
+@_register_r4("q_reciprocity", _RECIP_SQL)
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity + dyad census (Holland-Leinhardt 1970s
+    MAN census) over the interaction graph implied by the event stream —
+    consecutive events by different users within 60 s become a directed
+    src -> dst edge: reciprocity = the fraction of directed edges whose
+    reverse also exists (the self-join on swapped endpoints), and the
+    census splits all C(n,2) dyads into Mutual (reciprocated pairs =
+    recip_edges/2), Asymmetric (one-way), and Null — the triple that
+    separates a conversational medium (high M) from a broadcast one
+    (high A) before anyone fits a model. All counts exact; the census
+    conservation M + A + N = C(n,2) is the replica's checksum.
+
+    Scale plan: one global lag window (the total-order rank shape),
+    a distinct edge projection, one equi self-join on swapped endpoints
+    (never a cross), two 1-row carries."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+        F.lag("user_id").over(w).alias("prev_user"),
+        F.floor(F.unix_timestamp(F.lag("ts").over(w))).cast("long").alias(
+            "prev_sec"
+        ),
+    )
+    edges = (
+        seq.filter(
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") != F.col("user_id"))
+            & (F.col("sec") - F.col("prev_sec") <= 60)
+        )
+        .select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        edges.join(rev.withColumn("has_rev", F.lit(1)), ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.count(F.when(F.col("has_rev") == 1, 1))
+            .cast("long")
+            .alias("n_recip_edges"),
+        )
+    )
+    return nodes.crossJoin(F.broadcast(recip)).select(
+        F.col("n").alias("n_nodes"), "n_edges", "n_recip_edges",
+        F.floor(F.col("n_recip_edges") / 2).cast("long").alias("n_mutual_pairs"),
+        (F.col("n_edges") - F.col("n_recip_edges"))
+        .cast("long")
+        .alias("n_asym_pairs"),
+        (
+            F.floor(F.col("n") * (F.col("n") - 1) / 2)
+            - F.floor(F.col("n_recip_edges") / 2)
+            - (F.col("n_edges") - F.col("n_recip_edges"))
+        ).cast("long").alias("n_null_dyads"),
+        F.round(
+            F.col("n_recip_edges").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )
+
+
+_BURSTMEM_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_sec,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_sec
+  FROM events
+),
+gaps AS (
+  SELECT event_type, sec - prev_sec AS x, next_sec - sec AS y
+  FROM s WHERE prev_sec IS NOT NULL
+),
+stat AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM gaps GROUP BY 1
+),
+pairs AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(x) AS BIGINT) AS px,
+         CAST(sum(y) AS BIGINT) AS py,
+         CAST(sum(x * y) AS BIGINT) AS pxy,
+         CAST(sum(x * x) AS BIGINT) AS pxx,
+         CAST(sum(y * y) AS BIGINT) AS pyy
+  FROM gaps WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT st.event_type, st.n_gaps, st.sx, st.sxx,
+       round((sqrt(CAST(st.n_gaps * st.sxx - st.sx * st.sx AS DOUBLE))
+              - st.sx)
+             / (sqrt(CAST(st.n_gaps * st.sxx - st.sx * st.sx AS DOUBLE))
+                + st.sx), 6) AS burstiness_b,
+       p.np AS n_pairs,
+       CAST(p.np * p.pxy - p.px * p.py AS BIGINT) AS mem_num,
+       round(CAST(p.np * p.pxy - p.px * p.py AS DOUBLE)
+             / sqrt(CAST(p.np * p.pxx - p.px * p.px AS DOUBLE)
+                    * (p.np * p.pyy - p.py * p.py)), 6) AS memory_m
+FROM stat st JOIN pairs p USING (event_type)
+"""
+
+
+@_register_r4("q_burstiness_memory", _BURSTMEM_SQL)
+def q_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness and memory of inter-event times (2008) —
+    the two-coordinate fingerprint that separates bursty-correlated
+    human activity from Poisson machine traffic: per event type, B =
+    (sigma - mu)/(sigma + mu) of the gap distribution (population sigma
+    from exact integer sufficient stats through one correctly-rounded
+    sqrt; B > 0 bursty, B < 0 metronomic) and M = the Pearson
+    correlation of CONSECUTIVE gap pairs, built from one windowed pass —
+    the pair (x, y) = (sec - lag, lead - sec) on each event row, so no
+    separate sequence table and no ambiguous ordering (this replaced a
+    draft that ranked gaps by a nondeterministic ORDER BY 1). The
+    complement of q_fano_burstiness's count-based Fano factor: intervals
+    see clustering that windowed counts blur. mem_num ships as the exact
+    cross-multiplied BIGINT numerator; both headline stats are single
+    IEEE chains.
+
+    Scale plan: one lag/lead window per type partition, two map-side
+    rollups, an equi-join on type; gaps are seconds (bounded), so every
+    sum stays far inside BIGINT."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    s = ev.select(
+        "event_type", sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev_sec"),
+        F.lead(sec).over(w).alias("next_sec"),
+    )
+    gaps = s.filter(F.col("prev_sec").isNotNull()).select(
+        "event_type",
+        (F.col("sec") - F.col("prev_sec")).alias("x"),
+        (F.col("next_sec") - F.col("sec")).alias("y"),
+    )
+    stat = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    pairs = gaps.filter(F.col("y").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("px"),
+        F.sum("y").cast("long").alias("py"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("pxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("pxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("pyy"),
+    )
+    sig = F.sqrt(
+        (F.col("n_gaps") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    mem_num = F.col("np") * F.col("pxy") - F.col("px") * F.col("py")
+    return stat.join(pairs, "event_type").select(
+        "event_type", "n_gaps", "sx", "sxx",
+        F.round((sig - F.col("sx")) / (sig + F.col("sx")), 6).alias(
+            "burstiness_b"
+        ),
+        F.col("np").alias("n_pairs"),
+        mem_num.cast("long").alias("mem_num"),
+        F.round(
+            mem_num.cast("double")
+            / F.sqrt(
+                (F.col("np") * F.col("pxx") - F.col("px") * F.col("px")).cast(
+                    "double"
+                )
+                * (F.col("np") * F.col("pyy") - F.col("py") * F.col("py"))
+            ),
+            6,
+        ).alias("memory_m"),
+    )
+
+
+_GROUPCOMMIT_SQL = """
+WITH txn AS (
+  SELECT CAST(epoch_us(ts) // 1000 AS BIGINT) AS t_ms FROM events
+),
+ivs AS (SELECT CAST(i.i AS BIGINT) AS interval_ms
+        FROM (VALUES (1), (10), (100)) AS i(i)),
+j AS (
+  SELECT iv.interval_ms, t.t_ms,
+         t.t_ms // iv.interval_ms AS batch_id,
+         iv.interval_ms - (t.t_ms % iv.interval_ms) AS wait_ms
+  FROM txn t CROSS JOIN ivs iv
+)
+SELECT interval_ms,
+       CAST(count(*) AS BIGINT) AS n_txn,
+       CAST(count(DISTINCT batch_id) AS BIGINT) AS n_fsyncs,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT batch_id), 6)
+         AS batch_factor,
+       CAST(sum(wait_ms) AS BIGINT) AS total_wait_ms,
+       round(CAST(sum(wait_ms) AS DOUBLE) / count(*), 6) AS avg_wait_ms,
+       CAST(max(wait_ms) AS BIGINT) AS max_wait_ms
+FROM j GROUP BY 1
+"""
+
+
+@_register_r4("q_group_commit", _GROUPCOMMIT_SQL)
+def q_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL group-commit batching ladder — the fsync economics every
+    durable log tunes (the DB-engine sibling of q_ttl_jitter's herd):
+    with fsyncs at fixed interval boundaries, a transaction arriving at
+    t commits at the NEXT boundary, so wait_ms = I - (t mod I) is exact
+    integer arithmetic, the fsync count is the distinct boundary count,
+    and the ladder {1, 10, 100} ms shows the trade in the same row:
+    batch_factor (txns amortized per fsync — the disk's win) against
+    total/avg/max wait (latency's bill, max pinned at exactly I by any
+    boundary-adjacent arrival). Millisecond epochs are EXACT integer
+    microseconds div 1000 on both engines (epoch_us / unix_micros —
+    the double-seconds epoch() form loses exactness at millisecond
+    boundaries); the mod arithmetic is unaffected by the session's
+    whole-hour timezone anchoring.
+
+    Scale plan: one scan x a 3-row broadcast interval spine
+    (whitelisted), one distinct-count rollup per interval."""
+    ev = load(spark, sf_dir, "events")
+    txn = ev.select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1000
+        ).cast("long").alias("t_ms")
+    )
+    ivs = spark.createDataFrame([(1,), (10,), (100,)], "interval_ms long")
+    j = txn.crossJoin(F.broadcast(ivs)).select(
+        "interval_ms",
+        F.floor(F.col("t_ms") / F.col("interval_ms")).alias("batch_id"),
+        (F.col("interval_ms") - F.col("t_ms") % F.col("interval_ms")).alias(
+            "wait_ms"
+        ),
+    )
+    return j.groupBy("interval_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_txn"),
+        F.countDistinct("batch_id").cast("long").alias("n_fsyncs"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("batch_id"), 6
+        ).alias("batch_factor"),
+        F.sum("wait_ms").cast("long").alias("total_wait_ms"),
+        F.round(F.sum("wait_ms").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_wait_ms"
+        ),
+        F.max("wait_ms").cast("long").alias("max_wait_ms"),
+    )

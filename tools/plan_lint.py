@@ -585,6 +585,16 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "1-row confusion-matrix carry onto the 16-node detection "
          "ledger")
     ],
+    "q_reciprocity": [
+        ("BroadcastNestedLoopJoin",
+         "1-row node-count x 1-row census carries onto the single "
+         "output row")
+    ],
+    "q_group_commit": [
+        ("BroadcastNestedLoopJoin",
+         "3-row broadcast fsync-interval spine x transactions, "
+         "collapsed map-side to 3 rows")
+    ],
 }
 
 
