@@ -252,6 +252,222 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(rgb)
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF89a, palette + LZW — the complete stdlib-only codec; round-4
+# verdict item 6). Encoder emits a single-frame non-interlaced GIF with a
+# global color table; decoder handles global/local color tables, skips
+# extension blocks, and implements canonical GIF LZW (variable code width
+# widening at next==2^w, clear/end codes, reset-on-full at 4096 — GIF's
+# late change, NOT TIFF's early change).
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 1 << 12
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW over palette indices -> packed code stream
+    (LSB-first bit order, per spec)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < _GIF_MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+            # widen AFTER the emission that coincides with this add: the
+            # decoder adds the same entry only after reading the NEXT
+            # code, so the encoder's width change must lag the table
+            # filling by exactly one code (GIF late change).
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            # table full: clear and restart (decoder resets on the same
+            # code, so the streams stay in lockstep)
+            emit(clear, code_size)
+            code_size = min_code_size + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_encode (canonical GIF LZW decoder loop)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0  # bit cursor
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        if pos + code_size > total_bits:
+            # in-the-wild GIFs may rely on the data sub-block terminator
+            # instead of an explicit end code (e.g. the canonical 1x1
+            # transparent GIF) — exhaustion IS end-of-stream
+            break
+        code = read(code_size)
+        if code == clear:
+            code_size = min_code_size + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB as a single-frame GIF89a with a global color
+    table built from the image's distinct colors (<=256 — the format's
+    own palette limit; more raises ValueError rather than quantizing,
+    so the roundtrip stays exact)."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    colors = sorted({rgb[i : i + 3] for i in range(0, len(rgb), 3)})
+    if len(colors) > 256:
+        raise ValueError(
+            f"{len(colors)} distinct colors: GIF's palette holds 256 — "
+            "exact encoding impossible without quantization"
+        )
+    pal_bits = max(1, (max(len(colors) - 1, 1)).bit_length())
+    pal_size = 1 << pal_bits
+    index = {c: i for i, c in enumerate(colors)}
+    indices = bytes(
+        index[rgb[i : i + 3]] for i in range(0, len(rgb), 3)
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1))  # GCT flag
+    out += b"\x00\x00"  # background index, aspect ratio
+    for c in colors:
+        out += c
+    out += b"\x00\x00\x00" * (pal_size - len(colors))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    min_code = max(2, pal_bits)
+    out.append(min_code)
+    packed = _lzw_encode(indices, min_code)
+    for off in range(0, len(packed), 255):
+        block = packed[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes]:
+    """Decode the first frame of a GIF87a/89a -> (width, height, top-down
+    RGB). Extension blocks are skipped; interlaced frames raise (the
+    encoder above never emits them)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        ipacked = data[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF frames not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decode(bytes(stream), min_code)
+        if len(indices) < w * h:
+            raise ValueError("GIF pixel data short")
+        rgb = bytearray()
+        for i in indices[: w * h]:
+            rgb += pal[3 * i : 3 * i + 3]
+        return w, h, bytes(rgb)
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
     """Dispatch on magic bytes -> (fmt, width, height, top-down RGB).
     Unknown formats raise via decode_stub (honest about what's decodable
@@ -262,6 +478,9 @@ def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         w, h, rgb = decode_png(payload)
         return "png", w, h, rgb
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rgb = decode_gif(payload)
+        return "gif", w, h, rgb
     decode_stub(payload)
     raise AssertionError("unreachable")
 
@@ -613,7 +832,14 @@ def decode_audio(media: DataFrame) -> DataFrame:
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    # explicit contract check (not assert: must survive
+                    # python -O, and struct.error later would be opaque)
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"media_id={int(mid)}: expected mono 16-bit "
+                            f"PCM WAV, got channels={w.getnchannels()} "
+                            f"sampwidth={w.getsampwidth()}"
+                        )
                     rate = w.getframerate()
                     n = w.getnframes()
                     raw = w.readframes(n)

@@ -13942,9 +13942,14 @@ log AS (
   SELECT k, status, 3, 'delete', NULL FROM base WHERE dh < '2'
 ),
 last AS (
+  -- last_val folds over coalesce(val, -1): DuckDB's arg_max SKIPS rows
+  -- whose value arg is NULL (it would return the pre-delete value for a
+  -- tombstoned key) while Spark's max_by returns the NULL itself — the
+  -- sentinel + nullif makes both engines agree that a tombstoned key's
+  -- last_val is NULL (round-4 ADVICE).
   SELECT k, status,
          arg_max(op, seq) AS last_op,
-         arg_max(val, seq) AS last_val,
+         nullif(arg_max(coalesce(val, -1), seq), -1) AS last_val,
          CAST(count(*) AS BIGINT) AS n_ops
   FROM log GROUP BY 1, 2
 )
@@ -13972,6 +13977,10 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq 3) and the fold is last-writer-wins by max seq (arg_max /
     max_by, the single-pass formulation — no window, no sort), with
     deletes becoming tombstones that drop the key from the live set.
+    NULL-handling note: DuckDB's arg_max skips NULL value args while
+    Spark's max_by does not, so last_val folds over a -1 sentinel +
+    nullif in BOTH engines — tombstoned keys get last_val = NULL
+    everywhere, making the column safe to surface directly.
     The per-status rollup ships the full conservation ledger: n_ops =
     n_keys + updates + deletes, n_superseded = ops the fold discarded,
     and live_cents = the exact post-merge balance — what a MERGE INTO
@@ -14012,9 +14021,16 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # NULL-handling asymmetry (round-4 ADVICE): Spark's max_by returns the
+    # val AT max seq (NULL for a tombstone) but DuckDB's arg_max skips
+    # NULL-valued rows (returning the pre-delete value). Folding over a -1
+    # sentinel + nullif pins both engines to "tombstoned key -> last_val
+    # NULL", so last_val is safe to surface directly in future columns.
     last = log.groupBy("k", "status").agg(
         F.max_by("op", "seq").alias("last_op"),
-        F.max_by("val", "seq").alias("last_val"),
+        F.nullif(
+            F.max_by(F.coalesce("val", F.lit(-1)), "seq"), F.lit(-1)
+        ).alias("last_val"),
         F.count(F.lit(1)).cast("long").alias("n_ops"),
     )
     return last.groupBy("status").agg(
@@ -15728,35 +15744,59 @@ _TRANSE_SCORE_SQL = " + ".join(
     for i in range(8)
 )
 
+_TRANSE_SIG_SCORE_SQL = " + ".join(
+    f"abs(('0x' || substr(md5('sigemb:' || CAST(c.h % 16 AS VARCHAR)), "
+    f"{i + 1}, 1))::BIGINT - "
+    f"('0x' || substr(md5('sigemb:' || CAST(c.t % 16 AS VARCHAR)), "
+    f"{i + 1}, 1))::BIGINT)"
+    for i in range(8)
+)
+
 _TRANSE_SQL = f"""
 WITH {SQL_DOCS_TOKS.strip()},
 {_DPG4.strip()},
 mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_ent FROM documents),
+spine AS (SELECT CAST(t.i AS BIGINT) AS j FROM unnest(range(65)) AS t(i)),
 cand AS (
   SELECT e.lo AS h, e.hi AS true_t,
          CASE WHEN f.j = 0 THEN e.hi
               ELSE ('0x' || substr(md5('neg:' || CAST(e.lo AS VARCHAR) || '-'
                      || CAST(e.hi AS VARCHAR) || '-' || CAST(f.j AS VARCHAR)),
                      1, 12))::BIGINT % mx.n_ent END AS t
-  FROM ge e CROSS JOIN mx
-  CROSS JOIN (SELECT CAST(t.i AS BIGINT) AS j
-              FROM unnest(range(65)) AS t(i)) f
+  FROM ge e CROSS JOIN mx CROSS JOIN spine f
+),
+cand_sig AS (
+  SELECT DISTINCT e.lo AS h, e.lo + 16 AS true_t,
+         CASE WHEN f.j = 0 THEN e.lo + 16
+              ELSE ('0x' || substr(md5('sneg:' || CAST(e.lo AS VARCHAR) || '-'
+                     || CAST(e.lo + 16 AS VARCHAR) || '-'
+                     || CAST(f.j AS VARCHAR)),
+                     1, 12))::BIGINT % mx.n_ent END AS t
+  FROM ge e CROSS JOIN mx CROSS JOIN spine f
+  WHERE e.lo + 16 < mx.n_ent
 ),
 dcand AS (SELECT DISTINCT h, true_t, t FROM cand),
 scored AS (
-  SELECT c.h, c.true_t, c.t, CAST({_TRANSE_SCORE_SQL} AS BIGINT) AS score
+  SELECT 'chance' AS arm, c.h, c.true_t, c.t,
+         CAST({_TRANSE_SCORE_SQL} AS BIGINT) AS score
   FROM dcand c
+  UNION ALL
+  SELECT 'signal', c.h, c.true_t, c.t,
+         CAST({_TRANSE_SIG_SCORE_SQL} AS BIGINT)
+  FROM cand_sig c
 ),
 ranked AS (
-  SELECT h, true_t, t, score,
-         row_number() OVER (PARTITION BY h, true_t ORDER BY score, t) AS rk,
-         count(*) OVER (PARTITION BY h, true_t) AS n_cands
+  SELECT arm, h, true_t, t, score,
+         row_number() OVER (PARTITION BY arm, h, true_t
+                            ORDER BY score, t) AS rk,
+         count(*) OVER (PARTITION BY arm, h, true_t) AS n_cands
   FROM scored
 ),
 true_rk AS (
-  SELECT h, true_t, rk, n_cands FROM ranked WHERE t = true_t
+  SELECT arm, h, true_t, rk, n_cands FROM ranked WHERE t = true_t
 )
-SELECT CAST(count(*) AS BIGINT) AS n_triples,
+SELECT arm,
+       CAST(count(*) AS BIGINT) AS n_triples,
        CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
        CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
        CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
@@ -15764,24 +15804,27 @@ SELECT CAST(count(*) AS BIGINT) AS n_triples,
        round(CAST(sum(rk) AS DOUBLE) / count(*), 6) AS mean_rank,
        CAST(min(n_cands) AS BIGINT) AS min_cands,
        CAST(max(n_cands) AS BIGINT) AS max_cands
-FROM true_rk
+FROM true_rk GROUP BY arm
 """
 
 
 @_register_r4("q_transe_eval", _TRANSE_SQL)
 def q_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransE link-prediction evaluation (Bordes 2013) in exact integer
-    geometry: entities embed as 8-dim md5 NIBBLE vectors, the relation
-    vector likewise, and score(h, t) = L1 ||e_h + r - e_t|| is a BIGINT
-    — so the filtered-ranking protocol (true tail vs 64 md5-corrupted
-    tails drawn from the [0, max_id] entity universe, candidate set
-    deduplicated) is hash-exact: hits@1/3/10, the rank sum, and the
-    mean rank are the standard KGE leaderboard row with zero float
-    anywhere. On md5 embeddings the metrics sit at the RANDOM baseline
-    (mean rank ~ n_cands/2, hits@10 ~ 10/65) — the replica asserts that
-    band, because an eval harness must read chance correctly before it
-    can read signal; swap the nibble vectors for trained ones and the
-    same query becomes the real eval.
+    geometry, TWO-ARM (round-4 verdict item 5): the filtered-ranking
+    protocol (true tail vs 64 md5-corrupted tails drawn from the
+    [0, max_id] entity universe, candidate set deduplicated) runs over
+    (a) the CHANCE arm — entities embed as 8-dim md5 nibble vectors, a
+    md5 relation vector, score = L1 ||e_h + r - e_t|| — where metrics
+    must sit at the random baseline (mean rank ~ n_cands/2, hits@10 ~
+    10/65), and (b) the SIGNAL arm — 'trained' embeddings that encode
+    cluster membership (E(e) = md5 nibbles of e % 16, r = 0, planted
+    triples (h, h+16) within-cluster) so score(h, true_t) = 0 exactly
+    and only the ~1/16 of negatives landing in the same cluster can tie
+    — hits@10 must sit FAR above chance. A leaderboard harness has to
+    read both noise and signal correctly before its numbers mean
+    anything; the replica asserts the chance band AND the signal band.
+    All scores are BIGINTs, zero float anywhere.
 
     Scale plan: candidates are a 65-row broadcast spine per edge
     (whitelisted), scores are pure projections, ranking windows run on
@@ -15795,38 +15838,45 @@ def q_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("doc_id") + 1).cast("long").alias("n_ent")
     )
     js = spark.range(65).select(F.col("id").cast("long").alias("j"))
+
+    def corrupt(salt: str):
+        return F.when(F.col("j") == 0, F.col("true_t")).otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt), F.col("h").cast("string"),
+                            F.lit("-"), F.col("true_t").cast("string"),
+                            F.lit("-"), F.col("j").cast("string"),
+                        )
+                    ),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.col("n_ent")
+        )
+
     cand = (
         ge.crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(js))
-        .select(
-            "h", "true_t",
-            F.when(F.col("j") == 0, F.col("true_t"))
-            .otherwise(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("neg:"), F.col("h").cast("string"),
-                                F.lit("-"), F.col("true_t").cast("string"),
-                                F.lit("-"), F.col("j").cast("string"),
-                            )
-                        ),
-                        1, 12,
-                    ),
-                    16, 10,
-                ).cast("long")
-                % F.col("n_ent")
-            )
-            .alias("t"),
-        )
+        .select("h", "true_t", corrupt("neg:").alias("t"))
+        .distinct()
+    )
+    cand_sig = (
+        ge.select("h")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("h") + 16 < F.col("n_ent"))
+        .select("h", (F.col("h") + 16).alias("true_t"), "n_ent")
+        .crossJoin(F.broadcast(js))
+        .select("h", "true_t", corrupt("sneg:").alias("t"))
         .distinct()
     )
 
-    def nib(prefix, col, i):
+    def nib(prefix, expr, i):
         return F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(prefix), F.col(col).cast("string"))),
-                i + 1, 1,
+                F.md5(F.concat(F.lit(prefix), expr.cast("string"))), i + 1, 1
             ),
             16, 10,
         ).cast("long")
@@ -15838,19 +15888,36 @@ def q_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(8)
     ]
     score = None
+    score_sig = None
     for i in range(8):
-        term = F.abs(nib("emb:", "h", i) + rel[i] - nib("emb:", "t", i))
+        term = F.abs(
+            nib("emb:", F.col("h"), i) + rel[i] - nib("emb:", F.col("t"), i)
+        )
         score = term if score is None else score + term
-    scored = cand.select("h", "true_t", "t", score.cast("long").alias("score"))
-    wr = Window.partitionBy("h", "true_t").orderBy("score", "t")
-    wp = Window.partitionBy("h", "true_t")
+        # signal embeddings encode cluster id (e % 16); relation = 0
+        sterm = F.abs(
+            nib("sigemb:", F.col("h") % 16, i)
+            - nib("sigemb:", F.col("t") % 16, i)
+        )
+        score_sig = sterm if score_sig is None else score_sig + sterm
+    scored = cand.select(
+        F.lit("chance").alias("arm"), "h", "true_t", "t",
+        score.cast("long").alias("score"),
+    ).unionAll(
+        cand_sig.select(
+            F.lit("signal").alias("arm"), "h", "true_t", "t",
+            score_sig.cast("long").alias("score"),
+        )
+    )
+    wr = Window.partitionBy("arm", "h", "true_t").orderBy("score", "t")
+    wp = Window.partitionBy("arm", "h", "true_t")
     ranked = scored.select(
-        "h", "true_t", "t",
+        "arm", "h", "true_t", "t",
         F.row_number().over(wr).alias("rk"),
         F.count(F.lit(1)).over(wp).alias("n_cands"),
     )
     true_rk = ranked.filter(F.col("t") == F.col("true_t"))
-    return true_rk.agg(
+    return true_rk.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n_triples"),
         F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("long").alias("hits1"),
         F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0)).cast("long").alias("hits3"),
@@ -19003,26 +19070,60 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high A) before anyone fits a model. All counts exact; the census
     conservation M + A + N = C(n,2) is the replica's checksum.
 
-    Scale plan: one global lag window (the total-order rank shape),
-    a distinct edge projection, one equi self-join on swapped endpoints
-    (never a cross), two 1-row carries."""
+    Scale plan (restructured, round-4 ADVICE: the draft used ONE global
+    lag window = Exchange SinglePartition + a one-task sort over the
+    whole event stream): consecutive-pair extraction now buckets time
+    into 3600 s spans and runs the lag window PARTITIONED by bucket;
+    the only global-order pairs a bucketed lag misses are the
+    (last-of-bucket, first-of-next-bucket) seams, which are recovered
+    exactly by a per-bucket argmin/argmax rollup equi-joined on
+    bucket+1. Exact because the 60 s gap cap << the 3600 s bucket
+    width: any seam pair spanning a >=1-bucket hole has gap > 3600 s
+    and is filtered regardless, so only adjacent-bucket seams can
+    qualify. One partitioned window + one dimension-sized seam join
+    replaces the single-task sort; then a distinct edge projection,
+    one equi self-join on swapped endpoints (never a cross), two
+    1-row carries."""
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
-        F.lag("user_id").over(w).alias("prev_user"),
-        F.floor(F.unix_timestamp(F.lag("ts").over(w))).cast("long").alias(
-            "prev_sec"
-        ),
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    base = ev.select(
+        "user_id", "event_id", "ts", sec.alias("sec"),
+        F.floor(sec / 3600).cast("long").alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    wb_desc = Window.partitionBy("bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    seq = base.select(
+        "user_id", "sec", "bucket",
+        F.lag("user_id").over(wb).alias("prev_user"),
+        F.lag("sec").over(wb).alias("prev_sec"),
+        F.row_number().over(wb).alias("rn_first"),
+        F.row_number().over(wb_desc).alias("rn_last"),
+    )
+    inner_pairs = seq.filter(F.col("prev_user").isNotNull()).select(
+        F.col("prev_user").alias("src"), F.col("user_id").alias("dst"),
+        (F.col("sec") - F.col("prev_sec")).alias("gap"),
+    )
+    # bucket seams: the globally-consecutive pair crossing each bucket
+    # boundary is (last event of b, first event of the next non-empty
+    # bucket); non-adjacent seams carry gap > 3600 - 60 and cannot pass
+    # the 60 s filter, so joining on bucket+1 is exact.
+    lasts = seq.filter(F.col("rn_last") == 1).select(
+        (F.col("bucket") + 1).alias("nbucket"),
+        F.col("user_id").alias("src"), F.col("sec").alias("last_sec"),
+    )
+    firsts = seq.filter(F.col("rn_first") == 1).select(
+        F.col("bucket").alias("nbucket"),
+        F.col("user_id").alias("dst"), F.col("sec").alias("first_sec"),
+    )
+    seam_pairs = lasts.join(firsts, "nbucket").select(
+        "src", "dst", (F.col("first_sec") - F.col("last_sec")).alias("gap")
     )
     edges = (
-        seq.filter(
-            F.col("prev_user").isNotNull()
-            & (F.col("prev_user") != F.col("user_id"))
-            & (F.col("sec") - F.col("prev_sec") <= 60)
-        )
-        .select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))
+        inner_pairs.unionAll(seam_pairs)
+        .filter((F.col("src") != F.col("dst")) & (F.col("gap") <= 60))
+        .select("src", "dst")
         .distinct()
     )
     nodes = (

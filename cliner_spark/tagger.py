@@ -257,21 +257,21 @@ def viterbi_batch(emissions: np.ndarray, lengths: np.ndarray, trans: np.ndarray)
     ids [N]. Time loop runs to max(lengths) with all turns advanced in lock
     step (numpy over the batch axis) — no per-turn Python loop.
 
-    Ragged turns are padded with emissions that force O at pad positions.
-    Because transitions INTO O are uniform across predecessors (iob_transitions
-    keeps trans[:, O] == 0, and the trainer never updates trans), the optimal
-    padded path is the optimal real path extended with O — decoding the padded
-    batch then slicing is exact.
+    Ragged turns use an explicit LENGTH-MASKED DP (round-4 verdict item 4's
+    generalization): a turn's dp row freezes once t reaches its length, so
+    no transition scores are ever applied at pad positions and the frozen
+    row IS the turn's final Viterbi frontier. This is exact for ARBITRARY
+    transition matrices — the earlier pad-forces-O formulation additionally
+    required uniform into-O transitions, which blocked learning them
+    (crf.train_crf(learn_trans=True) now does).
     """
     n_turn = len(lengths)
     if n_turn == 0 or lengths.sum() == 0:
         return np.zeros(0, dtype=np.int64)
     t_max = int(lengths.max())
 
-    assert np.allclose(trans[:, 0], trans[0, 0]), "pad trick needs uniform into-O"
-
     pad = np.full((n_turn, t_max, L), NEG, dtype=np.float32)
-    pad[:, :, 0] = 0.0  # pad positions: only O attainable
+    pad[:, :, 0] = 0.0  # pad positions (never read by the masked DP)
     pos_in_turn = np.concatenate([np.arange(l) for l in lengths])
     turn_of = np.repeat(np.arange(n_turn), lengths)
     pad[turn_of, pos_in_turn] = emissions
@@ -280,16 +280,22 @@ def viterbi_batch(emissions: np.ndarray, lengths: np.ndarray, trans: np.ndarray)
     start_illegal = trans[0] <= NEG / 2  # sequences cannot start with I-*
     dp[:, start_illegal] = NEG
     back = np.zeros((n_turn, t_max, L), dtype=np.int8)
+    alive = lengths[:, None] > 0  # [B, 1], broadcast over labels
     for t in range(1, t_max):
         scores = dp[:, :, None] + trans[None, :, :]  # [B, L_prev, L_cur]
         back[:, t] = scores.argmax(axis=1)
-        dp = scores.max(axis=1) + pad[:, t]
+        stepped = scores.max(axis=1) + pad[:, t]
+        np.greater(lengths[:, None], t, out=alive)
+        dp = np.where(alive, stepped, dp)  # ended turns: frontier frozen
 
     tags = np.zeros((n_turn, t_max), dtype=np.int64)
     cur = dp.argmax(axis=1)
     tags[:, t_max - 1] = cur
+    rows = np.arange(n_turn)
     for t in range(t_max - 1, 0, -1):
-        cur = back[np.arange(n_turn), t, cur]
+        # apply the backpointer only where a real transition happened
+        # (t <= length-1); for already-ended turns cur stays the final tag
+        cur = np.where(t <= lengths - 1, back[rows, t, cur], cur)
         tags[:, t - 1] = cur
     return tags[turn_of, pos_in_turn]
 

@@ -5,22 +5,77 @@ a query's construction itself runs jobs) and flag scale-hostile operators:
   - CartesianProduct / BroadcastNestedLoopJoin   (join exploded or keyless)
   - BatchEvalPython / row-at-a-time PythonUDF    (per-row Python in the plan;
     ArrowEvalPython / mapInPandas stages are fine and NOT flagged)
+  - GlobalWindow: a Window operator with NO partition spec — Spark executes
+    it as Exchange SinglePartition + one-task Sort, the one scale-hostile
+    shape the operator patterns above cannot see (round-4 verdict item 4).
+    Detected structurally: a `Window [exprs], [order]` plan line with only
+    two top-level bracket groups (a partitioned window has three).
 
 Whitelist: queries that legitimately contain a flagged shape declare it
 below with the reason (e.g. a crossJoin against a broadcast 1-row aggregate
-is a scalar-carry, not a blowup — Spark renders it BroadcastNestedLoopJoin).
+is a scalar-carry, not a blowup — Spark renders it BroadcastNestedLoopJoin;
+a global window over a |days| grid or a capped top-K frame is
+dimension-sized by construction). The whitelist is COUNT-based (round-4
+ADVICE): tools/plan_lint_counts.json freezes the observed per-(query,
+pattern) instance count, and the lint fails if a plan ever contains MORE
+instances than frozen — so a whitelisted query cannot silently grow new
+flagged operators as it evolves. Regenerate with --update-counts after an
+intentional change (the diff of the JSON is the review surface).
 
-Usage: python tools/plan_lint.py [query ...]   exit 1 if any unexplained flag
+Usage: python tools/plan_lint.py [query ...]       exit 1 if any unexplained
+       python tools/plan_lint.py --update-counts   refreeze instance counts
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+COUNTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "plan_lint_counts.json")
+
+
+def count_global_windows(plan: str) -> int:
+    """Count Window operators with an empty partition spec.
+
+    A physical Window line renders as
+      Window [functions], [partitionSpec], [orderSpec]
+    (3 top-level bracket groups) when partitioned and
+      Window [functions], [orderSpec]
+    (2 groups) when global. WindowGroupLimit/WindowInPandas lines are
+    handled the same way.
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = re.match(r"^[\s+:*()-]*Window(?:InPandas)? \[", line)
+        if not m:
+            continue
+        depth = 0
+        groups: list[list[str]] = []
+        for ch in line[m.end() - 1:]:
+            if ch == "[":
+                if depth == 0:
+                    groups.append([])
+                depth += 1
+            if depth > 0 and groups:
+                groups[-1].append(ch)
+            if ch == "]":
+                depth -= 1
+        texts = ["".join(g) for g in groups]
+        # 3 groups = [funcs], [partition], [order] -> partitioned, fine.
+        # 2 groups: [funcs], [order] (global sort — ASC/DESC markers) is
+        # flagged; [funcs], [partition] (partitioned, unordered) is fine.
+        # 1 group = empty OVER () -> SinglePartition, flagged.
+        if len(texts) == 1:
+            n += 1
+        elif len(texts) == 2 and re.search(r" (ASC|DESC)\b", texts[1]):
+            n += 1
+    return n
 
 # query -> (pattern, reason) pairs that are allowed
 ALLOWED: dict[str, list[tuple[str, str]]] = {
@@ -597,17 +652,48 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
+# Queries allowed to contain a Window with NO partition spec (round-4
+# verdict item 4: Spark executes these as Exchange SinglePartition + a
+# one-task Sort). Every entry states the FRAME BOUND that makes the
+# single task safe — the window input must be dimension-sized (a grid,
+# spine, rollup, or capped top-K frame), never the corpus. A query whose
+# global window runs over corpus-scale rows must be restructured (e.g.
+# q_reciprocity's bucketed lag + boundary stitch), not whitelisted.
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+
+
+SUBSTRING_PATTERNS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+)
+
+
+def pattern_counts(plan: str) -> dict[str, int]:
+    out = {pat: plan.count(pat) for pat in SUBSTRING_PATTERNS}
+    out["GlobalWindow"] = count_global_windows(plan)
+    return {k: v for k, v in out.items() if v}
+
 
 def main() -> int:
     from cliner_spark.session import get_spark
 
     import __spark_entry__ as entry
 
+    args = sys.argv[1:]
+    update_counts = "--update-counts" in args
+    args = [a for a in args if a != "--update-counts"]
+
     spark = get_spark("plan_lint", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    wanted = sys.argv[1:] or sorted(qs)
+    wanted = args or sorted(qs)
+    frozen: dict[str, dict[str, int]] = {}
+    if os.path.exists(COUNTS_PATH):
+        with open(COUNTS_PATH) as f:
+            frozen = json.load(f)
     bad = 0
+    observed_all: dict[str, dict[str, int]] = {}
     for name in wanted:
         try:
             plan = (
@@ -620,20 +706,59 @@ def main() -> int:
             print(f"{name}: EXPLAIN FAILED: {e}")
             bad += 1
             continue
+        observed = pattern_counts(plan)
+        observed_all[name] = observed
+        allowed_pats = dict(ALLOWED.get(name, []))
+        if name in ALLOWED_GLOBAL_WINDOW:
+            allowed_pats["GlobalWindow"] = ALLOWED_GLOBAL_WINDOW[name]
         flags = []
-        for pat in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
-            if pat in plan:
-                allowed = any(
-                    pat == a and True for a, _ in ALLOWED.get(name, [])
-                )
-                if allowed:
-                    reason = dict(ALLOWED[name])[pat]
-                    flags.append(f"{pat} (allowed: {reason})")
+        for pat, n_obs in sorted(observed.items()):
+            if pat not in allowed_pats:
+                flags.append(f"{pat} x{n_obs} UNEXPLAINED")
+                bad += 1
+                continue
+            n_frozen = frozen.get(name, {}).get(pat)
+            if update_counts or n_frozen is None:
+                # no frozen baseline yet: accept this run's count as it
+                # (--update-counts), or fail loudly so the freeze is a
+                # deliberate, reviewed act.
+                if update_counts:
+                    flags.append(f"{pat} x{n_obs} (allowed: {allowed_pats[pat]})")
                 else:
-                    flags.append(f"{pat} UNEXPLAINED")
+                    flags.append(
+                        f"{pat} x{n_obs} NOT FROZEN (run --update-counts)"
+                    )
                     bad += 1
+            elif n_obs > n_frozen:
+                flags.append(
+                    f"{pat} x{n_obs} EXCEEDS frozen x{n_frozen} "
+                    f"(allowed shape: {allowed_pats[pat]})"
+                )
+                bad += 1
+            else:
+                flags.append(f"{pat} x{n_obs} (allowed: {allowed_pats[pat]})")
         status = "; ".join(flags) if flags else "clean"
         print(f"{name}: {status}")
+    if update_counts:
+        # freeze counts ONLY for whitelisted (query, pattern) pairs — an
+        # unexplained pattern must never become quietly acceptable via the
+        # counts file.
+        new_frozen = dict(frozen)
+        for name, observed in observed_all.items():
+            allowed_pats = dict(ALLOWED.get(name, []))
+            if name in ALLOWED_GLOBAL_WINDOW:
+                allowed_pats["GlobalWindow"] = ALLOWED_GLOBAL_WINDOW[name]
+            keep = {
+                pat: n for pat, n in sorted(observed.items())
+                if pat in allowed_pats
+            }
+            if keep:
+                new_frozen[name] = keep
+            else:
+                new_frozen.pop(name, None)
+        with open(COUNTS_PATH, "w") as f:
+            json.dump(new_frozen, f, indent=1, sort_keys=True)
+        print(f"# froze counts for {len(new_frozen)} queries -> {COUNTS_PATH}")
     print(f"# {len(wanted)} plans, {bad} unexplained flags")
     return 1 if bad else 0
 
