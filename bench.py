@@ -167,26 +167,37 @@ def main() -> None:
         free_state(spark)
         return dt
 
+    # Demoted from the default sweep (round-4 verdict item 3): exact
+    # all-pairs gates whose scale-path twin IS in the sweep. Still fully
+    # oracle-checked in the correctness gate; reported here, never silent.
+    demoted = {
+        "q_knn_loo_eval": "brute-force all-pairs LOO gate (41.7 s at "
+                          "sf0.1); scale path q_knn_loo_ann is swept",
+    }
     fns = dict(ordered)
     for name, fn in ordered:
+        if name in demoted:
+            continue
         if time.time() - sweep_t0 > BENCH_BUDGET_SEC:
             skipped.append(name)
             continue
         qtimes[name] = round(run_once(name, fn), 3)
 
-    # Noise-robust protocol for the headline entries (round-3 verdict item
-    # 5): this sandbox has multi-minute noisy-neighbor epochs (documented
-    # 2x swings between identical sweeps), and the most expensive queries
-    # dominate the headline total, so each of the top 20 gets a SECOND
-    # timed run and records the MIN of its two epochs — min, not mean,
-    # because contention only ever adds time; the faster epoch is the
-    # truer cost of the plan. Cheap queries stay single-run (their noise
-    # cannot move the headline).
-    top20 = [
-        n for n, _t in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]
-    ]
+    # Noise-robust protocol (round-3 verdict item 5, broadened per round-4
+    # item 7): this sandbox has multi-minute noisy-neighbor epochs
+    # (documented 2x swings between identical sweeps), and the expensive
+    # queries dominate the headline total, so EVERY entry that recorded
+    # >3 s (minimum the top 20) gets a SECOND timed run and records the
+    # MIN of its two epochs — min, not mean, because contention only ever
+    # adds time; the faster epoch is the truer cost of the plan. Cheap
+    # queries stay single-run (their noise cannot move the headline).
+    by_cost = sorted(qtimes.items(), key=lambda kv: -kv[1])
+    protocol = [n for n, t in by_cost if t > 3.0]
+    for n, _t in by_cost[:20]:
+        if n not in protocol:
+            protocol.append(n)
     min_of_2: list[str] = []
-    for name in top20:
+    for name in protocol:
         if time.time() - sweep_t0 > BENCH_BUDGET_SEC:
             break
         second = run_once(name, fns[name])
@@ -240,6 +251,7 @@ def main() -> None:
         "queries": qtimes,
         "protocol_min_of_2_epochs": sorted(min_of_2),
         "skipped_over_budget": skipped,
+        "demoted_from_sweep": demoted,
         "sf": guess_sf(SF_DIR),
         "turns_per_sec": round(turns_per_sec, 1),
         "n_turns": BENCH_TURNS,

@@ -5285,13 +5285,50 @@ DRIVER_CHECKED_R123: frozenset[str] = frozenset([
     'q_winnow_fingerprints', 'q_winnow_pairs',
 ])
 
-# Must-recertify head of the round-4 window (see block comment above).
+# Round-4 driver window (all 50 rows full green in CORRECTNESS_r04.json),
+# frozen like DRIVER_CHECKED_R123 so the round-5 rotation is reproducible.
+DRIVER_CHECKED_R4: frozenset[str] = frozenset([
+    'q_assertion_triples', 'q_bm25_search', 'q_burstiness_memory',
+    'q_cascade_failure', 'q_compaction_plan', 'q_concept_trend',
+    'q_context_disambiguation', 'q_cooccur_window', 'q_dup_discovery',
+    'q_embedding_ivf_topk', 'q_error_after_click', 'q_fim_transform',
+    'q_first_last_event', 'q_gap_fill', 'q_gray_failure', 'q_group_commit',
+    'q_heartbeat_flaps', 'q_incr_agg_merge', 'q_incremental_dedup',
+    'q_isa_closure', 'q_jain_fairness', 'q_json_corrupt_audit', 'q_kg_star',
+    'q_lexical_diversity', 'q_minhash_error_audit', 'q_perplexity_buckets',
+    'q_read_your_writes', 'q_rebalance_plan', 'q_reciprocity',
+    'q_relation_cardinality', 'q_relations', 'q_role_concepts',
+    'q_rrf_fusion', 'q_salt_plan', 'q_scrub', 'q_set_ops', 'q_split_leakage',
+    'q_temporal_relations', 'q_tpch_q10', 'q_tpch_q13', 'q_tpch_q2',
+    'q_tpch_q4', 'q_tpch_q7', 'q_tpch_q8', 'q_triple_pattern', 'q_ttl_jitter',
+    'q_turn_echo', 'q_udtf_sentences', 'q_variant_props', 'q_zipf_fit',
+])
+
+# Must-recertify head of the round-5 window: driver-green queries whose
+# CODE changed this round (q_reciprocity's global-window restructure —
+# bucketed lag + seam stitch). q_cdc_apply / q_transe_eval also changed
+# but have never had a driver row, so they ride the forced-first-timer
+# head below instead of consuming a recertify slot.
 DRIVER_RECERTIFY: list[str] = [
-    "q_embedding_ivf_topk",
-    "q_dup_discovery",
+    "q_reciprocity",
 ]
 
-ROTATION_SLOTS = 38
+# Never-driver-checked queries pinned to the FRONT of the rotation slice:
+# code changed this round (q_cdc_apply's engine-agnostic tombstone fold,
+# q_transe_eval's two-arm rebuild) or named by the round-4 verdict
+# (q_knn_loo_eval: the brute-force gate the new q_knn_loo_ann is audited
+# against).
+ROTATION_FORCED: list[str] = [
+    "q_cdc_apply",
+    "q_transe_eval",
+    "q_knn_loo_eval",
+]
+
+# 50-row window = 2 new (R5_NAMES) + 1 recertify + 47 rotation slots (3
+# forced + 44 md5-rotated). That retires >=47 never-checked queries and
+# leaves the never-checked count at 462 + 2 - 148 - 47 - 2 = 267 (< 270,
+# the round-4 verdict target).
+ROTATION_SLOTS = 47
 
 DRIVER_PRIORITY: list[str] = [
     # (this round's new registrations — queries_r3.R3_NAMES — are prepended
@@ -5352,32 +5389,37 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
-    """REGISTRY re-keyed for the driver's 50-row correctness window (see the
-    block comment above DRIVER_CHECKED_R123): recertify head, then a
-    deterministic md5-rotated slice of never-driver-checked names, then this
-    round's new registrations, then prior rounds' priority + registration
-    order."""
+    """REGISTRY re-keyed for the driver's 50-row correctness window
+    (round-5 layout, per the round-4 verdict's certification-debt ask):
+    this round's 2 new registrations, then the 1-query recertify head
+    (code changed + driver-green history), then 47 never-driver-checked
+    rotation slots (3 forced code-changed/verdict-named names first, then
+    a deterministic md5('r5:...')-rotated slice), then the rest."""
     import hashlib
 
-    from cliner_spark import queries_r3, queries_r4
+    from cliner_spark import queries_r4, queries_r5
 
-    r4_new = list(reversed(queries_r4.R4_NAMES))
+    r5_new = list(reversed(queries_r5.R5_NAMES))
+    checked = DRIVER_CHECKED_R123 | DRIVER_CHECKED_R4
     rotation_pool = sorted(
         (
             n
             for n in REGISTRY
-            if n not in DRIVER_CHECKED_R123
-            and n not in r4_new
+            if n not in checked
+            and n not in r5_new
             and n not in DRIVER_RECERTIFY
+            and n not in ROTATION_FORCED
         ),
-        key=lambda n: hashlib.md5(("r4:" + n).encode()).hexdigest(),
+        key=lambda n: hashlib.md5(("r5:" + n).encode()).hexdigest(),
     )
+    n_rotate = ROTATION_SLOTS - len(ROTATION_FORCED)
     priority = [
+        *r5_new,
         *DRIVER_RECERTIFY,
-        *rotation_pool[:ROTATION_SLOTS],
-        *r4_new,
-        *rotation_pool[ROTATION_SLOTS:],
-        *reversed(queries_r3.R3_NAMES),
+        *ROTATION_FORCED,
+        *rotation_pool[:n_rotate],
+        *rotation_pool[n_rotate:],
+        *reversed(queries_r4.R4_NAMES),
         *DRIVER_PRIORITY,
     ]
     out = {n: REGISTRY[n] for n in priority if n in REGISTRY}

@@ -531,6 +531,33 @@ def synth_image_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_gif_table(docs: DataFrame) -> DataFrame:
+    """documents -> real encoded GIF payloads (every doc): same
+    deterministic md5 pixel stream as synth_image_table, routed through
+    encode_gif — the palette is the <=48 distinct md5-stream colors, far
+    inside GIF's 256. One mapInPandas, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w, h, rgb = _doc_pixels(did, text)
+                payloads.append(encode_gif(w, h, rgb))
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "media_type": ["image/gif"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="media_id bigint, payload binary, media_type string"
+    )
+
+
 _DECODE_SCHEMA = (
     "media_id bigint, fmt string, width int, height int, n_px_bytes bigint, "
     "px_sha256 string, sum_r bigint, sum_g bigint, sum_b bigint"

@@ -19344,3 +19344,8 @@ def q_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("wait_ms").cast("long").alias("max_wait_ms"),
     )
+
+
+# Round-5 registrations chain off this module's tail (same pattern as
+# queries_r3 -> queries_r4) so every import order stays cycle-safe.
+from cliner_spark import queries_r5  # noqa: E402,F401

@@ -377,3 +377,45 @@ def test_runtime_bloom_filter_injected_on_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plan_lint_global_window_detector():
+    """tools/plan_lint.count_global_windows: flags ordered windows with no
+    partition spec and empty OVER() windows; ignores partitioned windows
+    (ordered or not). Canned lines taken from real Spark 4 executedPlan
+    output."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    import importlib
+
+    pl = importlib.import_module("plan_lint")
+    global_ordered = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST,"
+        " specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " currentrow$())) AS r#2], [id#0L ASC NULLS FIRST]"
+    )
+    partitioned_ordered = (
+        "+- Window [row_number() windowspecdefinition(g#1L, id#0L ASC NULLS"
+        " FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " currentrow$())) AS r#4], [g#1L], [id#0L ASC NULLS FIRST]"
+    )
+    partitioned_unordered = (
+        "+- Window [count(1) windowspecdefinition(g#1L,"
+        " specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " unboundedfollowing$())) AS c#2L], [g#1L]"
+    )
+    empty_over = (
+        "+- Window [count(1) windowspecdefinition(specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS c#4L]"
+    )
+    assert pl.count_global_windows(global_ordered) == 1
+    assert pl.count_global_windows(partitioned_ordered) == 0
+    assert pl.count_global_windows(partitioned_unordered) == 0
+    assert pl.count_global_windows(empty_over) == 1
+    both = "\n".join([global_ordered, partitioned_ordered, empty_over])
+    assert pl.count_global_windows(both) == 2

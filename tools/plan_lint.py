@@ -366,7 +366,13 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "all-pairs theta join (vec_id <>) — the brute-force exact "
          "baseline BY DESIGN, same contract as q_embedding_topk; scale "
-         "path swaps in the IVF/LSH candidate generators")
+         "path is q_knn_loo_ann (IVF candidates, cell equi-join)")
+    ],
+    "q_knn_loo_ann": [
+        ("BroadcastNestedLoopJoin",
+         "16-row broadcast centroid table x corpus for probe selection "
+         "(same shape as q_ivfpq_topk); candidate scoring itself is the "
+         "cell equi-join")
     ],
     "q_kmeans_inertia": [
         ("BroadcastNestedLoopJoin",
@@ -659,7 +665,145 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
 # spine, rollup, or capped top-K frame), never the corpus. A query whose
 # global window runs over corpus-scale rows must be restructured (e.g.
 # q_reciprocity's bucketed lag + boundary stitch), not whitelisted.
-ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "q_ams_f2": "median rank over the 16-row estimator ledger",
+    "q_anova_sources": "grand-mean/rank windows on the |sources| rollup",
+    "q_benford_audit": "OVER() total on the 9-row leading-digit ledger",
+    "q_bh_fdr": "BH step-up rank + running max over the m-row (|sources|) "
+                "p-value ledger",
+    "q_binary_segmentation": "all windows run on the |days| daily-rollup "
+                             "frame or its two halves",
+    "q_bm25_search": "top-10 rank over the per-query scored match set — the "
+                     "global top-k (TakeOrdered) shape; WAND pruning "
+                     "(q_wand_pruning) is the index-side scale path",
+    "q_borda_condorcet": "all ranks/totals on the m=20-row source dimension "
+                         "(pairwise frame m^2=400)",
+    "q_bottomk_merge": "shard-merge rank over the 128-row (8 shards x k=16) "
+                       "sketch union; direct pass ranks the same k-bounded "
+                       "frame",
+    "q_checkpoint_shards": "size rank + spread window over the 16-row shard "
+                           "ledger",
+    "q_chisq_independence": "OVER() totals on the |sources| x |langs| "
+                            "contingency grid",
+    "q_cohens_effects": "rank windows on the (segment, value) value-domain "
+                        "frame",
+    "q_compaction_plan": "cumulative-sum packing over the FILE LISTING "
+                         "(metadata-sized: one row per data file, the "
+                         "planner's own input)",
+    "q_concurrency_peak": "sweep-line cumsum over the 2x|users| "
+                          "boundary-event frame (dimension-sized)",
+    "q_conformal_calibration": "quantile rank over the calibration SAMPLE "
+                               "(fixed-size held-out set; dist_dense_rank "
+                               "at corpus scale)",
+    "q_consistent_hashing": "ring-position rank over the 32/36-row vnode "
+                            "ring",
+    "q_cramer_von_mises": "ECDF cumulative window over the distinct-value "
+                          "frame (value-domain bounded)",
+    "q_curriculum_phases": "cumulative count over the DISTINCT-length "
+                           "frequency table (length domain, not corpus)",
+    "q_cusum_changepoint": "CUSUM/rank windows on the |days| daily rollup",
+    "q_degree_ccdf": "CCDF cumulative window over the |distinct degrees| "
+                     "spectrum",
+    "q_did_estimator": "window over the 4-row (group x period) panel",
+    "q_dow_seasonality": "rank over the 7-row weekday ledger",
+    "q_dup_discovery": "rank/cum windows over the <=12-row checkpoint "
+                       "spine",
+    "q_energy_distance": "cumulative + lead window on the distinct-value "
+                         "gap frame (value-domain bounded)",
+    "q_epoch_shuffle": "global row_number IS the demonstrated operator "
+                       "(epoch shuffle): gate-SF demonstration by design; "
+                       "docstring documents the sharded production loader",
+    "q_fs_linkage": "OVER() total on the <=8-row agreement-pattern grid",
+    "q_funnel_conversion": "lag/max windows on the 3-row funnel-step frame",
+    "q_gains_chart": "cumulative gain over the per-user rollup (user "
+                     "dimension); documented production swap to broadcast "
+                     "decile cutoffs",
+    "q_good_turing": "rank over the frequency-of-frequencies table "
+                     "(count-domain bounded)",
+    "q_group_sequential": "ntile over events per arm — gate-SF "
+                          "demonstration; docstring documents event-time "
+                          "range look ids at scale",
+    "q_hamilton_apportionment": "remainder rank + totals on the 20-row "
+                                "source dimension",
+    "q_hedged_requests": "survival cumulative window on the distinct-ms "
+                         "latency grid (value-domain bounded)",
+    "q_isotonic_calibration": "PAV interval windows on the <=10-bin "
+                              "calibration frame",
+    "q_kaplan_meier": "at-risk cumulative window over the |days| lifetime "
+                      "grid",
+    "q_kendall_taub": "concordance windows on the |days| daily rollup "
+                      "(pair frame |days|^2)",
+    "q_key_skew": "rank over the top-k heavy-hitter table (k rows, "
+                  "TakeOrdered upstream)",
+    "q_kg_negative_samples": "row_number over the OBJECT VOCABULARY "
+                             "(dimension-sized index build, broadcast "
+                             "afterwards)",
+    "q_kg_negatives": "same vocabulary index rank (graph.kg_negative_"
+                      "samples): dimension-sized",
+    "q_kruskal_wallis": "ONE global value rank — the order-statistics "
+                        "primitive; docstring documents the "
+                        "dist_dense_rank swap at scale",
+    "q_ks_drift": "ECDF cumulative window over |distinct lengths| "
+                  "(bounded value domain)",
+    "q_length_deciles": "exact ntile over (n_chars, doc_id) scalars BY "
+                        "DESIGN — the auditable variant; approx quantiles "
+                        "documented as the 100 TB path",
+    "q_mann_kendall": "sign/slope rank windows on the |days| grid "
+                      "(dimension squared pair frame)",
+    "q_markov_stationary": "row_number over the |types| spine (5 rows) for "
+                           "the start vector",
+    "q_maxmin_fairshare": "water-fill prefix sum over the per-user DEMAND "
+                          "rollup (user dimension; dist_cumsum shape)",
+    "q_mixture_plan": "windowed totals on the |sources| rollup",
+    "q_multiple_testing": "step-up/step-down ranks over the m-row "
+                          "(|sources|) ledger",
+    "q_nucleus_audit": "global bigram-vocab rank feeding the 8-row "
+                       "context spine (vocabulary-bounded)",
+    "q_permutation_test": "p-value rank on the 64-row replica ledger",
+    "q_perplexity_buckets": "tertile bounds rank over the distinct-score "
+                            "grid (domain-bounded)",
+    "q_pps_sample": "ONE cumsum in md5 order — documented distributed "
+                    "prefix-sum sharding at scale",
+    "q_priority_sampling": "top-65 priority rank (TakeOrdered shape); "
+                           "estimation windows on the 64-row sample",
+    "q_rbo_topk": "two top-k ranks (k=20, TakeOrdered shape) + depth "
+                  "windows on the 20 x k frame",
+    "q_rfm_segments": "three quintile ranks over the per-user rollup (user "
+                      "dimension); documented broadcast-cutoff swap at "
+                      "scale",
+    "q_rocchio_prf": "two BM25 top-k ranks (same TakeOrdered shape as "
+                     "q_bm25_search)",
+    "q_rrf_fusion": "fused-score rank over the 40-row union of two top-20 "
+                    "lists",
+    "q_shuffle_quality": "global row_number/lag IS the audited operator "
+                         "(shuffle-quality audit) — gate-SF demonstration; "
+                         "docstring documents the per-shard production "
+                         "form",
+    "q_simpson_paradox": "sign windows on the segment-dimension ledger",
+    "q_skyline": "ONE dominance sort window (dist_dense_rank shape); "
+                 "output front-sized",
+    "q_successive_halving": "elimination ranks on the 16-row config frame",
+    "q_touch_attribution": "final rank on the 4-row channel ledger",
+    "q_vocab_coverage": "row_number over the VOCAB table (dimension-sized; "
+                        "two-pass threshold trick documented for real "
+                        "vocabularies)",
+    "q_vocab_growth": "md5-order first-position rank at gate SF; docstring "
+                      "documents per-shard growth-curve merge at scale",
+    "q_vocab_ids": "contiguous id assignment over the aggregated vocab "
+                   "table (dimension-sized BY DESIGN)",
+    "q_wand_pruning": "impact-ordered ranks over the query-term posting "
+                      "summaries (10-term query spine; term-bounded "
+                      "frames)",
+    "q_wasserstein_lengths": "CDF windows over the merged distinct-value "
+                             "grid (value-domain bounded)",
+    "q_watermark_lateness": "running event-time max — the audited "
+                            "streaming operator; docstring documents "
+                            "per-partition arrival sharding",
+    "q_weighted_sample": "global top-k by hash-exponential key "
+                         "(TakeOrdered shape, A-ES sampling)",
+    "q_zipf_fit": "frequency rank over the aggregated token VOCAB "
+                  "(dimension-sized)",
+}
 
 
 SUBSTRING_PATTERNS = (
