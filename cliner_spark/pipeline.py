@@ -233,7 +233,10 @@ def cmd_train(args) -> None:
         tx_df = spark.read.parquet(args.input)
         gold_df = spark.read.parquet(args.gold)
         if objective == "crf":
-            model = train_crf_distributed(tx_df, gold_df, iters=args.epochs)
+            model = train_crf_distributed(
+                tx_df, gold_df, iters=args.epochs,
+                learn_trans=getattr(args, "learn_trans", False),
+            )
             how = "distributed CRF, exact shard-summed gradients"
         else:
             model = train_perceptron_distributed(
@@ -263,7 +266,10 @@ def cmd_train(args) -> None:
         texts.append(row["text"])
         tags.append(t)
     if objective == "crf":
-        model = train_crf(texts, tags, iters=args.epochs)
+        model = train_crf(
+            texts, tags, iters=args.epochs,
+            learn_trans=getattr(args, "learn_trans", False),
+        )
     else:
         model = train_perceptron(texts, tags, epochs=args.epochs)
     save_model(model, args.model)
@@ -332,6 +338,12 @@ def main(argv: list[str] | None = None) -> None:
         "--distributed",
         action="store_true",
         help="per-partition perceptrons + parameter mixing (no driver collect)",
+    )
+    t.add_argument(
+        "--learn-trans",
+        action="store_true",
+        help="CRF only: learn transition weights over the legal IOB "
+        "entries (crfsuite parity) instead of the fixed structural prior",
     )
     t.add_argument("--master", default=None)
     t.set_defaults(fn=cmd_train)
