@@ -5324,11 +5324,11 @@ ROTATION_FORCED: list[str] = [
     "q_knn_loo_eval",
 ]
 
-# 50-row window = 2 new (R5_NAMES) + 1 recertify + 47 rotation slots (3
-# forced + 44 md5-rotated). That retires >=47 never-checked queries and
-# leaves the never-checked count at 462 + 2 - 148 - 47 - 2 = 267 (< 270,
-# the round-4 verdict target).
-ROTATION_SLOTS = 47
+# 50-row window = 3 new (R5_NAMES) + 1 recertify + 46 rotation slots (3
+# forced + 43 md5-rotated; ROTATION_SLOTS trims to the window boundary).
+# That retires 49 never-checked queries and leaves the never-checked
+# count at 465 - 148 - 49 = 268 (< 270, the round-4 verdict target).
+ROTATION_SLOTS = 46
 
 DRIVER_PRIORITY: list[str] = [
     # (this round's new registrations — queries_r3.R3_NAMES — are prepended

@@ -80,7 +80,7 @@ def test_decode_image_dispatch_and_stub():
     assert decode_image(encode_bmp(4, 3, rgb)) == ("bmp", 4, 3, rgb)
     assert decode_image(encode_png(4, 3, rgb, 2)) == ("png", 4, 3, rgb)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+        decode_image(b"\x00\x00\x00\x18ftypmp42 video bytes")
 
 
 def test_doc_pixels_match_sql_formula():
@@ -192,3 +192,80 @@ def test_gif_lzw_codes_are_canonical_not_early_change():
     indices = bytes([0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 1, 1])
     packed = _lzw_encode(indices, 2)
     assert _lzw_decode(packed, 2) == indices
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round-5): marker structure, exactness on the block-constant
+# lossless domain, near-losslessness with the all-ones quant table on
+# arbitrary images, both color modes, odd dimensions, grayscale decode.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_marker_structure():
+    from cliner_spark.multimodal import encode_jpeg
+
+    enc = encode_jpeg(8, 8, bytes([5, 6, 7] * 64))
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xee", b"\xff\xdb", b"\xff\xc0",
+                   b"\xff\xc4", b"\xff\xda"):
+        assert marker in enc, marker
+
+
+def test_jpeg_exact_on_constant_blocks():
+    import numpy as np
+
+    from cliner_spark.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        wb, hb = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        w, h = wb * 8, hb * 8
+        blocks = rng.integers(0, 256, size=(hb, wb, 3))
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        rgb = img.tobytes()
+        assert decode_jpeg(encode_jpeg(w, h, rgb)) == (w, h, rgb)
+
+
+def test_jpeg_near_lossless_arbitrary_and_color_modes():
+    import numpy as np
+
+    from cliner_spark.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    w, h = 24, 16
+    rgb = bytes(rng.integers(0, 256, size=w * h * 3).tolist())
+    for mode, tol in (("rgb", 2), ("ycbcr", 4)):
+        w2, h2, dec = decode_jpeg(encode_jpeg(w, h, rgb, color=mode))
+        assert (w2, h2) == (w, h)
+        err = np.abs(
+            np.frombuffer(dec, dtype=np.uint8).astype(int)
+            - np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        )
+        assert err.max() <= tol, (mode, err.max())
+
+
+def test_jpeg_odd_dims_edge_padded():
+    import numpy as np
+
+    from cliner_spark.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(4)
+    w, h = 13, 9
+    rgb = bytes(rng.integers(0, 256, size=w * h * 3).tolist())
+    w2, h2, dec = decode_jpeg(encode_jpeg(w, h, rgb))
+    assert (w2, h2, len(dec)) == (w, h, w * h * 3)
+
+
+def test_jpeg_dispatch_and_doc_blocks_roundtrip():
+    from cliner_spark.multimodal import (
+        _doc_blocks,
+        decode_image,
+        encode_jpeg,
+    )
+
+    for did in range(12):
+        w, h, rgb = _doc_blocks(did, f"doc {did}")
+        assert (1 + did % 2) * 8 == w and (1 + did % 3) * 8 == h
+        assert decode_image(encode_jpeg(w, h, rgb)) == ("jpeg", w, h, rgb)

@@ -174,3 +174,35 @@ def test_knn_loo_ann_matches_replica_and_agrees_with_exact_gate(spark):
         1 for qi, qid in enumerate(ids) if ann_pred[int(qid)] == labels[qi]
     ) / len(ids)
     assert acc_ann < 0.25, acc_ann
+
+
+def test_jpeg_decode_matches_analytic_replica(spark):
+    docs = duckdb.sql(
+        f"SELECT doc_id, coalesce(text, '') FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, text in docs:
+        wb, hb = 1 + did % 2, 1 + did % 3
+        w, h = 8 * wb, 8 * hb
+        digest = hashlib.md5(text.encode("utf-8")).digest()
+        colors = (digest * 3)[: 3 * wb * hb]
+        stream = bytearray()
+        for y in range(h):
+            for x in range(w):
+                bi = (y // 8) * wb + (x // 8)
+                stream += colors[3 * bi : 3 * bi + 3]
+        stream = bytes(stream)
+        want[did] = (
+            w, h, len(stream),
+            hashlib.sha256(stream.hex().encode("ascii")).hexdigest(),
+            sum(stream[0::3]), sum(stream[1::3]), sum(stream[2::3]),
+        )
+    got = entry.queries()["q_jpeg_decode"](spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w, h, n, sha, sr, sg, sb = want[r["media_id"]]
+        assert r["fmt"] == "jpeg"
+        assert (r["width"], r["height"], r["n_px_bytes"]) == (w, h, n)
+        assert r["px_sha256"] == sha
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
