@@ -213,7 +213,8 @@ def crf_loss_grad(
         ids = g[offs[b] : offs[b + 1]]
         if len(ids) > 1:
             gold_tr += trans[ids[:-1], ids[1:]].sum()
-            np.add.at(gold_tr_counts, (ids[:-1], ids[1:]), 1.0)
+            if learn_trans:  # counts only feed the transition gradient
+                np.add.at(gold_tr_counts, (ids[:-1], ids[1:]), 1.0)
     loss = float(logZ.sum() - gold_em - gold_tr)
 
     resid = marg.copy()

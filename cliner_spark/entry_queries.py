@@ -5391,8 +5391,8 @@ DRIVER_PRIORITY: list[str] = [
 def ordered_registry() -> dict[str, QuerySpec]:
     """REGISTRY re-keyed for the driver's 50-row correctness window
     (round-5 layout, per the round-4 verdict's certification-debt ask):
-    this round's 2 new registrations, then the 1-query recertify head
-    (code changed + driver-green history), then 47 never-driver-checked
+    this round's 3 new registrations, then the 1-query recertify head
+    (code changed + driver-green history), then 46 never-driver-checked
     rotation slots (3 forced code-changed/verdict-named names first, then
     a deterministic md5('r5:...')-rotated slice), then the rest."""
     import hashlib

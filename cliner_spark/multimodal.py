@@ -470,8 +470,13 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
         indices = _lzw_decode(bytes(stream), min_code)
         if len(indices) < w * h:
             raise ValueError("GIF pixel data short")
+        n_pal = len(pal) // 3
         rgb = bytearray()
         for i in indices[: w * h]:
+            if i >= n_pal:
+                raise ValueError(
+                    f"GIF palette index {i} >= table size {n_pal}"
+                )
             rgb += pal[3 * i : 3 * i + 3]
         return w, h, bytes(rgb)
     raise ValueError("GIF contains no image frame")
@@ -1184,6 +1189,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     comps = []  # (cid, h, v, tq)
     adobe_transform = None
+    scomp = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1241,6 +1247,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
 
     if width is None:
         raise ValueError("no SOF before SOS")
+    if scomp is None:
+        raise ValueError("no SOS marker")
     m = _dct_matrix()
     bw = (width + 7) // 8 * 8
     bh = (height + 7) // 8 * 8

@@ -901,7 +901,11 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peel: each round = degree agg + >=k filter + edge
     restriction, mirroring graph.k_core exactly. `rounds` must exceed the
-    data's peel depth (verified at sf0.01: 6 rounds to fixpoint for k=4)."""
+    data's peel depth at EVERY gate SF — peel depth is structural, not
+    monotone in data size (measured fixpoints for k=4: sf0.001 takes 12
+    rounds, sf0.01 takes 7 — the round-5 sf0.001 full sweep caught the
+    old 10-round budget short). 18 leaves headroom; extra rounds past
+    convergence are identity, so overshoot can never flip the hash."""
     ctes = []
     prev = "ge"
     for i in range(1, rounds + 1):
@@ -930,7 +934,7 @@ def _kcore_sql(k: int, rounds: int) -> str:
     "q_kcore",
     f"""
 WITH {SQL_DOCS_TOKS}, {SQL_DOCPAIR_GRAPH.strip()},
-{_kcore_sql(4, 10)}
+{_kcore_sql(4, 18)}
 """,
 )
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,7 +944,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark (early exit at fixpoint) checked against a 10-round unrolled
     oracle: once the peel converges, extra unrolled rounds are identity,
     so the two agree whenever convergence happens within the unroll budget
-    (asserted by the sf0.01 check; sf0.01 converges in 6)."""
+    (18 rounds; measured peel depths 12 at sf0.001, 7 at sf0.01 — depth is
+    structural, not monotone in data size)."""
     from cliner_spark.graph import k_core
 
     return k_core(_docpair_edges(spark, sf_dir), k=4)

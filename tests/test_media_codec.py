@@ -182,16 +182,28 @@ def test_gif_palette_limit_refused():
 
 
 def test_gif_lzw_codes_are_canonical_not_early_change():
-    """Distinguish GIF's late width change from TIFF's early change: decode
-    a hand-packed stream around the width boundary. With min_code_size=2
-    (clear=4, end=5, first free=6), codes are 3-bit until entry 7 is
-    ADDED, and the code following that addition is read at 4 bits."""
+    """Pin GIF's LATE width change against TIFF's early change with a
+    HAND-PACKED golden stream (min_code_size=2: clear=4, end=5, first
+    free entry=6). Encoding [0,1,2,3,0]:
+
+      emit clear(4)@3; emit 0@3 (add 6=(0,1)); emit 1@3 (add 7=(1,2),
+      next=8 -> still 3-bit: late change lags the table filling by one
+      code); emit 2@3 (add 8=(2,3), next=9 > 2^3 -> widen); emit 3@4;
+      emit 0@4; emit end(5)@4
+
+    LSB-first packing of (4,0,1,2)@3 + (3,0,5)@4 = bytes 44 34 50,
+    verified by hand. An early-change implementation emits code 2 at 4
+    bits, producing different bytes — so BOTH assertions below pin the
+    timing on their respective side (encoder bytes, decoder replay); a
+    matched early-change pair cannot pass."""
     from cliner_spark.multimodal import _lzw_decode, _lzw_encode
 
-    # indices chosen so the encoder emits enough codes to cross 8 entries
+    golden = bytes.fromhex("443450")
+    assert _lzw_encode(bytes([0, 1, 2, 3, 0]), 2) == golden
+    assert _lzw_decode(golden, 2) == bytes([0, 1, 2, 3, 0])
+    # and the longer roundtrip crossing the boundary repeatedly
     indices = bytes([0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 1, 1])
-    packed = _lzw_encode(indices, 2)
-    assert _lzw_decode(packed, 2) == indices
+    assert _lzw_decode(_lzw_encode(indices, 2), 2) == indices
 
 
 # ---------------------------------------------------------------------------

@@ -47,8 +47,10 @@ def count_global_windows(plan: str) -> int:
       Window [functions], [partitionSpec], [orderSpec]
     (3 top-level bracket groups) when partitioned and
       Window [functions], [orderSpec]
-    (2 groups) when global. WindowGroupLimit/WindowInPandas lines are
-    handled the same way.
+    (2 groups) when global; WindowInPandas renders identically and is
+    matched too. WindowGroupLimit nodes are deliberately NOT counted:
+    they always sit above the Window node that this parser does count,
+    so counting both would double-flag one logical window.
     """
     n = 0
     for line in plan.splitlines():
