@@ -5315,13 +5315,15 @@ DRIVER_RECERTIFY: list[str] = [
 
 # Never-driver-checked queries pinned to the FRONT of the rotation slice:
 # code changed this round (q_cdc_apply's engine-agnostic tombstone fold,
-# q_transe_eval's two-arm rebuild) or named by the round-4 verdict
+# q_transe_eval's two-arm rebuild, q_kcore's oracle unroll budget raised
+# to cover sf0.001's 12-round peel depth) or named by the round-4 verdict
 # (q_knn_loo_eval: the brute-force gate the new q_knn_loo_ann is audited
 # against).
 ROTATION_FORCED: list[str] = [
     "q_cdc_apply",
     "q_transe_eval",
     "q_knn_loo_eval",
+    "q_kcore",
 ]
 
 # 50-row window = 3 new (R5_NAMES) + 1 recertify + 46 rotation slots (3
