@@ -281,3 +281,36 @@ def test_jpeg_dispatch_and_doc_blocks_roundtrip():
         w, h, rgb = _doc_blocks(did, f"doc {did}")
         assert (1 + did % 2) * 8 == w and (1 + did % 3) * 8 == h
         assert decode_image(encode_jpeg(w, h, rgb)) == ("jpeg", w, h, rgb)
+
+
+def test_decoder_guards_raise_clean_errors():
+    """Round-5 review fixes: malformed payloads fail with ValueError, not
+    UnboundLocalError / silent short output."""
+    import struct
+
+    from cliner_spark.multimodal import decode_gif, decode_jpeg, encode_gif
+
+    # JPEG with SOF0 but no SOS (truncated scan)
+    sof = (
+        b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(b"\xff\xd8" + sof + b"\xff\xd9")
+
+    # GIF whose LZW stream references a palette index past the color table:
+    # take a valid 2-color GIF and splice in an entropy stream emitting
+    # index 3 (palette holds 2 entries padded to 2)
+    base = encode_gif(1, 1, b"\x01\x02\x03")
+    # locate the image descriptor and rebuild with a bad index stream
+    idx = base.index(b"\x2c")
+    prefix = base[: idx + 10 + 1]  # through min_code_size byte
+    from cliner_spark.multimodal import _lzw_encode
+
+    min_code = base[idx + 10]
+    bad = _lzw_encode(bytes([(1 << min_code) - 1 or 1]), min_code)
+    # ensure the spliced index is >= palette size (palette has 1 color
+    # padded to 2 entries; clear code size implies table of 2^min_code)
+    payload = prefix + bytes([len(bad)]) + bad + b"\x00\x3b"
+    with pytest.raises(ValueError):
+        decode_gif(payload)
