@@ -44,6 +44,12 @@ def test_reciprocity_matches_replica(spark):
 
 
 def test_burstiness_memory_matches_replica(spark):
+    # Replica orders by (event_type, floor-epoch sec, event_id) while the
+    # query's window orders by (ts, event_id). These can permute events
+    # that share a second — but the gap sequence is INVARIANT under any
+    # permutation within equal seconds (intra-second gaps are 0 and the
+    # sec sequence itself is unchanged), so the sufficient statistics
+    # compared below are identical under both orders.
     rows = duckdb.sql(
         f"SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT), event_id "
         f"FROM read_parquet('{SF}/events.parquet') ORDER BY event_type, 2, 3"
