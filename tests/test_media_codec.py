@@ -314,3 +314,32 @@ def test_decoder_guards_raise_clean_errors():
     payload = prefix + bytes([len(bad)]) + bad + b"\x00\x3b"
     with pytest.raises(ValueError):
         decode_gif(payload)
+
+
+def test_unsupported_codec_variants_raise_cleanly():
+    """Format variants outside the implemented subsets fail loudly with
+    the documented exception types (never silent corruption): interlaced
+    GIF frames, progressive JPEG (SOF2), and 16-bit JPEG quant tables."""
+    import struct
+
+    from cliner_spark.multimodal import decode_gif, decode_jpeg, encode_gif
+
+    # interlaced GIF: set the interlace bit in the image descriptor
+    base = bytearray(encode_gif(1, 1, b"\x09\x08\x07"))
+    idx = base.index(0x2C)
+    base[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(base))
+
+    # progressive JPEG: SOF2 marker
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+    # 16-bit precision quant table (Pq=1)
+    dqt16 = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + b"\x10" + bytes(128)
+    with pytest.raises(NotImplementedError, match="quant"):
+        decode_jpeg(b"\xff\xd8" + dqt16 + b"\xff\xd9")
