@@ -970,28 +970,32 @@ def _dct_matrix():
 
 
 class _BitWriter:
+    """MSB-first bit packer with 0xFF00 stuffing. Codes are accumulated
+    whole (not bit-by-bit) and drained a byte at a time — the entropy
+    writer is the encoder's hot loop."""
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        self.acc = ((self.acc << length) | (code & ((1 << length) - 1)))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1  # keep the int small
 
     def flush(self) -> bytes:
         if self.n:
-            self.acc <<= 8 - self.n
-            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1 bits (spec)
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF  # 1-pad (spec)
+            self.out.append(b)
+            if b == 0xFF:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
