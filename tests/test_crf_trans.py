@@ -235,3 +235,53 @@ def test_trans_gradient_is_exact_shard_sum():
     assert np.isclose(loss_all, loss_sum, rtol=1e-10)
     assert np.allclose(gw_all, gw_sum, atol=1e-8)
     assert np.allclose(gt_all, gt_sum, atol=1e-8)
+
+
+def test_distributed_crf_learn_trans_trains_fixture(spark):
+    """train_crf_distributed(learn_trans=True): shard-summed W AND
+    transition gradients drive Adam on the driver; the learned matrix
+    moves off the prior, constraints stay pinned, accuracy bar holds."""
+    from cliner_spark import fixtures, oracle_py
+
+    term_type = tagger.best_term_type(fixtures.CLINICAL_GAZETTEER)
+    rows = fixtures.gen_transcripts(n_convs=8, avg_turns=6, seed=13)
+    tx_df = spark.createDataFrame(
+        [
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "text": r["text"]}
+            for r in rows
+        ]
+    )
+    gold_rows = []
+    texts, gold = [], []
+    for r in rows:
+        toks = r["text"].split()
+        tags = ["O"] * len(toks)
+        for s, e, mt in oracle_py.scan_mentions(r["text"], set(term_type)):
+            ty = term_type[mt.lower()]
+            gold_rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "tok_start": s,
+                    "tok_end": e,
+                    "concept_type": ty,
+                }
+            )
+            tags[s] = f"B-{ty}"
+            for i in range(s + 1, e + 1):
+                tags[i] = f"I-{ty}"
+        texts.append(r["text"])
+        gold.append(tags)
+    gold_df = spark.createDataFrame(gold_rows)
+    model = crf.train_crf_distributed(
+        tx_df, gold_df, iters=15, lr=0.5, l2=1e-4, n_partitions=4,
+        learn_trans=True,
+    )
+    prior = tagger.iob_transitions()
+    legal = crf.legal_transition_mask(prior)
+    moved = np.abs(model.trans.astype(np.float64) - prior.astype(np.float64))
+    assert moved[legal].max() > 0.1
+    assert np.all(model.trans[~legal] <= tagger.NEG / 2)
+    _, _, _, pred = tagger.decode_texts(pd.Series(texts), model)
+    g = np.concatenate([[tagger.LABEL_IDX[t] for t in ts] for ts in gold])
+    assert float((pred == g).mean()) >= 0.9
